@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.source.Changelog
+import graft.op.{Checker, Compactor, Processors}
+
+/** Declared queries covering the reference's operator inventory
+  * (SURVEY.md §2): processors P1–P8, checker K3, routing K1, scan S2.
+  * Each runs the Spark operator from [[graft.op]] over the deterministic
+  * changelog derived from `events` and is checked against a DuckDB oracle
+  * built on the identical derivation ([[Changelog.oracleCte]]).
+  */
+object CdcQueries {
+  private val cte = Changelog.oracleCte
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // P1 — predicate filter (regex on full table name + op set)
+    "p1_filter" -> QueryDef(
+      (s, dir) => {
+        Processors.dmlFilter("^srcdb\\.sbtest[0-4]$", Seq("insert", "delete"))(
+          Changelog.fromEvents(s, dir))
+          .select(col("seq"), col("pk"), col("tbl"), col("op"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, pk, tbl, op FROM changelog
+        |WHERE regexp_matches(db || '.' || tbl, '^srcdb\\.sbtest[0-4]$$')
+        |  AND op IN ('insert','delete')
+        |ORDER BY seq""".stripMargin)),
+
+    // P2 — positional row arrays -> named map -> typed fields
+    "p2_convert" -> QueryDef(
+      (s, dir) => {
+        val flat = Changelog.fromEvents(s, dir)
+          .withColumn("positional", array(
+            col("r_id").cast("string"), col("r_k").cast("string"), col("r_v").cast("string")))
+        Processors.positionalToNamed(Seq("id", "k", "v"), "positional", "named")(flat)
+          .select(col("seq"), col("pk"),
+            element_at(col("named"), "id").cast("long").as("id_val"),
+            element_at(col("named"), "k").cast("int").as("k_val"),
+            element_at(col("named"), "v").cast("double").as("v_val"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, pk, r_id AS id_val, r_k AS k_val, r_v AS v_val
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
+    // P3 — db rename + operation remap + column rename
+    "p3_remap" -> QueryDef(
+      (s, dir) => {
+        val remapped = Processors.renameTable(Map("srcdb" -> "destdb"), Map.empty)(
+          Processors.remapOperation(Map("insert" -> "update"))(Changelog.fromEvents(s, dir)))
+        remapped.withColumnRenamed("r_k", "r_k2")
+          .select(col("seq"), col("pk"), col("db"), col("op"), col("r_k2"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, pk, 'destdb' AS db,
+        |       CASE WHEN op = 'insert' THEN 'update' ELSE op END AS op,
+        |       r_k AS r_k2
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
+    // P4 — regex-capture logical table from sharded physical name
+    "p4_namecatcher" -> QueryDef(
+      (s, dir) => {
+        Processors.nameCatcher("^([a-z]+)\\d+$")(Changelog.fromEvents(s, dir))
+          .groupBy("logical_table")
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("tbl")).as("n_phys"))
+          .orderBy("logical_table")
+      },
+      Some(s"""$cte
+        |SELECT regexp_extract(tbl, '^([a-z]+)\\d+$$', 1) AS logical_table,
+        |       COUNT(*) AS cnt, COUNT(DISTINCT tbl) AS n_phys
+        |FROM changelog GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P5 — per-table configured column value as partition key
+    "p5_keyvalue" -> QueryDef(
+      (s, dir) => {
+        val cfg = (0 to 9).map(i => s"sbtest$i" -> (if (i <= 4) "id" else "k")).toMap
+        val withRow = Changelog.fromEvents(s, dir)
+          .withColumn("logical_table", col("tbl"))
+          .withColumn("row_img", map(
+            lit("id"), col("r_id").cast("string"), lit("k"), col("r_k").cast("string")))
+        Processors.columnValue(cfg, "row_img")(withRow)
+          .select(col("seq"), col("tbl"), col("partition_key"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, tbl,
+        |       CASE WHEN CAST(SUBSTR(tbl, 7) AS INTEGER) <= 4
+        |            THEN CAST(r_id AS VARCHAR) ELSE CAST(r_k AS VARCHAR) END AS partition_key
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
+    // P6 — static dictionary lookup (logical table -> kafka topic)
+    "p6_valuemap" -> QueryDef(
+      (s, dir) => {
+        val topics = (0 to 9).map(i => s"sbtest$i" -> s"topic_${i % 3}").toMap
+        Processors.valueMap(topics, "tbl", "topic")(Changelog.fromEvents(s, dir))
+          .select(col("tbl"), col("topic")).distinct()
+          .orderBy("tbl")
+      },
+      Some(s"""$cte
+        |SELECT DISTINCT tbl,
+        |       'topic_' || CAST(CAST(SUBSTR(tbl, 7) AS INTEGER) % 3 AS VARCHAR) AS topic
+        |FROM changelog ORDER BY tbl""".stripMargin)),
+
+    // P7 — JSON marshal/unmarshal round trip
+    "p7_json" -> QueryDef(
+      (s, dir) => {
+        val sel = Changelog.fromEvents(s, dir).select("seq", "pk", "op", "r_k", "r_v")
+        val marshalled = Processors.marshal("json")(sel).select("json")
+        Processors.unmarshal("json", sel.schema)(marshalled)
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, pk, op, r_k, r_v FROM changelog ORDER BY seq""".stripMargin)),
+
+    // P8 — changelog compaction (the flagship fold; see Compactor)
+    "p8_compact" -> QueryDef(
+      (s, dir) => Compactor.compact(Changelog.fromEvents(s, dir)).orderBy("tbl", "pk"),
+      Some(s"""$cte,
+        |net AS (
+        |  SELECT tbl, pk, min_by(op, seq) AS first_op, max_by(op, seq) AS last_op,
+        |         max(seq) AS last_seq
+        |  FROM changelog GROUP BY tbl, pk),
+        |lastrow AS (
+        |  SELECT tbl, pk, max_by(r_id, seq) AS u_id, max_by(r_k, seq) AS u_k,
+        |         max_by(r_v, seq) AS u_v
+        |  FROM changelog WHERE op <> 'delete' GROUP BY tbl, pk)
+        |SELECT n.tbl AS tbl, n.pk AS pk,
+        |       CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |            WHEN n.first_op = 'insert' THEN 'insert'
+        |            ELSE 'update' END AS net_op,
+        |       CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |       CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |       CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |       n.last_seq AS last_seq
+        |FROM net n LEFT JOIN lastrow l ON n.tbl = l.tbl AND n.pk = l.pk
+        |WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')
+        |ORDER BY tbl, pk""".stripMargin),
+      bench = true),
+
+    // K1 — hash routing: per-key bucket assignment + per-bucket stats.
+    // (The physical partition-id isn't oracle-portable, so the declared
+    //  query checks the routing *function*; Processors.route is the
+    //  physical form — repartition + sortWithinPartitions.)
+    "k1_route" -> QueryDef(
+      (s, dir) => {
+        Changelog.fromEvents(s, dir)
+          .withColumn("bucket", pmod(col("pk"), lit(8)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("pk")).as("n_keys"),
+            max("seq").as("max_seq"))
+          .orderBy("bucket")
+      },
+      Some(s"""$cte
+        |SELECT pk % 8 AS bucket, COUNT(*) AS cnt, COUNT(DISTINCT pk) AS n_keys,
+        |       MAX(seq) AS max_seq
+        |FROM changelog GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // K3 — consistency checker: source vs deterministically perturbed target
+    "k3_check" -> QueryDef(
+      (s, dir) => {
+        val src = Changelog.table(s, dir, "orders")
+        val tgt = src.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.0).otherwise(0.0))
+        Checker.check(src, tgt, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some("""WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT s.o_orderkey AS o_orderkey,
+        |       CASE WHEN t.o_orderkey IS NULL THEN 'row_miss' ELSE 'row_diff' END AS check_result
+        |FROM orders s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
+        |   OR s.o_custkey       IS DISTINCT FROM t.o_custkey
+        |   OR s.o_orderstatus   IS DISTINCT FROM t.o_orderstatus
+        |   OR s.o_totalprice    IS DISTINCT FROM t.o_totalprice
+        |   OR s.o_orderdate     IS DISTINCT FROM t.o_orderdate
+        |   OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin),
+      bench = true),
+
+    // S2 — bounded snapshot scan with logical keyset pages
+    "s2_scan" -> QueryDef(
+      (s, dir) => {
+        Changelog.scan(s, dir, "orders", "o_orderkey")
+          .withColumn("page", expr("CAST(FLOOR((seq - 1) / 1000.0) AS BIGINT)"))
+          .groupBy("page")
+          .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("page")
+      },
+      Some("""WITH scan AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS seq, o_orderkey
+        |  FROM orders)
+        |SELECT CAST(FLOOR((seq - 1) / 1000.0) AS BIGINT) AS page,
+        |       COUNT(*) AS cnt, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM scan GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A declared query: the Spark implementation plus (when SQL-expressible)
+  * a DuckDB oracle over the same input tables. The driver runs both at
+  * sf0.01 and hash-compares results — so every query orders its output
+  * totally and emits only portable scalar types (string/long/int/double
+  * passthrough/decimal/exact-IEEE derivations). `bench = true` marks the
+  * headline set timed by [[graft.Bench]].
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Registry {
+  lazy val all: Map[String, QueryDef] =
+    CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
+      DedupQueries.defs ++ AnnQueries.defs
+
+  lazy val benchSet: Seq[String] = all.collect { case (n, d) if d.bench => n }.toSeq.sorted
+}

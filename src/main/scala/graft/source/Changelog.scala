@@ -1,0 +1,122 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Changelog-shaped sources over the harness parquet tables.
+  *
+  * The reference unifies tables and streams: a full-table scan emits the
+  * same per-row DML events as the binlog tail (pipe-s
+  * `pkg/input/mysql/scan/scaninput.go:193-208` — every scanned row becomes
+  * an `insert`). We keep that model: every source yields a DataFrame with
+  * the flat changelog schema
+  *
+  * {{{
+  *   seq long        -- total order (explicit; ring order in the reference)
+  *   pk long         -- routing/compaction key
+  *   db string, tbl string            -- physical addressing
+  *   op string       -- insert | update | delete
+  *   r_id long, r_k int, r_v double   -- typed row image ("sbtest"-ish shape)
+  *   event_time timestamp
+  * }}}
+  *
+  * The same transformations run over `spark.read` (scan analog) and
+  * `spark.readStream` (binlog analog) — see [[graft.streaming.ChangeStream]].
+  */
+object Changelog {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Synthetic CDC stream derived deterministically from the `events`
+    * table (the harness analog of a binlog tail; mapping fixed by
+    * FIXTURES.md §2.3):
+    * signup→insert, error→delete, anything else→update; `user_id` is the
+    * PK, `event_id` the total order, and the physical table is sharded
+    * `sbtest<user_id%10>` to exercise the logical-name operators
+    * (reference sharding fixture `pkg/processor/value/dbtablename_test.go`).
+    */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    fromEventsDf(events(spark, sfDir))
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; read it as a long (ns since epoch) and
+    * materialize a proper µs timestamp column alongside. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  def fromEventsDf(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("seq"),
+      col("user_id").as("pk"),
+      lit("srcdb").as("db"),
+      concat(lit("sbtest"), (col("user_id") % 10).cast("string")).as("tbl"),
+      when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete")
+        .otherwise("update").as("op"),
+      col("user_id").as("r_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("r_k"),
+      col("value").as("r_v"),
+      col("ts").as("event_time")
+    )
+
+  /** The DuckDB-SQL spelling of [[fromEvents]], prepended (as a CTE) to
+    * every changelog-query oracle so Spark and the oracle derive the
+    * identical stream. */
+  val oracleCte: String =
+    """WITH changelog AS (
+      |  SELECT event_id AS seq, user_id AS pk,
+      |         'srcdb' AS db,
+      |         'sbtest' || CAST(user_id % 10 AS VARCHAR) AS tbl,
+      |         CASE event_type WHEN 'signup' THEN 'insert'
+      |                         WHEN 'error'  THEN 'delete'
+      |                         ELSE 'update' END AS op,
+      |         user_id AS r_id,
+      |         CAST(json_extract(props, '$.k') AS INTEGER) AS r_k,
+      |         value AS r_v,
+      |         ts AS event_time
+      |  FROM events
+      |)""".stripMargin
+
+  /** Bounded snapshot scan (reference `MysqlScanInput`): a base table as a
+    * changelog of inserts. The reference keyset-paginates with
+    * `WHERE pk >= cursor ORDER BY pk LIMIT n` per table
+    * (`scaninput.go:353-402`); Spark parallelizes the scan natively by
+    * parquet row-group splits, so the "page" here is purely logical
+    * (seq = dense rank of the PK) and no cursor state is needed — a
+    * bounded source re-runs deterministically.
+    */
+  def scan(spark: SparkSession, sfDir: String, name: String, pkCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = table(spark, sfDir, name)
+    df.withColumn("seq", row_number().over(Window.orderBy(col(pkCol))).cast("long"))
+      .withColumn("op", lit("insert"))
+  }
+
+  /** Canonical map-typed form of the flat changelog (the reference's
+    * `DBChangeEvent` named-map stage, `pkg/core/message.go:172-182`):
+    * insert carries only `new_row`, delete only `old_row`, update both
+    * (`binloginput.go:446-473`). */
+  def toCanonical(flat: DataFrame): DataFrame = {
+    val rowMap = map(
+      lit("id"), col("r_id").cast("string"),
+      lit("k"), col("r_k").cast("string"),
+      lit("v"), col("r_v").cast("string"))
+    flat.select(
+      concat_ws(".", lit("uuid"), col("pk").cast("string"), col("seq").cast("string")).as("id"),
+      col("db").as("database"),
+      col("tbl").as("table"),
+      (unix_timestamp(col("event_time"))).as("db_time"),
+      (unix_timestamp(col("event_time")) * 1000L).as("event_time"),
+      col("seq").as("sequence"),
+      col("op").as("operation"),
+      when(col("op") =!= "insert", rowMap).as("old_row"),
+      when(col("op") =!= "delete", rowMap).as("new_row"),
+      map().cast("map<string,string>").as("extra")
+    )
+  }
+}
