@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is one hash aggregation — map-side partial, output
+  *     |distinct|;
+  *   - MinHash+LSH is the scalable near-dup path: signatures are a
+  *     map-only pass, candidate generation is a shuffle on (band, key)
+  *     whose fan-in is only colliding docs, and verification touches
+  *     candidate pairs, never the n² cross product;
+  *   - the quadratic n-gram Jaccard join exists as the *oracle baseline*
+  *     and must be bounded by the caller (it is the spec for what LSH
+  *     approximates);
+  *   - two hash families: md5 (engine-portable, drives the DuckDB-checked
+  *     queries) and xxhash64 (codegen'd, ~10× cheaper — the production
+  *     path, same algebra).
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary columns: keep the lowest id per group. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Word n-gram shingles from a token array (1-indexed element_at). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+
+  /** MinHash signature, portable family: hash_i(s) = md5(i || '|' || s);
+    * the minimum is taken over the hex strings (order-isomorphic to the
+    * numeric min). k independent permutations via seed prefixes. */
+  def minhashMd5(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** MinHash signature, production family: xxhash64 with integer seeds —
+    * whole-stage-codegen'd, no string materialization. */
+  def minhashFast(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** Banded LSH: explode the signature into `bands` keys of `rows` hashes
+    * each; docs sharing any band key become candidate pairs. Returns
+    * (idCol, band, key). */
+  def lshBands(df: DataFrame, sigCol: String, bands: Int, rows: Int, idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws("#", (1 to rows).map(r => element_at(col(sigCol), b * rows + r)): _*)
+            .as("key")))).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+
+  /** Candidate pairs from banded signatures: a self-equi-join on
+    * (band, key) — the shuffle key IS the bucket, so only colliding
+    * documents meet. Distinct (a < b) pairs. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("key"), col(idCol).as("a_id"))
+    val b = bandsDf.select(col("band"), col("key"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact Jaccard between two pre-distinct shingle arrays: |∩| computed
+    * by membership filter (portable semantics — no reliance on engine
+    * array_intersect dedup rules), |∪| by inclusion-exclusion. */
+  def jaccardCols(shA: Column, shB: Column): (Column, Column, Column) = {
+    val inter = size(filter(shA, x => array_contains(shB, x)))
+    val union = size(shA) + size(shB) - inter
+    (inter, union, inter / union)
+  }
+
+  /** 16-bit portable SimHash: bit j of md5(token)'s j-th hex nibble votes
+    * ±1; the sign of the vote sum sets bit j of the fingerprint. The
+    * production variant (64-bit, xxhash64) follows the same shape. */
+  def simhash16(toks: Column): Column = {
+    val bits = (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(
+          substring(md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1))
+      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** 64-bit production SimHash over xxhash64(token) bits. */
+  def simhash64(toks: Column): Column = {
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

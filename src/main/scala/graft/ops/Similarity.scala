@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query
+  *     set against the corpus; one map-only pass over the corpus, a
+  *     per-query top-k via window. Correct at any scale where the QUERY
+  *     set is small; the corpus side streams.
+  *   - [[lshTopK]]: random-hyperplane LSH — corpus and queries are
+  *     bucketed by a deterministic sign-bit sketch, candidates meet on
+  *     the bucket key (shuffle fan-in ∝ bucket size, never n²), then
+  *     exact cosine re-ranks within buckets. The sketch hyperplanes are
+  *     derived from xxhash64 (no RNG state, reproducible cluster-wide).
+  *
+  * Dot products use `zip_with` + `aggregate` — a sequential left fold,
+  * so the summation order (hence the IEEE result) is deterministic and
+  * matches the DuckDB oracle's list fold.
+  */
+object Similarity {
+
+  /** Σ a·b as a deterministic left fold over zipped arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(q, col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** Sign-bit sketch: bit i = sign(v · h_i) where hyperplane h_i's
+    * components are ±1 from xxhash64(i, dim). Cheap, deterministic, and
+    * component weights need no stored model. */
+  def signSketch(vecCol: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: group corpus by sketch, probe each query's bucket,
+    * exact-rerank within it. Recall is tunable by `bits` (fewer bits →
+    * bigger buckets → higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      signSketch(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      signSketch(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(q, Seq("bucket")).filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
+    * form; at scale run it over [[signSketch]] buckets instead of the
+    * full cross join. */
+  def nearDupPairs(vecs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, token counting, and
+  * document fingerprinting.
+  *
+  * All operators are single-pass column expressions (higher-order
+  * functions, no UDFs, no shuffle): at 100 TB each is a map-only stage
+  * that scans the text column once, and Catalyst prunes every other
+  * column from the parquet read.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (regex split on runs of spaces, trimmed). */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Quality metrics: token count, stopword count/ratio, mean token
+    * length. Ratios are single IEEE divisions of exact integer counts —
+    * deterministic and oracle-portable. */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_cnt", countIn(col("toks"), stopwords).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)).cast("long"))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_tokens"))
+      .withColumn("avg_tok_len", col("sum_len") / col("n_tokens"))
+      .drop("toks")
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed tie-break order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "du"))
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df.withColumn("toks", toks)) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"s_$lang", countIn(col("toks"), words).cast("long"))
+    }
+    // argmax with tie-break in declaration order (en > es > de > fr)
+    val pred = langMarkers.map(_._1) match {
+      case Seq(a, b, c, d) =>
+        when(col(s"s_$a") >= col(s"s_$b") && col(s"s_$a") >= col(s"s_$c") &&
+          col(s"s_$a") >= col(s"s_$d"), a)
+          .when(col(s"s_$b") >= col(s"s_$c") && col(s"s_$b") >= col(s"s_$d"), b)
+          .when(col(s"s_$c") >= col(s"s_$d"), c)
+          .otherwise(d)
+    }
+    scored.withColumn("pred_lang", pred).drop("toks")
+  }
+
+  /** Token counting three ways: whitespace, regex word tokens, and the
+    * bytes/4 BPE-count heuristic. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_re",
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).cast("long"))
+      .withColumn("bpe_est",
+        ceil(octet_length(col(textCol)) / lit(4.0)).cast("long"))
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set
+    * (word-order-insensitive; catches shuffled near-dups exactly).
+    * md5 is used deliberately — identical in every engine, so the
+    * fingerprint is stable across the Spark/DuckDB boundary and across
+    * cluster re-runs. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fp",
+      md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")))
+}

@@ -1,2 +1,141 @@
 package graft.queries
-object DedupQueries { val defs: Map[String, QueryDef] = Map() }
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.source.Changelog.table
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Deduplication queries over `documents`. The MinHash+LSH query is the
+  * scale path (runs unbounded — candidate generation is a bucket join);
+  * the pairwise n-gram Jaccard query is the bounded quadratic baseline
+  * that defines what LSH approximates. */
+object DedupQueries {
+
+  private val shCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "dedup_exact" -> QueryDef(
+      (s, dir) => {
+        Dedup.exact(table(s, dir, "documents"), Seq("text"), "doc_id")
+          .select(md5(col("text")).as("h"), col("keep_id"), col("dup_cnt"))
+          .orderBy("keep_id")
+      },
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Bounded quadratic baseline: exact trigram-shingle Jaccard over
+    // same-language pairs, doc_id < 500 (the spec for the LSH path).
+    "dedup_ngram" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+        val toks = TextAnalysis.tokens(col("text"))
+        val withSh = docs
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("lang"),
+            array_distinct(Dedup.shingles(toks)).as("sh"))
+        val a = withSh.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("sh").as("sha"))
+        val b = withSh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("sh").as("shb"))
+        val (inter, uni, jac) = Dedup.jaccardCols(col("sha"), col("shb"))
+        a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+          .withColumn("inter", inter.cast("long"))
+          .withColumn("uni", uni.cast("long"))
+          .filter(col("inter") * 1.0 / col("uni") >= 0.5)
+          .select("a_id", "b_id", "inter", "uni")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$shCte,
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS uni
+        |  FROM s a JOIN s b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND a.doc_id < 500 AND b.doc_id < 500)
+        |SELECT a_id, b_id, inter, uni FROM p
+        |WHERE inter * 1.0 / uni >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + banded LSH near-dup detection — the 100 TB path:
+    // signatures map-only; candidates meet on (band, key); exact Jaccard
+    // verifies candidates only. md5 hash family for oracle portability
+    // (Dedup.minhashFast is the xxhash64 production variant).
+    "dedup_minhash" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = TextAnalysis.tokens(col("text"))
+        val withSh = docs.filter(size(toks) >= 3)
+          .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))
+        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8))
+        val cand = Dedup.lshCandidates(
+          Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id"), "doc_id")
+        val sa = withSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+        val sb = withSh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+        val (inter, uni, _) = Dedup.jaccardCols(col("sha"), col("shb"))
+        cand.join(sa, "a_id").join(sb, "b_id")
+          .withColumn("inter", inter.cast("long"))
+          .withColumn("uni", uni.cast("long"))
+          .filter(col("inter") * 1.0 / col("uni") >= 0.5)
+          .select("a_id", "b_id", "inter", "uni")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$shCte,
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT a_id, b_id,
+        |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh)
+        |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+        |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+        |SELECT a_id, b_id, inter, uni FROM v
+        |WHERE inter * 1.0 / uni >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+      bench = true),
+
+    // SimHash fingerprints (16-bit portable family; simhash64/xxhash is
+    // the production variant).
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("sim", Dedup.simhash16(col("toks")))
+          .withColumn("bucket_cnt", count(lit(1)).over(Window.partitionBy("sim")).cast("long"))
+          .select("doc_id", "sim", "bucket_cnt")
+          .orderBy("doc_id")
+      },
+      Some(s"""$shCte,
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN list_sum(list_transform(toks,
+        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
+        |                       IN ('8','9','a','b','c','d','e','f')
+        |                  THEN 1 ELSE -1 END)) >= 0
+        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM t)
+        |SELECT doc_id, sim,
+        |       CAST(COUNT(*) OVER (PARTITION BY sim) AS BIGINT) AS bucket_cnt
+        |FROM f ORDER BY doc_id""".stripMargin))
+  )
+}

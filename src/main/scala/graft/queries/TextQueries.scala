@@ -1,2 +1,112 @@
 package graft.queries
-object TextQueries { val defs: Map[String, QueryDef] = Map() }
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.source.Changelog.table
+import graft.ops.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal-stub queries over the `documents` table.
+  * Oracle portability: tokenization is a regex split on space runs,
+  * hashes are md5, ratios are single IEEE divisions of exact ints. */
+object TextQueries {
+
+  /** Shared DuckDB tokenization CTE (mirror of [[TextAnalysis.tokens]]). */
+  private val tokCte =
+    """WITH t AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "text_quality" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.quality(table(s, dir, "documents"))
+          .select("doc_id", "n_chars", "n_tokens", "stop_cnt", "sum_len",
+            "stop_ratio", "avg_tok_len")
+          .orderBy("doc_id")
+      },
+      Some(s"""$tokCte,
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS stop_cnt,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, stop_cnt, sum_len,
+        |       stop_cnt / n_tokens AS stop_ratio,
+        |       sum_len / n_tokens AS avg_tok_len
+        |FROM c ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    "text_langid" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.langId(table(s, dir, "documents"))
+          .select("doc_id", "lang", "s_en", "s_es", "s_de", "s_fr", "pred_lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""$tokCte,
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','du'))) AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    "text_tokens" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.tokenCounts(table(s, dir, "documents"))
+          .select("doc_id", "n_ws", "n_re", "bpe_est")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_re,
+        |  CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.fingerprint(table(s, dir, "documents"))
+          .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+          .select("doc_id", "fp", "dup_cnt")
+          .orderBy("doc_id")
+      },
+      Some(s"""$tokCte,
+        |f AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM t)
+        |SELECT doc_id, fp,
+        |       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_cnt
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal stub: binary column + metadata + frame-sampled digests.
+    // The bytes are the UTF-8 text (ASCII), so byte slices == char slices
+    // and the oracle can mirror them with plain string functions.
+    "mm_binary" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.attachBinary(table(s, dir, "documents"))
+        media.select(
+          col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          ceil(length(col("bytes")) / lit(32.0)).cast("long").as("n_frames"),
+          md5(expr("substring(bytes, 1, 32)")).as("d0"),
+          md5(expr("substring(bytes, 33, 32)")).as("d1"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(strlen(text) / 32.0) AS BIGINT) AS n_frames,
+        |  md5(substr(text, 1, 32)) AS d0,
+        |  md5(substr(text, 33, 32)) AS d1
+        |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}
