@@ -45,32 +45,42 @@ object Similarity {
   }
 
   /** Sign-bit sketch: bit i = sign(v · h_i) where hyperplane h_i's
-    * components are ±1 from xxhash64(i, dim). Cheap, deterministic, and
-    * component weights need no stored model. */
-  def signSketch(vecCol: Column, bits: Int): Column = {
+    * components are ±1 from xxhash64(seed, i, dim). Cheap, deterministic,
+    * and component weights need no stored model. */
+  def signSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
     val planes = (0 until bits).map { i =>
       val proj = aggregate(
         zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+          (x, d) => when(pmod(xxhash64(lit(seed), lit(i), d), lit(2)) === 0, x).otherwise(-x)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     planes.reduce(_ + _)
   }
 
-  /** Bucketed ANN: group corpus by sketch, probe each query's bucket,
-    * exact-rerank within it. Recall is tunable by `bits` (fewer bits →
-    * bigger buckets → higher recall, more compute). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+  /** Per-row array of `tables` independent sketches (posexplode to get
+    * (table_id, bucket) pairs — the OR-amplified LSH key). */
+  private def sketches(vecCol: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => signSketch(vecCol, bits, seed = t)): _*)
+
+  /** Bucketed ANN with OR-amplification: `tables` independent sign
+    * sketches of `bits` hyperplanes each; a candidate pair meets if it
+    * collides in ANY table (recall ≈ 1-(1-p^bits)^tables), then exact
+    * cosine re-ranks the candidate set. The join key (table_id, bucket)
+    * is the shuffle key — fan-in per bucket ∝ corpus/2^bits, never n². */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 3,
+      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      signSketch(col(vecCol), bits).as("bucket"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      signSketch(col(vecCol), bits).as("bucket"))
+    def keyed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(sketches(col(vecCol), bits, tables)).as(Seq("tbl_id", "bucket")))
+        .select(id, vec, "tbl_id", "bucket")
+    val cand = keyed(corpus, "nid", "nv")
+      .join(keyed(queries, "qid", "qv"), Seq("tbl_id", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    c.join(q, Seq("bucket")).filter(col("nid") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+    cand.withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.op.Compactor
+
+/** Structured Streaming form of the engine: the binlog/Kafka tail analog.
+  *
+  * The reference's delivery machinery (disruptor ring, ordered acks,
+  * statestore positions — SURVEY.md §2.5) maps wholesale onto Spark's
+  * micro-batch + checkpoint commit protocol: offsets are persisted after
+  * a batch's sinks succeed, giving the same at-least-once contract as
+  * ack-gated position persistence; idempotent apply (compact-then-merge)
+  * makes replay safe.
+  *
+  * All transforms here are the SAME functions used in batch
+  * ([[graft.op.Processors]], [[Compactor]]) — a table is a bounded
+  * changelog, a stream is an unbounded one.
+  */
+object ChangeStream {
+
+  /** Tumbling-window aggregation with watermark — the streaming form of
+    * the `stream_window` declared query. Late events beyond the watermark
+    * are dropped; state is bounded by (watermark horizon / slide). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  /** Per-micro-batch compaction + merge apply: each batch is compacted
+    * (P8) and merged into the target with `Sinks.Merge` semantics via
+    * `foreachBatch`. Batch id + idempotent merge ⇒ at-least-once safe. */
+  def compactedApply(changelog: DataFrame, checkpoint: String)(
+      applyBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    changelog.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyBatch(Compactor.compact(batch.toDF()), id)
+      }
+      .start()
+
+  /** Cross-batch per-key compaction state (the reference keeps this
+    * implicitly in its ring + sink buffers; here it is explicit
+    * flatMapGroupsWithState). Because each batch's emission is APPLIED
+    * downstream, the carried state tracks applied existence (`inDb`):
+    * a delete after an applied insert must emit `delete` (unlike one-shot
+    * batch compaction, where insert→delete cancels), and a batch that
+    * nets to nothing emits zero rows. */
+  case class KeyState(inDb: Boolean, lastSeq: Long,
+      rId: Option[Long], rK: Option[Int], rV: Option[Double])
+
+  case class FlatEvent(seq: Long, pk: Long, tbl: String, op: String,
+      r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
+
+  case class NetRow(tbl: String, pk: Long, net_op: String, last_seq: Long,
+      r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
+
+  def statefulCompact(flat: Dataset[FlatEvent]): Dataset[NetRow] = {
+    import flat.sparkSession.implicits._
+    flat.groupByKey(e => (e.tbl, e.pk))
+      .flatMapGroupsWithState[KeyState, NetRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case ((tbl, pk), events, state: GroupState[KeyState]) =>
+          val sorted = events.toSeq.sortBy(_.seq)
+          val prev = state.getOption
+          val inDbStart = prev.map(_.inDb).getOrElse(sorted.head.op != "insert")
+          val lastOp = sorted.last.op
+          val lastSeq = sorted.last.seq
+          val lastUpsert = sorted.filter(_.op != "delete").lastOption
+          val (rId, rK, rV) =
+            if (lastOp == "delete") (None, None, None)
+            else lastUpsert.map(e => (e.r_id, e.r_k, e.r_v))
+              .orElse(prev.map(p => (p.rId, p.rK, p.rV)))
+              .getOrElse((None, None, None))
+          val netOp =
+            if (lastOp == "delete") { if (inDbStart) Some("delete") else None }
+            else if (inDbStart) Some("update")
+            else Some("insert")
+          state.update(KeyState(inDb = lastOp != "delete", lastSeq, rId, rK, rV))
+          netOp.map(op => NetRow(tbl, pk, op, lastSeq, rId, rK, rV)).iterator
+      }
+  }
+}

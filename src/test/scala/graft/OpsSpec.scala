@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data ops: dedup/similarity/text/multimodal over the sf0.001
+  * fixtures and synthetic frames. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  test("exact dedup keeps the min id per text group") {
+    val dup = Seq((1L, "x y z"), (5L, "x y z"), (3L, "q")).toDF("doc_id", "text")
+    val got = Dedup.exact(dup, Seq("text"), "doc_id")
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH candidates superset the high-jaccard pairs and verify exactly") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val withSh = docs.filter(size(toks) >= 3)
+      .select($"doc_id", array_distinct(Dedup.shingles(toks)).as("sh"))
+    // fast (xxhash64) family — the production path
+    val sig = withSh.withColumn("sig", Dedup.minhashFast($"sh", 8).cast("array<string>"))
+    val cand = Dedup.lshCandidates(Dedup.lshBands(sig, "sig", 4, 2, "doc_id"), "doc_id")
+    val sa = withSh.select($"doc_id".as("a_id"), $"sh".as("sha"))
+    val sb = withSh.select($"doc_id".as("b_id"), $"sh".as("shb"))
+    val (inter, uni, jac) = Dedup.jaccardCols($"sha", $"shb")
+    val verified = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac", jac).filter($"jac" >= 0.8)
+    // ground truth via bounded quadratic join
+    val truth = sa.join(sb, $"a_id" < $"b_id").withColumn("jac", jac)
+      .filter($"jac" >= 0.8).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val got = verified.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain engineered near-dups")
+    assert(got == truth, s"LSH(0.8-sim) must find all near-exact dups: got=$got want=$truth")
+  }
+
+  test("simhash of identical docs identical; of near-dups close") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash16(TextAnalysis.tokens($"text")).as("s"))
+    val vals = df.as[(Long, Long)].collect().toMap
+    assert(vals(1L) == vals(2L))
+    assert(vals(1L) >= 0 && vals(1L) < (1 << 16))
+  }
+
+  test("brute-force topk is exact vs naive; lsh topk has recall > 0.4") {
+    val k = 5
+    val all = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = embs.filter($"vec_id" < 8)
+    val got = Similarity.bruteTopK(embs, queries, k)
+      .select("qid", "rank", "nid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val want = (0L until 8L).map { q =>
+      q -> all.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    }.toMap
+    assert(got == want)
+    val lsh = Similarity.lshTopK(embs, queries, k, bits = 3, tables = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+    val recall = (0L until 8L).map { q =>
+      val g = lsh.getOrElse(q, Array.empty).map(_._2).toSet
+      g.intersect(want(q).toSet).size.toDouble / k
+    }.sum / 8
+    assert(recall > 0.6, s"lsh recall $recall")
+  }
+
+  test("multimodal stub: binary plumbing with deterministic features") {
+    val media = Multimodal.attachBinary(docs)
+    assert(media.schema.fields.map(_.name).toSeq == Seq("media_id", "bytes", "meta"))
+    val feats = Multimodal.decodeStub(spark, media)
+    val row = feats.filter($"media_id" === 0L).collect().head
+    val text0 = docs.filter($"doc_id" === 0L).select("text").as[String].collect().head
+    assert(row.getAs[Long]("n_bytes") == text0.getBytes("UTF-8").length)
+    assert(row.getAs[Long]("n_frames") == (text0.length + 31) / 32)
+    assert(row.getAs[String]("frame_digest").length == 32)
+    assert(feats.count() == docs.count())
+  }
+
+  test("text quality + langid + fingerprint are total and sane") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter($"n_tokens" <= 0).count() == 0)
+    assert(q.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() == 0)
+    val l = TextAnalysis.langId(docs)
+    assert(l.filter(!$"pred_lang".isin("en", "es", "de", "fr")).count() == 0)
+    val f = TextAnalysis.fingerprint(docs)
+    assert(f.filter(length($"fp") =!= 32).count() == 0)
+  }
+}

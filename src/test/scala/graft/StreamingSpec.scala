@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.ChangeStream
+import graft.streaming.ChangeStream.{FlatEvent, NetRow}
+
+/** Streaming semantics: cross-batch stateful compaction and the
+  * micro-batch compact-then-apply path (at-least-once + idempotent). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful compaction emits incremental net ops across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[FlatEvent]
+    val q = ChangeStream.statefulCompact(mem.toDS())
+      .writeStream.format("memory").queryName("netrows").outputMode("update").start()
+    try {
+      // batch 0: fresh insert+update -> one net insert with latest row
+      mem.addData(
+        FlatEvent(0, 1, "t", "insert", Some(1), Some(10), Some(1.0)),
+        FlatEvent(1, 1, "t", "update", Some(1), Some(11), Some(1.1)))
+      q.processAllAvailable()
+      // batch 1: delete of the now-applied key 1 must EMIT delete
+      // (one-shot compaction would cancel insert→delete; incremental
+      // delivery must not, because batch 0's insert was applied);
+      // key 2 first seen as update -> prior existence -> net update
+      mem.addData(
+        FlatEvent(2, 1, "t", "delete", None, None, None),
+        FlatEvent(3, 2, "t", "update", Some(2), Some(20), Some(2.0)))
+      q.processAllAvailable()
+      // batch 2: insert+delete inside one batch of an absent key -> no emission
+      mem.addData(
+        FlatEvent(4, 3, "t", "insert", Some(3), Some(30), Some(3.0)),
+        FlatEvent(5, 3, "t", "delete", None, None, None))
+      q.processAllAvailable()
+
+      val rows = spark.table("netrows").as[NetRow].collect()
+      val byKeySeq = rows.sortBy(_.last_seq).map(r => (r.pk, r.net_op, r.r_k))
+      assert(byKeySeq.toSeq == Seq(
+        (1L, "insert", Some(11)),
+        (1L, "delete", None),
+        (2L, "update", Some(20))))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark run on a bounded stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDS().toDF("ts", "event_type", "value")
+    val q = ChangeStream.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:50:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 01:10:00")
+      mem.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .selectExpr("cast(window.start as string)", "event_type", "cnt")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("compactedApply merges each micro-batch idempotently into a target") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[(Long, Long, String, String, String, Int, Double)]
+    val changelog = mem.toDS().toDF("seq", "pk", "db", "tbl", "op", "r_k", "r_v")
+      .selectExpr("seq", "pk", "tbl", "op", "pk as r_id", "r_k", "r_v")
+    @volatile var state = Map[Long, Int]() // pk -> r_k
+    val q = ChangeStream.compactedApply(changelog, dir) { (net, _) =>
+      net.collect().foreach { r =>
+        val pk = r.getAs[Long]("pk")
+        r.getAs[String]("net_op") match {
+          case "delete" => state -= pk
+          case _ => state += pk -> r.getAs[Int]("r_k")
+        }
+      }
+    }
+    mem.addData(
+      (0L, 1L, "d", "t", "insert", 10, 1.0),
+      (1L, 1L, "d", "t", "update", 11, 1.1),
+      (2L, 2L, "d", "t", "insert", 20, 2.0))
+    q.processAllAvailable()
+    q.awaitTermination(30000)
+    assert(state == Map(1L -> 11, 2L -> 20))
+  }
+}
