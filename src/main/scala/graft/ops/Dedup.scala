@@ -65,11 +65,12 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
-  /** Exact Jaccard between two pre-distinct shingle arrays: |∩| computed
-    * by membership filter (portable semantics — no reliance on engine
-    * array_intersect dedup rules), |∪| by inclusion-exclusion. */
+  /** Exact Jaccard between two pre-distinct shingle arrays. |∩| via
+    * array_intersect (hash-set build, O(n+m) per pair — on distinct
+    * inputs its size equals a membership-filter count, which is what the
+    * DuckDB oracle computes); |∪| by inclusion-exclusion. */
   def jaccardCols(shA: Column, shB: Column): (Column, Column, Column) = {
-    val inter = size(filter(shA, x => array_contains(shB, x)))
+    val inter = size(array_intersect(shA, shB))
     val union = size(shA) + size(shB) - inter
     (inter, union, inter / union)
   }

@@ -30,14 +30,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * Norms are materialized per side BEFORE the join — computed once per
+    * vector, not once per pair. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
       .join(q, col("nid") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -80,7 +84,7 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    cand.withColumn("cos", cosine(col("qv"), col("nv")))
+    cand.withColumn("cos", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
@@ -91,10 +95,10 @@ object Similarity {
     * full cross join. */
   def nearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("av"), norm(col(vecCol)).as("an"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("bv"), norm(col(vecCol)).as("bn"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("av"), col("bv")))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

@@ -38,10 +38,14 @@ object DedupQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
         val toks = TextAnalysis.tokens(col("text"))
+        // cache: the shingle frame feeds both sides of the pair join —
+        // without the barrier Catalyst collapses projections and
+        // re-tokenizes per pair
         val withSh = docs
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("lang"),
             array_distinct(Dedup.shingles(toks)).as("sh"))
+          .cache()
         val a = withSh.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("sh").as("sha"))
         val b = withSh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("sh").as("shb"))
         val (inter, uni, jac) = Dedup.jaccardCols(col("sha"), col("shb"))
@@ -73,9 +77,14 @@ object DedupQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val toks = TextAnalysis.tokens(col("text"))
+        // persist shingles + signatures: they feed the band explode and
+        // both sides of the candidate/verify joins; at cluster scale the
+        // signature table would be checkpointed the same way, computing
+        // the k×|shingles| hash pass exactly once
         val withSh = docs.filter(size(toks) >= 3)
           .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))
-        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8))
+          .cache()
+        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
         val cand = Dedup.lshCandidates(
           Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id"), "doc_id")
         val sa = withSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
