@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+import graft.op.{Compactor, Processors}
+import graft.sink.Sinks
+import graft.source.Changelog
+
+/** Config-driven dataflow assembly — the engine's analog of the
+  * reference's JSON pipeline front-end (pipe-s
+  * `pkg/builder/componentbuilder.go:126-234`: a name→constructor registry
+  * assembling Input → [Processor…] → Output).
+  *
+  * Here a pipeline is `source → (DataFrame => DataFrame)* → sink`; the
+  * processors compose by function composition, so the WHOLE assembled
+  * chain is one Catalyst plan — config-driven assembly costs nothing at
+  * execution time (unlike the reference's per-message interpreted chain).
+  *
+  * Config shape (JSON):
+  * {{{
+  * { "source": {"type": "events", "dir": "/root/testdata/sf0.001"},
+  *   "processors": [
+  *     {"type": "filter", "tablePattern": "^srcdb\\.sbtest\\d+$", "ops": ["insert","update","delete"]},
+  *     {"type": "namecatcher", "pattern": "^([a-z]+)\\d+$"},
+  *     {"type": "compact"} ],
+  *   "sink": {"type": "noop"} }
+  * }}}
+  */
+object Pipeline {
+
+  type Stage = DataFrame => DataFrame
+
+  private def strs(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
+  private def strMap(n: JsonNode): Map[String, String] =
+    n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  /** Name→constructor registry for processor stages (the authoritative
+    * component inventory, mirroring `componentbuilder.go:170-234`). */
+  val processorRegistry: Map[String, JsonNode => Stage] = Map(
+    "filter" -> (c => Processors.dmlFilter(c.get("tablePattern").asText(),
+      strs(c.get("ops")))),
+    "remap-op" -> (c => Processors.remapOperation(strMap(c.get("map")))),
+    "rename-table" -> (c => Processors.renameTable(
+      if (c.has("dbMap")) strMap(c.get("dbMap")) else Map.empty,
+      if (c.has("tblMap")) strMap(c.get("tblMap")) else Map.empty)),
+    "namecatcher" -> (c => Processors.nameCatcher(c.get("pattern").asText())),
+    "columnvalue" -> (c => Processors.columnValue(strMap(c.get("keyColPerTable")),
+      c.get("rowCol").asText())),
+    "valuemap" -> (c => Processors.valueMap(strMap(c.get("map")),
+      c.get("in").asText(), c.get("out").asText())),
+    "marshal" -> (c => Processors.marshal(
+      if (c.has("out")) c.get("out").asText() else "json")),
+    "compact" -> (_ => Compactor.compact),
+    "route" -> (c => Processors.route(c.get("n").asInt(),
+      strs(c.get("keys"))))
+  )
+
+  def source(spark: SparkSession, c: JsonNode): DataFrame = c.get("type").asText() match {
+    case "events" => Changelog.fromEvents(spark, c.get("dir").asText())
+    case "scan" => Changelog.scan(spark, c.get("dir").asText(),
+      c.get("table").asText(), c.get("pk").asText())
+    case "table" => Changelog.table(spark, c.get("dir").asText(), c.get("table").asText())
+    case other => throw new IllegalArgumentException(s"unknown source: $other")
+  }
+
+  def sink(c: JsonNode): DataFrame => Unit = c.get("type").asText() match {
+    case "noop" => Sinks.noop
+    case "console" => df => Sinks.console(df)
+    case "kafka" => df => Sinks.noop(Sinks.kafkaProjection(df,
+      c.get("keyCol").asText(), c.get("topicCol").asText()))
+    case "parquet" => df => df.write.mode("overwrite").parquet(c.get("path").asText())
+    case other => throw new IllegalArgumentException(s"unknown sink: $other")
+  }
+
+  /** Assemble the processor chain from config (pure function composition). */
+  def stages(cfg: JsonNode): Stage = {
+    val procs = Option(cfg.get("processors")).toSeq
+      .flatMap(_.elements().asScala)
+      .map { p =>
+        val t = p.get("type").asText()
+        processorRegistry.getOrElse(t,
+          throw new IllegalArgumentException(s"unknown processor: $t"))(p)
+      }
+    procs.foldLeft(identity[DataFrame] _)(_ andThen _)
+  }
+
+  /** Build and run a full pipeline from a JSON config string. */
+  def run(spark: SparkSession, json: String): Unit = {
+    val cfg = new ObjectMapper().readTree(json)
+    val df = stages(cfg)(source(spark, cfg.get("source")))
+    sink(cfg.get("sink"))(df)
+  }
+
+  /** Build the transformed frame without sinking (for inspection/tests). */
+  def buildFrame(spark: SparkSession, json: String): DataFrame = {
+    val cfg = new ObjectMapper().readTree(json)
+    stages(cfg)(source(spark, cfg.get("source")))
+  }
+}

@@ -20,6 +20,37 @@ import graft.op.Compactor
   */
 object ChangeStream {
 
+  /** S1 analog — the engine-local change-stream source: the `events`
+    * table tailed as an unbounded changelog via the file stream source
+    * (`maxFilesPerTrigger` plays the reference's binlog fetch batching;
+    * on a real deployment this is `readStream.format("kafka")` +
+    * `from_json`, same downstream code). The parquet's TIMESTAMP(NANOS)
+    * is declared as long and narrowed to µs, as in the batch source. */
+  def fromEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file stream source tails a DIRECTORY (arriving files = arriving
+    // binlog segments). Stage the harness's single events file into a
+    // per-sf drop dir once; a deployment would point this at the real
+    // landing directory instead.
+    val drop = java.nio.file.Paths.get(
+      "/tmp/graft-stream", Integer.toHexString(sfDir.hashCode))
+    java.nio.file.Files.createDirectories(drop)
+    val dst = drop.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop.toString)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    graft.source.Changelog.fromEventsDf(raw)
+  }
+
   /** Tumbling-window aggregation with watermark — the streaming form of
     * the `stream_window` declared query. Late events beyond the watermark
     * are dropped; state is bounded by (watermark horizon / slide). */

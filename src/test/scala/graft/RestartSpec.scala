@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.op.Compactor
+import graft.sink.Merge
+import graft.source.Changelog
+import graft.streaming.ChangeStream
+
+/** Recovery semantics — the harness analog of the reference's kill-and-
+  * restart data-integrity loop (`integration_test/dbsync/
+  * data_integrity_test_linux.sh`): a checkpointed stream re-run from the
+  * same checkpoint must not re-deliver committed batches, and the
+  * compact-then-merge apply must converge to the same state as one-shot
+  * batch compaction over all events. */
+class RestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed compact+merge over checkpoint restart equals batch compaction") {
+    val ckpt = Files.createTempDirectory("graft-restart").toString
+    @volatile var applied = Map[(String, Long), (String, Option[Int])]()
+    @volatile var batches = 0
+
+    def runOnce(): Unit = {
+      val stream = ChangeStream.fromEventsStream(spark, sf)
+      val q = ChangeStream.compactedApply(stream, ckpt) { (net, _) =>
+        batches += 1
+        net.collect().foreach { r =>
+          val key = (r.getAs[String]("tbl"), r.getAs[Long]("pk"))
+          r.getAs[String]("net_op") match {
+            case "delete" => applied -= key
+            case op => applied += key -> (op, Option(r.getAs[Any]("r_k")).map(_.asInstanceOf[Int]))
+          }
+        }
+      }
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val afterFirst = applied
+    val firstBatches = batches
+    assert(firstBatches > 0 && afterFirst.nonEmpty)
+
+    // restart from the same checkpoint: everything is committed, so the
+    // second run must deliver no new batches and change nothing
+    runOnce()
+    assert(batches == firstBatches, "restart re-delivered committed batches")
+    assert(applied == afterFirst)
+
+    // the streamed incremental application must equal one-shot compaction
+    val oneShot = Compactor.compact(Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Int]))
+      .toMap
+    val appliedRows = applied.map { case (k, (_, v)) => k -> v }
+    assert(appliedRows == oneShot)
+  }
+
+  test("pipeline config assembles and runs end to end") {
+    val cfg = s"""{
+      "source": {"type": "events", "dir": "$sf"},
+      "processors": [
+        {"type": "filter", "tablePattern": "^srcdb\\\\.sbtest\\\\d+$$", "ops": ["insert","update","delete"]},
+        {"type": "namecatcher", "pattern": "^([a-z]+)\\\\d+$$"},
+        {"type": "compact"}
+      ],
+      "sink": {"type": "noop"}
+    }"""
+    val df = graft.pipeline.Pipeline.buildFrame(spark, cfg)
+    assert(df.columns.contains("net_op"))
+    assert(df.count() > 0)
+    graft.pipeline.Pipeline.run(spark, cfg) // full run through the sink
+  }
+}
