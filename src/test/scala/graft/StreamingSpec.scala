@@ -71,6 +71,12 @@ class StreamingSpec extends SparkSpec {
     val changelog = mem.toDS().toDF("seq", "pk", "db", "tbl", "op", "r_k", "r_v")
       .selectExpr("seq", "pk", "tbl", "op", "pk as r_id", "r_k", "r_v")
     @volatile var state = Map[Long, Int]() // pk -> r_k
+    // data must be present before start: AvailableNow snapshots offsets
+    // at query start and terminates once they are processed
+    mem.addData(
+      (0L, 1L, "d", "t", "insert", 10, 1.0),
+      (1L, 1L, "d", "t", "update", 11, 1.1),
+      (2L, 2L, "d", "t", "insert", 20, 2.0))
     val q = ChangeStream.compactedApply(changelog, dir) { (net, _) =>
       net.collect().foreach { r =>
         val pk = r.getAs[Long]("pk")
@@ -80,12 +86,7 @@ class StreamingSpec extends SparkSpec {
         }
       }
     }
-    mem.addData(
-      (0L, 1L, "d", "t", "insert", 10, 1.0),
-      (1L, 1L, "d", "t", "update", 11, 1.1),
-      (2L, 2L, "d", "t", "insert", 20, 2.0))
-    q.processAllAvailable()
-    q.awaitTermination(30000)
+    q.awaitTermination(60000)
     assert(state == Map(1L -> 11, 2L -> 20))
   }
 }
