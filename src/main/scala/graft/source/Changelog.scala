@@ -90,12 +90,9 @@ object Changelog {
     * (seq = dense rank of the PK) and no cursor state is needed — a
     * bounded source re-runs deterministically.
     */
-  def scan(spark: SparkSession, sfDir: String, name: String, pkCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val df = table(spark, sfDir, name)
-    df.withColumn("seq", row_number().over(Window.orderBy(col(pkCol))).cast("long"))
+  def scan(spark: SparkSession, sfDir: String, name: String, pkCol: String): DataFrame =
+    graft.op.Seqs.globalSeq(table(spark, sfDir, name), pkCol)
       .withColumn("op", lit("insert"))
-  }
 
   /** Canonical map-typed form of the flat changelog (the reference's
     * `DBChangeEvent` named-map stage, `pkg/core/message.go:172-182`):
