@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Checker {
 
+  /** Second stage (`checkoutput.go:349-427`): re-probe the CURRENT
+    * source for each mismatch and keep only the stable ones — a row whose
+    * current version is gone or was updated at/after the cutoff changed
+    * legitimately after the snapshot and is excluded as transient. */
+  def recheck(mismatches: DataFrame, current: DataFrame, pkCols: Seq[String],
+      updateTimeCol: String, cutoff: Column): DataFrame = {
+    val cur = current.select(pkCols.map(col) :+ col(updateTimeCol).as("_upd"): _*)
+    mismatches.join(cur, pkCols, "inner")
+      .filter(col("_upd") < cutoff)
+      .drop("_upd")
+  }
+
   def check(source: DataFrame, target: DataFrame, pkCols: Seq[String]): DataFrame = {
     val valueCols = source.columns.filterNot(pkCols.contains)
     val t = target.select(target.columns.map(c => col(c).as(s"t_$c")): _*)

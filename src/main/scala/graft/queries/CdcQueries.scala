@@ -186,6 +186,38 @@ object CdcQueries {
         |ORDER BY o_orderkey""".stripMargin),
       bench = true),
 
+    // K3 stage 2 — recheck: keep only mismatches stable at the cutoff
+    "k3_recheck" -> QueryDef(
+      (s, dir) => {
+        val src = Changelog.table(s, dir, "orders")
+        val tgt = src.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.0).otherwise(0.0))
+        val mismatches = Checker.check(src, tgt, Seq("o_orderkey"))
+        Checker.recheck(mismatches, src, Seq("o_orderkey"),
+          "o_orderdate", lit("1997-06-01").cast("timestamp_ntz"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |mism AS (
+        |  SELECT s.o_orderkey AS o_orderkey,
+        |         CASE WHEN t.o_orderkey IS NULL THEN 'row_miss' ELSE 'row_diff' END AS check_result
+        |  FROM orders s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |  WHERE t.o_orderkey IS NULL
+        |     OR s.o_custkey       IS DISTINCT FROM t.o_custkey
+        |     OR s.o_orderstatus   IS DISTINCT FROM t.o_orderstatus
+        |     OR s.o_totalprice    IS DISTINCT FROM t.o_totalprice
+        |     OR s.o_orderdate     IS DISTINCT FROM t.o_orderdate
+        |     OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority)
+        |SELECT m.o_orderkey AS o_orderkey, m.check_result AS check_result
+        |FROM mism m JOIN orders c ON m.o_orderkey = c.o_orderkey
+        |WHERE c.o_orderdate < TIMESTAMP '1997-06-01'
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // S2 — bounded snapshot scan with logical keyset pages
     "s2_scan" -> QueryDef(
       (s, dir) => {

@@ -169,6 +169,109 @@ object RelationalQueries {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // Cube: all grouping-set combinations with grouping flags.
+    "cube_agg" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+          .orderBy(col("g_status"), col("g_prio"),
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // As-of join: each purchase picks the latest signup at-or-before it
+    // per user. Spark side is the scalable union+window form
+    // (graft.ops.AsOfJoin); the oracle uses DuckDB's native ASOF JOIN.
+    // Comparisons run on raw nanosecond longs so both engines see
+    // identical ordering (Spark timestamps are µs-truncated).
+    "asof_join" -> QueryDef(
+      (s, dir) => {
+        val e = graft.source.Changelog.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_ns").as("ns"))
+        val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+        val signups = e.filter(col("event_type") === "signup").drop("event_type")
+          .withColumnRenamed("event_id", "signup_id")
+        graft.ops.AsOfJoin.backward(purchases, signups,
+          keyCols = Seq("user_id"), tsCol = "ns",
+          payload = Seq("signup_id"), tieCol = "signup_id")
+          .select(col("event_id"), col("user_id"),
+            col("asof_signup_id").as("signup_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |p AS (SELECT event_id, user_id, ns FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS signup_id, user_id, ns FROM e WHERE event_type = 'signup')
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, s.signup_id AS signup_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ns >= s.ns
+        |ORDER BY event_id""".stripMargin),
+      bench = true),
+
+    // Sessionization: 30-minute-gap sessions per user (batch form of the
+    // streaming session_window; gap logic on exact nanosecond longs).
+    "w2_sessionize" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = graft.source.Changelog.events(s, dir)
+          .select(col("user_id"), col("ts_ns").as("ns"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ns", "event_id")
+        val prev = lag("ns", 1).over(w)
+        e.withColumn("is_new",
+          when(prev.isNull || (col("ns") - prev) > lit(1800000000000L), 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("is_new").as("n_sessions"))
+          .withColumn("events_per_session", col("n_events") / col("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns, event_id FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ns) OVER win IS NULL
+        |           OR ns - lag(ns) OVER win > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ns, event_id))
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |       COUNT(*) / CAST(SUM(is_new) AS BIGINT) AS events_per_session
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exact discrete percentiles (rank-pick: deterministic and portable,
+    // no interpolation-formula float divergence; approx_percentile is the
+    // sketch-based scale path for wide-cardinality groups).
+    "percentile_agg" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderstatus")
+        val wr = w.orderBy(col("o_totalprice"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .groupBy("o_orderstatus")
+          .agg(
+            max(when(col("rn") === ceil(lit(0.5) * col("cnt")).cast("long"),
+              col("o_totalprice"))).as("p50"),
+            max(when(col("rn") === ceil(lit(0.9) * col("cnt")).cast("long"),
+              col("o_totalprice"))).as("p90"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN o_totalprice END) AS p90
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Top-k by value with deterministic tie-break.
     "sort_limit" -> QueryDef(
       (s, dir) => {
