@@ -29,6 +29,15 @@ final case class ChangeEvent(
     new_row: Map[String, String], // null for delete
     extra: Map[String, String])
 
+/** Flat typed changelog record (the harness's concrete table shape — see
+  * [[graft.source.Changelog]] for the schema contract). */
+final case class FlatEvent(seq: Long, pk: Long, tbl: String, op: String,
+    r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
+
+/** Net effect of compacting one key's events (P8 output). */
+final case class NetRow(tbl: String, pk: Long, net_op: String, last_seq: Long,
+    r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
+
 object ChangeEvent {
   object Op {
     val Insert = "insert"

@@ -28,6 +28,73 @@ import org.apache.spark.sql.functions._
   */
 object Compactor {
 
+  import graft.model.{FlatEvent, NetRow}
+  import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  /** Commutative-merge buffer for the typed aggregator: tracks the
+    * argmin/argmax ops by seq plus the latest non-delete row image, so
+    * partial buffers from different partitions merge correctly whatever
+    * order events arrive in. */
+  case class Buf(firstSeq: Long, firstOp: String, lastSeq: Long, lastOp: String,
+      upSeq: Long, uId: Option[Long], uK: Option[Int], uV: Option[Double])
+
+  /** P8 as a typed `Aggregator` (the Dataset-native form; same algebra
+    * as [[compact]], usable as `ds.groupByKey(e => (e.tbl, e.pk))
+    * .agg(Compactor.typed.toColumn)` and inside
+    * `KeyValueGroupedDataset` pipelines). */
+  val typed: Aggregator[FlatEvent, Option[Buf], Option[NetRow]] =
+    new Aggregator[FlatEvent, Option[Buf], Option[NetRow]] {
+      def zero: Option[Buf] = None
+      def reduce(b: Option[Buf], e: FlatEvent): Option[Buf] = {
+        val isDel = e.op == "delete"
+        b match {
+          case None => Some(Buf(e.seq, e.op, e.seq, e.op,
+            if (isDel) Long.MinValue else e.seq,
+            if (isDel) None else e.r_id, if (isDel) None else e.r_k,
+            if (isDel) None else e.r_v))
+          case Some(x) =>
+            var r = x
+            if (e.seq < r.firstSeq) r = r.copy(firstSeq = e.seq, firstOp = e.op)
+            if (e.seq > r.lastSeq) r = r.copy(lastSeq = e.seq, lastOp = e.op)
+            if (!isDel && e.seq > r.upSeq)
+              r = r.copy(upSeq = e.seq, uId = e.r_id, uK = e.r_k, uV = e.r_v)
+            Some(r)
+        }
+      }
+      def merge(a: Option[Buf], b: Option[Buf]): Option[Buf] = (a, b) match {
+        case (None, y) => y
+        case (x, None) => x
+        case (Some(x), Some(y)) =>
+          val (f, l) = (if (x.firstSeq <= y.firstSeq) x else y,
+            if (x.lastSeq >= y.lastSeq) x else y)
+          val u = if (x.upSeq >= y.upSeq) x else y
+          Some(Buf(f.firstSeq, f.firstOp, l.lastSeq, l.lastOp,
+            u.upSeq, u.uId, u.uK, u.uV))
+      }
+      def finish(b: Option[Buf]): Option[NetRow] = b.flatMap { x =>
+        if (x.lastOp == "delete") {
+          if (x.firstOp == "insert") None // born and killed in-batch
+          else Some(NetRow(null, -1, "delete", x.lastSeq, None, None, None))
+        } else {
+          val op = if (x.firstOp == "insert") "insert" else "update"
+          Some(NetRow(null, -1, op, x.lastSeq, x.uId, x.uK, x.uV))
+        }
+      }
+      def bufferEncoder: Encoder[Option[Buf]] = Encoders.product
+      def outputEncoder: Encoder[Option[NetRow]] = Encoders.product
+    }
+
+  /** Typed-path compaction over a Dataset (key re-attached post-agg). */
+  def compactTyped(ds: Dataset[FlatEvent]): Dataset[NetRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.tbl, e.pk))
+      .agg(typed.toColumn)
+      .flatMap { case ((tbl, pk), net) =>
+        net.map(n => n.copy(tbl = tbl, pk = pk))
+      }
+  }
+
   /** Flat-schema compaction: group by (tbl, pk), carrying typed row
     * columns `r_id, r_k, r_v`. */
   def compact(changelog: DataFrame): DataFrame = {

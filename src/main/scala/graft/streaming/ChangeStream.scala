@@ -87,11 +87,10 @@ object ChangeStream {
   case class KeyState(inDb: Boolean, lastSeq: Long,
       rId: Option[Long], rK: Option[Int], rV: Option[Double])
 
-  case class FlatEvent(seq: Long, pk: Long, tbl: String, op: String,
-      r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
-
-  case class NetRow(tbl: String, pk: Long, net_op: String, last_seq: Long,
-      r_id: Option[Long], r_k: Option[Int], r_v: Option[Double])
+  type FlatEvent = graft.model.FlatEvent
+  val FlatEvent: graft.model.FlatEvent.type = graft.model.FlatEvent
+  type NetRow = graft.model.NetRow
+  val NetRow: graft.model.NetRow.type = graft.model.NetRow
 
   def statefulCompact(flat: Dataset[FlatEvent]): Dataset[NetRow] = {
     import flat.sparkSession.implicits._

@@ -66,6 +66,21 @@ class CompactorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("typed Aggregator equals the SQL compaction on the events changelog") {
+    import spark.implicits._
+    import graft.model.{FlatEvent, NetRow}
+    val flat = graft.source.Changelog.fromEvents(spark, sf)
+      .selectExpr("seq", "pk", "tbl", "op", "r_id", "r_k", "r_v")
+      .as[FlatEvent]
+    val typed = Compactor.compactTyped(flat).collect()
+      .map(n => (n.tbl, n.pk) -> ((n.net_op, n.last_seq, n.r_k))).toMap
+    val sql = Compactor.compact(flat.toDF()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(6), Option(r.get(4)).map(_.asInstanceOf[Int])))).toMap
+    assert(typed == sql)
+    assert(typed.nonEmpty)
+  }
+
   test("insert-then-delete cancels; delete-then-insert is update") {
     val evs = Seq(
       Ev(0, 1, "insert", 10), Ev(1, 1, "delete", 0), // born+killed -> no row
