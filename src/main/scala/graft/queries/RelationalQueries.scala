@@ -130,6 +130,41 @@ object RelationalQueries {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
       bench = true),
 
+    // Semi/anti joins — the declarative form of K2's inDB existence
+    // probe (batchmessage.go:33): which customers have/lack urgent orders.
+    "semi_anti_join" -> QueryDef(
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val urgent = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        val has = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+          .select(col("c_custkey")).withColumn("tag", lit("has_urgent"))
+        val not = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("tag", lit("no_urgent"))
+        has.unionByName(not).select("tag", "c_custkey").orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT 'has_urgent' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_urgent' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY tag, c_custkey""".stripMargin)),
+
+    // Exact distinct aggregation (expand-based distinct agg path).
+    "distinct_agg" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Set operations: intersect / except over customer key sets.
     "set_ops" -> QueryDef(
       (s, dir) => {

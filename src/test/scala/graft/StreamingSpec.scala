@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.streaming.ChangeStream
 import graft.streaming.ChangeStream.{FlatEvent, NetRow}
 
@@ -61,6 +62,31 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(
         ("2024-01-01 00:00:00", "click", 2L),
         ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows group by inactivity gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDS().toDF("ts", "user_id")
+    // session windows emit in append mode once the watermark passes the
+    // session end — a second batch advances it
+    val q = df.withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (t("2024-01-01 00:00:00"), 1L), (t("2024-01-01 00:10:00"), 1L), // session 1
+        (t("2024-01-01 02:00:00"), 1L), // session 2 (gap > 30m)
+        (t("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-02 00:00:00"), 3L)) // watermark pusher
+      q.processAllAvailable()
+      val got = spark.table("sess").select("user_id", "cnt")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(got == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L))) // user 3 still open
     } finally q.stop()
   }
 
