@@ -88,6 +88,34 @@ object TextQueries {
         |       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_cnt
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Composite cleaning pipeline — the training-data flagship: quality
+    // filter -> fingerprint dedup -> surviving representatives. One
+    // map-only scoring pass, one hash agg; no shuffle before the filter
+    // has shrunk the data.
+    "pipeline_clean" -> QueryDef(
+      (s, dir) => {
+        val scored = TextAnalysis.quality(table(s, dir, "documents"))
+        val kept = scored.filter(col("n_tokens") >= 12 && col("stop_ratio") <= 0.5)
+        TextAnalysis.fingerprint(kept)
+          .groupBy("fp")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("grp"))
+          .select("keep_id", "grp")
+          .orderBy("keep_id")
+      },
+      Some(s"""$tokCte,
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS stop_cnt
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM c WHERE n_tokens >= 12 AND stop_cnt / n_tokens <= 0.5)
+        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS grp
+        |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin),
+      bench = true),
+
     // Multimodal stub: binary column + metadata + frame-sampled digests.
     // The bytes are the UTF-8 text (ASCII), so byte slices == char slices
     // and the oracle can mirror them with plain string functions.
