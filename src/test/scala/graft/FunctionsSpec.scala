@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv64
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fnv64 matches the FNV-1a 64 reference vectors") {
+    // vectors from the standard FNV-1a parameters
+    // (offset 0xcbf29ce484222325, prime 0x100000001b3)
+    assert(Fnv64.hashBytes("".getBytes("UTF-8")) == -3750763034362895579L)
+    assert(Fnv64.hashBytes("a".getBytes("UTF-8")) == -5808556873153909620L)
+    assert(Fnv64.hashBytes("abc".getBytes("UTF-8")) == -1792535898324117685L)
+    assert(Fnv64.hashBytes("srcdb.sbtest1|42".getBytes("UTF-8")) == 3292804045996147429L)
+  }
+
+  test("fnv64 runs as a registered SQL function under codegen") {
+    Fnv64.register(spark)
+    val got = spark.sql("SELECT fnv64('abc') AS h, fnv64('') AS e").collect().head
+    assert(got.getLong(0) == -1792535898324117685L)
+    assert(got.getLong(1) == -3750763034362895579L)
+    // column-expression use over data: deterministic bucket routing
+    val df = Seq("a", "abc", "a").toDF("s")
+    val buckets = df.selectExpr("pmod(fnv64(s), 8) AS b").as[Long].collect()
+    assert(buckets(0) == buckets(2)) // same key -> same bucket
+    assert(df.selectExpr("fnv64(s)").as[Long].collect().toSet.size == 2)
+    // null propagates
+    assert(spark.sql("SELECT fnv64(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
+
+  test("GraftExtensions injects fnv64 via the extension point") {
+    val ext = new graft.functions.GraftExtensions
+    val builder = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(builder) // wiring is exercised; full-session injection needs
+    // spark.sql.extensions at session build (spark-submit path)
+  }
+}
