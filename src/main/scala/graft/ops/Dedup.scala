@@ -98,4 +98,29 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
+
+  /** SimHash near-dup pairs via band blocking: split the fingerprint
+    * into `bands` bit-slices; by pigeonhole, two hashes within hamming
+    * distance `maxHamming < bands` must agree on at least one whole
+    * slice, so candidates meet on the (band, slice) shuffle key — never
+    * the n² cross product — and `bit_count(xor)` verifies exactly. */
+  def simhashPairs(df: DataFrame, simCol: String, idCol: String,
+      maxHamming: Int, bands: Int = 4, bitsTotal: Int = 64): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val sliceBits = bitsTotal / bands
+    val mask = (1L << sliceBits) - 1
+    val banded = (0 until bands).map { b =>
+      df.select(col(idCol), col(simCol), lit(b).as("band"),
+        shiftright(col(simCol), b * sliceBits).bitwiseAND(lit(mask)).as("slice"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band"), col("slice"),
+      col(idCol).as("a_id"), col(simCol).as("a_sim"))
+    val b = banded.select(col("band"), col("slice"),
+      col(idCol).as("b_id"), col(simCol).as("b_sim"))
+    a.join(b, Seq("band", "slice")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
 }

@@ -90,6 +90,39 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** IVF-style bucketed ANN: `cells` centroid vectors are drawn
+    * deterministically from the corpus itself (hash-ranked sample — no
+    * trained model to ship); every corpus vector is assigned to its
+    * nearest centroid (one broadcast pass), queries probe their `nprobe`
+    * nearest cells, and exact cosine re-ranks inside the probed cells.
+    * Shuffle key = cell id; per-cell fan-in ≈ corpus/cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus
+      .withColumn("_r", xxhash64(col(idCol)))
+      .orderBy("_r").limit(cells)
+      .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
+    def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
+      val wa = Window.partitionBy(id).orderBy(col("_d").desc, col("cell"))
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(cent, lit(true))
+        .withColumn("_d", cosine(col(vec), col("cv")))
+        .withColumn("_rk", row_number().over(wa))
+        .filter(col("_rk") <= probes)
+        .drop("cv", "_d", "_rk")
+    }
+    val c = assign(corpus, "nid", "nv", 1)
+    val q = assign(queries, "qid", "qv", nprobe)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
     * form; at scale run it over [[signSketch]] buckets instead of the
     * full cross join. */

@@ -151,6 +151,40 @@ object RelationalQueries {
         |                  AND o_orderpriority = '1-URGENT')
         |ORDER BY tag, c_custkey""".stripMargin)),
 
+    // Correlated-subquery shape: rows matching their group's minimum
+    // (decorrelated to an aggregate + join on Spark; DuckDB keeps the
+    // subquery form — same semantics).
+    "corr_subquery" -> QueryDef(
+      (s, dir) => {
+        val part = table(s, dir, "part")
+        val mins = part.groupBy(col("p_brand").as("mb"))
+          .agg(min("p_retailprice").as("min_price"))
+        part.join(broadcast(mins),
+          col("p_brand") === col("mb") && col("p_retailprice") === col("min_price"))
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // Left outer join preserving customers with zero orders.
+    "outer_join" -> QueryDef(
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val ord = table(s, dir, "orders")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
     // Exact distinct aggregation (expand-based distinct agg path).
     "distinct_agg" -> QueryDef(
       (s, dir) => {

@@ -76,6 +76,41 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.6, s"lsh recall $recall")
   }
 
+  test("simhash band blocking finds all pairs within the hamming budget") {
+    // engineered: two near-identical docs (1 token differs), one far doc
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash64(TextAnalysis.tokens($"text")).as("sim"))
+    // ground truth by brute force
+    val vals = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val truth = (for {
+      a <- vals.keys; b <- vals.keys if a < b
+      if ham(vals(a), vals(b)) <= 12
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(df, "sim", "doc_id", maxHamming = 12, bands = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.contains((1L, 2L)), s"fixture near-dup should be within budget: ${ham(vals(1L), vals(2L))}")
+    assert(got == truth)
+  }
+
+  test("ivf topk recall beats random cell assignment") {
+    val queries = embs.filter($"vec_id" < 8)
+    val brute = Similarity.bruteTopK(embs, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(embs, queries, 5, cells = 8, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 8L).map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+    }.sum / 8
+    assert(recall > 0.5, s"ivf recall $recall")
+  }
+
   test("multimodal stub: binary plumbing with deterministic features") {
     val media = Multimodal.attachBinary(docs)
     assert(media.schema.fields.map(_.name).toSeq == Seq("media_id", "bytes", "meta"))
