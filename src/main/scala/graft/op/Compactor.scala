@@ -95,6 +95,22 @@ object Compactor {
       }
   }
 
+  /** Illegal transition detection (the reference hard-errors on e.g.
+    * update-after-delete, `batchmessage.go:44-52`; at pipeline scale a
+    * hard error on one key poisons the batch, so the engine QUARANTINES
+    * instead): emits the offending (tbl, pk, seq, prev_op, op) rows —
+    * route them to a dead-letter sink and compact the rest. */
+  def quarantine(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("tbl", "pk").orderBy("seq")
+    changelog
+      .withColumn("prev_op", lag("op", 1).over(w))
+      .filter(
+        (col("prev_op") === "delete" && col("op") =!= "insert") ||
+          (col("prev_op").isin("insert", "update") && col("op") === "insert"))
+      .select("tbl", "pk", "seq", "prev_op", "op")
+  }
+
   /** Flat-schema compaction: group by (tbl, pk), carrying typed row
     * columns `r_id, r_k, r_v`. */
   def compact(changelog: DataFrame): DataFrame = {

@@ -92,6 +92,44 @@ object Pipeline {
     sink(cfg.get("sink"))(df)
   }
 
+  /** Streaming pipeline: `events_stream` source → stateless processors →
+    * per-micro-batch compact + merge into a parquet target (the
+    * config-driven form of the reference's flagship db_*_sync tasks;
+    * recovery = the checkpoint, idempotency = the merge). Blocks until
+    * the bounded source drains (Trigger.AvailableNow). */
+  def runStream(spark: SparkSession, json: String): Unit = {
+    val cfg = new ObjectMapper().readTree(json)
+    val src = cfg.get("source")
+    require(src.get("type").asText() == "events_stream",
+      "streaming pipeline needs an events_stream source")
+    val stream = graft.streaming.ChangeStream.fromEventsStream(
+      spark, src.get("dir").asText())
+    val transformed = stages(cfg)(stream)
+    val snk = cfg.get("sink")
+    require(snk.get("type").asText() == "parquet_merge",
+      "streaming pipeline needs a parquet_merge sink")
+    val target = snk.get("path").asText()
+    val ckpt = snk.get("checkpoint").asText()
+    val pkCols = strs(snk.get("pk"))
+    val q = graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
+      val dir = new java.io.File(target)
+      val cur =
+        if (dir.exists() && dir.list().exists(_.endsWith(".parquet")))
+          spark.read.parquet(target)
+        else net.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          net.drop("net_op").schema)
+      val merged = graft.sink.Merge.applyNetChanges(
+        cur, net, pkCols).cache()
+      merged.count() // materialize before overwriting the source of `cur`
+      merged.write.mode("overwrite").parquet(s"$target.tmp")
+      merged.unpersist()
+      // atomic-ish swap: rewrite target from the staged copy
+      spark.read.parquet(s"$target.tmp").write.mode("overwrite").parquet(target)
+    }
+    q.awaitTermination()
+  }
+
   /** Build the transformed frame without sinking (for inspection/tests). */
   def buildFrame(spark: SparkSession, json: String): DataFrame = {
     val cfg = new ObjectMapper().readTree(json)

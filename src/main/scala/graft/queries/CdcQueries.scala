@@ -142,6 +142,20 @@ object CdcQueries {
         |ORDER BY tbl, pk""".stripMargin),
       bench = true),
 
+    // P8b — illegal-transition quarantine (the reference hard-errors on
+    // these, batchmessage.go:44-52; the engine dead-letters them).
+    "p8_quarantine" -> QueryDef(
+      (s, dir) => Compactor.quarantine(Changelog.fromEvents(s, dir)).orderBy("seq"),
+      Some(s"""$cte,
+        |w AS (
+        |  SELECT tbl, pk, seq, op,
+        |         lag(op) OVER (PARTITION BY tbl, pk ORDER BY seq) AS prev_op
+        |  FROM changelog)
+        |SELECT tbl, pk, seq, prev_op, op FROM w
+        |WHERE (prev_op = 'delete' AND op <> 'insert')
+        |   OR (prev_op IN ('insert','update') AND op = 'insert')
+        |ORDER BY seq""".stripMargin)),
+
     // K1 — hash routing: per-key bucket assignment + per-bucket stats.
     // (The physical partition-id isn't oracle-portable, so the declared
     //  query checks the routing *function*; Processors.route is the

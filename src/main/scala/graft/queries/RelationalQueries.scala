@@ -341,6 +341,27 @@ object RelationalQueries {
         |  MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN o_totalprice END) AS p90
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Pivot (orderpriority columns per status; identical to conditional
+    // aggregation, which is how the oracle spells it).
+    "pivot_agg" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+          .na.fill(0) // empty pivot cells: null on Spark, 0 from COUNT FILTER
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Top-k by value with deterministic tie-break.
     "sort_limit" -> QueryDef(
       (s, dir) => {

@@ -58,6 +58,30 @@ class RestartSpec extends SparkSpec {
     assert(appliedRows == oneShot)
   }
 
+  test("config-driven streaming sync merges into the parquet target") {
+    val target = java.nio.file.Files.createTempDirectory("graft-sync-t").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sync-c").toString
+    val cfg = s"""{
+      "source": {"type": "events_stream", "dir": "$sf"},
+      "processors": [],
+      "sink": {"type": "parquet_merge", "path": "$target",
+               "checkpoint": "$ckpt", "pk": ["tbl", "pk"]}
+    }"""
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val got = spark.read.parquet(target)
+      .select("tbl", "pk", "r_k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val want = Compactor.compact(Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete")
+      .select("tbl", "pk", "r_k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(got == want && got.nonEmpty)
+    // re-run from the same checkpoint: no new batches, target unchanged
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val again = spark.read.parquet(target).count()
+    assert(again == got.size)
+  }
+
   test("pipeline config assembles and runs end to end") {
     val cfg = s"""{
       "source": {"type": "events", "dir": "$sf"},
