@@ -126,6 +126,25 @@ object Similarity {
   /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
     * form; at scale run it over [[signSketch]] buckets instead of the
     * full cross join. */
+  /** Sketch-bucketed near-dup pairs — the scale path: pairs are only
+    * formed inside (table, bucket) LSH cells, so the shuffle fan-in is
+    * bucket-sized; exact cosine then applies the threshold. OR-amplified
+    * tables keep recall high (misses only pairs colliding in no table). */
+  def sketchNearDupPairs(vecs: DataFrame, threshold: Double, bits: Int = 3,
+      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    def keyed(id: String, vec: String) =
+      vecs.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array((0 until tables).map(t =>
+          signSketch(col(vecCol), bits, seed = t)): _*)).as(Seq("tbl_id", "bucket")))
+        .select(id, vec, "tbl_id", "bucket")
+    keyed("a_id", "av").join(keyed("b_id", "bv"), Seq("tbl_id", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   def nearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("av"), norm(col(vecCol)).as("an"))

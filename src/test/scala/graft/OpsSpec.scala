@@ -111,6 +111,30 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.5, s"ivf recall $recall")
   }
 
+  test("sketch-bucketed near-dup pairs superset-verify against bounded brute force") {
+    val small = embs.filter($"vec_id" < 256)
+    val brute = Similarity.nearDupPairs(small, 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sketched = Similarity.sketchNearDupPairs(small, 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sketched.subsetOf(brute)) // exact verify never invents pairs
+    if (brute.nonEmpty) {
+      val recall = sketched.size.toDouble / brute.size
+      assert(recall > 0.5, s"sketch recall $recall over ${brute.size} pairs")
+    }
+  }
+
+  test("approximate aggregates land within tolerance of exact (sketch scale path)") {
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = ord.select(countDistinct($"o_custkey")).as[Long].head()
+    val approx = ord.select(approx_count_distinct($"o_custkey", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"hll approx=$approx exact=$exact")
+    val exactMedian = ord.stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+    val fastMedian = ord.stat.approxQuantile("o_totalprice", Array(0.5), 0.01).head
+    assert(math.abs(fastMedian - exactMedian) / exactMedian < 0.1)
+  }
+
   test("multimodal stub: binary plumbing with deterministic features") {
     val media = Multimodal.attachBinary(docs)
     assert(media.schema.fields.map(_.name).toSeq == Seq("media_id", "bytes", "meta"))
