@@ -112,19 +112,32 @@ object Compactor {
   }
 
   /** Flat-schema compaction: group by (tbl, pk), carrying typed row
-    * columns `r_id, r_k, r_v`. */
+    * columns `r_id, r_k, r_v`.
+    *
+    * The op column is argmin/argmax'ed as an INT code, not the string:
+    * string-typed aggregation buffers force SortAggregate (immutable
+    * buffer fields can't live in the hash map), which costs a
+    * per-partition sort; with every buffer field fixed-width the plan is
+    * pure partial+final HashAggregate — one shuffle, no sorts. */
   def compact(changelog: DataFrame): DataFrame = {
+    val opCode = when(col("op") === "insert", 0)
+      .when(col("op") === "update", 1).otherwise(2)
+    def decode(c: org.apache.spark.sql.Column) =
+      when(c === 0, "insert").when(c === 1, "update").otherwise("delete")
     val agg = changelog
+      .withColumn("op_c", opCode)
       .groupBy(col("tbl"), col("pk"))
       .agg(
-        expr("min_by(op, seq)").as("first_op"),
-        expr("max_by(op, seq)").as("last_op"),
+        expr("min_by(op_c, seq)").as("first_c"),
+        expr("max_by(op_c, seq)").as("last_c"),
         max("seq").as("last_seq"),
         // row image of the last non-delete event (argmax over a seq that
         // is NULL for deletes — null ordering keys are ignored by max_by)
-        expr("max_by(r_id, CASE WHEN op <> 'delete' THEN seq END)").as("u_id"),
-        expr("max_by(r_k,  CASE WHEN op <> 'delete' THEN seq END)").as("u_k"),
-        expr("max_by(r_v,  CASE WHEN op <> 'delete' THEN seq END)").as("u_v"))
+        expr("max_by(r_id, CASE WHEN op_c <> 2 THEN seq END)").as("u_id"),
+        expr("max_by(r_k,  CASE WHEN op_c <> 2 THEN seq END)").as("u_k"),
+        expr("max_by(r_v,  CASE WHEN op_c <> 2 THEN seq END)").as("u_v"))
+      .withColumn("first_op", decode(col("first_c")))
+      .withColumn("last_op", decode(col("last_c")))
     agg
       // insert-then-delete inside the batch → no-op
       .filter(!(col("last_op") === "delete" && col("first_op") === "insert"))
