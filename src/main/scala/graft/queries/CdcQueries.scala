@@ -47,6 +47,25 @@ object CdcQueries {
         |SELECT seq, pk, r_id AS id_val, r_k AS k_val, r_v AS v_val
         |FROM changelog ORDER BY seq""".stripMargin)),
 
+    // P2b — canonical map-typed stage (DBChangeEvent analog): flat →
+    // map images → GetRow() semantics (old_row for deletes, else
+    // new_row) → scalar extraction. Maps stay internal; output is flat.
+    "p2b_canonical" -> QueryDef(
+      (s, dir) => {
+        val canonical = Changelog.toCanonical(Changelog.fromEvents(s, dir))
+        canonical
+          .withColumn("row_img",
+            when(col("operation") === "delete", col("old_row")).otherwise(col("new_row")))
+          .select(col("sequence").as("seq"), col("table").as("tbl"),
+            col("operation").as("op"),
+            element_at(col("row_img"), "id").cast("long").as("row_id"),
+            element_at(col("row_img"), "k").cast("int").as("row_k"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, tbl, op, r_id AS row_id, r_k AS row_k
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
     // P3 — db rename + operation remap + column rename
     "p3_remap" -> QueryDef(
       (s, dir) => {

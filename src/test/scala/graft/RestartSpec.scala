@@ -58,6 +58,45 @@ class RestartSpec extends SparkSpec {
     assert(appliedRows == oneShot)
   }
 
+  test("crash mid-batch, then restart: at-least-once replay + idempotent apply converge") {
+    val ckpt = Files.createTempDirectory("graft-crash").toString
+    @volatile var applied = Map[(String, Long), Option[Int]]()
+    @volatile var crashedOnce = false
+
+    def applyRow(r: org.apache.spark.sql.Row): Unit = {
+      val key = (r.getAs[String]("tbl"), r.getAs[Long]("pk"))
+      r.getAs[String]("net_op") match {
+        case "delete" => applied -= key
+        case _ => applied += key -> Option(r.getAs[Any]("r_k")).map(_.asInstanceOf[Int])
+      }
+    }
+    def runOnce(crashFirstBatch: Boolean): Unit = {
+      val stream = ChangeStream.fromEventsStream(spark, sf)
+      val q = ChangeStream.compactedApply(stream, ckpt) { (net, _) =>
+        val rows = net.collect()
+        if (crashFirstBatch && !crashedOnce) {
+          // apply HALF the batch, then die — the worst case the
+          // reference's kill -9 loop simulates
+          rows.take(rows.length / 2).foreach(applyRow)
+          crashedOnce = true
+          throw new RuntimeException("injected crash mid-apply")
+        }
+        rows.foreach(applyRow)
+      }
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+
+    runOnce(crashFirstBatch = true) // dies mid-first-batch
+    assert(crashedOnce)
+    runOnce(crashFirstBatch = false) // restart: uncommitted batch replays fully
+    val oneShot = Compactor.compact(Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Int])).toMap
+    assert(applied == oneShot)
+  }
+
   test("config-driven streaming sync merges into the parquet target") {
     val target = java.nio.file.Files.createTempDirectory("graft-sync-t").toString + "/state"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sync-c").toString
