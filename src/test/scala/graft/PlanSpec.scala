@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.Registry
+
+/** Plan-shape regression guards: these assert the physical properties
+  * that make the headline queries scale (PLANS.md documents why). A
+  * failure here means a change re-introduced a plan that works at
+  * sf0.01 but dies at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to scan, partial hash aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q3_join and q5_multijoin broadcast every dimension side") {
+    val p3 = plan("q3_join")
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(p3.contains("EqualTo(c_mktsegment,BUILDING)")) // dim filter pushed
+    val p5 = plan("q5_multijoin")
+    assert(p5.contains("EqualTo(r_name,ASIA)"))
+    // lineitem is never exchanged before the aggregation in q5
+    assert(!p5.contains("SortMergeJoin"))
+  }
+
+  test("p8_compact stays in pure hash aggregation (no sort-based fallback)") {
+    val p = plan("p8_compact")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"),
+      "string-typed agg buffers would force SortAggregate — keep ops int-coded")
+  }
+
+  test("asof_join costs exactly one keyed exchange for the window") {
+    val p = plan("asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$p")
+  }
+
+  test("no query uses a single-partition global window") {
+    // a Window with an empty partition spec shows as 'Window [..], [col ASC...'
+    // preceded by Exchange SinglePartition — the pattern that dies at scale
+    Registry.all.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS") ||
+        !p.contains("Window "),
+        s"$name moves all rows to one partition for a window")
+    }
+  }
+
+  test("scans prune columns: q1 reads 6 of 11 lineitem columns") {
+    val p = plan("q1_agg")
+    val cols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no FileScan in plan:\n$p"))
+    assert(cols.split(",").length == 6, s"ReadSchema not pruned: $cols")
+  }
+}
