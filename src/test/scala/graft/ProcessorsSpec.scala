@@ -55,6 +55,22 @@ class ProcessorsSpec extends SparkSpec {
     assert(back.orderBy("seq").collect().toSeq == sel.orderBy("seq").collect().toSeq)
   }
 
+  test("canonical ChangeEvent round-trips through the typed encoder") {
+    import graft.model.ChangeEvent
+    val canonical = graft.source.Changelog.toCanonical(
+      graft.source.Changelog.fromEventsDf(
+        graft.source.Changelog.events(spark, sf)))
+    val typed = canonical.as[ChangeEvent]
+    val e = typed.filter(_.operation == "update").head()
+    assert(e.new_row != null && e.old_row != null)
+    assert(e.new_row.keySet == Set("id", "k", "v"))
+    assert(e.id.startsWith("uuid."))
+    val del = typed.filter(_.operation == "delete").head()
+    assert(del.new_row == null && del.old_row != null)
+    val ins = typed.filter(_.operation == "insert").head()
+    assert(ins.old_row == null && ins.new_row != null)
+  }
+
   test("K3 checker classifies row_miss and row_diff") {
     val src = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("pk", "s", "v")
     val tgt = Seq((1L, "a", 1.0), (3L, "c", 9.0)).toDF("pk", "s", "v")
