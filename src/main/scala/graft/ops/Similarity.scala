@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a·b as a deterministic left fold over zipped arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Σ a·b — codegen'd native expression ([[graft.functions.VecDot]]);
+    * sequential left fold, bit-identical to the lambda/oracle form. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
