@@ -92,11 +92,27 @@ object ChangeStream {
   type NetRow = graft.model.NetRow
   val NetRow: graft.model.NetRow.type = graft.model.NetRow
 
-  def statefulCompact(flat: Dataset[FlatEvent]): Dataset[NetRow] = {
+  /** @param ttl evict a key's state after this much processing-time
+    * inactivity (None = keep forever). At unbounded key cardinality the
+    * state store grows without bound otherwise; after eviction a
+    * returning key's `inDb` is re-inferred from its first op — correct
+    * as long as the TTL exceeds the source's max replay window.
+    * CAVEAT: with a TTL set, run the query under an interval trigger
+    * (`Trigger.ProcessingTime(...)`) — pending timeouts make the default
+    * as-fast-as-possible trigger busy-loop empty batches, which also
+    * starves `processAllAvailable` in tests. */
+  def statefulCompact(flat: Dataset[FlatEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[NetRow] = {
     import flat.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     flat.groupByKey(e => (e.tbl, e.pk))
       .flatMapGroupsWithState[KeyState, NetRow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), timeoutConf) {
+        case ((tbl, pk), events, state: GroupState[KeyState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case ((tbl, pk), events, state: GroupState[KeyState]) =>
           val sorted = events.toSeq.sortBy(_.seq)
           val prev = state.getOption
@@ -114,6 +130,7 @@ object ChangeStream {
             else if (inDbStart) Some("update")
             else Some("insert")
           state.update(KeyState(inDb = lastOp != "delete", lastSeq, rId, rK, rV))
+          ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
           netOp.map(op => NetRow(tbl, pk, op, lastSeq, rId, rK, rV)).iterator
       }
   }
