@@ -77,16 +77,33 @@ object Dedup {
 
   /** 16-bit portable SimHash: bit j of md5(token)'s j-th hex nibble votes
     * ±1; the sign of the vote sum sets bit j of the fingerprint. The
-    * production variant (64-bit, xxhash64) follows the same shape. */
+    * production variant (64-bit, xxhash64) follows the same shape.
+    *
+    * Single-pass form: tokens are hashed ONCE (`transform` to an md5
+    * array), then one fold accumulates all 16 one-counts in 16-bit lanes
+    * across a 4-long struct (naive per-bit folds cost 16 tokenizations +
+    * 16 md5 passes per document). bit_j = (2·ones_j ≥ n) ⟺ vote ≥ 0,
+    * so results are identical to the per-bit formulation (and the
+    * oracle's). */
   def simhash16(toks: Column): Column = {
-    val bits = (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(
-          substring(md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1))
-      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val hashes = transform(toks, t => md5(t))
+    val fields = Seq("a", "b", "c", "d")
+    val zero = struct(fields.map(f => lit(0L).as(f)): _*)
+    def contrib(h: Column, base: Int): Column = (0 until 4).map { k =>
+      when(substring(h, base + k + 1, 1).isin(high: _*), lit(1L << (16 * k)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val packed = aggregate(hashes, zero, (acc, h) => struct(
+      fields.zipWithIndex.map { case (f, i) =>
+        (acc.getField(f) + contrib(h, 4 * i)).as(f)
+      }: _*))
+    val n = size(toks).cast("long")
+    (0 until 16).map { j =>
+      val ones = shiftright(packed.getField(fields(j / 4)), 16 * (j % 4))
+        .bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** 64-bit production SimHash over xxhash64(token) bits. */
