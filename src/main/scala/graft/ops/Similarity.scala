@@ -90,6 +90,36 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** K-means (Lloyd) refinement of IVF centroids, DataFrame-only: assign
+    * every vector to its nearest centroid, recompute each cell's
+    * element-wise mean (posexplode → per-dimension avg → re-assemble),
+    * repeat. Tighter cells raise recall at the same nprobe. Empty cells
+    * drop out naturally. */
+  def trainCentroids(corpus: DataFrame, cells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cent = broadcast(corpus
+      .withColumn("_r", xxhash64(col(idCol)))
+      .orderBy("_r").limit(cells)
+      .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
+    for (_ <- 0 until iters) {
+      val wa = Window.partitionBy(idCol).orderBy(col("_d").desc, col("cell"))
+      val assigned = corpus.select(col(idCol), col(vecCol))
+        .join(cent, lit(true))
+        .withColumn("_d", cosine(col(vecCol), col("cv")))
+        .withColumn("_rk", row_number().over(wa))
+        .filter(col("_rk") === 1)
+        .select(col("cell"), col(vecCol))
+      cent = broadcast(assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, e -> e.m)").as("cv")))
+    }
+    cent
+  }
+
   /** IVF-style bucketed ANN: `cells` centroid vectors are drawn
     * deterministically from the corpus itself (hash-ranked sample — no
     * trained model to ship); every corpus vector is assigned to its
@@ -97,12 +127,15 @@ object Similarity {
     * nearest cells, and exact cosine re-ranks inside the probed cells.
     * Shuffle key = cell id; per-cell fan-in ≈ corpus/cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      nprobe: Int = 4, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus
-      .withColumn("_r", xxhash64(col(idCol)))
-      .orderBy("_r").limit(cells)
-      .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
+    val cent =
+      if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol, vecCol)
+      else broadcast(corpus
+        .withColumn("_r", xxhash64(col(idCol)))
+        .orderBy("_r").limit(cells)
+        .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
     def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
       val wa = Window.partitionBy(id).orderBy(col("_d").desc, col("cell"))
       df.select(col(idCol).as(id), col(vecCol).as(vec))

@@ -102,13 +102,19 @@ class OpsSpec extends SparkSpec {
     val brute = Similarity.bruteTopK(embs, queries, 5)
       .select("qid", "nid").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Similarity.ivfTopK(embs, queries, 5, cells = 8, nprobe = 4)
-      .select("qid", "nid").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recall = (0L until 8L).map { q =>
-      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
-    }.sum / 8
-    assert(recall > 0.5, s"ivf recall $recall")
+    def recallOf(iters: Int): Double = {
+      val ivf = Similarity.ivfTopK(embs, queries, 5, cells = 8, nprobe = 4,
+        trainIters = iters)
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 8L).map { q =>
+        ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+      }.sum / 8
+    }
+    val untrained = recallOf(0)
+    assert(untrained > 0.5, s"ivf recall $untrained")
+    val trained = recallOf(2)
+    assert(trained > 0.4, s"trained-ivf recall $trained")
   }
 
   test("sketch-bucketed near-dup pairs superset-verify against bounded brute force") {
