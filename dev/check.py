@@ -76,17 +76,27 @@ def a_flag(a):
     return a.startswith("--")
 
 def rows_eq(a, b):
+    # Mirror the driver's hash semantics: values are hashed typed, so a
+    # Decimal on one side vs a float on the other is a MISMATCH even when
+    # numerically equal. No lenient str() fallback (it masked the round-1/2
+    # DecimalType failures).
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
+        if x is None and y is None:
+            continue
+        if (x is None) != (y is None):
+            return False
+        if type(x) is not type(y):
+            # int vs float vs Decimal vs str are all distinct to the hasher
+            return False
+        if isinstance(x, float):
             if math.isnan(x) and math.isnan(y):
                 continue
             if x != y:
                 return False
         elif x != y:
-            if str(x) != str(y):  # Decimal vs float repr, ts precision
-                return False
+            return False
     return True
 
 if __name__ == "__main__":

@@ -10,8 +10,10 @@ import graft.source.Changelog.table
   * judge-facing coverage checklist, and the bench headliners.
   *
   * Numeric portability rules (vs the DuckDB oracle):
-  *   - float aggregates go through exact decimal sums
-  *     (`CAST(x AS DECIMAL) → SUM → CAST back`), order-independent;
+  *   - float aggregates go through exact decimal sums, then ONE final
+  *     `CAST(.. AS DOUBLE)` — order-independent internally, and the emitted
+  *     value is a single IEEE rounding of an exact decimal, so both engines
+  *     hash identically (decimal wire formats differ; doubles don't);
   *   - derived ratios are a single IEEE op over exact inputs;
   *   - products cast to decimal AFTER one double multiply (both engines
   *     round the same double, so rounding mode never bites).
@@ -28,18 +30,18 @@ object RelationalQueries {
           .filter(col("l_shipdate") <= lit("1998-09-01"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_disc"),
+              .cast("decimal(18,6)")).cast("double").as("sum_disc"),
             count(lit(1)).as("cnt"))
-          .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
+          .withColumn("avg_qty", col("sum_qty") / col("cnt"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM lineitem
@@ -58,13 +60,13 @@ object RelationalQueries {
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("odate"))
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some("""SELECT l_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -92,11 +94,11 @@ object RelationalQueries {
           .join(reg, col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("decimal(18,6)").as("revenue"))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -115,7 +117,7 @@ object RelationalQueries {
         table(s, dir, "orders")
           .withColumn("rn", row_number().over(w).cast("long"))
           .withColumn("running",
-            sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(18,2)"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
           .filter(col("rn") <= 3)
           .select("o_custkey", "o_orderkey", "rn", "running")
           .orderBy("o_custkey", "rn")
@@ -123,7 +125,7 @@ object RelationalQueries {
       Some("""WITH w AS (
         |  SELECT o_custkey, o_orderkey,
         |    CAST(row_number() OVER win AS BIGINT) AS rn,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DECIMAL(18,2)) AS running
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE) AS running
         |  FROM orders
         |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |SELECT o_custkey, o_orderkey, rn, running FROM w
@@ -177,11 +179,11 @@ object RelationalQueries {
         cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("spend"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
@@ -225,14 +227,14 @@ object RelationalQueries {
         table(s, dir, "orders")
           .rollup("o_orderstatus", "o_orderpriority")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
             grouping(col("o_orderstatus")).cast("int").as("g_status"),
             grouping(col("o_orderpriority")).cast("int").as("g_prio"))
           .orderBy(col("g_status"), col("g_prio"),
             col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -244,14 +246,14 @@ object RelationalQueries {
         table(s, dir, "orders")
           .cube("o_orderstatus", "o_orderpriority")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
             grouping(col("o_orderstatus")).cast("int").as("g_status"),
             grouping(col("o_orderpriority")).cast("int").as("g_prio"))
           .orderBy(col("g_status"), col("g_prio"),
             col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -407,12 +409,12 @@ object RelationalQueries {
           .groupBy(window(col("ts"), "1 hour").getField("start").cast("string").as("wstart"),
             col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
           .orderBy("wstart", "event_type")
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS wstart, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true)
   )
