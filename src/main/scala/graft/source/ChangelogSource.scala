@@ -1,11 +1,14 @@
 package graft.source
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,22 +30,31 @@ import scala.jdk.CollectionConverters._
   *     re-delivered, downstream idempotent apply absorbs them
   *     (at-least-once).
   *
-  * Ingestion is deliberately single-stream — a binlog IS one socket; the
-  * parallelism boundary is the first repartition downstream, exactly as
-  * the reference fans out after its single parser. The driver holds the
-  * log (the harness log is small); a production source would hand
-  * executors file+offset ranges instead, with the same offset algebra.
+  * Scale design: at stream start a distributed job spools the log into
+  * seq-sorted binary chunk files (the analog of binlog FILES — the
+  * reference tails `mysql-bin.0000NN` segments, `binloginput.go:428-475`).
+  * The driver keeps only a manifest of `(file, startIndex, rowCount)`;
+  * each micro-batch maps its `[start,end)` index range onto the
+  * overlapping chunks and hands executors one `(file, skip, limit)` split
+  * per chunk — the reader is plain `java.io`, touches no Spark session,
+  * and the log itself is never materialized on the driver. Parallelism of
+  * a batch = number of chunks it spans. On a real cluster the spool dir
+  * must be shared storage (as binlog segment archives are); offsets,
+  * counts and skips are Longs end-to-end.
   *
   *   spark.readStream.format("graft.source.ChangelogSource")
   *     .option("dir", "/root/testdata/sf0.001")
-  *     .option("maxRowsPerTrigger", "500").load()
+  *     .option("maxRowsPerTrigger", "500")
+  *     .option("chunkRows", "65536").load()
   */
 class ChangelogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangelogSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ChangelogTable(new CaseInsensitiveStringMap(properties).get("dir"))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChangelogTable(opts.get("dir"), opts.getInt("chunkRows", 65536))
+  }
 }
 
 object ChangelogSource {
@@ -52,22 +64,64 @@ object ChangelogSource {
     StructField("r_id", LongType), StructField("r_k", IntegerType),
     StructField("r_v", DoubleType)))
 
-  /** The ordered log, loaded once per (JVM, dir) on the driver. */
-  private val logs = new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, String, String, Long, Int, Double)]]()
+  /** One spooled binlog segment: rows `[start, start+count)` of the log. */
+  case class Chunk(path: String, start: Long, count: Long)
 
-  def log(dir: String): Array[(Long, Long, String, String, Long, Int, Double)] =
-    logs.computeIfAbsent(dir, d => {
-      val spark = org.apache.spark.sql.SparkSession.active
-      Changelog.fromEvents(spark, d)
-        .selectExpr("seq", "pk", "tbl", "op", "r_id", "r_k", "r_v")
-        .orderBy("seq")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-          r.getLong(4), r.getInt(5), r.getDouble(6)))
-    })
+  /** Driver-side manifest per (dir, chunkRows) — chunk metadata only,
+    * never row data. */
+  private val manifests =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Chunk]]()
+
+  def manifest(dir: String, chunkRows: Int): Array[Chunk] =
+    manifests.computeIfAbsent(s"$dir#$chunkRows", _ => spool(dir, chunkRows))
+
+  /** Distributed spool job: range-partition the changelog by `seq`,
+    * sort within partitions, and write each partition as one framed
+    * binary segment file (executor-local IO; atomic rename so task
+    * retries can't leave torn files). Only per-chunk counts return to
+    * the driver. */
+  private def spool(dir: String, chunkRows: Int): Array[Chunk] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = Changelog.fromEvents(spark, dir)
+      .selectExpr("seq", "pk", "tbl", "op", "r_id", "r_k", "r_v")
+    val total = df.count()
+    val nChunks = math.min(math.max(1L, (total + chunkRows - 1) / chunkRows), 1024L).toInt
+    val spoolDir = Files.createTempDirectory("graft-changelog").toFile
+    spoolDir.deleteOnExit()
+    val spoolPath = spoolDir.getAbsolutePath
+    val written = df.repartitionByRange(nChunks, col("seq"))
+      .sortWithinPartitions("seq")
+      .rdd // sanctioned RDD use: per-partition imperative file IO
+      .mapPartitionsWithIndex { (idx, it) =>
+        val dst = new File(spoolPath, f"chunk-$idx%05d.bin")
+        val tmp = new File(spoolPath,
+          f"chunk-$idx%05d.bin.${java.util.UUID.randomUUID}%s.tmp")
+        val out = new DataOutputStream(
+          new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+        var n = 0L
+        it.foreach { r =>
+          out.writeLong(r.getLong(0)); out.writeLong(r.getLong(1))
+          out.writeUTF(r.getString(2)); out.writeUTF(r.getString(3))
+          out.writeLong(r.getLong(4))
+          val kNull = r.isNullAt(5); val vNull = r.isNullAt(6)
+          out.writeByte((if (kNull) 1 else 0) | (if (vNull) 2 else 0))
+          out.writeInt(if (kNull) 0 else r.getInt(5))
+          out.writeDouble(if (vNull) 0d else r.getDouble(6))
+          n += 1
+        }
+        out.close()
+        Files.move(tmp.toPath, dst.toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single((idx, dst.getAbsolutePath, n))
+      }.collect().sortBy(_._1)
+    var acc = 0L
+    written.map { case (_, path, n) =>
+      val c = Chunk(path, acc, n); acc += n; c
+    }
+  }
 }
 
-class ChangelogTable(dir: String) extends Table with SupportsRead {
+class ChangelogTable(dir: String, chunkRows: Int) extends Table with SupportsRead {
   override def name(): String = s"changelog($dir)"
   override def schema(): StructType = ChangelogSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -77,7 +131,7 @@ class ChangelogTable(dir: String) extends Table with SupportsRead {
     () => new Scan {
       override def readSchema(): StructType = ChangelogSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangelogMicroBatchStream(dir, maxRows)
+        new ChangelogMicroBatchStream(dir, maxRows, chunkRows)
     }
   }
 }
@@ -86,9 +140,10 @@ case class IndexOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-class ChangelogMicroBatchStream(dir: String, maxRows: Int)
+class ChangelogMicroBatchStream(dir: String, maxRows: Int, chunkRows: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
-  private lazy val total = ChangelogSource.log(dir).length.toLong
+  private lazy val chunks = ChangelogSource.manifest(dir, chunkRows)
+  private lazy val total = chunks.map(_.count).sum
 
   override def initialOffset(): Offset = IndexOffset(0L)
   override def deserializeOffset(json: String): Offset = IndexOffset(json.toLong)
@@ -107,25 +162,51 @@ class ChangelogMicroBatchStream(dir: String, maxRows: Int)
     if (maxRows == Int.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxRows(maxRows)
   override def reportLatestOffset(): Offset = IndexOffset(total)
 
+  /** One split per chunk the `[start,end)` index range overlaps: the
+    * batch's parallelism is its chunk span, and each split is
+    * self-contained (file path + local skip/limit) — nothing resolved on
+    * executors beyond opening the file. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IndexOffset].index
     val e = end.asInstanceOf[IndexOffset].index
-    Array(ChangelogRange(dir, s, e))
+    chunks.iterator.flatMap { c =>
+      val lo = math.max(s, c.start)
+      val hi = math.min(e, c.start + c.count)
+      if (lo < hi) Some(ChangelogSplit(c.path, lo - c.start, hi - c.start): InputPartition)
+      else None
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val ChangelogRange(d, s, e) = partition.asInstanceOf[ChangelogRange]
+      val ChangelogSplit(path, skip, until) = partition.asInstanceOf[ChangelogSplit]
       new PartitionReader[InternalRow] {
-        private val rows = ChangelogSource.log(d)
-        private var i = s - 1
-        override def next(): Boolean = { i += 1; i < e }
-        override def get(): InternalRow = {
-          val (seq, pk, tbl, op, rid, rk, rv) = rows(i.toInt)
+        private val in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(path), 1 << 16))
+        private var pos = 0L
+        private var row: InternalRow = _
+        // skip the records below the split's local start (framed records,
+        // so skipping = reading; chunk-aligned batches skip nothing)
+        while (pos < skip) { readRecord(); pos += 1 }
+
+        private def readRecord(): InternalRow = {
+          val seq = in.readLong(); val pk = in.readLong()
+          val tbl = in.readUTF(); val op = in.readUTF()
+          val rid = in.readLong()
+          val flags = in.readByte()
+          val rk = in.readInt(); val rv = in.readDouble()
           InternalRow(seq, pk, UTF8String.fromString(tbl),
-            UTF8String.fromString(op), rid, rk, rv)
+            UTF8String.fromString(op), rid,
+            if ((flags & 1) != 0) null else rk,
+            if ((flags & 2) != 0) null else rv)
         }
-        override def close(): Unit = ()
+
+        override def next(): Boolean =
+          if (pos >= until) false
+          else try { row = readRecord(); pos += 1; true }
+          catch { case _: EOFException => false }
+        override def get(): InternalRow = row
+        override def close(): Unit = in.close()
       }
     }
 
@@ -133,4 +214,4 @@ class ChangelogMicroBatchStream(dir: String, maxRows: Int)
   override def stop(): Unit = ()
 }
 
-case class ChangelogRange(dir: String, start: Long, end: Long) extends InputPartition
+case class ChangelogSplit(path: String, skip: Long, until: Long) extends InputPartition

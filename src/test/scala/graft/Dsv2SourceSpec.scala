@@ -1,5 +1,7 @@
 package graft
 
+import graft.source.ChangelogSource
+
 /** The custom DSv2 micro-batch changelog source: rate-limited batching,
   * totality, ordering, and checkpoint resume. */
 class Dsv2SourceSpec extends SparkSpec {
@@ -41,6 +43,43 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(delivered == 1000)
     runOnce(true) // nothing new: committed offset == total
     assert(delivered == 1000)
+  }
+
+  test("dsv2 source reads chunked splits executor-side, >1 input partition") {
+    // chunkRows=200 over the 1000-row sf0.001 log → 5 spooled segments;
+    // an unthrottled batch must span them as 5 independent splits (the
+    // driver holds only the manifest — ChangelogSource has no row cache).
+    @volatile var parts = 0
+    @volatile var rows = 0L
+    val df = spark.readStream.format("graft.source.ChangelogSource")
+      .option("dir", sf).option("chunkRows", "200").load()
+    val q = df.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        parts = b.rdd.getNumPartitions
+        rows += b.count()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows == 1000)
+    assert(parts == 5, s"expected 5 chunk splits, got $parts")
+    assert(ChangelogSource.manifest(sf, 200).map(_.count).sum == 1000)
+    assert(ChangelogSource.manifest(sf, 200).length == 5)
+  }
+
+  test("dsv2 rate-limited batch cuts fall mid-chunk without loss or dup") {
+    // maxRows=170 with chunkRows=400: batch boundaries land inside chunks,
+    // exercising the (file, skip, limit) split arithmetic on both ends.
+    val df = spark.readStream.format("graft.source.ChangelogSource")
+      .option("dir", sf).option("maxRowsPerTrigger", "170")
+      .option("chunkRows", "400").load()
+    val q = df.writeStream.format("memory").queryName("dsv2midchunk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("dsv2midchunk")
+      assert(t.count() == 1000)
+      assert(t.select("seq").distinct().count() == 1000)
+    } finally q.stop()
   }
 
   test("dsv2 source feeds the standard operator chain") {
