@@ -111,21 +111,12 @@ object Pipeline {
     val target = snk.get("path").asText()
     val ckpt = snk.get("checkpoint").asText()
     val pkCols = strs(snk.get("pk"))
-    val q = graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
-      val dir = new java.io.File(target)
-      val cur =
-        if (dir.exists() && dir.list().exists(_.endsWith(".parquet")))
-          spark.read.parquet(target)
-        else net.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          net.drop("net_op").schema)
-      val merged = graft.sink.Merge.applyNetChanges(
-        cur, net, pkCols).cache()
-      merged.count() // materialize before overwriting the source of `cur`
-      merged.write.mode("overwrite").parquet(s"$target.tmp")
-      merged.unpersist()
-      // atomic-ish swap: rewrite target from the staged copy
-      spark.read.parquet(s"$target.tmp").write.mode("overwrite").parquet(target)
+    val nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 64
+    // pk-bucketed incremental apply: each batch rewrites only the buckets
+    // it touches and flips the store's MANIFEST atomically — O(touched)
+    // per batch and crash-safe at every point (see graft.sink.BucketStore)
+    val q = graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
+      graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
     }
     q.awaitTermination()
   }
