@@ -62,10 +62,31 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** [[signSketch]] with the hyperplane signs drawn from a multiply-shift
+    * hash (`((x·2654435761) >> 16) & 1` over x = (seed·1009+i)·769+d)
+    * instead of xxhash64 — arithmetic a SQL oracle can replicate exactly,
+    * so the bucket assignment itself is driver-verifiable. Same fold
+    * structure (sequential left fold) as the xxhash64 form. */
+  def portableSignSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
+    val planes = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, d) => {
+            val mixed = shiftright(
+              (lit((seed.toLong * 1009 + i) * 769) + d.cast("long")) * lit(2654435761L), 16)
+            when(mixed.bitwiseAND(lit(1L)) === 0, x).otherwise(-x)
+          }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
   /** Per-row array of `tables` independent sketches (posexplode to get
     * (table_id, bucket) pairs — the OR-amplified LSH key). */
-  private def sketches(vecCol: Column, bits: Int, tables: Int): Column =
-    array((0 until tables).map(t => signSketch(vecCol, bits, seed = t)): _*)
+  private def sketches(vecCol: Column, bits: Int, tables: Int,
+      sketchFn: (Column, Int, Int) => Column): Column =
+    array((0 until tables).map(t => sketchFn(vecCol, bits, t)): _*)
 
   /** Bucketed ANN with OR-amplification: `tables` independent sign
     * sketches of `bits` hyperplanes each; a candidate pair meets if it
@@ -73,11 +94,12 @@ object Similarity {
     * cosine re-ranks the candidate set. The join key (table_id, bucket)
     * is the shuffle key — fan-in per bucket ∝ corpus/2^bits, never n². */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 3,
-      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v",
+      sketchFn: (Column, Int, Int) => Column = signSketch(_, _, _)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def keyed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(sketches(col(vecCol), bits, tables)).as(Seq("tbl_id", "bucket")))
+        posexplode(sketches(col(vecCol), bits, tables, sketchFn)).as(Seq("tbl_id", "bucket")))
         .select(id, vec, "tbl_id", "bucket")
     val cand = keyed(corpus, "nid", "nv")
       .join(keyed(queries, "qid", "qv"), Seq("tbl_id", "bucket"))
@@ -128,14 +150,24 @@ object Similarity {
     * Shuffle key = cell id; per-cell fan-in ≈ corpus/cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
       nprobe: Int = 4, trainIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hash-ranked deterministic sample; `portableSeeding` swaps xxhash64
+    // for multiply-mod arithmetic a SQL oracle can reproduce. Cell ids
+    // come from a row_number over the (hash, id) order — a 16-row window,
+    // deterministic (monotonically_increasing_id after orderBy was not).
+    val seedHash =
+      if (portableSeeding) pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+      else xxhash64(col(idCol))
     val cent =
       if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol, vecCol)
       else broadcast(corpus
-        .withColumn("_r", xxhash64(col(idCol)))
-        .orderBy("_r").limit(cells)
-        .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
+        .withColumn("_r", seedHash)
+        .orderBy(col("_r"), col(idCol)).limit(cells)
+        .withColumn("cell",
+          row_number().over(Window.orderBy(col("_r"), col(idCol))).cast("long") - 1)
+        .select(col("cell"), col(vecCol).as("cv")))
     def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
       val wa = Window.partitionBy(id).orderBy(col("_d").desc, col("cell"))
       df.select(col(idCol).as(id), col(vecCol).as(vec))

@@ -40,6 +40,87 @@ object AnnQueries {
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
       bench = true),
 
+    // Sign-LSH bucketed ANN — the scale path, oracle-checked end to end:
+    // the portable multiply-shift hyperplanes let DuckDB replicate the
+    // exact (table, bucket) assignment, so candidate generation AND
+    // re-ranking are both verified (not just recall).
+    "ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 32), k = 5,
+          bits = 3, tables = 4, sketchFn = Similarity.portableSignSketch(_, _, _))
+          .select("qid", "rank", "nid")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v, t.t AS tbl_id,
+        |    list_sum(list_transform(range(0, 3), i ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+        |        CASE WHEN ((((t.t * 1009 + i) * 769 + d) * 2654435761) >> 16) & 1 = 0
+        |             THEN v[d + 1] ELSE -v[d + 1] END)) >= 0
+        |      THEN 1 << i ELSE 0 END)) AS bucket
+        |  FROM e, range(0, 4) t(t)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+        |  FROM b q JOIN b n ON q.tbl_id = n.tbl_id AND q.bucket = n.bucket
+        |  WHERE q.vec_id < 32 AND n.vec_id <> q.vec_id),
+        |p AS (
+        |  SELECT qid, nid,
+        |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * n.v[i])) /
+        |    (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
+        |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.nid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // IVF bucketed ANN — portable centroid seeding so the oracle derives
+    // the identical coarse quantizer: centroids = 16 corpus vectors
+    // hash-ranked by (id·2654435761 mod 2^32), corpus assigned to its
+    // nearest cell, queries probe their 4 nearest cells.
+    "ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), k = 5,
+          cells = 16, nprobe = 4, portableSeeding = true)
+          .select("qid", "rank", "nid")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, v AS nv, cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Embedding near-dup pairs over a bounded id range (the library's
     // scale path buckets by Similarity.signSketch instead of n²).
     "dedup_embed" -> QueryDef(
