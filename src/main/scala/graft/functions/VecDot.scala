@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * in cannot change any ranking.
   *
   * Contract: element-null-free arrays of equal length (embedding
-  * vectors). */
+  * vectors). A length mismatch RAISES — mixed embedding versions would
+  * otherwise corrupt similarity rankings invisibly (a truncated dot
+  * product still looks like a valid cosine). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
@@ -39,7 +41,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw VecDot.mismatch(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -52,7 +56,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw graft.functions.VecDot.mismatch($n, $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
@@ -69,4 +76,9 @@ object VecDot {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Called from generated code too — keep the signature Java-friendly. */
+  def mismatch(n: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_dot: vector length mismatch ($n vs $m) — mixed embedding versions?")
 }

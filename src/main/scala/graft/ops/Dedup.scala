@@ -99,11 +99,15 @@ object Dedup {
         (acc.getField(f) + contrib(h, 4 * i)).as(f)
       }: _*))
     val n = size(toks).cast("long")
-    (0 until 16).map { j =>
+    val sim = (0 until 16).map { j =>
       val ones = shiftright(packed.getField(fields(j / 4)), 16 * (j % 4))
         .bitwiseAND(lit(0xFFFFL))
       when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // ≥2^16 tokens would wrap a 16-bit one-count lane: refuse rather than
+    // emit a silently-corrupt fingerprint (same contract as
+    // TextAnalysis.laneGuard; simhash64's per-bit folds have no lanes)
+    TextAnalysis.laneGuard(toks, sim, "simhash16")
   }
 
   /** 64-bit production SimHash over xxhash64(token) bits. */

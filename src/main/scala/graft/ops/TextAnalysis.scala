@@ -22,6 +22,17 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
 
+  /** The packed-lane folds carry counts in 16-bit lanes: a document with
+    * ≥ 2^16 tokens would silently wrap a lane. Fail loudly instead — at
+    * pipeline scale a silent corruption poisons downstream dedup/quality
+    * filtering invisibly; callers with monster documents should chunk
+    * them first. */
+  private[ops] def laneGuard(toks: Column, packed: Column, op: String): Column =
+    when(size(toks) >= 65536,
+      raise_error(concat(lit(s"$op: 16-bit lane overflow — "),
+        size(toks).cast("string"), lit(" tokens (limit 65535)"))).cast("long"))
+      .otherwise(packed)
+
   /** Quality metrics: token count, stopword count/ratio, mean token
     * length. Ratios are single IEEE divisions of exact integer counts —
     * deterministic and oracle-portable.
@@ -34,10 +45,10 @@ object TextAnalysis {
     * are identical to independent counters. */
   def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    val packed = aggregate(toks, lit(0L), (acc, t) =>
+    val packed = laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
       acc + lit(1L) +
         when(t.isin(stopwords.map(w => w: Any): _*), lit(1L << 16)).otherwise(lit(0L)) +
-        (length(t).cast("long") * lit(1L << 32)))
+        (length(t).cast("long") * lit(1L << 32))), "quality")
     df.withColumn("_p", packed)
       .withColumn("n_tokens", expr("_p % 65536"))
       .withColumn("stop_cnt", expr("(_p div 65536) % 65536"))
@@ -58,10 +69,10 @@ object TextAnalysis {
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     // all four language scores in one fold (16-bit lanes; see quality())
     val toks = tokens(col(textCol))
-    val packed = aggregate(toks, lit(0L), (acc, t) =>
+    val packed = laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
       acc + langMarkers.zipWithIndex.map { case ((_, words), i) =>
         when(t.isin(words.map(w => w: Any): _*), lit(1L << (16 * i))).otherwise(lit(0L))
-      }.reduce(_ + _))
+      }.reduce(_ + _)), "langId")
     val scored = langMarkers.map(_._1).zipWithIndex
       .foldLeft(df.withColumn("_p", packed)) { case (acc, (lang, i)) =>
         acc.withColumn(s"s_$lang", expr(s"(_p div ${1L << (16 * i)}) % 65536"))

@@ -29,6 +29,18 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT fnv64(CAST(NULL AS STRING))").collect().head.isNullAt(0))
   }
 
+  test("vec_dot raises on vector length mismatch (no silent truncation)") {
+    val ok = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(ok.select(graft.functions.VecDot.dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
+    val bad = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VecDot.dot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")), s"got: $e")
+  }
+
   test("GraftExtensions injects fnv64 via the extension point") {
     val ext = new graft.functions.GraftExtensions
     val builder = new org.apache.spark.sql.SparkSessionExtensions

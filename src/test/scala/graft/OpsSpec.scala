@@ -162,4 +162,23 @@ class OpsSpec extends SparkSpec {
     val f = TextAnalysis.fingerprint(docs)
     assert(f.filter(length($"fp") =!= 32).count() == 0)
   }
+
+  test("packed-lane folds raise on >=2^16-token documents instead of wrapping") {
+    // 70,000 single-char tokens: every 16-bit lane would overflow silently
+    val monster = Seq((1L, Array.fill(70000)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    def failsLoudly(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("lane overflow")), s"got: $e")
+    }
+    failsLoudly(TextAnalysis.quality(monster).collect())
+    failsLoudly(TextAnalysis.langId(monster).collect())
+    failsLoudly(monster
+      .select(Dedup.simhash16(TextAnalysis.tokens($"text")).as("s")).collect())
+    // just under the bound still computes (65,535 tokens)
+    val big = Seq((1L, Array.fill(65535)("x").mkString(" "))).toDF("doc_id", "text")
+    assert(TextAnalysis.quality(big).select("n_tokens").head.getLong(0) == 65535L)
+  }
 }
