@@ -93,10 +93,11 @@ object Pipeline {
   }
 
   /** Streaming pipeline: `events_stream` source → stateless processors →
-    * per-micro-batch compact + merge into a parquet target (the
-    * config-driven form of the reference's flagship db_*_sync tasks;
-    * recovery = the checkpoint, idempotency = the merge). Blocks until
-    * the bounded source drains (Trigger.AvailableNow). */
+    * per-micro-batch compact + apply (the config-driven form of the
+    * reference's flagship db_*_sync tasks; recovery = the checkpoint,
+    * idempotency = the apply). Sinks: `parquet_merge` (bucketed store) or
+    * `jdbc_apply` (executing statements against a SQL target). Blocks
+    * until the bounded source drains (Trigger.AvailableNow). */
   def runStream(spark: SparkSession, json: String): Unit = {
     val cfg = new ObjectMapper().readTree(json)
     val src = cfg.get("source")
@@ -106,17 +107,29 @@ object Pipeline {
       spark, src.get("dir").asText())
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
-    require(snk.get("type").asText() == "parquet_merge",
-      "streaming pipeline needs a parquet_merge sink")
-    val target = snk.get("path").asText()
     val ckpt = snk.get("checkpoint").asText()
-    val pkCols = strs(snk.get("pk"))
-    val nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 64
-    // pk-bucketed incremental apply: each batch rewrites only the buckets
-    // it touches and flips the store's MANIFEST atomically — O(touched)
-    // per batch and crash-safe at every point (see graft.sink.BucketStore)
-    val q = graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
-      graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
+    val q = snk.get("type").asText() match {
+      case "parquet_merge" =>
+        val target = snk.get("path").asText()
+        val pkCols = strs(snk.get("pk"))
+        val nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 64
+        // pk-bucketed incremental apply: each batch rewrites only the
+        // buckets it touches and flips the store's MANIFEST atomically —
+        // O(touched) per batch, crash-safe (see graft.sink.BucketStore)
+        graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
+          graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
+        }
+      case "jdbc_apply" =>
+        // compacted statements executed against a live JDBC target — the
+        // reference's db_batch_sync delivery (idempotent under replay)
+        val jc = graft.sink.JdbcApply.Config(snk.get("url").asText(),
+          writers = if (snk.has("writers")) snk.get("writers").asInt() else 8,
+          batchSize = if (snk.has("batchSize")) snk.get("batchSize").asInt() else 1000)
+        graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
+          graft.sink.JdbcApply(net, jc)
+        }
+      case other => throw new IllegalArgumentException(
+        s"streaming pipeline needs a parquet_merge or jdbc_apply sink, got $other")
     }
     q.awaitTermination()
   }

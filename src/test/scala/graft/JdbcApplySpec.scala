@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import graft.op.{Checker, Compactor}
+import graft.sink.JdbcApply
+import graft.source.Changelog
+
+/** The executing JDBC apply writer against a real embedded SQL target
+  * (Derby, shipped with Spark) — the harness analog of the reference's
+  * MySQL delivery path: compacted changelog in, real statements out,
+  * `Checker.check` closes the loop with zero diff rows. */
+class JdbcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftapply;create=true"
+  private val tables = (0 until 10).map(i => s"sbtest$i")
+
+  private def resetTables(): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      tables.foreach { t =>
+        try st.execute(s"DROP TABLE ${t.toUpperCase}") catch { case _: Exception => () }
+        st.execute(s"CREATE TABLE ${t.toUpperCase} " +
+          "(PK BIGINT PRIMARY KEY, R_ID BIGINT, R_K INT, R_V DOUBLE)")
+      }
+      st.close()
+    } finally conn.close()
+  }
+
+  /** Target state read back through Spark's JDBC source, lower-cased and
+    * tagged with its table, so it joins cleanly against the net frame. */
+  private def targetState() =
+    tables.map { t =>
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", t.toUpperCase).load()
+        .toDF("pk", "r_id", "r_k", "r_v")
+        .withColumn("tbl", lit(t))
+        .select("tbl", "pk", "r_id", "r_k", "r_v")
+    }.reduce(_ unionByName _)
+
+  private def expectedState() =
+    Compactor.compact(Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete")
+      .select("tbl", "pk", "r_id", "r_k", "r_v")
+
+  test("compacted changelog applies through real JDBC statements, checker-clean") {
+    resetTables()
+    val net = Compactor.compact(Changelog.fromEvents(spark, sf))
+    JdbcApply(net, JdbcApply.Config(url, writers = 4, batchSize = 5))
+    val want = expectedState()
+    val got = targetState()
+    assert(got.count() == want.count())
+    assert(Checker.check(want, got, Seq("tbl", "pk")).count() == 0,
+      "source vs applied target must have zero row_miss/row_diff")
+    assert(Checker.check(got, want, Seq("tbl", "pk")).count() == 0,
+      "no extra rows in the target either")
+  }
+
+  test("at-least-once replay: re-applying the same net converges (shortfall fallback)") {
+    // the first test left the applied state in place; re-apply the same
+    // compacted batch — inserts now hit duplicate keys and must fall back
+    // to updates (tableprocessor.go:129-176), deletes hit absent rows
+    val net = Compactor.compact(Changelog.fromEvents(spark, sf))
+    JdbcApply(net, JdbcApply.Config(url, writers = 4, batchSize = 5))
+    assert(Checker.check(expectedState(), targetState(), Seq("tbl", "pk")).count() == 0)
+    assert(targetState().count() == expectedState().count())
+  }
+
+  test("config-driven streaming sync delivers into the JDBC target") {
+    resetTables()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-sync").toString
+    val cfg = s"""{
+      "source": {"type": "events_stream", "dir": "$sf"},
+      "processors": [],
+      "sink": {"type": "jdbc_apply", "url": "$url",
+               "checkpoint": "$ckpt", "writers": 4}
+    }"""
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    assert(Checker.check(expectedState(), targetState(), Seq("tbl", "pk")).count() == 0)
+    assert(targetState().count() == expectedState().count())
+    // restart from the same checkpoint: no re-delivery, state unchanged
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    assert(targetState().count() == expectedState().count())
+  }
+
+  test("update-miss inserts; duplicate insert updates (row-level fallback paths)") {
+    resetTables()
+    def netOf(rows: (String, Long, String, Long, Int, Double)*) =
+      rows.toSeq.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+    // an update targeting an absent pk materializes as an insert
+    JdbcApply(netOf(("sbtest0", 1L, "update", 1L, 10, 0.5)),
+      JdbcApply.Config(url, writers = 1))
+    // a duplicate insert falls back to an update with the new image
+    JdbcApply(netOf(("sbtest0", 1L, "insert", 1L, 20, 0.75)),
+      JdbcApply.Config(url, writers = 1))
+    val got = targetState().filter(col("tbl") === "sbtest0").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Int]("r_k") == 20)
+    assert(got.head.getAs[Double]("r_v") == 0.75)
+    // a delete of an absent key is a no-op, of a present key removes it
+    JdbcApply(netOf(
+      ("sbtest0", 1L, "delete", 0L, 0, 0.0),
+      ("sbtest0", 99L, "delete", 0L, 0, 0.0)),
+      JdbcApply.Config(url, writers = 1))
+    assert(targetState().filter(col("tbl") === "sbtest0").count() == 0)
+  }
+}
