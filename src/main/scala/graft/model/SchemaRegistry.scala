@@ -42,6 +42,23 @@ final class SchemaRegistry(spark: SparkSession, baseDir: String) {
   /** DDL-event hook: drop the cached entry; next access re-reads. */
   def invalidate(table: String): Unit = cache.remove(table)
 
+  /** Drift detector — the engine's stand-in for the reference's
+    * binlog-DDL trigger (`binloginput.go:483-497`: parsed DDL →
+    * `schema.DeleteTable`). Spark has no DDL stream for parquet dirs, so
+    * drift is observed at the storage layer instead: re-read the footer
+    * schema and compare with the cache. On drift the entry is invalidated
+    * (so the next `get` serves the new schema) and the (old, new) pair is
+    * returned for the caller's logging/quarantine policy. Cheap — a
+    * footer read, no data scan — so callers can run it per micro-batch. */
+  def detectDrift(table: String): Option[(StructType, StructType)] =
+    Option(cache.get(table)).flatMap { cached =>
+      val current = spark.read.parquet(s"$baseDir/$table.parquet").schema
+      if (current != cached.schema) {
+        invalidate(table)
+        Some((cached.schema, current))
+      } else None
+    }
+
   def cachedTables: Set[String] = {
     val s = Set.newBuilder[String]
     cache.forEach((k, _) => s += k)

@@ -46,6 +46,25 @@ object Processors {
     df.withColumn("db", coalesce(element_at(typedlit(dbMap), col("db")), col("db")))
       .withColumn("tbl", coalesce(element_at(typedlit(tblMap), col("tbl")), col("tbl")))
 
+  /** P3 logical-name indirection (`dbchange.go:166-219`): when a
+    * logical-name variable is configured, the mapping is looked up by the
+    * LOGICAL name (from [[nameCatcher]]) and applied to the PHYSICAL name
+    * by first-occurrence substring replace — `sbtest42` with
+    * `sbtest → test` becomes `test42`, the shard suffix surviving
+    * (`strings.Replace(physical, logical, target, 1)` in the reference).
+    * Unmapped logical names and non-occurring substrings pass through. */
+  def renameTableLogical(tblMap: Map[String, String],
+      logicalCol: String = "logical_table", tblCol: String = "tbl")(df: DataFrame): DataFrame = {
+    val target = element_at(typedlit(tblMap), col(logicalCol))
+    val pos = instr(col(tblCol), col(logicalCol))
+    val replaced = concat(
+      col(tblCol).substr(lit(1), pos - 1),
+      target,
+      col(tblCol).substr(pos + length(col(logicalCol)), length(col(tblCol))))
+    df.withColumn(tblCol,
+      when(target.isNotNull && pos > 0, replaced).otherwise(col(tblCol)))
+  }
+
   /** P4 `DBTableNameCatcher` (`pkg/processor/value/dbtablename.go:62-87`):
     * regex-capture the logical table from a sharded physical name
     * (`sbtest42` → `sbtest`). The reference stashes it in a per-message

@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.LongType
 object Seqs {
 
   def globalSeq(df: DataFrame, orderCol: String, out: String = "seq",
+      partitions: Int = 0): DataFrame =
+    globalSeqBy(df, Seq(orderCol), out, partitions)
+
+  /** Composite-key form (e.g. lineitem's (l_orderkey, l_linenumber)). */
+  def globalSeqBy(df: DataFrame, orderCols: Seq[String], out: String = "seq",
       partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartitionByRange(p, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(p, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

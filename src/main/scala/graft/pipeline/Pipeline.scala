@@ -44,6 +44,7 @@ object Pipeline {
     "rename-table" -> (c => Processors.renameTable(
       if (c.has("dbMap")) strMap(c.get("dbMap")) else Map.empty,
       if (c.has("tblMap")) strMap(c.get("tblMap")) else Map.empty)),
+    "rename-logical" -> (c => Processors.renameTableLogical(strMap(c.get("map")))),
     "namecatcher" -> (c => Processors.nameCatcher(c.get("pattern").asText())),
     "columnvalue" -> (c => Processors.columnValue(strMap(c.get("keyColPerTable")),
       c.get("rowCol").asText())),
@@ -60,6 +61,8 @@ object Pipeline {
     case "events" => Changelog.fromEvents(spark, c.get("dir").asText())
     case "scan" => Changelog.scan(spark, c.get("dir").asText(),
       c.get("table").asText(), c.get("pk").asText())
+    case "scan_tables" => Changelog.scanTables(spark, c.get("dir").asText(),
+      c.get("pattern").asText())
     case "table" => Changelog.table(spark, c.get("dir").asText(), c.get("table").asText())
     case other => throw new IllegalArgumentException(s"unknown source: $other")
   }

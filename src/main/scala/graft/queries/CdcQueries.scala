@@ -81,6 +81,20 @@ object CdcQueries {
         |       r_k AS r_k2
         |FROM changelog ORDER BY seq""".stripMargin)),
 
+    // P3 logical-name indirection: mapping keyed by the CAUGHT logical
+    // name, applied to the physical by first-substring replace — the
+    // shard suffix survives (dbchange.go:166-219).
+    "p3_logical" -> QueryDef(
+      (s, dir) => {
+        val out = Processors.renameTableLogical(Map("sbtest" -> "shard_"))(
+          Processors.nameCatcher("^([a-z]+)\\d+$")(Changelog.fromEvents(s, dir)))
+        out.groupBy("tbl").agg(count(lit(1)).as("cnt")).orderBy("tbl")
+      },
+      Some(s"""$cte
+        |SELECT 'shard_' || regexp_extract(tbl, '^[a-z]+(\\d+)$$', 1) AS tbl,
+        |       COUNT(*) AS cnt
+        |FROM changelog GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P4 — regex-capture logical table from sharded physical name
     "p4_namecatcher" -> QueryDef(
       (s, dir) => {
@@ -266,6 +280,35 @@ object CdcQueries {
         |  FROM orders)
         |SELECT CAST(FLOOR((seq - 1) / 1000.0) AS BIGINT) AS page,
         |       COUNT(*) AS cnt, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM scan GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM scan GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Multi-table scan: regex listing + per-table canonical scan union
+    // (reference scaninput.go:126-191). Different shard schemas coexist
+    // because rows travel as ordered maps; the kv projection makes the
+    // map oracle-comparable without JSON-escaping concerns.
+    "s2_multiscan" -> QueryDef(
+      (s, dir) => {
+        Changelog.scanTables(s, dir, "^(region|nation)$")
+          .select(col("tbl"), col("seq"), col("pk"),
+            array_join(transform(map_entries(col("row")),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))), ";")
+              .as("row_kv"))
+          .orderBy("tbl", "seq")
+      },
+      Some("""SELECT 'nation' AS tbl,
+        |  CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS seq,
+        |  CAST(n_nationkey AS VARCHAR) AS pk,
+        |  'n_nationkey=' || CAST(n_nationkey AS VARCHAR) ||
+        |  ';n_name=' || n_name ||
+        |  ';n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS row_kv
+        |FROM nation
+        |UNION ALL
+        |SELECT 'region' AS tbl,
+        |  CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS seq,
+        |  CAST(r_regionkey AS VARCHAR) AS pk,
+        |  'r_regionkey=' || CAST(r_regionkey AS VARCHAR) ||
+        |  ';r_name=' || r_name AS row_kv
+        |FROM region
+        |ORDER BY tbl, seq""".stripMargin))
   )
 }

@@ -94,6 +94,40 @@ object Changelog {
     graft.op.Seqs.globalSeq(table(spark, sfDir, name), pkCol)
       .withColumn("op", lit("insert"))
 
+  /** Multi-table scan front-end (reference `MysqlScanInput` table listing,
+    * `pkg/input/mysql/scan/scaninput.go:126-191`: regex over
+    * `INFORMATION_SCHEMA.TABLES`, then N concurrent per-table scanners).
+    * Here: regex over the directory's parquet tables; each match is
+    * scanned as a bounded changelog of inserts in the CANONICAL map-typed
+    * shape (`row` as `map<string,string>` in column order), so shards
+    * with different schemas union cleanly — exactly why the reference
+    * emits named maps. Per-table `seq` = dense PK rank; PK identity from
+    * the schema registry. Spark runs the per-table scans as one unioned
+    * job — the reference's scanner concurrency, scheduled by the engine. */
+  def scanTables(spark: SparkSession, sfDir: String, pattern: String): DataFrame = {
+    val registry = new graft.model.SchemaRegistry(spark, sfDir)
+    val names = Option(new java.io.File(sfDir).list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+      .filter(_.matches(pattern)).sorted
+    require(names.nonEmpty, s"no tables in $sfDir match $pattern")
+    names.map { name =>
+      val pkCols = registry.get(name).pkCols
+      require(pkCols.nonEmpty, s"no PK registered for $name")
+      val df = table(spark, sfDir, name)
+      val cols = df.columns.toSeq
+      graft.op.Seqs.globalSeqBy(df, pkCols)
+        .select(
+          lit("srcdb").as("db"),
+          lit(name).as("tbl"),
+          lit("insert").as("op"),
+          col("seq"),
+          concat_ws("|", pkCols.map(c => col(c).cast("string")): _*).as("pk"),
+          map_from_arrays(
+            array(cols.map(lit): _*),
+            array(cols.map(c => col(c).cast("string")): _*)).as("row"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Canonical map-typed form of the flat changelog (the reference's
     * `DBChangeEvent` named-map stage, `pkg/core/message.go:172-182`):
     * insert carries only `new_row`, delete only `old_row`, update both

@@ -103,4 +103,17 @@ class ProcessorsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a2", 2L -> "b", 4L -> "d"))
   }
+
+  test("P3 logical indirection: first-substring replace keeps shard suffix") {
+    val df = Seq(
+      ("sbtest42", "sbtest"),   // prefix replace -> test42
+      ("pre_sbtest7", "sbtest"),// mid-string first occurrence -> pre_test7
+      ("sbtest9", "other"),     // unmapped logical -> unchanged
+      ("nomatch3", "sbtest")    // logical not a substring -> unchanged
+    ).toDF("tbl", "logical_table")
+    val got = graft.op.Processors
+      .renameTableLogical(Map("sbtest" -> "test"))(df)
+      .select("tbl").as[String].collect().toSeq
+    assert(got == Seq("test42", "pre_test7", "sbtest9", "nomatch3"))
+  }
 }
