@@ -30,7 +30,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = Registry.all.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (warmup) ordered.foreach { case (n, d) => runOne(d, n); spark.catalog.clearCache() }
     // Median of `reps` timed runs per query: single-shot timings proved to
     // be environment noise round-over-round (r01 183.9s vs r02 34.8s on

@@ -86,28 +86,58 @@ object Dedup {
     * so results are identical to the per-bit formulation (and the
     * oracle's). */
   def simhash16(toks: Column): Column = {
-    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val hashes = transform(toks, t => md5(t))
-    val fields = Seq("a", "b", "c", "d")
-    val zero = struct(fields.map(f => lit(0L).as(f)): _*)
-    def contrib(h: Column, base: Int): Column = (0 until 4).map { k =>
-      when(substring(h, base + k + 1, 1).isin(high: _*), lit(1L << (16 * k)))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val packed = aggregate(hashes, zero, (acc, h) => struct(
-      fields.zipWithIndex.map { case (f, i) =>
-        (acc.getField(f) + contrib(h, 4 * i)).as(f)
-      }: _*))
-    val n = size(toks).cast("long")
-    val sim = (0 until 16).map { j =>
-      val ones = shiftright(packed.getField(fields(j / 4)), 16 * (j % 4))
-        .bitwiseAND(lit(0xFFFFL))
-      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // ≥2^16 tokens would wrap a 16-bit one-count lane: refuse rather than
-    // emit a silently-corrupt fingerprint (same contract as
-    // TextAnalysis.laneGuard; simhash64's per-bit folds have no lanes)
-    TextAnalysis.laneGuard(toks, sim, "simhash16")
+    // 16 counters in 16-bit lanes, THREE lanes per long (6 accumulator
+    // fields): a fourth lane would put counts into bits 48..63 and ANSI
+    // arithmetic traps the sign-bit carry as long overflow mid-fold;
+    // with lanes capped at bit 47 the fold is overflow-free all the way
+    // to the 65,535-token guard (and far beyond, until a lane's carry
+    // reaches bit 63 — ~2^31 tokens).
+    val fields = Seq("a", "b", "c", "d", "e", "f")
+    // Bit j of the fingerprint votes on the HIGH bit of md5 hex nibble j
+    // (nibble ≥ 8 ⟺ char ∈ 8..f — what the oracle spells with substr+IN).
+    // Two structural rules keep the interpreted HOF path fast:
+    //  - per token, decode the first 16 nibbles into two 32-bit ints ONCE
+    //    (conv) and gather the high bits with integer shifts, instead of
+    //    16 substring+isin string ops;
+    //  - every many-use value (the packed counters, the token count)
+    //    lives in the fold accumulator and is consumed inside the
+    //    aggregate's FINISH lambda, where it binds once — referencing the
+    //    aggregate from an outer projection would splice the whole fold
+    //    subtree into each of the 16 bit extractions (measured 16x cost).
+    val vs = transform(toks, t => {
+      val h = md5(t)
+      struct(
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("v2"))
+    })
+    val zero = struct(lit(0L).as("n") +: fields.map(f => lit(0L).as(f)): _*)
+    aggregate(vs, zero,
+      (acc, v) => {
+        val contribs = fields.indices.map { f =>
+          (0 until 3).map(k => 3 * f + k).filter(_ < 16).map { j =>
+            val vv = v.getField(if (j < 8) "v1" else "v2")
+            val shift = (7 - (j % 8)) * 4 + 3 // the nibble's high bit
+            shiftright(vv, shift).bitwiseAND(lit(1L)) * lit(1L << (16 * (j % 3)))
+          }.reduce(_ + _)
+        }
+        struct((acc.getField("n") + 1L).as("n") +:
+          fields.zip(contribs).map { case (f, c) => (acc.getField(f) + c).as(f) }: _*)
+      },
+      acc => {
+        val n = acc.getField("n")
+        val sim = (0 until 16).map { j =>
+          val ones = shiftright(acc.getField(fields(j / 3)), 16 * (j % 3))
+            .bitwiseAND(lit(0xFFFFL))
+          when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        // ≥2^16 tokens would wrap a 16-bit one-count lane: refuse rather
+        // than emit a silently-corrupt fingerprint (TextAnalysis.laneGuard
+        // contract; simhash64's per-bit folds have no lanes)
+        when(n >= 65536L,
+          raise_error(concat(lit("simhash16: 16-bit lane overflow — "),
+            n.cast("string"), lit(" tokens (limit 65535)"))).cast("long"))
+          .otherwise(sim)
+      })
   }
 
   /** 64-bit production SimHash over xxhash64(token) bits. */

@@ -120,10 +120,14 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, cells: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // deterministic seed + cell ids (row_number over the hash order on a
+    // `cells`-row frame; monotonically_increasing_id after orderBy was not)
     var cent = broadcast(corpus
       .withColumn("_r", xxhash64(col(idCol)))
-      .orderBy("_r").limit(cells)
-      .select(monotonically_increasing_id().as("cell"), col(vecCol).as("cv")))
+      .orderBy(col("_r"), col(idCol)).limit(cells)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("_r"), col(idCol))).cast("long") - 1)
+      .select(col("cell"), col(vecCol).as("cv")))
     for (_ <- 0 until iters) {
       val wa = Window.partitionBy(idCol).orderBy(col("_d").desc, col("cell"))
       val assigned = corpus.select(col(idCol), col(vecCol))

@@ -23,14 +23,17 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
 
   /** The packed-lane folds carry counts in 16-bit lanes: a document with
-    * ≥ 2^16 tokens would silently wrap a lane. Fail loudly instead — at
-    * pipeline scale a silent corruption poisons downstream dedup/quality
-    * filtering invisibly; callers with monster documents should chunk
-    * them first. */
-  private[ops] def laneGuard(toks: Column, packed: Column, op: String): Column =
-    when(size(toks) >= 65536,
+    * ≥ `limit` tokens would silently wrap a lane (or, for a lane packed
+    * at bit 48, trip ANSI long-overflow mid-fold — hence langId's lower
+    * 2^15 bound). Fail loudly instead — at pipeline scale a silent
+    * corruption poisons downstream dedup/quality filtering invisibly;
+    * callers with monster documents should chunk them first. The guard
+    * is a lazy CASE branch, so the fold never runs for oversized docs. */
+  private[ops] def laneGuard(toks: Column, packed: Column, op: String,
+      limit: Int = 65536): Column =
+    when(size(toks) >= limit,
       raise_error(concat(lit(s"$op: 16-bit lane overflow — "),
-        size(toks).cast("string"), lit(" tokens (limit 65535)"))).cast("long"))
+        size(toks).cast("string"), lit(s" tokens (limit ${limit - 1})"))).cast("long"))
       .otherwise(packed)
 
   /** Quality metrics: token count, stopword count/ratio, mean token
@@ -69,10 +72,12 @@ object TextAnalysis {
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     // all four language scores in one fold (16-bit lanes; see quality())
     val toks = tokens(col(textCol))
+    // 4 lanes → the top lane sits at bit 48; cap at 2^15 so its carry
+    // can't reach the sign bit under ANSI arithmetic
     val packed = laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
       acc + langMarkers.zipWithIndex.map { case ((_, words), i) =>
         when(t.isin(words.map(w => w: Any): _*), lit(1L << (16 * i))).otherwise(lit(0L))
-      }.reduce(_ + _)), "langId")
+      }.reduce(_ + _)), "langId", limit = 32768)
     val scored = langMarkers.map(_._1).zipWithIndex
       .foldLeft(df.withColumn("_p", packed)) { case (acc, (lang, i)) =>
         acc.withColumn(s"s_$lang", expr(s"(_p div ${1L << (16 * i)}) % 65536"))
