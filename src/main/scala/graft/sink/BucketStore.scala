@@ -80,8 +80,16 @@ object BucketStore {
     * return the manifest that phase 2 should flip to. Public (rather than
     * folded into [[merge]]) so crash-injection tests can die between the
     * phases. */
+  /** When the store's live generation count reaches this bound, the next
+    * merge expands to ALL live buckets, folding the whole store into one
+    * fresh generation (then GC'd by the flip) — file counts stay bounded
+    * on long streams at the cost of one full rewrite every `maxLiveGens`
+    * batches (amortized O(|state|/maxLiveGens) per batch). */
+  val defaultMaxLiveGens = 16
+
   def writeGen(net: DataFrame, target: String, pkCols: Seq[String],
-      nBuckets: Int, batchId: Long): Map[Int, String] = {
+      nBuckets: Int, batchId: Long,
+      maxLiveGens: Int = defaultMaxLiveGens): Map[Int, String] = {
     val spark = net.sparkSession
     val genName = s"gen-$batchId"
     val genDir = s"$target/$genName"
@@ -94,9 +102,15 @@ object BucketStore {
       return manifest0
     }
     val bucketed = net.withColumn("bucket", bucketCol(pkCols, nBuckets)).cache()
-    val touched = bucketed.select("bucket").distinct()
+    val netTouched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
     val manifest = manifest0
+    // periodic fold-down: once enough generations accumulated, rewrite
+    // every live bucket into this generation so the flip's GC reclaims
+    // all of them
+    val touched =
+      if (manifest.values.toSet.size >= maxLiveGens) netTouched ++ manifest.keySet
+      else netTouched
     val stateSchema = net.drop("net_op").schema
     val cur = {
       val livePaths = manifest.view.filterKeys(touched)
@@ -134,8 +148,9 @@ object BucketStore {
 
   /** Merge one compacted net-change batch into the store (both phases). */
   def merge(net: DataFrame, target: String, pkCols: Seq[String],
-      nBuckets: Int, batchId: Long): Unit =
-    flip(target, writeGen(net, target, pkCols, nBuckets, batchId))
+      nBuckets: Int, batchId: Long,
+      maxLiveGens: Int = defaultMaxLiveGens): Unit =
+    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxLiveGens))
 
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

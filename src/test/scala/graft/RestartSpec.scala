@@ -166,6 +166,31 @@ class RestartSpec extends SparkSpec {
       java.nio.file.Files.exists(java.nio.file.Paths.get(target, g, "_SUCCESS"))))
   }
 
+  test("bucket store folds generations down: live gens stay bounded") {
+    import graft.sink.BucketStore
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-gens").toString + "/state"
+    val pkCols = Seq("tbl", "pk")
+    // 12 single-key batches with maxLiveGens=4: without fold-down the
+    // store would hold 12 generations; with it, every 4th merge rewrites
+    // all live buckets into one gen and GC reclaims the rest
+    (0 until 12).foreach { i =>
+      val net = Seq(("t", i.toLong, "insert", i.toLong, i, i / 2.0))
+        .toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+      BucketStore.merge(net, target, pkCols, nBuckets = 8, batchId = i,
+        maxLiveGens = 4)
+    }
+    val liveGens = BucketStore.readManifest(target).values.toSet
+    assert(liveGens.size <= 4, s"generations not folded: $liveGens")
+    // no unreferenced generation dirs left on disk
+    val onDisk = new java.io.File(target).list().filter(_.startsWith("gen-")).toSet
+    assert(onDisk == liveGens, s"orphan generations: ${onDisk -- liveGens}")
+    // state is complete and correct after the folds
+    val got = BucketStore.read(spark, target).get
+      .select("pk", "r_k").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == (0 until 12).map(i => i.toLong -> i).toMap)
+  }
+
   test("pipeline config assembles and runs end to end") {
     val cfg = s"""{
       "source": {"type": "events", "dir": "$sf"},
