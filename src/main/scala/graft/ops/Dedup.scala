@@ -140,15 +140,11 @@ object Dedup {
       })
   }
 
-  /** 64-bit production SimHash over xxhash64(token) bits. */
-  def simhash64(toks: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit production SimHash over xxhash64(token) bits — a native
+    * codegen'd expression ([[graft.functions.SimHash64]]): one pass per
+    * row hashing each token once, vs 64 interpreted folds for the HOF
+    * formulation it replaces (FunctionsSpec pins the equivalence). */
+  def simhash64(toks: Column): Column = graft.functions.SimHash64.of(toks)
 
   /** SimHash near-dup pairs via band blocking: split the fingerprint
     * into `bands` bit-slices; by pigeonhole, two hashes within hamming

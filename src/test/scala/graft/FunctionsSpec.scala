@@ -41,6 +41,31 @@ class FunctionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("length mismatch")), s"got: $e")
   }
 
+  test("simhash64 expression matches the per-bit HOF formulation") {
+    // the HOF spelling the expression replaced: 64 aggregate folds,
+    // vote ±1 on bit j of xxhash64(token), bit set where vote >= 0
+    def hofSimhash(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 64).map { j =>
+        val vote = aggregate(toks, lit(0), (acc, t) =>
+          acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val docs = Seq(
+      Array("the", "quick", "brown", "fox"),
+      Array("the", "quick", "brown", "fax"),
+      Array("completely", "different", "tokens", "here"),
+      Array("x"),
+      Array.empty[String]
+    ).toDF("toks")
+    val got = docs.select(
+      graft.functions.SimHash64.of(col("toks")).as("e"),
+      hofSimhash(col("toks")).as("h")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"expression ${r.getLong(0)} != HOF ${r.getLong(1)}"))
+    // empty token array: all votes 0 (>= 0) -> all bits set, both forms
+    assert(got.last.getLong(0) == -1L)
+  }
+
   test("GraftExtensions injects fnv64 via the extension point") {
     val ext = new graft.functions.GraftExtensions
     val builder = new org.apache.spark.sql.SparkSessionExtensions
