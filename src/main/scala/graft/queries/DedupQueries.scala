@@ -126,6 +126,22 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
+    // Production 64-bit SimHash near-dup pairs: codegen'd fingerprint
+    // (functions.SimHash64) + pigeonhole band blocking — candidates meet
+    // on the (band, slice) shuffle key, bit_count(xor) verifies exactly.
+    // xxhash64 has no DuckDB replica, so this entry has no oracle: the
+    // driver records the weaker rows-only check (the 16-bit md5 family
+    // below is the value-verified form of the same algebra).
+    "dedup_simhash64" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("sim", Dedup.simhash64(col("toks")))
+        Dedup.simhashPairs(docs, "sim", "doc_id", maxHamming = 3, bands = 4)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
     // SimHash fingerprints (16-bit portable family; simhash64/xxhash is
     // the production variant).
     "dedup_simhash" -> QueryDef(

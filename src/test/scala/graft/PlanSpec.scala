@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh candidates meet on the bucket shuffle key, never n²") {
+    val p = plan("ann_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate generation degenerated to a cross product")
+    // the candidate join is an equi-join on (tbl_id, bucket) — hash or
+    // broadcast, either is bucket-keyed; the brute-force path's
+    // BroadcastNestedLoopJoin must NOT appear here
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH path must not fall back to the brute-force nested-loop join")
+  }
+
   test("scans prune columns: q1 reads 6 of 11 lineitem columns") {
     val p = plan("q1_agg")
     val cols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
