@@ -85,6 +85,35 @@ class JdbcApplySpec extends SparkSpec {
     assert(targetState().count() == expectedState().count())
   }
 
+  test("randomized batch sequences: JDBC state equals the model state") {
+    resetTables()
+    val rnd = new scala.util.Random(20260812L) // fixed seed: deterministic
+    val model = scala.collection.mutable.Map[(String, Long), (Long, Int, Double)]()
+    val ops = Seq("insert", "update", "delete")
+    (0 until 8).foreach { _ =>
+      // one compacted batch: at most one op per (tbl, pk); ops may target
+      // absent keys (update/delete) or existing ones (insert) — the
+      // writer's fallback paths must absorb all of it
+      val keys = rnd.shuffle((0 until 40).map(i =>
+        (s"sbtest${i % 10}", rnd.nextInt(25).toLong))).distinct.take(25)
+      val batch = keys.map { case (t, pk) =>
+        val op = ops(rnd.nextInt(3))
+        (t, pk, op, pk * 10, rnd.nextInt(1000), rnd.nextDouble())
+      }
+      batch.foreach { case (t, pk, op, rid, rk, rv) =>
+        if (op == "delete") model.remove((t, pk))
+        else model((t, pk)) = (rid, rk, rv)
+      }
+      JdbcApply(batch.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        JdbcApply.Config(url, writers = 4, batchSize = 7))
+    }
+    val got = targetState().collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getDouble(4))
+    }.toMap
+    assert(got == model.toMap)
+  }
+
   test("update-miss inserts; duplicate insert updates (row-level fallback paths)") {
     resetTables()
     def netOf(rows: (String, Long, String, Long, Int, Double)*) =
