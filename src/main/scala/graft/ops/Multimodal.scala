@@ -41,6 +41,56 @@ object Multimodal {
   case class MediaFeature(media_id: Long, n_bytes: Long, n_frames: Long,
       frame_digest: String, width: Int, height: Int)
 
+  case class Frame(media_id: Long, frame_idx: Long, frame_digest: String,
+      n_bytes: Long)
+
+  /** Frame sampling — the 1→N seam (video → every k-th frame): each media
+    * row yields one row per sampled fixed-stride byte window, from the
+    * same per-partition iterator a real demuxer would drive. The output
+    * is exploded BEFORE any shuffle, so downstream per-frame ops
+    * parallelize over frames, not videos — the property that matters
+    * when one video is 10 GB. */
+  def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 32,
+      everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + stride - 1) / stride
+          (0 until nFrames by everyK).iterator.map { f =>
+            val w = bytes.slice(f * stride, math.min((f + 1) * stride, bytes.length))
+            Frame(id, f.toLong, md.digest(w).map("%02x".format(_)).mkString,
+              w.length.toLong)
+          }
+        }
+      }.toDF()
+  }
+
+  case class Resized(media_id: Long, out_len: Long, digest: String)
+
+  /** Resize stub — deterministic nearest-neighbor downsample of the byte
+    * payload to at most `target` bytes (out[i] = in[i·len/outLen]); a
+    * real implementation swaps the per-pixel kernel into the same
+    * batched seam. Empty payloads are dropped (nothing to resize). */
+  def resizeStub(spark: SparkSession, media: DataFrame, target: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val outLen = math.min(target, bytes.length)
+          if (outLen == 0) None
+          else {
+            val out = Array.tabulate(outLen)(i =>
+              bytes((i.toLong * bytes.length / outLen).toInt))
+            Some(Resized(id, outLen.toLong,
+              md.digest(out).map("%02x".format(_)).mkString))
+          }
+        }
+      }.toDF()
+  }
+
   /** Per-partition batched "decode" — the mapPartitions seam where a
     * native decoder would run. The stub derives deterministic pseudo
     * features (frame count from a 32-byte stride, a digest of the first

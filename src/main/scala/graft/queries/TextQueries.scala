@@ -135,6 +135,46 @@ object TextQueries {
         |  CAST(ceil(strlen(text) / 32.0) AS BIGINT) AS n_frames,
         |  md5(substr(text, 1, 32)) AS d0,
         |  md5(substr(text, 33, 32)) AS d1
-        |FROM documents ORDER BY media_id""".stripMargin))
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Frame sampling (every 2nd fixed-stride window) — the exploded 1→N
+    // media seam, value-verified: each sampled frame's digest must match
+    // the oracle's substring digests.
+    "mm_frames" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.attachBinary(table(s, dir, "documents"))
+        Multimodal.frameSample(s, media, stride = 32, everyK = 2)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH fr AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT), 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_digest,
+        |  CAST(LEAST(32, strlen(text) - frame_idx * 32) AS BIGINT) AS n_bytes
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Resize stub (nearest-neighbor byte downsample to ≤64) — the
+    // batched per-media kernel seam, digest-verified against the
+    // oracle's character-sampling replica.
+    "mm_resize" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.attachBinary(table(s, dir, "documents"))
+        Multimodal.resizeStub(s, media, target = 64).orderBy("media_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         LEAST(64, strlen(text)) AS out_len
+        |  FROM documents WHERE strlen(text) > 0),
+        |s AS (
+        |  SELECT doc_id, text, len, out_len,
+        |         unnest(range(0, out_len)) AS i
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(out_len AS BIGINT) AS out_len,
+        |  md5(string_agg(substr(text, CAST((i * len) // out_len AS BIGINT) + 1, 1),
+        |                 '' ORDER BY i)) AS digest
+        |FROM s GROUP BY doc_id, out_len
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -163,6 +163,30 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length($"fp") =!= 32).count() == 0)
   }
 
+  test("multimodal frame sampling and resize stubs: exact windows") {
+    import graft.ops.Multimodal
+    // 80 bytes → frames of 32 at idx 0,1,2 (last short); everyK=2 → 0,2
+    val media = Seq((7L, ("ab" * 40).getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val frames = Multimodal.frameSample(spark, media, stride = 32, everyK = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(frames.map(_.getLong(3)).toSeq == Seq(32L, 16L)) // tail frame short
+    def md5hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    assert(frames(0).getString(2) == md5hex(("ab" * 16).getBytes("UTF-8")))
+    // resize: 80 bytes → 64 samples at idx i*80/64; 10 bytes → identity
+    val r = Multimodal.resizeStub(spark,
+      Seq((1L, (0 until 80).map(i => ('a' + i % 26).toChar).mkString.getBytes("UTF-8")),
+          (2L, "0123456789".getBytes("UTF-8")),
+          (3L, Array.empty[Byte])).toDF("media_id", "bytes"), target = 64)
+      .orderBy("media_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // empty payload dropped
+    assert(r(0).getLong(1) == 64L)
+    assert(r(1).getLong(1) == 10L)
+    assert(r(1).getString(2) == md5hex("0123456789".getBytes("UTF-8"))) // identity
+  }
+
   test("packed-lane folds raise on >=2^16-token documents instead of wrapping") {
     // 70,000 single-char tokens: every 16-bit lane would overflow silently
     val monster = Seq((1L, Array.fill(70000)("x").mkString(" ")))
