@@ -364,6 +364,30 @@ object RelationalQueries {
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Salted two-phase aggregation (op/Skew): one hot grouping key is
+    // spread over 16 reducers in phase 1, partials merged in phase 2.
+    // The salt is nondeterministic but the merged result is
+    // salt-independent (exact decimal partials) — so the plain GROUP BY
+    // oracle verifies the whole rewrite.
+    "skew_agg" -> QueryDef(
+      (s, dir) => {
+        graft.op.Skew.saltedAgg(
+          table(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), salts = 16)(
+          Seq(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("c")),
+          Seq(sum("s").as("s"), sum("c").as("c")))
+          .select(col("l_returnflag"),
+            col("s").cast("double").as("sum_qty"),
+            col("c").cast("long").as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // Top-k by value with deterministic tie-break.
     "sort_limit" -> QueryDef(
       (s, dir) => {
