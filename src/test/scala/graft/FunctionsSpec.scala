@@ -17,6 +17,16 @@ class FunctionsSpec extends SparkSpec {
 
   test("fnv64 runs as a registered SQL function under codegen") {
     Fnv64.register(spark)
+    // the full SQL surface: fnv64, vec_dot, simhash64 all registered
+    val sqlRow = spark.sql(
+      "SELECT vec_dot(array(1d,2d,3d), array(4d,5d,6d)) AS d, " +
+        "simhash64(array('a','b')) AS s").collect().head
+    assert(sqlRow.getDouble(0) == 32.0)
+    assert(sqlRow.getLong(1) ==
+      graft.functions.SimHash64.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+            org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
     val got = spark.sql("SELECT fnv64('abc') AS h, fnv64('') AS e").collect().head
     assert(got.getLong(0) == -1792535898324117685L)
     assert(got.getLong(1) == -3750763034362895579L)
