@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming-sync throughput benchmark: events stream → compact →
+  * bucketed-store apply, end to end (the engine-side analog of the
+  * reference's replication benchmark rows — `BASELINE.md`'s MB/s table
+  * measures this same source→apply path over the MySQL wire).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StreamBench"
+  *
+  * Prints one JSON line: events ingested, wall seconds, events/s, and
+  * the final state row count (validated against one-shot compaction).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val target = java.nio.file.Files.createTempDirectory("graft-sbench-t")
+      .toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
+    val events = graft.source.Changelog.events(spark, sfDir).count()
+
+    val t0 = System.nanoTime()
+    graft.pipeline.Pipeline.runStream(spark, s"""{
+      "source": {"type": "events_stream", "dir": "$sfDir"},
+      "processors": [],
+      "sink": {"type": "parquet_merge", "path": "$target",
+               "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}
+    }""")
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val rows = graft.sink.BucketStore.read(spark, target).get.count()
+    val want = graft.op.Compactor.compact(
+      graft.source.Changelog.fromEvents(spark, sfDir))
+      .filter(org.apache.spark.sql.functions.col("net_op") =!= "delete").count()
+    require(rows == want, s"state mismatch: store=$rows oneShot=$want")
+    val eps = events / secs
+    println(s"""{"metric":"stream_sync_events_per_sec","value":$eps,""" +
+      s""""unit":"events/sec","events":$events,"secs":$secs,""" +
+      s""""state_rows":$rows,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
