@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * measures this same source→apply path over the MySQL wire).
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StreamBench"
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench jdbc"   # Derby target
   *
   * Prints one JSON line: events ingested, wall seconds, events/s, and
   * the final state row count (validated against one-shot compaction).
@@ -24,28 +25,59 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val jdbcMode = args.contains("jdbc")
     val target = java.nio.file.Files.createTempDirectory("graft-sbench-t")
       .toString + "/state"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
     val events = graft.source.Changelog.events(spark, sfDir).count()
 
+    val url = "jdbc:derby:memory:graftsbench;create=true"
+    if (jdbcMode) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        (0 until 10).foreach { i =>
+          try st.execute(s"DROP TABLE SBTEST$i") catch { case _: Exception => () }
+          st.execute(s"CREATE TABLE SBTEST$i " +
+            "(PK BIGINT PRIMARY KEY, R_ID BIGINT, R_K INT, R_V DOUBLE)")
+        }
+        st.close()
+      } finally conn.close()
+    }
+    val sinkJson =
+      if (jdbcMode) s"""{"type": "jdbc_apply", "url": "$url",
+        "checkpoint": "$ckpt", "writers": 8}"""
+      else s"""{"type": "parquet_merge", "path": "$target",
+        "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}"""
+
     val t0 = System.nanoTime()
     graft.pipeline.Pipeline.runStream(spark, s"""{
       "source": {"type": "events_stream", "dir": "$sfDir"},
       "processors": [],
-      "sink": {"type": "parquet_merge", "path": "$target",
-               "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}
+      "sink": $sinkJson
     }""")
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val rows = graft.sink.BucketStore.read(spark, target).get.count()
+    val rows =
+      if (jdbcMode) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          val n = (0 until 10).map { i =>
+            val rs = st.executeQuery(s"SELECT COUNT(*) FROM SBTEST$i")
+            rs.next(); rs.getLong(1)
+          }.sum
+          st.close(); n
+        } finally conn.close()
+      } else graft.sink.BucketStore.read(spark, target).get.count()
     val want = graft.op.Compactor.compact(
       graft.source.Changelog.fromEvents(spark, sfDir))
       .filter(org.apache.spark.sql.functions.col("net_op") =!= "delete").count()
     require(rows == want, s"state mismatch: store=$rows oneShot=$want")
     val eps = events / secs
+    val mode = if (jdbcMode) "jdbc_apply" else "parquet_merge"
     println(s"""{"metric":"stream_sync_events_per_sec","value":$eps,""" +
-      s""""unit":"events/sec","events":$events,"secs":$secs,""" +
+      s""""unit":"events/sec","sink":"$mode","events":$events,"secs":$secs,""" +
       s""""state_rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
