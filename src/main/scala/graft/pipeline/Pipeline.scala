@@ -100,8 +100,13 @@ object Pipeline {
     * reference's flagship db_*_sync tasks; recovery = the checkpoint,
     * idempotency = the apply). Sinks: `parquet_merge` (bucketed store) or
     * `jdbc_apply` (executing statements against a SQL target). Blocks
-    * until the bounded source drains (Trigger.AvailableNow). */
-  def runStream(spark: SparkSession, json: String): Unit = {
+    * until the bounded source drains (Trigger.AvailableNow).
+    *
+    * Returns the last progress snapshot from the attached
+    * [[graft.streaming.PipelineMetrics]] listener — the task_qps/delay
+    * gauges the reference publishes while syncing (`metrics.go:16-23`);
+    * None when no batch carried rows (e.g. a restart with nothing new). */
+  def runStream(spark: SparkSession, json: String): Option[graft.streaming.PipelineMetrics#Snapshot] = {
     val cfg = new ObjectMapper().readTree(json)
     val src = cfg.get("source")
     require(src.get("type").asText() == "events_stream",
@@ -111,6 +116,8 @@ object Pipeline {
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
     val ckpt = snk.get("checkpoint").asText()
+    val metrics = new graft.streaming.PipelineMetrics
+    spark.streams.addListener(metrics) // before start: first batch counts
     val q = snk.get("type").asText() match {
       case "parquet_merge" =>
         val target = snk.get("path").asText()
@@ -134,7 +141,9 @@ object Pipeline {
       case other => throw new IllegalArgumentException(
         s"streaming pipeline needs a parquet_merge or jdbc_apply sink, got $other")
     }
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally spark.streams.removeListener(metrics)
+    metrics.latest
   }
 
   /** Build the transformed frame without sinking (for inspection/tests). */

@@ -106,7 +106,10 @@ class RestartSpec extends SparkSpec {
       "sink": {"type": "parquet_merge", "path": "$target",
                "checkpoint": "$ckpt", "pk": ["tbl", "pk"]}
     }"""
-    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val snap = graft.pipeline.Pipeline.runStream(spark, cfg)
+    // the sync task publishes its qps gauge (reference metrics.go:16-23)
+    assert(snap.exists(_.numInputRows == 1000L),
+      s"expected a progress snapshot covering the 1000-event batch, got $snap")
     val got = graft.sink.BucketStore.read(spark, target).get
       .select("tbl", "pk", "r_k").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
