@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StreamBench"
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench jdbc"   # Derby target
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench dsv2"   # DSv2 source
+  *
+  * `dsv2` mode drives the custom ChangelogSource (spooled segment files,
+  * executor-side splits) with rate-limited batches instead of the file
+  * stream — validating the chunked-split arithmetic at volume.
   *
   * Prints one JSON line: events ingested, wall seconds, events/s, and
   * the final state row count (validated against one-shot compaction).
@@ -25,6 +30,7 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("dsv2")) { runDsv2(spark, sfDir); spark.stop(); return }
     val jdbcMode = args.contains("jdbc")
     val target = java.nio.file.Files.createTempDirectory("graft-sbench-t")
       .toString + "/state"
@@ -80,5 +86,33 @@ object StreamBench {
       s""""unit":"events/sec","sink":"$mode","events":$events,"secs":$secs,""" +
       s""""state_rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** DSv2 chunked-source drain: rate-limited batches over spooled segment
+    * files, totality + uniqueness asserted (every row exactly once across
+    * mid-chunk batch cuts). */
+  private def runDsv2(spark: SparkSession, sfDir: String): Unit = {
+    val total = graft.source.Changelog.events(spark, sfDir).count()
+    @volatile var rows = 0L
+    @volatile var batches = 0
+    @volatile var maxParts = 0
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft.source.ChangelogSource")
+      .option("dir", sfDir)
+      .option("maxRowsPerTrigger", "20000")
+      .option("chunkRows", "16384").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        maxParts = math.max(maxParts, b.rdd.getNumPartitions)
+        rows += b.count()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(rows == total, s"dsv2 drain lost/duplicated rows: $rows != $total")
+    println(s"""{"metric":"dsv2_drain_events_per_sec","value":${total / secs},""" +
+      s""""unit":"events/sec","events":$total,"secs":$secs,""" +
+      s""""batches":$batches,"max_splits":$maxParts,"sf":"$sfDir"}""")
   }
 }
