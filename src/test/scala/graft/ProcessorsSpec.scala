@@ -85,6 +85,29 @@ class ProcessorsSpec extends SparkSpec {
     assert(out.filter($"value".contains("\"op\":\"insert\"")).count() == 2)
   }
 
+  test("kafka wire round trip: K4 projection -> envelope -> S3 decode") {
+    import graft.source.{Changelog, Connectors}
+    // the full loop the reference runs over a broker (db_kafka ->
+    // kafka_db configs): project the changelog to the (key, value,
+    // topic) contract, simulate the broker's envelope (partition by key
+    // hash — Kafka's default partitioner contract — plus offsets), and
+    // decode back through the S3 input path
+    val flat = Changelog.fromEvents(spark, sf)
+      .withColumn("topic", org.apache.spark.sql.functions.concat(lit("t_"), $"tbl"))
+    val wire = Sinks.kafkaProjection(flat, "pk", "topic")
+    val env = wire
+      .withColumn("partition", pmod(xxhash64($"key"), lit(4)).cast("int"))
+      .withColumn("offset", xxhash64($"value")) // any unique id works
+    val back = Connectors.decodeKafka(env, flat.schema)
+    val cols = Seq("seq", "pk", "tbl", "op", "r_id", "r_k", "r_v")
+    assert(back.count() == flat.count())
+    assert(back.selectExpr(cols: _*).exceptAll(flat.selectExpr(cols: _*)).count() == 0)
+    assert(flat.selectExpr(cols: _*).exceptAll(back.selectExpr(cols: _*)).count() == 0)
+    // per-key ordering contract: one key always lands in one partition
+    assert(back.groupBy("pk").agg(countDistinct($"partition").as("n"))
+      .filter($"n" > 1).count() == 0)
+  }
+
   test("SqlGen emits idempotent statements") {
     assert(SqlGen.insertIgnore("t", Seq("id", "c"), Seq(Seq(1, "x"), Seq(2, null))) ==
       "INSERT IGNORE INTO `t` (`id`,`c`) VALUES (1,'x'),(2,NULL)")
