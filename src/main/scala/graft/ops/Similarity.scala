@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -16,9 +17,9 @@ import org.apache.spark.sql.functions._
   *     exact cosine re-ranks within buckets. The sketch hyperplanes are
   *     derived from xxhash64 (no RNG state, reproducible cluster-wide).
   *
-  * Dot products use `zip_with` + `aggregate` — a sequential left fold,
-  * so the summation order (hence the IEEE result) is deterministic and
-  * matches the DuckDB oracle's list fold.
+  * Dot products use the codegen'd [[graft.functions.VecDot]] — a
+  * sequential left fold, so the summation order (hence the IEEE result)
+  * is deterministic and matches the DuckDB oracle's list fold.
   */
 object Similarity {
 
@@ -35,7 +36,6 @@ object Similarity {
     * vector, not once per pair. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")))
     val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
@@ -48,39 +48,60 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** ±1.0 sign vector for hyperplane (seed, i) over `dim` components —
+    * the sign for a (table, plane, dimension) triple is DATA-INDEPENDENT,
+    * so it is computed once on the driver and shipped as a literal array.
+    * Each sketch bit then costs one codegen'd [[graft.functions.VecDot]]
+    * against that literal (a tight primitive loop) instead of a per-row
+    * interpreted `aggregate`+`zip_with` fold that re-evaluated the hash
+    * for every (row, plane, dimension). x·(+1.0)/x·(−1.0) are exact in
+    * IEEE and the fold order is unchanged, so projections — hence bucket
+    * assignments and every downstream oracle — are bit-identical to the
+    * interpreted form this replaces. */
+  private def xxSigns(bits: Int, seed: Int, dim: Int): IndexedSeq[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until bits).map { i =>
+      Array.tabulate(dim) { d =>
+        // same hash, same argument types (int, int, int) as the column
+        // form xxhash64(lit(seed), lit(i), d) with Spark's default seed 42
+        val h = XxHash64(Seq(Literal(seed), Literal(i), Literal(d)), 42L)
+          .eval(InternalRow.empty).asInstanceOf[Long]
+        if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** ±1.0 signs from the portable multiply-shift hash
+    * (`((x·2654435761) >> 16) & 1` over x = (seed·1009+i)·769+d) — the
+    * arithmetic a SQL oracle replicates exactly. */
+  private def portableSigns(bits: Int, seed: Int, dim: Int): IndexedSeq[Array[Double]] =
+    (0 until bits).map { i =>
+      Array.tabulate(dim) { d =>
+        val mixed = (((seed.toLong * 1009 + i) * 769 + d) * 2654435761L) >> 16
+        if ((mixed & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** OR the sign bits of the `bits` hyperplane projections into a bucket
+    * id. `VecDot` raises on any row whose vector length ≠ `dim`, so a
+    * wrong width fails loudly instead of mis-bucketing. */
+  private def sketchFromSigns(vecCol: Column, signs: IndexedSeq[Array[Double]]): Column =
+    signs.zipWithIndex.map { case (s, i) =>
+      when(dot(vecCol, typedLit(s.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Sign-bit sketch: bit i = sign(v · h_i) where hyperplane h_i's
     * components are ±1 from xxhash64(seed, i, dim). Cheap, deterministic,
     * and component weights need no stored model. */
-  def signSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, d) => when(pmod(xxhash64(lit(seed), lit(i), d), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+  def signSketch(vecCol: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
+    sketchFromSigns(vecCol, xxSigns(bits, seed, dim))
 
   /** [[signSketch]] with the hyperplane signs drawn from a multiply-shift
-    * hash (`((x·2654435761) >> 16) & 1` over x = (seed·1009+i)·769+d)
-    * instead of xxhash64 — arithmetic a SQL oracle can replicate exactly,
-    * so the bucket assignment itself is driver-verifiable. Same fold
-    * structure (sequential left fold) as the xxhash64 form. */
-  def portableSignSketch(vecCol: Column, bits: Int, seed: Int = 0): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, d) => {
-            val mixed = shiftright(
-              (lit((seed.toLong * 1009 + i) * 769) + d.cast("long")) * lit(2654435761L), 16)
-            when(mixed.bitwiseAND(lit(1L)) === 0, x).otherwise(-x)
-          }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+    * hash instead of xxhash64 — arithmetic a SQL oracle can replicate
+    * exactly, so the bucket assignment itself is driver-verifiable. */
+  def portableSignSketch(vecCol: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
+    sketchFromSigns(vecCol, portableSigns(bits, seed, dim))
 
   /** Per-row array of `tables` independent sketches (posexplode to get
     * (table_id, bucket) pairs — the OR-amplified LSH key). */
@@ -96,7 +117,6 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 3,
       tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v",
       sketchFn: (Column, Int, Int) => Column = signSketch(_, _, _)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def keyed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         posexplode(sketches(col(vecCol), bits, tables, sketchFn)).as(Seq("tbl_id", "bucket")))
@@ -112,30 +132,62 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** Deterministic centroid seeds: the `cells` corpus vectors ranked
+    * lowest by `seedHash` (ties by id). The frame is ≤`cells` rows —
+    * bounded metadata — so it is collected and re-shipped as a literal
+    * relation with driver-assigned cell ids, instead of a global
+    * `row_number` window (which warned "No Partition Defined" on every
+    * run and read as a scale hazard despite the `limit`). `orderBy +
+    * limit + collect` is a TakeOrdered — rows arrive already in (hash,
+    * id) order. */
+  private def seedCentroids(corpus: DataFrame, cells: Int, seedHash: Column,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(seedHash.as("_r"), col(idCol), col(vecCol))
+      .orderBy(col("_r"), col(idCol)).limit(cells)
+      .collect() // ≤cells rows: bounded by construction
+    val cents = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Double](2))
+    }
+    broadcast(cents.toDF("cell", "cv"))
+  }
+
+  /** Nearest-centroid assignment against a broadcast centroid frame.
+    * The probes=1 side (the CORPUS — the big one) aggregates with
+    * `max_by`, which gets map-side partial aggregation: the shuffle
+    * carries |df| rows, not |df|×cells exploded scores. Only the small
+    * query side (nprobe>1) keeps the per-id window. Tie-break matches
+    * the window form and the oracle: best score, then lowest cell. */
+  private def assignCells(df: DataFrame, cent: DataFrame, id: String,
+      vec: String, probes: Int, idCol: String, vecCol: String): DataFrame = {
+    val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+      .join(cent, lit(true))
+      .withColumn("_d", cosine(col(vec), col("cv")))
+    if (probes == 1)
+      scored.groupBy(col(id))
+        .agg(max_by(struct(col("cell"), col(vec)),
+          struct(col("_d"), (-col("cell")).as("_nc"))).as("_best"))
+        .select(col(id), col("_best").getField(vec).as(vec),
+          col("_best").getField("cell").as("cell"))
+    else {
+      val wa = Window.partitionBy(id).orderBy(col("_d").desc, col("cell"))
+      scored.withColumn("_rk", row_number().over(wa))
+        .filter(col("_rk") <= probes)
+        .drop("cv", "_d", "_rk")
+    }
+  }
+
   /** K-means (Lloyd) refinement of IVF centroids, DataFrame-only: assign
-    * every vector to its nearest centroid, recompute each cell's
-    * element-wise mean (posexplode → per-dimension avg → re-assemble),
-    * repeat. Tighter cells raise recall at the same nprobe. Empty cells
-    * drop out naturally. */
+    * every vector to its nearest centroid (map-side-combined `max_by`),
+    * recompute each cell's element-wise mean (posexplode → per-dimension
+    * avg → re-assemble), repeat. Tighter cells raise recall at the same
+    * nprobe. Empty cells drop out naturally. */
   def trainCentroids(corpus: DataFrame, cells: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // deterministic seed + cell ids (row_number over the hash order on a
-    // `cells`-row frame; monotonically_increasing_id after orderBy was not)
-    var cent = broadcast(corpus
-      .withColumn("_r", xxhash64(col(idCol)))
-      .orderBy(col("_r"), col(idCol)).limit(cells)
-      .withColumn("cell",
-        row_number().over(Window.orderBy(col("_r"), col(idCol))).cast("long") - 1)
-      .select(col("cell"), col(vecCol).as("cv")))
+    var cent = seedCentroids(corpus, cells, xxhash64(col(idCol)), idCol, vecCol)
     for (_ <- 0 until iters) {
-      val wa = Window.partitionBy(idCol).orderBy(col("_d").desc, col("cell"))
-      val assigned = corpus.select(col(idCol), col(vecCol))
-        .join(cent, lit(true))
-        .withColumn("_d", cosine(col(vecCol), col("cv")))
-        .withColumn("_rk", row_number().over(wa))
-        .filter(col("_rk") === 1)
-        .select(col("cell"), col(vecCol))
+      val assigned = assignCells(corpus, cent, idCol, vecCol, probes = 1, idCol, vecCol)
       cent = broadcast(assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
@@ -149,40 +201,24 @@ object Similarity {
   /** IVF-style bucketed ANN: `cells` centroid vectors are drawn
     * deterministically from the corpus itself (hash-ranked sample — no
     * trained model to ship); every corpus vector is assigned to its
-    * nearest centroid (one broadcast pass), queries probe their `nprobe`
-    * nearest cells, and exact cosine re-ranks inside the probed cells.
-    * Shuffle key = cell id; per-cell fan-in ≈ corpus/cells. */
+    * nearest centroid (one broadcast pass + map-side-combined `max_by`),
+    * queries probe their `nprobe` nearest cells, and exact cosine
+    * re-ranks inside the probed cells. Shuffle key = cell id; per-cell
+    * fan-in ≈ corpus/cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
       nprobe: Int = 4, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "v",
       portableSeeding: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // hash-ranked deterministic sample; `portableSeeding` swaps xxhash64
-    // for multiply-mod arithmetic a SQL oracle can reproduce. Cell ids
-    // come from a row_number over the (hash, id) order — a 16-row window,
-    // deterministic (monotonically_increasing_id after orderBy was not).
+    // for multiply-mod arithmetic a SQL oracle can reproduce.
     val seedHash =
       if (portableSeeding) pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
       else xxhash64(col(idCol))
     val cent =
       if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol, vecCol)
-      else broadcast(corpus
-        .withColumn("_r", seedHash)
-        .orderBy(col("_r"), col(idCol)).limit(cells)
-        .withColumn("cell",
-          row_number().over(Window.orderBy(col("_r"), col(idCol))).cast("long") - 1)
-        .select(col("cell"), col(vecCol).as("cv")))
-    def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
-      val wa = Window.partitionBy(id).orderBy(col("_d").desc, col("cell"))
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(cent, lit(true))
-        .withColumn("_d", cosine(col(vec), col("cv")))
-        .withColumn("_rk", row_number().over(wa))
-        .filter(col("_rk") <= probes)
-        .drop("cv", "_d", "_rk")
-    }
-    val c = assign(corpus, "nid", "nv", 1)
-    val q = assign(queries, "qid", "qv", nprobe)
+      else seedCentroids(corpus, cells, seedHash, idCol, vecCol)
+    val c = assignCells(corpus, cent, "nid", "nv", probes = 1, idCol, vecCol)
+    val q = assignCells(queries, cent, "qid", "qv", probes = nprobe, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")
@@ -192,19 +228,17 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
-  /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
-    * form; at scale run it over [[signSketch]] buckets instead of the
-    * full cross join. */
   /** Sketch-bucketed near-dup pairs — the scale path: pairs are only
     * formed inside (table, bucket) LSH cells, so the shuffle fan-in is
     * bucket-sized; exact cosine then applies the threshold. OR-amplified
     * tables keep recall high (misses only pairs colliding in no table). */
   def sketchNearDupPairs(vecs: DataFrame, threshold: Double, bits: Int = 3,
-      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v",
+      dim: Int = 64): DataFrame = {
     def keyed(id: String, vec: String) =
       vecs.select(col(idCol).as(id), col(vecCol).as(vec),
         posexplode(array((0 until tables).map(t =>
-          signSketch(col(vecCol), bits, seed = t)): _*)).as(Seq("tbl_id", "bucket")))
+          signSketch(col(vecCol), bits, seed = t, dim = dim)): _*)).as(Seq("tbl_id", "bucket")))
         .select(id, vec, "tbl_id", "bucket")
     keyed("a_id", "av").join(keyed("b_id", "bv"), Seq("tbl_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -214,6 +248,9 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
+    * quadratic form — the bounded oracle baseline for
+    * [[sketchNearDupPairs]]; the caller bounds the input. */
   def nearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("av"), norm(col(vecCol)).as("an"))
