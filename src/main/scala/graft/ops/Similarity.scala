@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Similarity search over an embedding column (`array<float>`).
+/** Similarity search over an embedding column (`array<double>` — the
+  * codegen'd [[graft.functions.VecDot]] used throughout rejects float
+  * arrays, so callers with `array<float>` storage cast first, as
+  * `graft.queries.AnnQueries.vecs` does).
   *
   * Two paths:
   *   - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query
@@ -105,28 +108,33 @@ object Similarity {
 
   /** Per-row array of `tables` independent sketches (posexplode to get
     * (table_id, bucket) pairs — the OR-amplified LSH key). */
-  private def sketches(vecCol: Column, bits: Int, tables: Int,
-      sketchFn: (Column, Int, Int) => Column): Column =
-    array((0 until tables).map(t => sketchFn(vecCol, bits, t)): _*)
+  private def sketches(vecCol: Column, bits: Int, tables: Int, dim: Int,
+      sketchFn: (Column, Int, Int, Int) => Column): Column =
+    array((0 until tables).map(t => sketchFn(vecCol, bits, t, dim)): _*)
 
   /** Bucketed ANN with OR-amplification: `tables` independent sign
     * sketches of `bits` hyperplanes each; a candidate pair meets if it
     * collides in ANY table (recall ≈ 1-(1-p^bits)^tables), then exact
     * cosine re-ranks the candidate set. The join key (table_id, bucket)
-    * is the shuffle key — fan-in per bucket ∝ corpus/2^bits, never n². */
+    * is the shuffle key — fan-in per bucket ∝ corpus/2^bits, never n².
+    * `dim` is the embedding width (hyperplane signs are precomputed
+    * driver-side at exactly that width — a mismatched vector fails
+    * loudly in VecDot); norms are materialized per keyed row BEFORE the
+    * bucket join, once per vector instead of once per candidate pair. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 3,
       tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v",
-      sketchFn: (Column, Int, Int) => Column = signSketch(_, _, _)): DataFrame = {
-    def keyed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(sketches(col(vecCol), bits, tables, sketchFn)).as(Seq("tbl_id", "bucket")))
-        .select(id, vec, "tbl_id", "bucket")
-    val cand = keyed(corpus, "nid", "nv")
-      .join(keyed(queries, "qid", "qv"), Seq("tbl_id", "bucket"))
+      dim: Int = 64,
+      sketchFn: (Column, Int, Int, Int) => Column = signSketch(_, _, _, _)): DataFrame = {
+    def keyed(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm),
+        posexplode(sketches(col(vecCol), bits, tables, dim, sketchFn)).as(Seq("tbl_id", "bucket")))
+        .select(id, vec, nrm, "tbl_id", "bucket")
+    val cand = keyed(corpus, "nid", "nv", "nn")
+      .join(keyed(queries, "qid", "qv", "qn"), Seq("tbl_id", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    cand.withColumn("cos", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+    cand.withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
@@ -158,7 +166,12 @@ object Similarity {
     * `max_by`, which gets map-side partial aggregation: the shuffle
     * carries |df| rows, not |df|×cells exploded scores. Only the small
     * query side (nprobe>1) keeps the per-id window. Tie-break matches
-    * the window form and the oracle: best score, then lowest cell. */
+    * the window form and the oracle: best score, then lowest cell.
+    * Edge case (out of contract): a vector whose cosine is null against
+    * EVERY centroid (null elements) is dropped by the probes=1 `max_by`
+    * branch but retained by the probes>1 window branch; inputs are
+    * element-null-free by the embeddings contract, so both branches
+    * agree on real data. */
   private def assignCells(df: DataFrame, cent: DataFrame, id: String,
       vec: String, probes: Int, idCol: String, vecCol: String): DataFrame = {
     val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))

@@ -48,7 +48,7 @@ object AnnQueries {
       (s, dir) => {
         val e = vecs(s, dir)
         Similarity.lshTopK(e, e.filter(col("vec_id") < 32), k = 5,
-          bits = 3, tables = 4, sketchFn = Similarity.portableSignSketch(_, _, _))
+          bits = 3, tables = 4, sketchFn = Similarity.portableSignSketch(_, _, _, _))
           .select("qid", "rank", "nid")
           .orderBy("qid", "rank")
       },
