@@ -6,11 +6,20 @@ import graft.queries.Registry
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR,
   * materializing results through the noop sink (full evaluation — the
   * reference benchmarks against its DummyOutput the same way). Prints one
-  * JSON line for the driver. */
+  * JSON line for the driver.
+  *
+  * Each query is measured in its OWN SparkSession (fresh SparkContext,
+  * torn down after the median is taken). Two consecutive rounds showed
+  * that a session shared across the whole suite accumulates state that
+  * inflates later queries by 5-20x over their isolated cost
+  * (p2b_canonical 19.99s suite vs 1.03s isolated in r03; w2_sessionize
+  * 5.23s vs 0.42s in r04) — the per-query numbers were untrustworthy.
+  * Session setup, the parquet-footer warm read, and the JIT/codegen
+  * warmup pass all happen inside the query's own session but OUTSIDE the
+  * clock; JIT state is JVM-wide so later queries still benefit from
+  * earlier ones' warmup, which only helps (it never inflates). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,41 +27,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Warm the session (JVM + parquet footer cache) outside the clock.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Per-query JIT/codegen warmup dominates cold runs (4.3s -> 0.5s
     // observed); one unmeasured pass first unless disabled.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
-    def runOne(d: graft.queries.QueryDef, name: String): Unit =
-      try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val ordered = Registry.all.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    if (warmup) ordered.foreach { case (n, d) => runOne(d, n); spark.catalog.clearCache() }
     // Median of `reps` timed runs per query: single-shot timings proved to
     // be environment noise round-over-round (r01 183.9s vs r02 34.8s on
     // identical code). Caches are cleared between runs so every rep pays
     // the query's full cost, including its own cache builds.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val ordered = Registry.all.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     val results = ordered.map { case (name, d) =>
+      val spark = newSession(cpus)
+      def runOne(): Unit =
+        try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      // Warm this session (parquet footer cache) outside the clock.
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      if (warmup) { runOne(); spark.catalog.clearCache() }
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        runOne(d, name)
+        runOne()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      spark.stop()
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -58,6 +58,8 @@ object Fnv64 {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_md5", exprs => SimHash64Md5(exprs.head), "built-in")
   }
 }
 
@@ -76,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64Md5].getName, "simhash64_md5"),
+      (exprs: Seq[Expression]) => SimHash64Md5(exprs.head)))
   }
 }

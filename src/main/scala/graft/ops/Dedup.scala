@@ -146,6 +146,12 @@ object Dedup {
     * formulation it replaces (FunctionsSpec pins the equivalence). */
   def simhash64(toks: Column): Column = graft.functions.SimHash64.of(toks)
 
+  /** [[simhash64]] with the md5 family ([[graft.functions.SimHash64Md5]])
+    * — the oracle-portable variant: a SQL engine replicates the bit votes
+    * from md5 hex nibbles, so the 64-bit band-blocking path is
+    * value-verified end to end (xxhash64 stays the production family). */
+  def simhash64Md5(toks: Column): Column = graft.functions.SimHash64Md5.of(toks)
+
   /** SimHash near-dup pairs via band blocking: split the fingerprint
     * into `bands` bit-slices; by pigeonhole, two hashes within hamming
     * distance `maxHamming < bands` must agree on at least one whole

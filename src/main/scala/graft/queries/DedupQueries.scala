@@ -126,21 +126,52 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
-    // Production 64-bit SimHash near-dup pairs: codegen'd fingerprint
-    // (functions.SimHash64) + pigeonhole band blocking — candidates meet
-    // on the (band, slice) shuffle key, bit_count(xor) verifies exactly.
-    // xxhash64 has no DuckDB replica, so this entry has no oracle: the
-    // driver records the weaker rows-only check (the 16-bit md5 family
-    // below is the value-verified form of the same algebra).
+    // 64-bit SimHash near-dup pairs: codegen'd fingerprint + pigeonhole
+    // band blocking — candidates meet on the (band, slice) shuffle key,
+    // bit_count(xor) verifies exactly. The md5 hash family
+    // (functions.SimHash64Md5) makes the fingerprint DuckDB-replicable,
+    // so the FULL 64-bit band-blocking path is value-verified (hamming
+    // included); Dedup.simhash64 (xxhash64) is the cheaper production
+    // family running the identical algebra — FunctionsSpec pins both
+    // expressions to their HOF formulations. The oracle skips band
+    // blocking deliberately: with maxHamming < bands the pigeonhole
+    // guarantee makes the blocked result EQUAL to the exact all-pairs
+    // hamming filter, so the simple quadratic spelling verifies the
+    // blocking too (any lost candidate would change the result set).
     "dedup_simhash64" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .withColumn("sim", Dedup.simhash64(col("toks")))
+          .withColumn("sim", Dedup.simhash64Md5(col("toks")))
         Dedup.simhashPairs(docs, "sim", "doc_id", maxHamming = 3, bands = 4)
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, x -> substr(md5(x), 1, 16)) AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 4), k ->
+        |      CAST(list_sum(list_transform(range(0, 16), i ->
+        |        CASE WHEN coalesce(list_sum(list_transform(hs, s ->
+        |            CASE WHEN (((strpos('0123456789abcdef',
+        |                    substr(s, (67 - (16 * k + i)) // 4, 1)) - 1)
+        |                   >> ((16 * k + i) % 4)) & 1) = 1
+        |                 THEN 1 ELSE -1 END)), 0) >= 0
+        |             THEN 1 << i ELSE 0 END)) AS BIGINT)) AS sl
+        |  FROM h),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sl[1], b.sl[1])) + bit_count(xor(a.sl[2], b.sl[2]))
+        |       + bit_count(xor(a.sl[3], b.sl[3])) + bit_count(xor(a.sl[4], b.sl[4]))
+        |      AS BIGINT) AS hamming
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin)),
 
     // SimHash fingerprints (16-bit portable family; simhash64/xxhash is
     // the production variant).

@@ -76,6 +76,41 @@ class FunctionsSpec extends SparkSpec {
     assert(got.last.getLong(0) == -1L)
   }
 
+  test("simhash64_md5 expression matches the per-bit HOF formulation") {
+    // HOF spelling of the md5 family: bit j votes on bit j of the 64-bit
+    // value spelled by the first 16 hex chars of md5(token) — decoded in
+    // two conv() halves because the full 16-hex value can exceed Long
+    def hofMd5Simhash(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 64).map { j =>
+        val half = if (j < 32) 9 else 1 // hex chars 9..16 = bits 31..0
+        val vote = aggregate(toks, lit(0), (acc, t) =>
+          acc + when(shiftright(conv(substring(md5(t), half, 8), 16, 10).cast("long"), j % 32)
+            .bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val docs = Seq(
+      Array("the", "quick", "brown", "fox"),
+      Array("the", "quick", "brown", "fax"),
+      Array("completely", "different", "tokens", "here"),
+      Array("a"),
+      Array.empty[String]
+    ).toDF("toks")
+    val got = docs.select(
+      graft.functions.SimHash64Md5.of(col("toks")).as("e"),
+      hofMd5Simhash(col("toks")).as("h")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"expression ${r.getLong(0)} != HOF ${r.getLong(1)}"))
+    // single-token doc: fingerprint IS the token's 64-bit hash value —
+    // md5('a') = 0cc175b9c0f1b6a8 31c399e269772661
+    assert(got(3).getLong(0) == 0x0cc175b9c0f1b6a8L)
+    // empty token array: all votes 0 (>= 0) -> all bits set
+    assert(got.last.getLong(0) == -1L)
+    // and via the registered SQL surface
+    Fnv64.register(spark)
+    assert(spark.sql("SELECT simhash64_md5(array('a')) AS s").collect().head.getLong(0)
+      == 0x0cc175b9c0f1b6a8L)
+  }
+
   test("GraftExtensions injects fnv64 via the extension point") {
     val ext = new graft.functions.GraftExtensions
     val builder = new org.apache.spark.sql.SparkSessionExtensions
