@@ -133,8 +133,12 @@ object Pipeline {
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)
         val jc = graft.sink.JdbcApply.Config(snk.get("url").asText(),
+          pkCols = if (snk.has("pk")) strs(snk.get("pk")) else Seq("pk"),
+          valueCols = if (snk.has("values")) strs(snk.get("values"))
+            else Seq("r_id", "r_k", "r_v"),
           writers = if (snk.has("writers")) snk.get("writers").asInt() else 8,
-          batchSize = if (snk.has("batchSize")) snk.get("batchSize").asInt() else 1000)
+          batchSize = if (snk.has("batchSize")) snk.get("batchSize").asInt() else 1000,
+          nullToDefault = snk.has("nullToDefault") && snk.get("nullToDefault").asBoolean())
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
           graft.sink.JdbcApply(net, jc)
         }

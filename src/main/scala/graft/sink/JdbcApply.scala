@@ -14,13 +14,26 @@ import scala.collection.mutable
   * [[graft.op.Compactor.compact]]'s output) and executes it against a
   * JDBC target:
   *
-  *   - rows are hash-routed by (table, pk) via `repartition` — the
+  *   - rows are hash-routed by (table, pk cols) via `repartition` — the
   *     declarative form of the reference's FNV worker routing
   *     (`streamoutput.go:149-161`): one partition owns a key, so per-key
   *     apply order is single-threaded without any global coordination;
+  *     composite primary keys (up to 5 columns, the reference's bound —
+  *     `pkg/output/mysql/batch/batchoutput.go:119-121`) route and apply
+  *     on all key columns;
   *   - each partition holds ONE connection, buffers rows per table, and
   *     flushes `batchSize`-row PreparedStatement batches: DELETE by pk,
   *     UPDATE by pk, multi-row INSERT (`tableprocessor.go:198-257`);
+  *   - with `nullToDefault` set, a NULL value-column on an UPDATE writes
+  *     `SET col=DEFAULT` instead of binding NULL — the reference's
+  *     update semantics (`pkg/utils/mysql.go:167-169` rewrites nil
+  *     update columns to the column default). Updates are batched per
+  *     null-mask so each distinct statement shape still runs as one
+  *     PreparedStatement batch; an update-miss that falls back to an
+  *     insert carries `DEFAULT` into the VALUES list so the converged
+  *     row is identical either way. INSERT images bind NULL as NULL
+  *     (an insert is a full row image; only updates carry the
+  *     "unchanged ⇒ default" convention);
   *   - idempotency under at-least-once replay: an UPDATE that matches no
   *     row is retried as an INSERT, and a batch INSERT that hits
   *     duplicate keys is rolled back and re-applied row-by-row as
@@ -38,17 +51,24 @@ object JdbcApply {
   /** @param url       JDBC url (executor-reachable; embedded Derby in the
     *                  harness, a MySQL endpoint in production)
     * @param tableCol  column holding the physical table name
-    * @param pkCol     primary-key column (within each table)
+    * @param pkCols    primary-key columns (within each table), 1 to 5 —
+    *                  the reference's routing bound (`batchoutput.go:119`)
     * @param valueCols non-key columns, in table DDL order
-    * @param writers   apply partitions = max concurrent connections */
-  case class Config(url: String, tableCol: String = "tbl", pkCol: String = "pk",
+    * @param writers   apply partitions = max concurrent connections
+    * @param nullToDefault NULL update columns write DEFAULT (see above) */
+  case class Config(url: String, tableCol: String = "tbl",
+      pkCols: Seq[String] = Seq("pk"),
       valueCols: Seq[String] = Seq("r_id", "r_k", "r_v"),
-      batchSize: Int = 1000, writers: Int = 8)
+      batchSize: Int = 1000, writers: Int = 8,
+      nullToDefault: Boolean = false) {
+    require(pkCols.nonEmpty && pkCols.length <= 5,
+      s"1..5 primary-key columns (reference bound), got ${pkCols.length}")
+  }
 
   def apply(net: DataFrame, cfg: Config): Unit = {
-    val cols = Seq(cfg.tableCol, "net_op", cfg.pkCol) ++ cfg.valueCols
+    val cols = Seq(cfg.tableCol, "net_op") ++ cfg.pkCols ++ cfg.valueCols
     net.select(cols.map(col): _*)
-      .repartition(cfg.writers, col(cfg.tableCol), col(cfg.pkCol))
+      .repartition(cfg.writers, (col(cfg.tableCol) +: cfg.pkCols.map(col)): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val conn = DriverManager.getConnection(cfg.url)
@@ -81,6 +101,14 @@ object JdbcApply {
 
     private def q(ident: String) = "\"" + ident.toUpperCase + "\""
 
+    /** Which value columns of this row write DEFAULT rather than a bound
+      * parameter. Only UPDATE images carry the convention (and the
+      * inserts they fall back to); a plain INSERT is a full row image. */
+    private val noMask: Seq[Boolean] = cfg.valueCols.map(_ => false)
+    private def maskOf(r: Row): Seq[Boolean] =
+      if (!cfg.nullToDefault || r.getAs[String]("net_op") != "update") noMask
+      else cfg.valueCols.map(c => r.isNullAt(r.fieldIndex(c)))
+
     private def setVal(st: PreparedStatement, i: Int, v: Any): Unit = v match {
       case null => st.setObject(i, null)
       case l: Long => st.setLong(i, l)
@@ -90,55 +118,80 @@ object JdbcApply {
       case other => st.setObject(i, other)
     }
 
-    private def fillInsert(st: PreparedStatement, r: Row): Unit = {
-      setVal(st, 1, r.getAs[Any](cfg.pkCol))
-      cfg.valueCols.zipWithIndex.foreach { case (c, i) => setVal(st, i + 2, r.getAs[Any](c)) }
-    }
-    private def fillUpdate(st: PreparedStatement, r: Row): Unit = {
-      cfg.valueCols.zipWithIndex.foreach { case (c, i) => setVal(st, i + 1, r.getAs[Any](c)) }
-      setVal(st, cfg.valueCols.length + 1, r.getAs[Any](cfg.pkCol))
-    }
+    private def pkWhere: String =
+      cfg.pkCols.map(c => s"${q(c)}=?").mkString(" AND ")
 
-    private def stmts(table: String): (String, String, String) = (
-      s"INSERT INTO ${q(table)} (${(cfg.pkCol +: cfg.valueCols).map(q).mkString(",")}) " +
-        s"VALUES (${Seq.fill(cfg.valueCols.length + 1)("?").mkString(",")})",
-      s"UPDATE ${q(table)} SET ${cfg.valueCols.map(c => s"${q(c)}=?").mkString(",")} " +
-        s"WHERE ${q(cfg.pkCol)}=?",
-      s"DELETE FROM ${q(table)} WHERE ${q(cfg.pkCol)}=?")
+    private def insSql(table: String, mask: Seq[Boolean]): String = {
+      val ph = cfg.pkCols.map(_ => "?") ++
+        cfg.valueCols.zip(mask).map { case (_, dflt) => if (dflt) "DEFAULT" else "?" }
+      s"INSERT INTO ${q(table)} (${(cfg.pkCols ++ cfg.valueCols).map(q).mkString(",")}) " +
+        s"VALUES (${ph.mkString(",")})"
+    }
+    private def updSql(table: String, mask: Seq[Boolean]): String = {
+      val sets = cfg.valueCols.zip(mask).map {
+        case (c, true) => s"${q(c)}=DEFAULT"
+        case (c, false) => s"${q(c)}=?"
+      }.mkString(",")
+      s"UPDATE ${q(table)} SET $sets WHERE $pkWhere"
+    }
+    private def delSql(table: String): String =
+      s"DELETE FROM ${q(table)} WHERE $pkWhere"
+
+    private def fillPks(st: PreparedStatement, r: Row, from: Int): Int = {
+      cfg.pkCols.zipWithIndex.foreach { case (c, i) =>
+        setVal(st, from + i, r.getAs[Any](c)) }
+      from + cfg.pkCols.length
+    }
+    private def fillInsert(st: PreparedStatement, r: Row, mask: Seq[Boolean]): Unit = {
+      var i = fillPks(st, r, 1)
+      cfg.valueCols.zip(mask).foreach { case (c, dflt) =>
+        if (!dflt) { setVal(st, i, r.getAs[Any](c)); i += 1 } }
+    }
+    private def fillUpdate(st: PreparedStatement, r: Row, mask: Seq[Boolean]): Unit = {
+      var i = 1
+      cfg.valueCols.zip(mask).foreach { case (c, dflt) =>
+        if (!dflt) { setVal(st, i, r.getAs[Any](c)); i += 1 } }
+      fillPks(st, r, i)
+    }
 
     private def flushTable(table: String, rows: collection.Seq[Row]): Unit = {
-      val (insSql, updSql, delSql) = stmts(table)
       val deletes = rows.filter(_.getAs[String]("net_op") == "delete")
       val updates = rows.filter(_.getAs[String]("net_op") == "update")
       val inserts = rows.filter(_.getAs[String]("net_op") == "insert")
 
       if (deletes.nonEmpty) {
-        val st = conn.prepareStatement(delSql)
+        val st = conn.prepareStatement(delSql(table))
         try {
-          deletes.foreach { r => setVal(st, 1, r.getAs[Any](cfg.pkCol)); st.addBatch() }
+          deletes.foreach { r => fillPks(st, r, 1); st.addBatch() }
           st.executeBatch() // count 0 (already gone) is fine: idempotent
         } finally st.close()
       }
 
       // updates first, collecting misses — an update that matched nothing
       // targets a row the replayed delete already removed or that never
-      // arrived; apply it as an insert (net image is the full row)
+      // arrived; apply it as an insert (net image is the full row). One
+      // PreparedStatement batch per distinct null-mask (all rows share
+      // the all-false mask unless nullToDefault is on and nulls exist).
       val missed = mutable.ArrayBuffer.empty[Row]
-      if (updates.nonEmpty) {
-        val st = conn.prepareStatement(updSql)
+      updates.groupBy(maskOf).foreach { case (mask, group) =>
+        val st = conn.prepareStatement(updSql(table, mask))
         try {
-          updates.foreach { r => fillUpdate(st, r); st.addBatch() }
+          group.foreach { r => fillUpdate(st, r, mask); st.addBatch() }
           val counts = st.executeBatch()
-          counts.zip(updates).foreach { case (n, r) => if (n == 0) missed += r }
+          counts.zip(group).foreach { case (n, r) => if (n == 0) missed += r }
         } finally st.close()
       }
 
       val toInsert = inserts ++ missed
       if (toInsert.nonEmpty) {
-        val st = conn.prepareStatement(insSql)
         try {
-          toInsert.foreach { r => fillInsert(st, r); st.addBatch() }
-          st.executeBatch()
+          toInsert.groupBy(maskOf).foreach { case (mask, group) =>
+            val st = conn.prepareStatement(insSql(table, mask))
+            try {
+              group.foreach { r => fillInsert(st, r, mask); st.addBatch() }
+              st.executeBatch()
+            } finally st.close()
+          }
           conn.commit()
         } catch {
           case _: SQLException =>
@@ -147,29 +200,33 @@ object JdbcApply {
             // re-apply row-by-row as insert-else-update
             conn.rollback()
             replayFallback(table, deletes, updates ++ inserts)
-        } finally st.close()
+        }
       } else conn.commit()
     }
 
     /** Row-at-a-time re-apply of a rolled-back flush: delete, then upsert
-      * each surviving row (insert; duplicate key → update). */
+      * each surviving row (insert; duplicate key → update). Statements
+      * are cached per (shape, null-mask) across the replay. */
     private def replayFallback(table: String, deletes: collection.Seq[Row],
         upserts: collection.Seq[Row]): Unit = {
-      val (insSql, updSql, delSql) = stmts(table)
-      val del = conn.prepareStatement(delSql)
-      val ins = conn.prepareStatement(insSql)
-      val upd = conn.prepareStatement(updSql)
+      val cache = mutable.Map.empty[String, PreparedStatement]
+      def prepared(sql: String) = cache.getOrElseUpdate(sql, conn.prepareStatement(sql))
       try {
-        deletes.foreach { r => setVal(del, 1, r.getAs[Any](cfg.pkCol)); del.executeUpdate() }
+        val del = prepared(delSql(table))
+        deletes.foreach { r => fillPks(del, r, 1); del.executeUpdate() }
         upserts.foreach { r =>
-          try { fillInsert(ins, r); ins.executeUpdate() }
-          catch {
+          val mask = maskOf(r)
+          try {
+            val ins = prepared(insSql(table, mask))
+            fillInsert(ins, r, mask); ins.executeUpdate()
+          } catch {
             case e: SQLException if e.getSQLState == "23505" =>
-              fillUpdate(upd, r); upd.executeUpdate()
+              val upd = prepared(updSql(table, mask))
+              fillUpdate(upd, r, mask); upd.executeUpdate()
           }
         }
         conn.commit()
-      } finally { del.close(); ins.close(); upd.close() }
+      } finally cache.values.foreach(_.close())
     }
   }
 }

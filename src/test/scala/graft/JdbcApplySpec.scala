@@ -135,4 +135,86 @@ class JdbcApplySpec extends SparkSpec {
       JdbcApply.Config(url, writers = 1))
     assert(targetState().filter(col("tbl") === "sbtest0").count() == 0)
   }
+
+  test("nullToDefault: a NULL update column converges to the column default") {
+    // the reference rewrites nil update columns to DEFAULT(col)
+    // (pkg/utils/mysql.go:167-169); prove the EXECUTING writer does too
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE DEFT") catch { case _: Exception => () }
+      st.execute("CREATE TABLE DEFT (PK BIGINT PRIMARY KEY, " +
+        "R_ID BIGINT DEFAULT 7, R_K INT DEFAULT 42, R_V DOUBLE DEFAULT 2.5)")
+      st.close()
+    } finally conn.close()
+    val cfg = JdbcApply.Config(url, writers = 1, nullToDefault = true)
+    def net(rows: (String, Long, String, Option[Long], Option[Int], Option[Double])*) =
+      rows.toSeq.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+    def state() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "DEFT").load().collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2), r.get(3)))).toMap
+
+    JdbcApply(net(("deft", 1L, "insert", Some(1L), Some(10), Some(0.5))), cfg)
+    // update with r_k null: SET R_K=DEFAULT, not NULL
+    JdbcApply(net(("deft", 1L, "update", Some(2L), None, Some(0.9))), cfg)
+    assert(state()(1L) == ((2L, 42, 0.9)))
+    // update-miss with null columns: the insert fallback carries DEFAULT
+    // into the VALUES list, so the converged row is identical either way
+    JdbcApply(net(("deft", 5L, "update", Some(5L), None, None)), cfg)
+    assert(state()(5L) == ((5L, 42, 2.5)))
+    // a mixed batch groups per null-mask: each shape is one stmt batch
+    JdbcApply(net(
+      ("deft", 1L, "update", Some(3L), Some(11), Some(1.1)),
+      ("deft", 5L, "update", None, Some(12), None)), cfg)
+    assert(state()(1L) == ((3L, 11, 1.1)))
+    assert(state()(5L) == ((7L, 12, 2.5)))
+    // a plain INSERT is a full row image: explicit null stays NULL
+    JdbcApply(net(("deft", 9L, "insert", Some(9L), None, Some(1.0))), cfg)
+    assert(state()(9L) == ((9L, null, 1.0)))
+  }
+
+  test("composite multi-col PK: lineitem-shaped changelog applies, checker-clean") {
+    // the synthetic lineitem's unique key is (l_orderkey, l_linenumber,
+    // l_partkey) — composite routing the reference bounds at 5 key
+    // columns (batchoutput.go:119-121)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE LI2PK") catch { case _: Exception => () }
+      st.execute("CREATE TABLE LI2PK (L_ORDERKEY BIGINT, L_LINENUMBER INT, " +
+        "L_PARTKEY BIGINT, L_QUANTITY DOUBLE, L_RETURNFLAG VARCHAR(1), " +
+        "PRIMARY KEY (L_ORDERKEY, L_LINENUMBER, L_PARTKEY))")
+      st.close()
+    } finally conn.close()
+    val pks = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val cfg = JdbcApply.Config(url, pkCols = pks,
+      valueCols = Seq("l_quantity", "l_returnflag"), writers = 4, batchSize = 50)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
+      .filter(col("l_orderkey") <= 500) // deterministic subset (limit isn't)
+      .cache()
+    JdbcApply(li.withColumn("tbl", lit("li2pk"))
+      .withColumn("net_op", lit("insert")), cfg)
+    // second batch: update linenumber-1 rows, delete linenumber-2 rows —
+    // both route and match on the full composite key
+    val upd = li.filter(col("l_linenumber") === 1)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+      .withColumn("tbl", lit("li2pk")).withColumn("net_op", lit("update"))
+    val del = li.filter(col("l_linenumber") === 2)
+      .withColumn("tbl", lit("li2pk")).withColumn("net_op", lit("delete"))
+    JdbcApply(upd.unionByName(del), cfg)
+    val want = li.filter(col("l_linenumber") =!= 2)
+      .withColumn("l_quantity",
+        when(col("l_linenumber") === 1, col("l_quantity") + 100)
+          .otherwise(col("l_quantity")))
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "LI2PK").load()
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
+    assert(got.count() == want.count())
+    assert(Checker.check(want, got, pks).count() == 0)
+    assert(Checker.check(got, want, pks).count() == 0)
+    // replay the whole second batch: idempotent on composite keys too
+    JdbcApply(upd.unionByName(del), cfg)
+    assert(Checker.check(want, got, pks).count() == 0)
+  }
 }
