@@ -118,6 +118,25 @@ object Pipeline {
     val ckpt = snk.get("checkpoint").asText()
     val metrics = new graft.streaming.PipelineMetrics
     spark.streams.addListener(metrics) // before start: first batch counts
+    // stuck-pipe alarm (reference disruptor.go:216-236): warn when the
+    // query goes silent — no batch completion AND no idle report —
+    // longer than the horizon. Passive poll on a daemon thread.
+    val horizonMs = if (cfg.has("stallHorizonMs"))
+      cfg.get("stallHorizonMs").asLong() else 30000L
+    val watchdog = new graft.streaming.StallWatchdog(horizonMs)
+    spark.streams.addListener(watchdog)
+    val pollMs = math.max(horizonMs / 4, 250L)
+    val poller = new Thread(() => {
+      val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.StallWatchdog")
+      try while (!Thread.interrupted()) {
+        Thread.sleep(pollMs)
+        watchdog.stalled.foreach(id => log.warn(
+          s"pipeline stalled: query $id silent > ${horizonMs}ms " +
+            "(no progress, no idle) — sink or stage likely stuck"))
+      } catch { case _: InterruptedException => () }
+    }, "graft-stall-watchdog")
+    poller.setDaemon(true)
+    poller.start()
     val q = snk.get("type").asText() match {
       case "parquet_merge" =>
         val target = snk.get("path").asText()
@@ -146,7 +165,11 @@ object Pipeline {
         s"streaming pipeline needs a parquet_merge or jdbc_apply sink, got $other")
     }
     try q.awaitTermination()
-    finally spark.streams.removeListener(metrics)
+    finally {
+      poller.interrupt()
+      spark.streams.removeListener(watchdog)
+      spark.streams.removeListener(metrics)
+    }
     metrics.latest
   }
 

@@ -36,3 +36,47 @@ final class PipelineMetrics extends StreamingQueryListener {
       p.batchDuration)))
   }
 }
+
+/** Stuck-pipe watchdog — the reference's disruptor stall detector
+  * (pipe-s `pkg/pipeline/simple/disruptor.go:216-236`: the input cursor
+  * advanced but the ack cursor hasn't within a horizon ⇒ "pipe stuck").
+  *
+  * Micro-batch analog: an ACTIVE query that is neither completing
+  * batches nor reporting idle. Every listener event is a heartbeat —
+  * started, per-batch progress, and (crucially) idle: a source with no
+  * pending data emits idle events, so "no data" never reads as a stall;
+  * only a query wedged INSIDE a batch (hung sink, deadlocked stage,
+  * stuck executor) goes silent. Terminated queries leave the watch set.
+  *
+  * Passive by design — `stalled`/`isStalled` are cheap enough to poll
+  * from any scheduler thread; [[PipelineMetrics]] stays the gauge
+  * surface and this is the alarm. The clock is injectable so specs can
+  * drive the horizon deterministically.
+  */
+final class StallWatchdog(horizonMs: Long = 30000L,
+    clock: () => Long = () => System.currentTimeMillis())
+    extends StreamingQueryListener {
+
+  private val beats =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    beats.put(e.id, clock())
+  override def onQueryProgress(e: QueryProgressEvent): Unit =
+    beats.put(e.progress.id, clock())
+  override def onQueryIdle(e: QueryIdleEvent): Unit =
+    beats.put(e.id, clock())
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    beats.remove(e.id)
+
+  /** Active queries whose last heartbeat is older than the horizon. */
+  def stalled: Seq[java.util.UUID] = {
+    val now = clock()
+    import scala.jdk.CollectionConverters._
+    beats.asScala.collect {
+      case (id, at) if now - at > horizonMs => id
+    }.toSeq
+  }
+
+  def isStalled: Boolean = stalled.nonEmpty
+}

@@ -115,4 +115,40 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(state == Map(1L -> 11, 2L -> 20))
   }
+
+  test("stall watchdog flags a wedged query and clears when it progresses") {
+    // the reference's stuck-pipe detector (disruptor.go:216-236): input
+    // admitted, ack cursor frozen. Artificial stall: batch 0's sink
+    // blocks on a latch, so no progress event lands within the horizon.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val wd = new graft.streaming.StallWatchdog(horizonMs = 500L)
+    spark.streams.addListener(wd)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val q = mem.toDS().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Long], id: Long) =>
+        if (id == 0L) gate.await(20, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }.start()
+    def pollUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(50)
+      cond
+    }
+    try {
+      mem.addData(1L)
+      assert(pollUntil(10000)(wd.isStalled),
+        "a query wedged inside a batch must trip the watchdog")
+      gate.countDown() // un-wedge: the completing batch heartbeats
+      q.processAllAvailable()
+      assert(pollUntil(10000)(!wd.isStalled),
+        "progress must clear the stall flag")
+    } finally {
+      gate.countDown()
+      q.stop()
+      spark.streams.removeListener(wd)
+    }
+    // terminated queries leave the watch set entirely
+    assert(pollUntil(10000)(wd.stalled.isEmpty))
+  }
 }
