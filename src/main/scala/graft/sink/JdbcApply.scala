@@ -55,12 +55,24 @@ object JdbcApply {
     *                  the reference's routing bound (`batchoutput.go:119`)
     * @param valueCols non-key columns, in table DDL order
     * @param writers   apply partitions = max concurrent connections
-    * @param nullToDefault NULL update columns write DEFAULT (see above) */
+    * @param nullToDefault NULL update columns write DEFAULT (see above)
+    * @param maxReconnects bounded in-writer reconnects on a connection
+    *                  failure (SQLState 08xxx / recoverable): the dead
+    *                  connection is rolled back and replaced, and the
+    *                  in-flight flush re-applies whole — safe because
+    *                  every flush is idempotent (insert-else-update,
+    *                  delete-if-present). The reference gets this
+    *                  transparently from Go database/sql's bad-conn
+    *                  replacement; a raw JDBC connection needs it
+    *                  explicit. Exhausted retries fail the task (Spark's
+    *                  coarser task retry takes over).
+    * @param reconnectBackoffMs linear backoff between attempts */
   case class Config(url: String, tableCol: String = "tbl",
       pkCols: Seq[String] = Seq("pk"),
       valueCols: Seq[String] = Seq("r_id", "r_k", "r_v"),
       batchSize: Int = 1000, writers: Int = 8,
-      nullToDefault: Boolean = false) {
+      nullToDefault: Boolean = false,
+      maxReconnects: Int = 3, reconnectBackoffMs: Long = 100L) {
     require(pkCols.nonEmpty && pkCols.length <= 5,
       s"1..5 primary-key columns (reference bound), got ${pkCols.length}")
   }
@@ -71,19 +83,56 @@ object JdbcApply {
       .repartition(cfg.writers, (col(cfg.tableCol) +: cfg.pkCols.map(col)): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val conn = DriverManager.getConnection(cfg.url)
+          val writer = new PartitionWriter(() => {
+            val c = DriverManager.getConnection(cfg.url)
+            c.setAutoCommit(false)
+            c
+          }, cfg)
           try {
-            conn.setAutoCommit(false)
-            val writer = new PartitionWriter(conn, cfg)
             it.foreach(writer.add)
             writer.flushAll()
-          } finally conn.close()
+          } finally writer.close()
         }
       }
   }
 
   /** One partition's buffered apply (executor-side). */
-  private class PartitionWriter(conn: Connection, cfg: Config) {
+  private class PartitionWriter(connect: () => Connection, cfg: Config) {
+    private var conn: Connection = connect()
+
+    def close(): Unit =
+      try conn.close() catch { case _: Exception => () }
+
+    /** Connection-level failure (vs statement-level, which the flush
+      * logic handles): SQLState class 08, or the JDBC transient /
+      * recoverable marker hierarchies. */
+    private def isConnFailure(e: SQLException): Boolean =
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).exists {
+        case s: SQLException =>
+          Option(s.getSQLState).exists(_.startsWith("08")) ||
+            s.isInstanceOf[java.sql.SQLNonTransientConnectionException] ||
+            s.isInstanceOf[java.sql.SQLTransientConnectionException] ||
+            s.isInstanceOf[java.sql.SQLRecoverableException]
+        case _ => false
+      }
+
+    /** Run one flush; on a connection failure, replace the connection and
+      * re-apply the WHOLE flush (idempotent), up to `maxReconnects`. */
+    private def flushWithReconnect(table: String, rows: collection.Seq[Row]): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { flushTable(table, rows); done = true }
+        catch {
+          case e: SQLException if isConnFailure(e) && attempt < cfg.maxReconnects =>
+            attempt += 1
+            try conn.rollback() catch { case _: Exception => () }
+            try conn.close() catch { case _: Exception => () }
+            Thread.sleep(cfg.reconnectBackoffMs * attempt)
+            conn = connect()
+        }
+      }
+    }
     private val buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Row]]
 
     def add(r: Row): Unit = {
@@ -91,13 +140,13 @@ object JdbcApply {
         mutable.ArrayBuffer.empty[Row])
       buf += r
       if (buf.length >= cfg.batchSize) {
-        flushTable(r.getAs[String](cfg.tableCol), buf)
+        flushWithReconnect(r.getAs[String](cfg.tableCol), buf)
         buf.clear()
       }
     }
 
     def flushAll(): Unit =
-      buffers.foreach { case (t, buf) => if (buf.nonEmpty) flushTable(t, buf) }
+      buffers.foreach { case (t, buf) => if (buf.nonEmpty) flushWithReconnect(t, buf) }
 
     private def q(ident: String) = "\"" + ident.toUpperCase + "\""
 

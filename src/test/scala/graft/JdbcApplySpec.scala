@@ -6,6 +6,39 @@ import graft.op.{Checker, Compactor}
 import graft.sink.JdbcApply
 import graft.source.Changelog
 
+/** Fault-injecting JDBC driver: wraps Derby behind `jdbc:flaky:` and
+  * fails `prepareStatement` with a connection-failure SQLState (08006)
+  * while the shared `failures` budget is positive — exercising the
+  * writer's bounded reconnect without needing a killable server. */
+object FlakyDriver extends java.sql.Driver {
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val prefix = "jdbc:flaky:"
+  @volatile private var registered = false
+  def register(): Unit = synchronized {
+    if (!registered) { DriverManager.registerDriver(this); registered = true }
+  }
+  override def acceptsURL(url: String): Boolean = url.startsWith(prefix)
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection = {
+    if (!acceptsURL(url)) return null
+    val real = DriverManager.getConnection("jdbc:" + url.stripPrefix(prefix), info)
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      (_, method, args) => {
+        if (method.getName == "prepareStatement" &&
+            failures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+          throw new java.sql.SQLNonTransientConnectionException(
+            "injected connection failure", "08006")
+        try method.invoke(real, (if (args == null) Array.empty[AnyRef] else args): _*)
+        catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      }).asInstanceOf[java.sql.Connection]
+  }
+  override def getPropertyInfo(u: String, p: java.util.Properties) = Array.empty
+  override def getMajorVersion = 1
+  override def getMinorVersion = 0
+  override def jdbcCompliant() = false
+  override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException()
+}
+
 /** The executing JDBC apply writer against a real embedded SQL target
   * (Derby, shipped with Spark) — the harness analog of the reference's
   * MySQL delivery path: compacted changelog in, real statements out,
@@ -134,6 +167,36 @@ class JdbcApplySpec extends SparkSpec {
       ("sbtest0", 99L, "delete", 0L, 0, 0.0)),
       JdbcApply.Config(url, writers = 1))
     assert(targetState().filter(col("tbl") === "sbtest0").count() == 0)
+  }
+
+  test("bounded reconnect: transient connection failures mid-flush converge") {
+    resetTables()
+    FlakyDriver.register()
+    val flakyUrl = "jdbc:flaky:derby:memory:graftapply" // same store, faulty pipe
+    def netOf(rows: (String, Long, String, Long, Int, Double)*) =
+      rows.toSeq.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+    // seed through the healthy url
+    JdbcApply(netOf(("sbtest0", 1L, "insert", 1L, 10, 0.5)), JdbcApply.Config(url, writers = 1))
+    // two injected connection failures: the writer must replace the
+    // connection twice and re-apply the flush whole (maxReconnects = 3)
+    FlakyDriver.failures.set(2)
+    JdbcApply(netOf(
+      ("sbtest0", 1L, "update", 1L, 20, 0.9),
+      ("sbtest0", 2L, "insert", 2L, 30, 1.5)),
+      JdbcApply.Config(flakyUrl, writers = 1))
+    assert(FlakyDriver.failures.get() == 0, "both failures must have been consumed")
+    val got = targetState().filter(col("tbl") === "sbtest0")
+      .collect().map(r => r.getAs[Long]("pk") -> r.getAs[Int]("r_k")).toMap
+    assert(got == Map(1L -> 20, 2L -> 30))
+    // exhausting the budget fails the task (Spark's coarser retry owns it)
+    FlakyDriver.failures.set(1000)
+    intercept[Exception] {
+      JdbcApply(netOf(("sbtest0", 3L, "insert", 3L, 40, 2.0)),
+        JdbcApply.Config(flakyUrl, writers = 1, maxReconnects = 2,
+          reconnectBackoffMs = 1L))
+    }
+    FlakyDriver.failures.set(0)
+    assert(targetState().filter(col("pk") === 3L).count() == 0)
   }
 
   test("nullToDefault: a NULL update column converges to the column default") {
