@@ -65,6 +65,22 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
+  /** Incremental candidates: NEW batch × existing corpus only — the
+    * admission path for deduping a crawl increment against a persisted
+    * signature store. The corpus side's banded signatures are computed
+    * once (a checkpointed table in production) and reused across
+    * increments; candidates still meet on the (band, key) shuffle key,
+    * and corpus×corpus pairs are never generated — an increment costs
+    * O(|new| signatures + collisions), independent of how self-similar
+    * the corpus is. Returns (new_id, corpus_id). */
+  def lshCandidatesAgainst(newBands: DataFrame, corpusBands: DataFrame,
+      idCol: String): DataFrame = {
+    val n = newBands.select(col("band"), col("key"), col(idCol).as("new_id"))
+    val c = corpusBands.select(col("band"), col("key"), col(idCol).as("corpus_id"))
+    n.join(c, Seq("band", "key")).filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+  }
+
   /** Exact Jaccard between two pre-distinct shingle arrays. |∩| via
     * array_intersect (hash-set build, O(n+m) per pair — on distinct
     * inputs its size equals a membership-filter count, which is what the

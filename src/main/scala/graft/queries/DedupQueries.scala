@@ -126,6 +126,56 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
+    // Incremental admission — the production dedup shape: docs with
+    // doc_id >= 400 play an arriving crawl increment, the rest the
+    // persisted corpus. Candidates are NEW×CORPUS only (lshCandidates-
+    // Against): corpus×corpus pairs are never generated, so an
+    // increment's cost is independent of corpus self-similarity; the
+    // corpus's banded signatures would be a checkpointed table reused
+    // across increments at scale.
+    "dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val withSh = shingleFrame(s, dir)
+        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
+        val bands = Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id")
+        val cand = Dedup.lshCandidatesAgainst(
+          bands.filter(col("doc_id") >= 400),
+          bands.filter(col("doc_id") < 400), "doc_id")
+        val sa = withSh.select(col("doc_id").as("new_id"), col("sh").as("sha"))
+        val sb = withSh.select(col("doc_id").as("corpus_id"), col("sh").as("shb"))
+        val (inter, uni, _) = Dedup.jaccardCols(col("sha"), col("shb"))
+        cand.join(sa, "new_id").join(sb, "corpus_id")
+          .withColumn("inter", inter.cast("long"))
+          .withColumn("uni", uni.cast("long"))
+          .filter(col("inter") * 1.0 / col("uni") >= 0.5)
+          .select("new_id", "corpus_id", "inter", "uni")
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(s"""$shCte,
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands n JOIN bands c
+        |    ON n.b = c.b AND n.key = c.key
+        |   AND n.doc_id >= 400 AND c.doc_id < 400),
+        |v AS (
+        |  SELECT new_id, corpus_id,
+        |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh)
+        |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+        |  FROM cand JOIN s sa ON sa.doc_id = new_id JOIN s sb ON sb.doc_id = corpus_id)
+        |SELECT new_id, corpus_id, inter, uni FROM v
+        |WHERE inter * 1.0 / uni >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin)),
+
     // 64-bit SimHash near-dup pairs: codegen'd fingerprint + pigeonhole
     // band blocking — candidates meet on the (band, slice) shuffle key,
     // bit_count(xor) verifies exactly. The md5 hash family

@@ -39,6 +39,30 @@ class OpsSpec extends SparkSpec {
     assert(got == truth, s"LSH(0.8-sim) must find all near-exact dups: got=$got want=$truth")
   }
 
+  test("incremental candidates are new-vs-corpus only, and complete") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val withSh = docs.filter(size(toks) >= 3)
+      .select($"doc_id", array_distinct(Dedup.shingles(toks)).as("sh"))
+    val sig = withSh.withColumn("sig", Dedup.minhashFast($"sh", 8).cast("array<string>"))
+    val bands = Dedup.lshBands(sig, "sig", 4, 2, "doc_id")
+    val split = 400L
+    val inc = Dedup.lshCandidatesAgainst(
+      bands.filter($"doc_id" >= split), bands.filter($"doc_id" < split), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // only new×corpus pairs, by construction
+    assert(inc.forall { case (n, c) => n >= split && c < split })
+    // and exactly the cross-split subset of the symmetric candidate set
+    val full = Dedup.lshCandidates(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val wantCross = full.collect {
+      case (a, b) if a < split && b >= split => (b, a)
+      case (a, b) if a >= split && b < split => (a, b)
+    }
+    assert(inc == wantCross,
+      "increment admission must find every cross-split candidate and nothing else")
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+  }
+
   test("simhash of identical docs identical; of near-dups close") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
