@@ -116,6 +116,46 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(1L -> 11, 2L -> 20))
   }
 
+  test("streaming dedup admission: arriving docs vs static corpus bands") {
+    // the incremental dedup path in its production shape: the corpus's
+    // banded signatures are a STATIC table (checkpointed in production),
+    // new documents arrive as a stream, and candidates come from a
+    // stream-static equi-join on (band, key) — the same
+    // Dedup.lshCandidatesAgainst algebra, unchanged, because every
+    // operator here is stream-agnostic DataFrame algebra
+    import graft.ops.{Dedup, TextAnalysis}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextAnalysis.tokens(col("text"))
+      val sh = df.filter(size(toks) >= 3)
+        .select($"doc_id", array_distinct(Dedup.shingles(toks)).as("sh"))
+        .withColumn("sig", Dedup.minhashFast($"sh", 8).cast("array<string>"))
+      Dedup.lshBands(sh, "sig", 4, 2, "doc_id")
+    }
+    val corpusBands = bandsOf(docs.filter($"doc_id" < 400)) // static side
+    val mem = MemoryStream[(Long, String)]
+    val arriving = mem.toDS().toDF("doc_id", "text")
+    val q = Dedup.lshCandidatesAgainst(bandsOf(arriving), corpusBands, "doc_id")
+      .writeStream.format("memory").queryName("admission").outputMode("append").start()
+    try {
+      // feed the >= 400 docs as two arriving micro-batches
+      val newDocs = docs.filter($"doc_id" >= 400).as[(Long, String)].collect()
+      val (b1, b2) = newDocs.partition(_._1 % 2 == 0)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("admission").as[(Long, Long)].collect().toSet
+      // batch form of the identical algebra is the oracle
+      val want = Dedup.lshCandidatesAgainst(
+        bandsOf(docs.filter($"doc_id" >= 400)), corpusBands, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty, "fixture should contain cross-split near-dups")
+      assert(got == want,
+        "streamed admission must equal the batch form of the same algebra")
+    } finally q.stop()
+  }
+
   test("stall watchdog flags a wedged query and clears when it progresses") {
     // the reference's stuck-pipe detector (disruptor.go:216-236): input
     // admitted, ack cursor frozen. Artificial stall: batch 0's sink
