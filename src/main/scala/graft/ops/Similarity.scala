@@ -261,6 +261,33 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Incremental embedding near-dup: NEW batch × corpus only — the
+    * admission path for vetting an arriving embedding increment against
+    * a persisted corpus (the vector-side analog of
+    * [[graft.ops.Dedup.lshCandidatesAgainst]]). The corpus side's
+    * sketches are computed once in production (a checkpointed table);
+    * candidates still meet on the (tbl_id, bucket) equi-join key,
+    * corpus×corpus pairs never form, and per-side norms are hoisted
+    * ahead of the join. Returns (new_id, corpus_id, cos ≥ threshold). */
+  def sketchNearDupAgainst(newVecs: DataFrame, corpusVecs: DataFrame,
+      threshold: Double, bits: Int = 3, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "v", dim: Int = 64,
+      sketchFn: (Column, Int, Int, Int) => Column = signSketch(_, _, _, _)): DataFrame = {
+    def keyed(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        norm(col(vecCol)).as(nrm),
+        posexplode(array((0 until tables).map(t =>
+          sketchFn(col(vecCol), bits, t, dim)): _*)).as(Seq("tbl_id", "bucket")))
+        .select(id, vec, nrm, "tbl_id", "bucket")
+    keyed(newVecs, "new_id", "nv", "nn")
+      .join(keyed(corpusVecs, "corpus_id", "cv", "cn"), Seq("tbl_id", "bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .withColumn("cos", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .select("new_id", "corpus_id", "cos")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold (a < b). Exact
     * quadratic form — the bounded oracle baseline for
     * [[sketchNearDupPairs]]; the caller bounds the input. */

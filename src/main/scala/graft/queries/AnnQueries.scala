@@ -121,6 +121,45 @@ object AnnQueries {
         |       nid
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Incremental embedding admission — new (vec_id >= 400) vs corpus
+    // (< 400) only, through the sketch-bucketed scale path: candidates
+    // meet on the portable (tbl_id, bucket) key (so DuckDB replicates
+    // the exact bucket assignment and verifies candidate generation, not
+    // just recall), corpus×corpus pairs never form.
+    "dedup_embed_incr" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.sketchNearDupAgainst(
+          e.filter(col("vec_id") >= 400), e.filter(col("vec_id") < 400),
+          threshold = 0.4, bits = 3, tables = 4,
+          sketchFn = Similarity.portableSignSketch(_, _, _, _))
+          .select("new_id", "corpus_id")
+          .orderBy("new_id", "corpus_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v, t.t AS tbl_id,
+        |    list_sum(list_transform(range(0, 3), i ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), d ->
+        |        CASE WHEN ((((t.t * 1009 + i) * 769 + d) * 2654435761) >> 16) & 1 = 0
+        |             THEN v[d + 1] ELSE -v[d + 1] END)) >= 0
+        |      THEN 1 << i ELSE 0 END)) AS bucket
+        |  FROM e, range(0, 4) t(t)),
+        |cand AS (
+        |  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+        |  FROM b n JOIN b c ON n.tbl_id = c.tbl_id AND n.bucket = c.bucket
+        |  WHERE n.vec_id >= 400 AND c.vec_id < 400),
+        |p AS (
+        |  SELECT new_id, corpus_id,
+        |    list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(n.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+        |  FROM cand JOIN e n ON n.vec_id = cand.new_id JOIN e c ON c.vec_id = cand.corpus_id)
+        |SELECT new_id, corpus_id FROM p WHERE cos >= 0.4
+        |ORDER BY new_id, corpus_id""".stripMargin)),
+
     // Embedding near-dup pairs over a bounded id range (the library's
     // scale path buckets by Similarity.signSketch instead of n²).
     "dedup_embed" -> QueryDef(

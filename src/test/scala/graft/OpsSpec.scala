@@ -63,6 +63,24 @@ class OpsSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
   }
 
+  test("embedding increment admission equals the cross-split sketch pairs") {
+    val newSide = embs.filter($"vec_id" >= 400)
+    val corpus = embs.filter($"vec_id" < 400)
+    val inc = Similarity.sketchNearDupAgainst(newSide, corpus, threshold = 0.4,
+      bits = 3, tables = 4)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(inc.forall { case (n, c) => n >= 400 && c < 400 })
+    val full = Similarity.sketchNearDupPairs(embs, threshold = 0.4,
+      bits = 3, tables = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val wantCross = full.collect {
+      case (a, b) if a < 400 && b >= 400 => (b, a)
+      case (a, b) if a >= 400 && b < 400 => (a, b)
+    }
+    assert(inc == wantCross && inc.nonEmpty,
+      "increment must find exactly the cross-split sketch pairs")
+  }
+
   test("simhash of identical docs identical; of near-dups close") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
