@@ -176,6 +176,55 @@ object DedupQueries {
         |WHERE inter * 1.0 / uni >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin)),
 
+    // The admission DECISION, end to end: a new doc survives iff it has
+    // no verified corpus near-dup (Jaccard >= 0.5) — candidate
+    // generation via the increment path above, then a left-anti join on
+    // the rejected ids. This is the operation a recurring crawl
+    // pipeline actually runs per increment.
+    "pipeline_admit" -> QueryDef(
+      (s, dir) => {
+        val withSh = shingleFrame(s, dir)
+        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
+        val bands = Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id")
+        val cand = Dedup.lshCandidatesAgainst(
+          bands.filter(col("doc_id") >= 400),
+          bands.filter(col("doc_id") < 400), "doc_id")
+        val sa = withSh.select(col("doc_id").as("new_id"), col("sh").as("sha"))
+        val sb = withSh.select(col("doc_id").as("corpus_id"), col("sh").as("shb"))
+        val (inter, uni, _) = Dedup.jaccardCols(col("sha"), col("shb"))
+        val rejected = cand.join(sa, "new_id").join(sb, "corpus_id")
+          .filter(inter * 1.0 / uni >= 0.5)
+          .select("new_id").distinct()
+        withSh.filter(col("doc_id") >= 400)
+          .select(col("doc_id").as("new_id"))
+          .join(rejected, Seq("new_id"), "left_anti")
+          .orderBy("new_id")
+      },
+      Some(s"""$shCte,
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands n JOIN bands c
+        |    ON n.b = c.b AND n.key = c.key
+        |   AND n.doc_id >= 400 AND c.doc_id < 400),
+        |rejected AS (
+        |  SELECT DISTINCT new_id
+        |  FROM cand JOIN s sa ON sa.doc_id = new_id JOIN s sb ON sb.doc_id = corpus_id
+        |  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+        |        (len(sa.sh) + len(sb.sh)
+        |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.5)
+        |SELECT doc_id AS new_id FROM s
+        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT new_id FROM rejected)
+        |ORDER BY new_id""".stripMargin)),
+
     // 64-bit SimHash near-dup pairs: codegen'd fingerprint + pigeonhole
     // band blocking — candidates meet on the (band, slice) shuffle key,
     // bit_count(xor) verifies exactly. The md5 hash family

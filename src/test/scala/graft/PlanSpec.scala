@@ -64,10 +64,12 @@ class PlanSpec extends SparkSpec {
       "LSH path must not fall back to the brute-force nested-loop join")
   }
 
-  test("dedup_incremental meets on (band, key), never a cross product") {
-    val p = plan("dedup_incremental")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "increment admission must stay a (band, key) equi-join")
+  test("incremental admission paths meet on their bucket keys, never n²") {
+    Seq("dedup_incremental", "dedup_embed_incr", "pipeline_admit").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: increment admission must stay a bucket-keyed equi-join")
+    }
   }
 
   test("scans prune columns: q1 reads 6 of 11 lineitem columns") {
