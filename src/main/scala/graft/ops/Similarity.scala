@@ -201,12 +201,20 @@ object Similarity {
     var cent = seedCentroids(corpus, cells, xxhash64(col(idCol)), idCol, vecCol)
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, cent, idCol, vecCol, probes = 1, idCol, vecCol)
-      cent = broadcast(assigned
+      val next = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, e -> e.m)").as("cv")))
+        .select(col("cell"), expr("transform(pm, e -> e.m)").as("cv"))
+      // ≤cells rows of bounded metadata: materialize each iteration's
+      // centroids so pass i+1's plan reads the corpus once instead of
+      // replaying every prior pass's assignment (the growing lineage
+      // also re-cached identical RDD blocks — the bench-tail
+      // "Block rdd_N already exists" warnings)
+      val spark = corpus.sparkSession
+      cent = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema))
     }
     cent
   }
