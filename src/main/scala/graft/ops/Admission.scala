@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sink.BucketStore
+
+/** Streaming corpus admission — incremental dedup in its full
+  * production shape. Each arriving micro-batch of documents is:
+  *
+  *   1. deduped WITHIN the batch (any doc with a verified near-dup of
+  *      lower id is rejected — the deterministic keep-first policy);
+  *   2. checked AGAINST the persisted corpus signature store
+  *      (new-vs-corpus candidates only, [[Dedup.lshCandidatesAgainst]]
+  *      — corpus×corpus pairs never form);
+  *   3. survivors' shingle sets + MinHash signatures are merged INTO
+  *      the store ([[graft.sink.BucketStore]]: pk-bucketed generations,
+  *      atomic MANIFEST flip), so a later batch dedupes against
+  *      everything admitted before it.
+  *
+  * Replay safety end to end: the store merge is generation-keyed by
+  * batch id (an at-least-once redelivery overwrites its own partial
+  * output, and a flip that already happened is detected and skipped),
+  * and the admission decision is deterministic given (batch, store
+  * state), so re-running an uncommitted batch converges.
+  *
+  * Scale notes: signatures are computed once per arriving doc (map-only);
+  * the corpus side is ONE scan of the signature store per batch with its
+  * bands re-derived map-only from the stored signatures — at very large
+  * corpus sizes persist the banded form instead and this becomes a scan
+  * of 4 band rows per stored doc; candidates meet on the (band, key)
+  * shuffle key either way, and verification touches candidate pairs
+  * only, reading shingle sets straight from the store.
+  */
+object Admission {
+
+  /** @param target     BucketStore directory for the signature store
+    * @param checkpoint streaming checkpoint dir
+    * @param threshold  Jaccard rejection threshold on trigram shingles
+    * @param perms      MinHash permutations (bands*rows must equal it) */
+  final case class Config(target: String, checkpoint: String,
+      threshold: Double = 0.5, perms: Int = 8, bands: Int = 4, rows: Int = 2,
+      nBuckets: Int = 16) {
+    require(bands * rows == perms, "bands*rows must equal perms")
+  }
+
+  /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema. */
+  private[ops] def signatures(docs: DataFrame, perms: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))
+      .withColumn("sig", Dedup.minhashFast(col("sh"), perms).cast("array<string>"))
+  }
+
+  /** Verified near-dup pairs above the threshold, given candidate
+    * (leftId, rightId) pairs and per-side shingle frames. */
+  private def verified(cand: DataFrame, leftSh: DataFrame, rightSh: DataFrame,
+      leftId: String, rightId: String, threshold: Double): DataFrame = {
+    val (inter, uni, _) = Dedup.jaccardCols(col("_lsh"), col("_rsh"))
+    cand.join(leftSh.select(col("doc_id").as(leftId), col("sh").as("_lsh")), leftId)
+      .join(rightSh.select(col("doc_id").as(rightId), col("sh").as("_rsh")), rightId)
+      .filter(inter * 1.0 / uni >= threshold)
+      .select(leftId, rightId)
+  }
+
+  /** Admit one batch: returns the admitted signature rows AFTER merging
+    * them into the store. Callable directly for batch pipelines;
+    * [[admissionStream]] drives it per micro-batch. */
+  def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val sig = signatures(batch, cfg.perms).cache()
+    val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
+
+    // 1. within-batch keep-first: reject the higher id of a verified pair
+    val selfRejected = verified(Dedup.lshCandidates(bands, "doc_id"), sig, sig,
+      "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
+      .select(col("b_id").as("doc_id")).distinct()
+
+    // 2. vs the persisted corpus
+    val corpusRejected = BucketStore.read(spark, cfg.target) match {
+      case None => selfRejected.limit(0)
+      case Some(store) =>
+        val corpBands = Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
+        verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
+          sig, store, "new_id", "corpus_id", cfg.threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+    }
+
+    // 3. merge survivors into the store (generation-keyed: replay-safe)
+    val admitted = sig
+      .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
+      .cache()
+    BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
+      cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+    sig.unpersist()
+    admitted
+  }
+
+  /** Drive [[admitBatch]] over an unbounded (doc_id, text) stream. */
+  def admissionStream(newDocs: DataFrame, cfg: Config,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admitBatch(batch, cfg, id); ()
+      }
+      .start()
+}

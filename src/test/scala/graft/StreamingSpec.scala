@@ -156,6 +156,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus admission: self-growing store rejects cross-batch dups") {
+    import graft.ops.Admission
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-admission")
+    val cfg = Admission.Config(
+      target = dir.resolve("store").toString,
+      checkpoint = dir.resolve("ckpt").toString)
+    def ids(): Seq[Long] =
+      graft.sink.BucketStore.read(spark, cfg.target)
+        .map(_.select("doc_id").as[Long].collect().toSeq.sorted).getOrElse(Seq.empty)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content about spark shuffles and parquet footers"
+    val third = "a third unrelated document concerning bucketed state stores"
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.admissionStream(mem.toDS().toDF("doc_id", "text"), cfg,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 0: 11 duplicates 10 within the batch -> keep-first rejects 11
+      mem.addData((10L, base), (11L, base), (12L, other))
+      q.processAllAvailable()
+      assert(ids() == Seq(10L, 12L))
+      // batch 1: 20 duplicates ADMITTED doc 10 (cross-batch, via the
+      // store); 21 is new — the store grows by exactly 21
+      mem.addData((20L, base), (21L, third))
+      q.processAllAvailable()
+      assert(ids() == Seq(10L, 12L, 21L))
+    } finally q.stop()
+    // at-least-once redelivery of batch 1 (crash fell between the store
+    // flip and the checkpoint commit): the already-flipped generation is
+    // detected and the store converges unchanged
+    Admission.admitBatch(
+      Seq((20L, base), (21L, third)).toDF("doc_id", "text"), cfg, batchId = 1L)
+    assert(ids() == Seq(10L, 12L, 21L))
+  }
+
   test("stall watchdog flags a wedged query and clears when it progresses") {
     // the reference's stuck-pipe detector (disruptor.go:216-236): input
     // admitted, ack cursor frozen. Artificial stall: batch 0's sink
