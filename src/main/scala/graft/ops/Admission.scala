@@ -63,10 +63,14 @@ object Admission {
       .select(leftId, rightId)
   }
 
-  /** Admit one batch: returns the admitted signature rows AFTER merging
-    * them into the store. Callable directly for batch pipelines;
-    * [[admissionStream]] drives it per micro-batch. */
-  def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): DataFrame = {
+  /** Admit one batch: merges the admitted signature rows into the store
+    * and returns how many were admitted. (Deliberately NOT the lazy
+    * admitted frame: after the store flip GCs superseded generations, a
+    * recomputation of that plan could read deleted files — the count is
+    * materialized while the pre-flip cache is still live.) Callable
+    * directly for batch pipelines; [[admissionStream]] drives it per
+    * micro-batch. */
+  def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): Long = {
     val spark = batch.sparkSession
     val sig = signatures(batch, cfg.perms).cache()
     val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
@@ -90,10 +94,12 @@ object Admission {
     val admitted = sig
       .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
       .cache()
+    val n = admitted.count() // materialize before the flip GCs old gens
     BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
       cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+    admitted.unpersist()
     sig.unpersist()
-    admitted
+    n
   }
 
   /** Drive [[admitBatch]] over an unbounded (doc_id, text) stream. */
