@@ -45,7 +45,7 @@ object Admission {
   }
 
   /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema. */
-  private[ops] def signatures(docs: DataFrame, perms: Int): DataFrame = {
+  private[graft] def signatures(docs: DataFrame, perms: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.filter(size(toks) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))

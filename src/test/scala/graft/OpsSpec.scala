@@ -81,6 +81,48 @@ class OpsSpec extends SparkSpec {
       "increment must find exactly the cross-split sketch pairs")
   }
 
+  test("sequential admission equals a greedy model replay of the pair relation") {
+    // candidate generation depends only on per-doc band keys, so the
+    // verified near-dup relation R is batching-independent; sequential
+    // admitBatch must equal a driver-side greedy replay of R:
+    //   within a batch, reject the higher id of any verified pair
+    //   (edge-based keep-first); across batches, reject anything with a
+    //   verified pair into the already-admitted store
+    import graft.ops.Admission
+    val dir = java.nio.file.Files.createTempDirectory("graft-admission-model")
+    val cfg = Admission.Config(
+      target = dir.resolve("store").toString,
+      checkpoint = dir.resolve("ckpt").toString)
+    val docsAll = docs.select($"doc_id", $"text")
+    val sig = Admission.signatures(docsAll, cfg.perms).cache()
+    val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
+    val (inter, uni, _) = Dedup.jaccardCols($"sha", $"shb")
+    val relation = Dedup.lshCandidates(bands, "doc_id")
+      .join(sig.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id")
+      .join(sig.select($"doc_id".as("b_id"), $"sh".as("shb")), "b_id")
+      .filter(inter * 1.0 / uni >= cfg.threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet // a < b
+    def near(x: Long, y: Long) = relation.contains((math.min(x, y), math.max(x, y)))
+
+    val ranges = Seq((0L, 200L), (200L, 350L), (350L, 500L))
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      Admission.admitBatch(docsAll.filter($"doc_id" >= lo && $"doc_id" < hi),
+        cfg, batchId = i.toLong)
+      val batchIds = sig.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select("doc_id").as[Long].collect().sorted // signature contract: ≥3 tokens
+      val selfRej = batchIds.filter(b => batchIds.exists(a => a < b && near(a, b))).toSet
+      admitted ++= batchIds.filter(d =>
+        !selfRej(d) && !admitted.exists(c => near(c, d)))
+    }
+    val got = graft.sink.BucketStore.read(spark, cfg.target)
+      .map(_.select("doc_id").as[Long].collect().toSeq.sorted).getOrElse(Seq.empty)
+    assert(relation.nonEmpty, "fixture should contain verified near-dups")
+    assert(got == admitted.sorted.toSeq,
+      "store after sequential admission must equal the greedy model")
+    sig.unpersist()
+  }
+
   test("simhash of identical docs identical; of near-dups close") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
