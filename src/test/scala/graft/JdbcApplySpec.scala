@@ -236,6 +236,48 @@ class JdbcApplySpec extends SparkSpec {
     assert(state()(9L) == ((9L, null, 1.0)))
   }
 
+  test("randomized nullToDefault sequences: JDBC state equals the model") {
+    // model contract: INSERT is a full row image (None binds NULL);
+    // UPDATE rewrites None columns to the column DEFAULT (42 / 2.5),
+    // whether it matches a row or falls back to an insert; DELETE removes
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE DEFR") catch { case _: Exception => () }
+      st.execute("CREATE TABLE DEFR (PK BIGINT PRIMARY KEY, " +
+        "R_K INT DEFAULT 42, R_V DOUBLE DEFAULT 2.5)")
+      st.close()
+    } finally conn.close()
+    val cfg = JdbcApply.Config(url, valueCols = Seq("r_k", "r_v"),
+      writers = 4, batchSize = 5, nullToDefault = true)
+    val rnd = new scala.util.Random(20260812L)
+    val model = scala.collection.mutable.Map[Long, (Option[Int], Option[Double])]()
+    (0 until 8).foreach { _ =>
+      val keys = rnd.shuffle((0 until 16).map(_.toLong)).take(10)
+      val batch = keys.map { pk =>
+        val op = Seq("insert", "update", "delete")(rnd.nextInt(3))
+        val k = if (rnd.nextBoolean()) Some(rnd.nextInt(1000)) else None
+        val v = if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None
+        ("defr", pk, op, k, v)
+      }
+      batch.foreach { case (_, pk, op, k, v) =>
+        op match {
+          case "delete" => model.remove(pk)
+          case "insert" => model(pk) = (k, v)
+          case "update" => model(pk) =
+            (Some(k.getOrElse(42)), Some(v.getOrElse(2.5)))
+        }
+      }
+      JdbcApply(batch.toDF("tbl", "pk", "net_op", "r_k", "r_v"), cfg)
+    }
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "DEFR").load().collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      }.toMap
+    assert(got == model.toMap)
+  }
+
   test("composite multi-col PK: lineitem-shaped changelog applies, checker-clean") {
     // the synthetic lineitem's unique key is (l_orderkey, l_linenumber,
     // l_partkey) — composite routing the reference bounds at 5 key
