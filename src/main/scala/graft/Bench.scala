@@ -46,11 +46,18 @@ object Bench {
     val ordered = Registry.all.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    val results = ordered.map { case (name, d) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = ordered.flatMap { case (name, d) =>
       val spark = newSession(cpus)
+      // A query that THROWS must not record its fast error path as a
+      // legitimate timing (a regression would read as a dramatic
+      // improvement): failures are excluded from the per-query map and
+      // reported in a "failed" list instead.
+      var ok = true
       def runOne(): Unit =
         try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       // Warm this session (parquet footer cache) outside the clock.
@@ -63,11 +70,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       spark.stop()
-      name -> times(times.length / 2)
+      if (ok) Some(name -> times(times.length / 2))
+      else { failed += name; None }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

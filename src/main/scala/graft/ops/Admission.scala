@@ -73,33 +73,43 @@ object Admission {
   def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): Long = {
     val spark = batch.sparkSession
     val sig = signatures(batch, cfg.perms).cache()
-    val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
+    try {
+      val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
 
-    // 1. within-batch keep-first: reject the higher id of a verified pair
-    val selfRejected = verified(Dedup.lshCandidates(bands, "doc_id"), sig, sig,
-      "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
-      .select(col("b_id").as("doc_id")).distinct()
+      // 1. within-batch keep-first, EDGE-based: the higher id of any
+      // verified pair is rejected even if the lower id itself gets
+      // rejected against the corpus — near-dup chains collapse
+      // transitively. (Deliberate: clique-aware admission would need a
+      // driver-side iterative pass; the edge policy is the standard
+      // MinHash-dedup keep-first, and its only batching sensitivity is
+      // the degenerate chain case where the surviving endpoint of a
+      // pair is itself corpus-rejected.)
+      val selfRejected = verified(Dedup.lshCandidates(bands, "doc_id"), sig, sig,
+        "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
+        .select(col("b_id").as("doc_id")).distinct()
 
-    // 2. vs the persisted corpus
-    val corpusRejected = BucketStore.read(spark, cfg.target) match {
-      case None => selfRejected.limit(0)
-      case Some(store) =>
-        val corpBands = Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
-        verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
-          sig, store, "new_id", "corpus_id", cfg.threshold)
-          .select(col("new_id").as("doc_id")).distinct()
-    }
+      // 2. vs the persisted corpus
+      val corpusRejected = BucketStore.read(spark, cfg.target) match {
+        case None => selfRejected.limit(0)
+        case Some(store) =>
+          val corpBands = Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
+          verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
+            sig, store, "new_id", "corpus_id", cfg.threshold)
+            .select(col("new_id").as("doc_id")).distinct()
+      }
 
-    // 3. merge survivors into the store (generation-keyed: replay-safe)
-    val admitted = sig
-      .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
-      .cache()
-    val n = admitted.count() // materialize before the flip GCs old gens
-    BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
-      cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
-    admitted.unpersist()
-    sig.unpersist()
-    n
+      // 3. merge survivors into the store (generation-keyed: replay-safe)
+      val admitted = sig
+        .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
+        .cache()
+      try {
+        val n = admitted.count() // materialize before the flip GCs old gens
+        BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
+          cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+        n
+      } finally admitted.unpersist()
+    } finally sig.unpersist() // also on failure: a retrying stream must
+                              // not accumulate orphaned cached batches
   }
 
   /** Drive [[admitBatch]] over an unbounded (doc_id, text) stream. */

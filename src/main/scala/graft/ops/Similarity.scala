@@ -255,11 +255,12 @@ object Similarity {
     * tables keep recall high (misses only pairs colliding in no table). */
   def sketchNearDupPairs(vecs: DataFrame, threshold: Double, bits: Int = 3,
       tables: Int = 8, idCol: String = "vec_id", vecCol: String = "v",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      sketchFn: (Column, Int, Int, Int) => Column = signSketch(_, _, _, _)): DataFrame = {
     def keyed(id: String, vec: String) =
       vecs.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(array((0 until tables).map(t =>
-          signSketch(col(vecCol), bits, seed = t, dim = dim)): _*)).as(Seq("tbl_id", "bucket")))
+        posexplode(sketches(col(vecCol), bits, tables, dim, sketchFn))
+          .as(Seq("tbl_id", "bucket")))
         .select(id, vec, "tbl_id", "bucket")
     keyed("a_id", "av").join(keyed("b_id", "bv"), Seq("tbl_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -284,8 +285,8 @@ object Similarity {
     def keyed(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         norm(col(vecCol)).as(nrm),
-        posexplode(array((0 until tables).map(t =>
-          sketchFn(col(vecCol), bits, t, dim)): _*)).as(Seq("tbl_id", "bucket")))
+        posexplode(sketches(col(vecCol), bits, tables, dim, sketchFn))
+          .as(Seq("tbl_id", "bucket")))
         .select(id, vec, nrm, "tbl_id", "bucket")
     keyed(newVecs, "new_id", "nv", "nn")
       .join(keyed(corpusVecs, "corpus_id", "cv", "cn"), Seq("tbl_id", "bucket"))

@@ -136,6 +136,10 @@ object Pipeline {
       } catch { case _: InterruptedException => () }
     }, "graft-stall-watchdog")
     poller.setDaemon(true)
+    // everything below the listener registrations runs guarded: a bad
+    // sink config (or a failed query start) must not leak the poller
+    // thread or leave the listeners registered on the shared session
+    try {
     poller.start()
     val q = snk.get("type").asText() match {
       case "parquet_merge" =>
@@ -164,8 +168,11 @@ object Pipeline {
       case other => throw new IllegalArgumentException(
         s"streaming pipeline needs a parquet_merge or jdbc_apply sink, got $other")
     }
-    try q.awaitTermination()
-    finally {
+    // listeners are session-global: scope the alarm to THIS pipeline's
+    // query so a shared session's other streams never trip it
+    watchdog.restrictTo(q.id)
+    q.awaitTermination()
+    } finally {
       poller.interrupt()
       spark.streams.removeListener(watchdog)
       spark.streams.removeListener(metrics)

@@ -96,12 +96,14 @@ object JdbcApply {
       }
   }
 
-  /** One partition's buffered apply (executor-side). */
+  /** One partition's buffered apply (executor-side). Connection is
+    * established lazily inside the guarded flush loop, so an initial
+    * connect failure gets the same bounded retry as a mid-flush one. */
   private class PartitionWriter(connect: () => Connection, cfg: Config) {
-    private var conn: Connection = connect()
+    private var conn: Connection = null
 
     def close(): Unit =
-      try conn.close() catch { case _: Exception => () }
+      if (conn != null) { try conn.close() catch { case _: Exception => () } }
 
     /** Connection-level failure (vs statement-level, which the flush
       * logic handles): SQLState class 08, or the JDBC transient /
@@ -117,19 +119,26 @@ object JdbcApply {
       }
 
     /** Run one flush; on a connection failure, replace the connection and
-      * re-apply the WHOLE flush (idempotent), up to `maxReconnects`. */
+      * re-apply the WHOLE flush (idempotent), up to `maxReconnects`. The
+      * re-connection itself happens INSIDE the guarded region: a target
+      * still down on the retry consumes budget + backoff like any other
+      * connection failure, instead of escaping the loop uncaught. */
     private def flushWithReconnect(table: String, rows: collection.Seq[Row]): Unit = {
       var attempt = 0
       var done = false
       while (!done) {
-        try { flushTable(table, rows); done = true }
-        catch {
+        try {
+          if (conn == null) conn = connect()
+          flushTable(table, rows); done = true
+        } catch {
           case e: SQLException if isConnFailure(e) && attempt < cfg.maxReconnects =>
             attempt += 1
-            try conn.rollback() catch { case _: Exception => () }
-            try conn.close() catch { case _: Exception => () }
+            if (conn != null) {
+              try conn.rollback() catch { case _: Exception => () }
+              try conn.close() catch { case _: Exception => () }
+              conn = null
+            }
             Thread.sleep(cfg.reconnectBackoffMs * attempt)
-            conn = connect()
         }
       }
     }
@@ -269,7 +278,13 @@ object JdbcApply {
             val ins = prepared(insSql(table, mask))
             fillInsert(ins, r, mask); ins.executeUpdate()
           } catch {
-            case e: SQLException if e.getSQLState == "23505" =>
+            // SQLState class 23 = integrity-constraint violation: Derby
+            // raises 23505, MySQL 23000 (ER_DUP_ENTRY) — match the class,
+            // not one dialect's subcode, so replay stays idempotent on
+            // both documented targets
+            case e: SQLException
+                if Option(e.getSQLState).exists(_.startsWith("23")) ||
+                  e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] =>
               val upd = prepared(updSql(table, mask))
               fillUpdate(upd, r, mask); upd.executeUpdate()
           }

@@ -59,6 +59,15 @@ final class StallWatchdog(horizonMs: Long = 30000L,
 
   private val beats =
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]
+  private val watched =
+    new AtomicReference[Option[Set[java.util.UUID]]](None)
+
+  /** Scope the alarm to specific queries. Listeners are session-global,
+    * so without this a pipeline's watchdog would report OTHER pipelines'
+    * long batches on a shared SparkSession; call with the started
+    * query's id to watch only your own. Heartbeats are still tracked
+    * for every query (restriction filters reporting, not tracking). */
+  def restrictTo(ids: java.util.UUID*): Unit = watched.set(Some(ids.toSet))
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
     beats.put(e.id, clock())
@@ -69,12 +78,13 @@ final class StallWatchdog(horizonMs: Long = 30000L,
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
     beats.remove(e.id)
 
-  /** Active queries whose last heartbeat is older than the horizon. */
+  /** Watched active queries whose last heartbeat is older than the horizon. */
   def stalled: Seq[java.util.UUID] = {
     val now = clock()
     import scala.jdk.CollectionConverters._
     beats.asScala.collect {
-      case (id, at) if now - at > horizonMs => id
+      case (id, at) if now - at > horizonMs &&
+        watched.get().forall(_.contains(id)) => id
     }.toSeq
   }
 

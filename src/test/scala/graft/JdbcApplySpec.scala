@@ -12,6 +12,7 @@ import graft.source.Changelog
   * writer's bounded reconnect without needing a killable server. */
 object FlakyDriver extends java.sql.Driver {
   val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  val connectFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   private val prefix = "jdbc:flaky:"
   @volatile private var registered = false
   def register(): Unit = synchronized {
@@ -20,6 +21,9 @@ object FlakyDriver extends java.sql.Driver {
   override def acceptsURL(url: String): Boolean = url.startsWith(prefix)
   override def connect(url: String, info: java.util.Properties): java.sql.Connection = {
     if (!acceptsURL(url)) return null
+    if (connectFailures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.sql.SQLNonTransientConnectionException(
+        "injected connect failure", "08001")
     val real = DriverManager.getConnection("jdbc:" + url.stripPrefix(prefix), info)
     java.lang.reflect.Proxy.newProxyInstance(
       getClass.getClassLoader, Array(classOf[java.sql.Connection]),
@@ -188,6 +192,15 @@ class JdbcApplySpec extends SparkSpec {
     val got = targetState().filter(col("tbl") === "sbtest0")
       .collect().map(r => r.getAs[Long]("pk") -> r.getAs[Int]("r_k")).toMap
     assert(got == Map(1L -> 20, 2L -> 30))
+    // a target still DOWN at reconnect time (connect itself fails) stays
+    // inside the bounded budget instead of escaping the retry loop
+    FlakyDriver.failures.set(1)        // kill the live connection...
+    FlakyDriver.connectFailures.set(1) // ...and fail the first reconnect
+    JdbcApply(netOf(("sbtest0", 2L, "update", 2L, 31, 1.6)),
+      JdbcApply.Config(flakyUrl, writers = 1, reconnectBackoffMs = 1L))
+    assert(FlakyDriver.connectFailures.get() == 0)
+    val got2 = targetState().filter(col("pk") === 2L).collect().head
+    assert(got2.getAs[Int]("r_k") == 31)
     // exhausting the budget fails the task (Spark's coarser retry owns it)
     FlakyDriver.failures.set(1000)
     intercept[Exception] {
