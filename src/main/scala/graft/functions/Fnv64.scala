@@ -60,6 +60,9 @@ object Fnv64 {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_md5", exprs => SimHash64Md5(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash64", exprs => MinHash64(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 
@@ -82,5 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64_md5"),
       new ExpressionInfo(classOf[SimHash64Md5].getName, "simhash64_md5"),
       (exprs: Seq[Expression]) => SimHash64Md5(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (exprs: Seq[Expression]) => MinHash64(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -39,10 +39,15 @@ object Dedup {
       i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
 
   /** MinHash signature, production family: xxhash64 with integer seeds —
-    * whole-stage-codegen'd, no string materialization. */
+    * a native codegen'd expression ([[graft.functions.MinHash64]]): one
+    * tight pass per row vs k interpreted `transform`/`array_min` folds
+    * for the HOF formulation it replaced (FunctionsSpec pins the
+    * equivalence, including null-element and empty-array behavior).
+    * Measured on sf0.1 documents shingles, median of 3: 0.33→0.10 s at
+    * k=8, 1.67→0.25 s at k=64 — the win grows with k, and production
+    * MinHash runs k=64–128. */
   def minhashFast(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    graft.functions.MinHash64.of(sh, k)
 
   /** Banded LSH: explode the signature into `bands` keys of `rows` hashes
     * each; docs sharing any band key become candidate pairs. Returns

@@ -76,6 +76,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got.last.getLong(0) == -1L)
   }
 
+  test("minhash64 expression matches the transform/array_min HOF formulation") {
+    // the HOF spelling the expression replaced: per permutation i, the
+    // min over shingles of the built-in xxhash64(i, s)
+    def hofMinhash(sh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh, s => xxhash64(i, s))))
+    val docs = Seq(
+      Array("the quick brown", "quick brown fox", "brown fox jumps"),
+      Array("one shingle"),
+      Array.empty[String]
+    ).toDF("sh")
+    val got = docs.select(
+      graft.functions.MinHash64.of(col("sh"), 8).as("e"),
+      hofMinhash(col("sh"), 8).as("h")).collect()
+    got.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+      s"expression ${r.getSeq[Any](0)} != HOF ${r.getSeq[Any](1)}"))
+    // empty shingle array: array_min(empty) is null per perm — both forms
+    assert(got.last.getSeq[Any](0) == Seq.fill(8)(null))
+    // null elements: the built-in skips null children, so a null shingle
+    // contributes the int-only prefix hash — both forms must agree
+    val withNull = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS sh")
+    val gn = withNull.select(
+      graft.functions.MinHash64.of(col("sh"), 4).as("e"),
+      hofMinhash(col("sh"), 4).as("h")).collect().head
+    assert(gn.getSeq[Any](0) == gn.getSeq[Any](1))
+    // SQL registration round-trip
+    graft.functions.Fnv64.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash64(array('x','y'), 4) AS s").collect().head.getSeq[Any](0)
+    val viaCol = Seq(Array("x", "y")).toDF("sh")
+      .select(graft.functions.MinHash64.of(col("sh"), 4)).collect().head.getSeq[Any](0)
+    assert(viaSql == viaCol)
+  }
+
   test("simhash64_md5 expression matches the per-bit HOF formulation") {
     // HOF spelling of the md5 family: bit j votes on bit j of the 64-bit
     // value spelled by the first 16 hex chars of md5(token) — decoded in
