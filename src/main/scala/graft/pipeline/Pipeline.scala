@@ -152,6 +152,18 @@ object Pipeline {
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
           graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
         }
+      case "parquet_delta" =>
+        val target = snk.get("path").asText()
+        val pkCols = strs(snk.get("pk"))
+        val nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 64
+        val maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
+          else graft.sink.DeltaStore.defaultMaxChain
+        // append-only delta-log apply: each batch lands as a new delta
+        // generation — O(|batch|) per batch, merge deferred to read,
+        // chain-capped compaction — crash-safe (see graft.sink.DeltaStore)
+        graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
+          graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id, maxChain)
+        }
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)
@@ -166,7 +178,7 @@ object Pipeline {
           graft.sink.JdbcApply(net, jc)
         }
       case other => throw new IllegalArgumentException(
-        s"streaming pipeline needs a parquet_merge or jdbc_apply sink, got $other")
+        s"streaming pipeline needs a parquet_merge, parquet_delta or jdbc_apply sink, got $other")
     }
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it

@@ -1,0 +1,224 @@
+package graft.sink
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** MERGE-shaped incremental target: an append-only delta log over
+  * pk-hash buckets — the LSM/Delta-log counterpart of [[BucketStore]].
+  *
+  * [[BucketStore]] applies a micro-batch by READ-MODIFY-WRITING every
+  * bucket the batch touches (the semantics of the reference's executing
+  * batch apply, `pkg/output/mysql/batch/tableprocessor.go:198-257`).
+  * That is O(touched state) per batch: a workload whose keys spray
+  * across buckets rewrites nearly the whole store every batch. Here a
+  * batch instead APPENDS its compacted net changes as a new delta
+  * generation — O(|batch|) write, no read of existing state — and the
+  * merge is deferred:
+  *
+  *   - READ-side: a key's visible row is the one from the newest
+  *     generation in its bucket's chain (last-writer-wins by batch id);
+  *     `delete` net-ops are tombstones. One hash aggregation over
+  *     (base + deltas) resolves the state — shuffle ∝ live chain size,
+  *     map-side partial agg for free.
+  *   - COMPACTION: when a bucket's chain would exceed `maxChain`, that
+  *     bucket (and only that bucket) is folded into the new generation —
+  *     amortized O(bucket/maxChain) per batch, the classic LSM trade.
+  *     A store-wide fold triggers when live generation DIRS exceed
+  *     `maxLiveGens`, bounding file counts on long streams.
+  *
+  * Crash contract is [[BucketStore]]'s, unchanged: generation dirs are
+  * keyed by batch id and written mode=overwrite (replay self-heals its
+  * own partial output), MANIFEST is flipped by atomic rename only after
+  * the generation's `_SUCCESS` exists, and a replay of an
+  * already-flipped batch is detected and returns the manifest unchanged.
+  *
+  * Layout:
+  * {{{
+  *   target/
+  *     MANIFEST                  "<bucket>\t<gen>,<gen>,..." — the bucket's
+  *                               chain, oldest → newest (= batch-id order)
+  *     gen-<batchId>/_SUCCESS
+  *     gen-<batchId>/bucket=<b>/part-....parquet   rows carry `net_op`
+  * }}}
+  */
+object DeltaStore {
+
+  /** Chain length at which an appending bucket folds down. */
+  val defaultMaxChain = 8
+
+  /** Live generation-dir bound: at/above this, the next append folds the
+    * WHOLE store into one generation (file-count backstop, mirrors
+    * [[BucketStore.defaultMaxLiveGens]]). */
+  val defaultMaxLiveGens = 64
+
+  private def manifestPath(target: String): Path = Paths.get(target, "MANIFEST")
+
+  /** bucket → generation chain, oldest → newest. */
+  def readManifest(target: String): Map[Int, Seq[String]] = {
+    val p = manifestPath(target)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { line =>
+        val Array(b, gens) = line.split('\t')
+        b.toInt -> gens.split(',').toSeq
+      }.toMap
+  }
+
+  private def writeManifest(target: String, m: Map[Int, Seq[String]]): Unit = {
+    Files.createDirectories(Paths.get(target))
+    val tmp = Paths.get(target, s"MANIFEST.tmp-${java.util.UUID.randomUUID}")
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (b, gens) => s"$b\t${gens.mkString(",")}" }.mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(target),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def seqOf(gen: String): Long = gen.stripPrefix("gen-").toLong
+
+  /** Last-writer-wins fold of (base + delta) rows carrying `net_op` and
+    * a per-generation `_seq`: newest row per pk wins, tombstones drop.
+    * One hash aggregation — `max_by` over a struct, so partial buffers
+    * merge map-side; no window sort. */
+  private def resolve(all: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val valueCols = all.columns
+      .filterNot(c => pkCols.contains(c) || c == "net_op" || c == "_seq")
+    all.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(col("net_op") +: valueCols.map(col): _*),
+        col("_seq")).as("_last"))
+      .filter(col("_last").getField("net_op") =!= "delete")
+      .select(pkCols.map(col) ++
+        valueCols.map(v => col("_last").getField(v).as(v)): _*)
+  }
+
+  /** One frame per generation (paths grouped so each carries its batch-id
+    * `_seq`), unioned. Chain order equals batch-id order by construction
+    * (appends only ever extend the tail; compaction resets to the new
+    * generation), so a global per-generation seq is a valid LWW order —
+    * a pk lives in exactly one bucket. */
+  private def chainFrames(spark: SparkSession, target: String,
+      chains: Map[Int, Seq[String]]): Option[DataFrame] = {
+    val byGen = chains.toSeq
+      .flatMap { case (b, gens) => gens.map(g => g -> s"$target/$g/bucket=$b") }
+      .groupBy(_._1)
+    if (byGen.isEmpty) None
+    else Some(byGen.toSeq.sortBy { case (g, _) => seqOf(g) }
+      .map { case (gen, paths) =>
+        spark.read.parquet(paths.map(_._2): _*).withColumn("_seq", lit(seqOf(gen)))
+      }.reduce(_ unionByName _))
+  }
+
+  /** Resolved current state (None when the store is empty). Same output
+    * schema as [[BucketStore.read]]: pk cols + value cols, no `net_op`. */
+  def read(spark: SparkSession, target: String): Option[DataFrame] = {
+    val chains = readManifest(target)
+    chainFrames(spark, target, chains).map { all =>
+      val pkCols = inferPkCols(target)
+      resolve(all, pkCols)
+    }
+  }
+
+  private def pkColsPath(target: String): Path = Paths.get(target, "PKCOLS")
+
+  /** The resolution key is part of the store's identity; persist it at
+    * first append so readers need no out-of-band schema knowledge. */
+  private def writePkCols(target: String, pkCols: Seq[String]): Unit = {
+    val p = pkColsPath(target)
+    if (!Files.exists(p))
+      Files.write(p, pkCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def inferPkCols(target: String): Seq[String] =
+    new String(Files.readAllBytes(pkColsPath(target)), StandardCharsets.UTF_8)
+      .split(',').toSeq
+
+  /** Phase 1: write generation `gen-<batchId>` holding (a) raw delta rows
+    * for buckets that keep appending and (b) folded base rows for buckets
+    * at their chain cap, and return the manifest phase 2 flips to.
+    * Split from [[append]] so crash-injection tests can die between the
+    * phases, exactly like [[BucketStore.writeGen]]. */
+  def writeGen(net: DataFrame, target: String, pkCols: Seq[String],
+      nBuckets: Int, batchId: Long,
+      maxChain: Int = defaultMaxChain,
+      maxLiveGens: Int = defaultMaxLiveGens): Map[Int, Seq[String]] = {
+    val spark = net.sparkSession
+    val genName = s"gen-$batchId"
+    val genDir = s"$target/$genName"
+    val manifest0 = readManifest(target)
+    if (manifest0.values.exists(_.contains(genName))) {
+      // flip already happened (crash fell between flip and checkpoint
+      // commit): rewriting the generation would destroy rows the chains
+      // now depend on — return the manifest unchanged
+      return manifest0
+    }
+    writePkCols(target, pkCols)
+    val bucketed = net
+      .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)).cache()
+    val touched = bucketed.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
+    val globalFold = manifest0.values.flatten.toSet.size >= maxLiveGens
+    val foldBuckets =
+      if (globalFold) manifest0.keySet ++ touched
+      else touched.filter(b => manifest0.getOrElse(b, Nil).size + 1 > maxChain)
+    val appendBuckets = touched -- foldBuckets
+    val deltaPart = bucketed.filter(col("bucket").isin(appendBuckets.toSeq: _*))
+    val foldedPart: Option[DataFrame] =
+      if (foldBuckets.isEmpty) None
+      else {
+        val chains = manifest0.view.filterKeys(foldBuckets).toMap
+        val base = chainFrames(spark, target, chains)
+        val newDeltas = bucketed.filter(col("bucket").isin(foldBuckets.toSeq: _*))
+          .drop("bucket").withColumn("_seq", lit(batchId))
+        val all = base.map(_.unionByName(newDeltas)).getOrElse(newDeltas)
+        Some(resolve(all, pkCols)
+          .withColumn("net_op", lit("insert"))
+          .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)))
+      }
+    val out = foldedPart
+      .map(f => deltaPart.unionByName(f, allowMissingColumns = false))
+      .getOrElse(deltaPart)
+    out.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    bucketed.unpersist()
+    require(Files.exists(Paths.get(genDir, "_SUCCESS")),
+      s"generation write did not complete: $genDir")
+    // a folded bucket can net to empty (all rows deleted): no bucket dir
+    // is written and its chain must be dropped, not reset
+    val present = Option(new File(genDir).list()).getOrElse(Array.empty)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+    val kept = manifest0.view
+      .filterKeys(b => !foldBuckets(b) && !appendBuckets(b)).toMap
+    kept ++
+      appendBuckets.intersect(present)
+        .map(b => b -> (manifest0.getOrElse(b, Seq.empty) :+ genName)) ++
+      foldBuckets.intersect(present).map(b => b -> Seq(genName))
+  }
+
+  /** Phase 2: atomically flip MANIFEST, then GC generations no chain
+    * references any longer. */
+  def flip(target: String, newManifest: Map[Int, Seq[String]]): Unit = {
+    val old = readManifest(target)
+    writeManifest(target, newManifest)
+    val live = newManifest.values.flatten.toSet
+    (old.values.flatten.toSet -- live).foreach { gen =>
+      try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
+    }
+  }
+
+  /** Append one compacted net-change batch (both phases). */
+  def append(net: DataFrame, target: String, pkCols: Seq[String],
+      nBuckets: Int, batchId: Long,
+      maxChain: Int = defaultMaxChain,
+      maxLiveGens: Int = defaultMaxLiveGens): Unit =
+    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain, maxLiveGens))
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

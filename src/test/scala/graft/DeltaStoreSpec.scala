@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sink.DeltaStore
+
+/** The append-only delta-log target: last-writer-wins resolution,
+  * O(|batch|) appends, chain-capped compaction, and the BucketStore
+  * crash contract (atomic flip, replay idempotence, GC). */
+class DeltaStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pkCols = Seq("tbl", "pk")
+
+  private def netOf(rows: (String, Long, String, Long, Int, Double)*) =
+    rows.toSeq.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+
+  private def state(target: String): Map[(String, Long), (Long, Int, Double)] =
+    DeltaStore.read(spark, target).map(_.collect().map { r =>
+      (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+        (r.getAs[Long]("r_id"), r.getAs[Int]("r_k"), r.getAs[Double]("r_v"))
+    }.toMap).getOrElse(Map.empty)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/state"
+
+  test("randomized batch sequences: resolved state equals the model state") {
+    val target = tmp("graft-delta-rand")
+    val rnd = new scala.util.Random(20260812L)
+    val model = scala.collection.mutable.Map[(String, Long), (Long, Int, Double)]()
+    val ops = Seq("insert", "update", "delete")
+    (0 until 12).foreach { b =>
+      // one compacted batch: at most one op per (tbl, pk); deletes may
+      // target absent keys (tombstone of nothing — a no-op on read)
+      val keys = rnd.shuffle((0 until 40).map(i =>
+        (s"sbtest${i % 10}", rnd.nextInt(25).toLong))).distinct.take(25)
+      val batch = keys.map { case (t, pk) =>
+        val op = ops(rnd.nextInt(3))
+        (t, pk, op, pk * 10, rnd.nextInt(1000), rnd.nextDouble())
+      }
+      batch.foreach { case (t, pk, op, rid, rk, rv) =>
+        if (op == "delete") model.remove((t, pk))
+        else model((t, pk)) = (rid, rk, rv)
+      }
+      DeltaStore.append(batch.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        target, pkCols, nBuckets = 8, batchId = b, maxChain = 3)
+    }
+    assert(state(target) == model.toMap && model.nonEmpty)
+  }
+
+  test("append writes only the batch: untouched chains keep their files") {
+    val target = tmp("graft-delta-app")
+    // batch 0 seeds two keys landing in (very likely) different buckets
+    DeltaStore.append(netOf(
+      ("a", 1L, "insert", 1L, 10, 0.5), ("b", 2L, "insert", 2L, 20, 0.25)),
+      target, pkCols, nBuckets = 8, batchId = 0)
+    val m0 = DeltaStore.readManifest(target)
+    // batch 1 touches only key ("a",1): gen-1 must hold exactly one row
+    // (the delta), and every untouched bucket's chain is unchanged
+    DeltaStore.append(netOf(("a", 1L, "update", 1L, 11, 0.75)),
+      target, pkCols, nBuckets = 8, batchId = 1)
+    val gen1 = spark.read.parquet(s"$target/gen-1")
+    assert(gen1.count() == 1L)
+    val m1 = DeltaStore.readManifest(target)
+    val touchedBuckets = m1.filter { case (_, chain) => chain.contains("gen-1") }.keySet
+    assert(touchedBuckets.size == 1)
+    (m0.keySet -- touchedBuckets).foreach(b => assert(m1(b) == m0(b)))
+    assert(state(target) == Map(
+      ("a", 1L) -> (1L, 11, 0.75), ("b", 2L) -> (2L, 20, 0.25)))
+  }
+
+  test("chains stay capped and superseded generations are GC'd") {
+    val target = tmp("graft-delta-chain")
+    (0 until 10).foreach { i =>
+      DeltaStore.append(netOf(("t", 1L, if (i == 0) "insert" else "update",
+        1L, i, i / 2.0)), target, pkCols, nBuckets = 4, batchId = i, maxChain = 3)
+    }
+    val m = DeltaStore.readManifest(target)
+    assert(m.values.forall(_.size <= 3), s"chain over cap: $m")
+    val live = m.values.flatten.toSet
+    val onDisk = new java.io.File(target).list().filter(_.startsWith("gen-")).toSet
+    assert(onDisk == live, s"orphan generations: ${onDisk -- live}")
+    assert(state(target) == Map(("t", 1L) -> (1L, 9, 4.5)))
+  }
+
+  test("a bucket folded down to nothing drops out of the manifest") {
+    val target = tmp("graft-delta-del")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 1, 1.0)),
+      target, pkCols, nBuckets = 4, batchId = 0, maxChain = 1)
+    // maxChain=1: this delete forces an immediate fold of the bucket;
+    // insert+delete resolve to nothing, so no bucket dir is written
+    DeltaStore.append(netOf(("t", 1L, "delete", 0L, 0, 0.0)),
+      target, pkCols, nBuckets = 4, batchId = 1, maxChain = 1)
+    assert(DeltaStore.readManifest(target).isEmpty)
+    assert(state(target) == Map.empty)
+  }
+
+  test("crash between generation write and flip loses nothing; replay converges") {
+    val target = tmp("graft-delta-crash")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 1, 1.0)),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    val before = state(target)
+    // phase 1 only — the crash window: generation on disk, manifest not
+    // flipped. Readers must still see the pre-batch state.
+    DeltaStore.writeGen(netOf(("t", 1L, "update", 1L, 2, 2.0)),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    assert(state(target) == before)
+    // replay of the uncommitted batch overwrites its own partial gen and
+    // completes both phases
+    DeltaStore.append(netOf(("t", 1L, "update", 1L, 2, 2.0)),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    assert(state(target) == Map(("t", 1L) -> (1L, 2, 2.0)))
+    // replay of the ALREADY-FLIPPED batch (crash between flip and
+    // checkpoint commit) is detected and is a no-op
+    val m = DeltaStore.readManifest(target)
+    DeltaStore.append(netOf(("t", 1L, "update", 1L, 2, 2.0)),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    assert(DeltaStore.readManifest(target) == m)
+    assert(state(target) == Map(("t", 1L) -> (1L, 2, 2.0)))
+  }
+
+  test("store-wide fold bounds live generation dirs") {
+    val target = tmp("graft-delta-fold")
+    (0 until 12).foreach { i =>
+      DeltaStore.append(netOf(("t", i.toLong, "insert", i.toLong, i, i / 2.0)),
+        target, pkCols, nBuckets = 8, batchId = i,
+        maxChain = 100, maxLiveGens = 4)
+    }
+    val live = DeltaStore.readManifest(target).values.flatten.toSet
+    assert(live.size <= 5, s"live generations not bounded: $live")
+    assert(state(target) == (0 until 12).map(i =>
+      ("t", i.toLong) -> (i.toLong, i, i / 2.0)).toMap)
+  }
+
+  test("config-driven streaming sync appends into the delta target") {
+    val target = tmp("graft-delta-sync")
+    val ckpt = Files.createTempDirectory("graft-delta-sync-c").toString
+    val cfg = s"""{
+      "source": {"type": "events_stream", "dir": "$sf"},
+      "processors": [],
+      "sink": {"type": "parquet_delta", "path": "$target",
+               "checkpoint": "$ckpt", "pk": ["tbl", "pk"]}
+    }"""
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val got = DeltaStore.read(spark, target).get
+      .select("tbl", "pk", "r_k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val want = graft.op.Compactor.compact(
+      graft.source.Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete")
+      .select("tbl", "pk", "r_k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(got == want && got.nonEmpty)
+    // restart from the same checkpoint: no new batches, target unchanged
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    assert(DeltaStore.read(spark, target).get.count() == got.size)
+  }
+}
