@@ -127,6 +127,7 @@ object DeltaStore {
   /** The resolution key is part of the store's identity; persist it at
     * first append so readers need no out-of-band schema knowledge. */
   private def writePkCols(target: String, pkCols: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(target))
     val p = pkColsPath(target)
     if (!Files.exists(p))
       Files.write(p, pkCols.mkString(",").getBytes(StandardCharsets.UTF_8))
