@@ -35,11 +35,21 @@ import scala.jdk.CollectionConverters._
   * own partial output), MANIFEST is flipped by atomic rename only after
   * the generation's `_SUCCESS` exists, and a replay of an
   * already-flipped batch is detected and returns the manifest unchanged.
+  * Replay detection is by the `#applied` MANIFEST header (the highest
+  * flipped batch id — batch ids are monotone under the streaming
+  * checkpoint contract), not by chain membership alone: a flipped batch
+  * whose generation wrote no bucket dirs (every folded bucket netted to
+  * empty) appears in no chain but must still not re-apply. `flip` also
+  * sweeps EVERY on-disk `gen-*` dir that no chain references — safe
+  * because the writer is single (the streaming sink serializes batches),
+  * so at flip time an unreferenced dir is either a superseded generation
+  * or the current batch's own empty output.
   *
   * Layout:
   * {{{
   *   target/
-  *     MANIFEST                  "<bucket>\t<gen>,<gen>,..." — the bucket's
+  *     MANIFEST                  "#applied\t<batchId>" header, then
+  *                               "<bucket>\t<gen>,<gen>,..." — the bucket's
   *                               chain, oldest → newest (= batch-id order)
   *     gen-<batchId>/_SUCCESS
   *     gen-<batchId>/bucket=<b>/part-....parquet   rows carry `net_op`
@@ -62,23 +72,32 @@ object DeltaStore {
     val p = manifestPath(target)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty).map { line =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, gens) = line.split('\t')
         b.toInt -> gens.split(',').toSeq
       }.toMap
   }
 
-  private def writeManifest(target: String, m: Map[Int, Seq[String]]): Unit = {
+  /** Highest batch id whose flip committed (-1 before any flip). */
+  def readApplied(target: String): Long = {
+    val p = manifestPath(target)
+    if (!Files.exists(p)) -1L
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .collectFirst { case l if l.startsWith("#applied\t") =>
+        l.stripPrefix("#applied\t").toLong }
+      .getOrElse(-1L)
+  }
+
+  private def writeManifest(target: String, m: Map[Int, Seq[String]],
+      applied: Long): Unit = {
     Files.createDirectories(Paths.get(target))
     val tmp = Paths.get(target, s"MANIFEST.tmp-${java.util.UUID.randomUUID}")
-    val body = m.toSeq.sortBy(_._1)
-      .map { case (b, gens) => s"$b\t${gens.mkString(",")}" }.mkString("\n")
+    val body = (s"#applied\t$applied" +: m.toSeq.sortBy(_._1)
+      .map { case (b, gens) => s"$b\t${gens.mkString(",")}" }).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(target),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
-
-  private def seqOf(gen: String): Long = gen.stripPrefix("gen-").toLong
 
   /** Last-writer-wins fold of (base + delta) rows carrying `net_op` and
     * a per-generation `_seq`: newest row per pk wins, tombstones drop.
@@ -95,21 +114,23 @@ object DeltaStore {
         valueCols.map(v => col("_last").getField(v).as(v)): _*)
   }
 
-  /** One frame per generation (paths grouped so each carries its batch-id
-    * `_seq`), unioned. Chain order equals batch-id order by construction
-    * (appends only ever extend the tail; compaction resets to the new
-    * generation), so a global per-generation seq is a valid LWW order —
-    * a pk lives in exactly one bucket. */
+  /** ONE multi-path scan over every chain segment, each row's batch-id
+    * `_seq` parsed from its file path (`.../gen-<id>/bucket=<b>/part-*`).
+    * Chain order equals batch-id order by construction (appends only ever
+    * extend the tail; compaction resets to the new generation), so a
+    * global per-generation seq is a valid LWW order — a pk lives in
+    * exactly one bucket. A single scan node keeps the read plan flat
+    * regardless of chain state (the per-generation union it replaced grew
+    * one scan per live generation, up to `maxLiveGens` of them). */
   private def chainFrames(spark: SparkSession, target: String,
       chains: Map[Int, Seq[String]]): Option[DataFrame] = {
-    val byGen = chains.toSeq
-      .flatMap { case (b, gens) => gens.map(g => g -> s"$target/$g/bucket=$b") }
-      .groupBy(_._1)
-    if (byGen.isEmpty) None
-    else Some(byGen.toSeq.sortBy { case (g, _) => seqOf(g) }
-      .map { case (gen, paths) =>
-        spark.read.parquet(paths.map(_._2): _*).withColumn("_seq", lit(seqOf(gen)))
-      }.reduce(_ unionByName _))
+    val paths = chains.toSeq
+      .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths.distinct: _*)
+      .withColumn("_seq", regexp_extract(
+        element_at(split(input_file_name(), "/"), -3),
+        "^gen-(\\d+)$", 1).cast("long")))
   }
 
   /** Resolved current state (None when the store is empty). Same output
@@ -129,8 +150,14 @@ object DeltaStore {
   private def writePkCols(target: String, pkCols: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(target))
     val p = pkColsPath(target)
-    if (!Files.exists(p))
-      Files.write(p, pkCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+    if (!Files.exists(p)) {
+      // tmp + atomic rename, mirroring writeManifest: a crash mid-write
+      // must never leave a truncated PKCOLS for the exists-guard to keep
+      val tmp = Paths.get(target, s"PKCOLS.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, pkCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def inferPkCols(target: String): Seq[String] =
@@ -150,10 +177,13 @@ object DeltaStore {
     val genName = s"gen-$batchId"
     val genDir = s"$target/$genName"
     val manifest0 = readManifest(target)
-    if (manifest0.values.exists(_.contains(genName))) {
+    if (manifest0.values.exists(_.contains(genName)) ||
+        batchId <= readApplied(target)) {
       // flip already happened (crash fell between flip and checkpoint
       // commit): rewriting the generation would destroy rows the chains
-      // now depend on — return the manifest unchanged
+      // now depend on — return the manifest unchanged. The `#applied`
+      // check catches the chain-membership blind spot: a flipped batch
+      // whose generation wrote no bucket dirs is in no chain.
       return manifest0
     }
     writePkCols(target, pkCols)
@@ -162,6 +192,12 @@ object DeltaStore {
     val touched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
     val globalFold = manifest0.values.flatten.toSet.size >= maxLiveGens
+    if (touched.isEmpty && !globalFold) {
+      // empty micro-batch: nothing to write — a gen dir holding only
+      // _SUCCESS would be referenced by no chain and leak forever
+      bucketed.unpersist()
+      return manifest0
+    }
     val foldBuckets =
       if (globalFold) manifest0.keySet ++ touched
       else touched.filter(b => manifest0.getOrElse(b, Nil).size + 1 > maxChain)
@@ -200,15 +236,21 @@ object DeltaStore {
       foldBuckets.intersect(present).map(b => b -> Seq(genName))
   }
 
-  /** Phase 2: atomically flip MANIFEST, then GC generations no chain
-    * references any longer. */
-  def flip(target: String, newManifest: Map[Int, Seq[String]]): Unit = {
-    val old = readManifest(target)
-    writeManifest(target, newManifest)
+  /** Phase 2: atomically flip MANIFEST (recording `appliedBatchId` in the
+    * `#applied` header), then GC every on-disk generation dir no chain
+    * references — superseded generations AND the current batch's own dir
+    * when all its buckets netted to empty. Safe under the single-writer
+    * contract: no unflipped generation from another batch can exist at
+    * flip time. */
+  def flip(target: String, newManifest: Map[Int, Seq[String]],
+      appliedBatchId: Long): Unit = {
+    writeManifest(target, newManifest,
+      math.max(readApplied(target), appliedBatchId))
     val live = newManifest.values.flatten.toSet
-    (old.values.flatten.toSet -- live).foreach { gen =>
-      try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
-    }
+    Option(new File(target).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("gen-") && !live(n)).foreach { gen =>
+        try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
+      }
   }
 
   /** Append one compacted net-change batch (both phases). */
@@ -216,7 +258,8 @@ object DeltaStore {
       nBuckets: Int, batchId: Long,
       maxChain: Int = defaultMaxChain,
       maxLiveGens: Int = defaultMaxLiveGens): Unit =
-    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain, maxLiveGens))
+    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain, maxLiveGens),
+      batchId)
 
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
