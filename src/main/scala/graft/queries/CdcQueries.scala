@@ -265,6 +265,67 @@ object CdcQueries {
         |WHERE c.o_orderdate < TIMESTAMP '1997-06-01'
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // K2 delta-log apply, end to end — the flagship batch-sync delivery
+    // (reference tableprocessor.go:198-257): the changelog is cut into
+    // seq-ranged micro-batches, each batch compacted (P8) and APPENDED to
+    // a DeltaStore as a new generation, then the resolved state is read
+    // back (last-writer-wins by batch id, tombstones drop). maxChain=2
+    // forces chain-cap folds inside the gated path, so compaction is
+    // oracle-checked too. The oracle replays the identical algebra in
+    // SQL: per-batch compaction (the p8_compact spelling, grouped also by
+    // batch), then newest-batch-wins via QUALIFY. NOTE this is NOT
+    // one-shot compaction of the whole log: a batch whose ops for a key
+    // net insert→delete writes nothing, so the store keeps the key's
+    // PRIOR state — the oracle models the store, not the shortcut (130
+    // vs 120 rows at sf0.01).
+    "delta_sync" -> QueryDef(
+      (s, dir) => {
+        val log = Changelog.fromEvents(s, dir)
+        val nB = 4
+        val maxSeq = log.agg(max("seq")).head().getLong(0) // 1-row metadata
+        val target = java.nio.file.Files
+          .createTempDirectory("graft-delta-sync-q").toString + "/state"
+        (0 until nB).foreach { b =>
+          val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
+          graft.sink.DeltaStore.append(Compactor.compact(slice), target,
+            Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 2)
+        }
+        graft.sink.DeltaStore.read(s, target).get
+          .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+          .orderBy("tbl", "pk")
+      },
+      Some(s"""$cte,
+        |batched AS (
+        |  SELECT *, seq * 4 // ((SELECT max(seq) FROM changelog) + 1) AS batch
+        |  FROM changelog),
+        |net AS (
+        |  SELECT batch, tbl, pk, min_by(op, seq) AS first_op,
+        |         max_by(op, seq) AS last_op, max(seq) AS last_seq
+        |  FROM batched GROUP BY batch, tbl, pk),
+        |lastrow AS (
+        |  SELECT batch, tbl, pk, max_by(r_id, seq) AS u_id,
+        |         max_by(r_k, seq) AS u_k, max_by(r_v, seq) AS u_v
+        |  FROM batched WHERE op <> 'delete' GROUP BY batch, tbl, pk),
+        |compacted AS (
+        |  SELECT n.batch AS batch, n.tbl AS tbl, n.pk AS pk,
+        |         CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |              WHEN n.first_op = 'insert' THEN 'insert'
+        |              ELSE 'update' END AS net_op,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |         n.last_seq AS last_seq
+        |  FROM net n LEFT JOIN lastrow l
+        |    ON n.batch = l.batch AND n.tbl = l.tbl AND n.pk = l.pk
+        |  WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')),
+        |resolved AS (
+        |  SELECT * FROM compacted
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1)
+        |SELECT tbl, pk, r_id, r_k, r_v, last_seq FROM resolved
+        |WHERE net_op <> 'delete'
+        |ORDER BY tbl, pk""".stripMargin),
+      bench = true),
+
     // S2 — bounded snapshot scan with logical keyset pages
     "s2_scan" -> QueryDef(
       (s, dir) => {
