@@ -112,7 +112,8 @@ object Pipeline {
     require(src.get("type").asText() == "events_stream",
       "streaming pipeline needs an events_stream source")
     val stream = graft.streaming.ChangeStream.fromEventsStream(
-      spark, src.get("dir").asText())
+      spark, src.get("dir").asText(),
+      if (src.has("slices")) src.get("slices").asInt() else 1)
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
     val ckpt = snk.get("checkpoint").asText()
@@ -158,11 +159,14 @@ object Pipeline {
         val nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 64
         val maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
           else graft.sink.DeltaStore.defaultMaxChain
+        val maxLiveGens = if (snk.has("maxLiveGens")) snk.get("maxLiveGens").asInt()
+          else graft.sink.DeltaStore.defaultMaxLiveGens
         // append-only delta-log apply: each batch lands as a new delta
         // generation — O(|batch|) per batch, merge deferred to read,
         // chain-capped compaction — crash-safe (see graft.sink.DeltaStore)
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
-          graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id, maxChain)
+          graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id,
+            maxChain, maxLiveGens)
         }
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the

@@ -25,8 +25,16 @@ object ChangeStream {
     * (`maxFilesPerTrigger` plays the reference's binlog fetch batching;
     * on a real deployment this is `readStream.format("kafka")` +
     * `from_json`, same downstream code). The parquet's TIMESTAMP(NANOS)
-    * is declared as long and narrowed to µs, as in the batch source. */
-  def fromEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    * is declared as long and narrowed to µs, as in the batch source.
+    *
+    * `slices` > 1 stages the events file as that many event_id-ranged
+    * segment files instead of one, so the bounded drain runs as `slices`
+    * micro-batches (`maxFilesPerTrigger`=1) — the shape of a real binlog
+    * tail, where state accumulates ACROSS batches. Multi-batch apply is
+    * where the incremental sinks' semantics (chain growth, compaction,
+    * replay) actually engage; a single-batch drain never exercises them. */
+  def fromEventsStream(spark: SparkSession, sfDir: String,
+      slices: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
@@ -35,14 +43,32 @@ object ChangeStream {
       StructField("value", DoubleType), StructField("props", StringType)))
     // The file stream source tails a DIRECTORY (arriving files = arriving
     // binlog segments). Stage the harness's single events file into a
-    // per-sf drop dir once; a deployment would point this at the real
-    // landing directory instead.
-    val drop = java.nio.file.Paths.get(
-      "/tmp/graft-stream", Integer.toHexString(sfDir.hashCode))
+    // per-(sf, slices) drop dir once; a deployment would point this at
+    // the real landing directory instead.
+    val drop = java.nio.file.Paths.get("/tmp/graft-stream",
+      Integer.toHexString(s"$sfDir#$slices".hashCode))
     java.nio.file.Files.createDirectories(drop)
-    val dst = drop.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+    if (slices <= 1) {
+      val dst = drop.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
+    } else if (!java.nio.file.Files.exists(drop.resolve("slice-0.parquet"))) {
+      // event_id-range segments preserve binlog order between slices (a
+      // key's ops land in batch order), mirroring sequential segment
+      // rotation; staged once, reused by every run against this (sf, n)
+      val ev = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+      val (lo, hi) = ev.agg(min("event_id"), max("event_id")).collect()
+        .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+      val span = (hi - lo + slices) / slices
+      (0 until slices).foreach { i =>
+        val out = java.nio.file.Files.createTempDirectory("graft-slice")
+        ev.filter(col("event_id") >= lo + i * span &&
+            col("event_id") < lo + (i + 1L) * span)
+          .coalesce(1).write.mode("overwrite").parquet(out.toString)
+        val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, drop.resolve(s"slice-$i.parquet"))
+      }
+    }
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(drop.toString)

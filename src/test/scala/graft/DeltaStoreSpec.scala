@@ -132,6 +132,63 @@ class DeltaStoreSpec extends SparkSpec {
       ("t", i.toLong) -> (i.toLong, i, i / 2.0)).toMap)
   }
 
+  test("empty micro-batches advance #applied without leaking generations") {
+    val target = tmp("graft-delta-empty")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 1, 1.0)),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    assert(DeltaStore.readApplied(target) == 0L)
+    def onDisk() = new java.io.File(target).list().filter(_.startsWith("gen-")).toSet
+    // a stream can net a whole micro-batch to nothing (e.g. every op in
+    // it cancelled within the batch); the apply must still record the
+    // batch as applied — a replay after restart must not re-run it — and
+    // must write no generation dir (nothing would ever reference it)
+    val m1 = DeltaStore.readManifest(target)
+    DeltaStore.append(netOf(), target, pkCols, nBuckets = 4, batchId = 1)
+    assert(DeltaStore.readApplied(target) == 1L)
+    assert(DeltaStore.readManifest(target) == m1)
+    assert(onDisk() == m1.values.flatten.toSet, s"leaked generations: ${onDisk()}")
+    // stream continues normally after the gap…
+    DeltaStore.append(netOf(("t", 2L, "insert", 2L, 2, 2.0)),
+      target, pkCols, nBuckets = 4, batchId = 2)
+    // …and a later empty batch behaves the same on a longer manifest
+    val m3 = DeltaStore.readManifest(target)
+    DeltaStore.append(netOf(), target, pkCols, nBuckets = 4, batchId = 3)
+    assert(DeltaStore.readApplied(target) == 3L)
+    assert(DeltaStore.readManifest(target) == m3)
+    assert(onDisk() == m3.values.flatten.toSet, s"leaked generations: ${onDisk()}")
+    assert(state(target) == Map(
+      ("t", 1L) -> (1L, 1, 1.0), ("t", 2L) -> (2L, 2, 2.0)))
+  }
+
+  test("replay of a flipped zero-bucket batch is a no-op (no re-apply, no garbage)") {
+    val target = tmp("graft-delta-zerobucket")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 1, 1.0)),
+      target, pkCols, nBuckets = 4, batchId = 0, maxChain = 1)
+    // maxChain=1 forces a fold; insert+delete nets to nothing, so batch 1
+    // flips a generation that wrote NO bucket dirs — it appears in no
+    // chain, and only the #applied header records it happened
+    DeltaStore.append(netOf(("t", 1L, "delete", 0L, 0, 0.0)),
+      target, pkCols, nBuckets = 4, batchId = 1, maxChain = 1)
+    assert(DeltaStore.readManifest(target).isEmpty)
+    assert(DeltaStore.readApplied(target) == 1L)
+    def gens() = new java.io.File(target).list().filter(_.startsWith("gen-")).toSet
+    assert(gens().isEmpty)
+    // at-least-once redelivery of batch 1 (crash fell between the flip
+    // and the checkpoint commit): chain membership can't detect it —
+    // the #applied guard must, or the tombstone re-applies as a fresh
+    // generation and leaves a chain no state justifies
+    DeltaStore.append(netOf(("t", 1L, "delete", 0L, 0, 0.0)),
+      target, pkCols, nBuckets = 4, batchId = 1, maxChain = 1)
+    assert(DeltaStore.readManifest(target).isEmpty, "zero-bucket batch re-applied")
+    assert(gens().isEmpty, s"replay left garbage generations: ${gens()}")
+    assert(DeltaStore.readApplied(target) == 1L)
+    assert(state(target) == Map.empty)
+    // the store is still writable past the replayed id
+    DeltaStore.append(netOf(("t", 2L, "insert", 2L, 2, 2.0)),
+      target, pkCols, nBuckets = 4, batchId = 2, maxChain = 1)
+    assert(state(target) == Map(("t", 2L) -> (2L, 2, 2.0)))
+  }
+
   test("config-driven streaming sync appends into the delta target") {
     val target = tmp("graft-delta-sync")
     val ckpt = Files.createTempDirectory("graft-delta-sync-c").toString
@@ -154,5 +211,34 @@ class DeltaStoreSpec extends SparkSpec {
     // restart from the same checkpoint: no new batches, target unchanged
     graft.pipeline.Pipeline.runStream(spark, cfg)
     assert(DeltaStore.read(spark, target).get.count() == got.size)
+  }
+
+  test("maxLiveGens config reaches the store; fold policy never changes state") {
+    // the same 3-slice drain twice: once with the store-wide fold forced
+    // every batch (maxLiveGens=1), once with defaults. The configured
+    // bound must reach DeltaStore (the constrained target ends at ONE
+    // live generation where the default keeps one per batch), and the
+    // fold policy must be invisible to readers (identical resolved state)
+    def run(extra: String): String = {
+      val target = tmp("graft-delta-mlg")
+      val ckpt = Files.createTempDirectory("graft-delta-mlg-c").toString
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_stream", "dir": "$sf", "slices": 3},
+        "processors": [],
+        "sink": {"type": "parquet_delta", "path": "$target",
+                 "checkpoint": "$ckpt", "pk": ["tbl", "pk"]$extra}
+      }""")
+      target
+    }
+    val bounded = run(""", "maxChain": 100, "maxLiveGens": 1""")
+    val default = run("")
+    def liveGens(t: String) = DeltaStore.readManifest(t).values.flatten.toSet
+    assert(liveGens(bounded).size == 1,
+      s"maxLiveGens=1 not honored: ${liveGens(bounded)}")
+    assert(liveGens(default).size > 1,
+      s"sliced drain should leave multiple live generations: ${liveGens(default)}")
+    val b = DeltaStore.read(spark, bounded).get
+    val d = DeltaStore.read(spark, default).get
+    assert(b.count() > 0 && b.exceptAll(d).isEmpty && d.exceptAll(b).isEmpty)
   }
 }
