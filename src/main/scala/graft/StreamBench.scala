@@ -10,10 +10,19 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StreamBench"
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench jdbc"   # Derby target
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench dsv2"   # DSv2 source
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench delta"  # merge vs delta
   *
   * `dsv2` mode drives the custom ChangelogSource (spooled segment files,
   * executor-side splits) with rate-limited batches instead of the file
   * stream — validating the chunked-split arithmetic at volume.
+  *
+  * `delta` mode runs the SAME multi-batch key-spray drain (the events
+  * table sliced into SPARK_GRAFT_STREAM_SLICES segments, default 8; the
+  * uniform pk distribution makes every batch touch every bucket) through
+  * both incremental parquet sinks — `parquet_merge` (BucketStore:
+  * read-modify-write O(touched state) per batch) and `parquet_delta`
+  * (DeltaStore: O(|batch|) append, merge deferred to read) — asserts the
+  * two final states are row-identical, and prints one JSON line per sink.
   *
   * Prints one JSON line: events ingested, wall seconds, events/s, and
   * the final state row count (validated against one-shot compaction).
@@ -31,6 +40,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("dsv2")) { runDsv2(spark, sfDir); spark.stop(); return }
+    if (args.contains("delta")) { runDeltaVsMerge(spark, sfDir); spark.stop(); return }
     val jdbcMode = args.contains("jdbc")
     val target = java.nio.file.Files.createTempDirectory("graft-sbench-t")
       .toString + "/state"
@@ -86,6 +96,51 @@ object StreamBench {
       s""""unit":"events/sec","sink":"$mode","events":$events,"secs":$secs,""" +
       s""""state_rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The BucketStore/DeltaStore crossover, measured: one sliced drain
+    * (every batch's keys spray across all buckets — BucketStore's worst
+    * case, where "touched state" = the whole store every batch) applied
+    * through each sink, states cross-validated row-for-row. One-shot
+    * compaction is NOT a valid oracle here — a key netting
+    * insert→delete WITHIN one batch writes nothing, keeping its prior
+    * cross-batch state — so the two sinks, which implement identical
+    * apply semantics, check each other instead. */
+  private def runDeltaVsMerge(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "8").toInt
+    val events = graft.source.Changelog.events(spark, sfDir).count()
+    def drain(sinkType: String): (Double, DataFrame) = {
+      val target = java.nio.file.Files.createTempDirectory(s"graft-sbench-$sinkType")
+        .toString + "/state"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
+      val t0 = System.nanoTime()
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_stream", "dir": "$sfDir", "slices": $slices},
+        "processors": [],
+        "sink": {"type": "$sinkType", "path": "$target",
+                 "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}
+      }""")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val state = sinkType match {
+        case "parquet_merge" => graft.sink.BucketStore.read(spark, target).get
+        case _ => graft.sink.DeltaStore.read(spark, target).get
+      }
+      (secs, state)
+    }
+    val (mergeSecs, mergeState) = drain("parquet_merge")
+    val (deltaSecs, deltaState) = drain("parquet_delta")
+    val rows = mergeState.count()
+    require(deltaState.count() == rows &&
+      mergeState.exceptAll(deltaState).isEmpty &&
+      deltaState.exceptAll(mergeState).isEmpty,
+      "parquet_merge and parquet_delta final states diverge")
+    Seq(("parquet_merge", mergeSecs), ("parquet_delta", deltaSecs)).foreach {
+      case (mode, secs) =>
+        println(s"""{"metric":"stream_sync_events_per_sec","value":${events / secs},""" +
+          s""""unit":"events/sec","sink":"$mode","slices":$slices,"events":$events,""" +
+          s""""secs":$secs,"state_rows":$rows,"sf":"$sfDir"}""")
+    }
   }
 
   /** DSv2 chunked-source drain: rate-limited batches over spooled segment

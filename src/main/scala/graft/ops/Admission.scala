@@ -25,12 +25,22 @@ import graft.sink.BucketStore
   * state), so re-running an uncommitted batch converges.
   *
   * Scale notes: signatures are computed once per arriving doc (map-only);
-  * the corpus side is ONE scan of the signature store per batch with its
-  * bands re-derived map-only from the stored signatures — at very large
-  * corpus sizes persist the banded form instead and this becomes a scan
-  * of 4 band rows per stored doc; candidates meet on the (band, key)
-  * shuffle key either way, and verification touches candidate pairs
-  * only, reading shingle sets straight from the store.
+  * the corpus side is ONE scan per batch of the PERSISTED banded store —
+  * `bands` pre-derived (doc_id, band, key) rows per stored doc, written
+  * at admission time alongside the signatures — so candidate generation
+  * never re-derives bands from `perms` stored hashes; candidates meet on
+  * the (band, key) shuffle key, and verification touches candidate pairs
+  * only, reading shingle sets straight from the signature store. A store
+  * written before the banded form existed is backfilled in one pass on
+  * its first post-upgrade batch.
+  *
+  * The two stores flip independently (signatures first), both
+  * generation-keyed by batch id. A crash between the flips leaves the
+  * band store one batch behind; the checkpoint has not committed, so the
+  * batch replays: the admission decision recomputes identically (its
+  * candidate input — the band store — is in its pre-batch state; the
+  * within-batch check is deterministic), the signature merge detects its
+  * already-flipped generation and skips, and the band merge completes.
   */
 object Admission {
 
@@ -42,6 +52,8 @@ object Admission {
       threshold: Double = 0.5, perms: Int = 8, bands: Int = 4, rows: Int = 2,
       nBuckets: Int = 16) {
     require(bands * rows == perms, "bands*rows must equal perms")
+    /** Sibling store holding the corpus's banded form, (doc_id, band) → key. */
+    def bandTarget: String = s"$target.bands"
   }
 
   /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema. */
@@ -88,17 +100,24 @@ object Admission {
         "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
         .select(col("b_id").as("doc_id")).distinct()
 
-      // 2. vs the persisted corpus
-      val corpusRejected = BucketStore.read(spark, cfg.target) match {
+      // 2. vs the persisted corpus: candidates from the banded store
+      // (pre-derived band rows — no per-batch re-derivation from stored
+      // signatures), shingles for verification from the signature store.
+      // A store predating the banded form derives bands one last time.
+      val storeOpt = BucketStore.read(spark, cfg.target)
+      val bandStoreOpt = BucketStore.read(spark, cfg.bandTarget)
+      val corpusRejected = storeOpt match {
         case None => selfRejected.limit(0)
         case Some(store) =>
-          val corpBands = Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
+          val corpBands = bandStoreOpt
+            .map(_.select("doc_id", "band", "key"))
+            .getOrElse(Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id"))
           verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
             sig, store, "new_id", "corpus_id", cfg.threshold)
             .select(col("new_id").as("doc_id")).distinct()
       }
 
-      // 3. merge survivors into the store (generation-keyed: replay-safe)
+      // 3. merge survivors into the stores (generation-keyed: replay-safe)
       val admitted = sig
         .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
         .cache()
@@ -106,6 +125,18 @@ object Admission {
         val n = admitted.count() // materialize before the flip GCs old gens
         BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
           cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+        // band rows for the survivors; with no band store yet (fresh
+        // store OR pre-banded upgrade), backfill the WHOLE corpus in one
+        // pass — from a fresh post-flip read of the signature store
+        // (which now includes this batch), never from the pre-flip plan
+        // whose generations the flip just GC'd
+        val bandSrc =
+          if (bandStoreOpt.isEmpty) BucketStore.read(spark, cfg.target).get
+          else admitted
+        BucketStore.merge(
+          Dedup.lshBands(bandSrc, "sig", cfg.bands, cfg.rows, "doc_id")
+            .withColumn("net_op", lit("insert")),
+          cfg.bandTarget, Seq("doc_id", "band"), cfg.nBuckets, batchId)
         n
       } finally admitted.unpersist()
     } finally sig.unpersist() // also on failure: a retrying stream must
