@@ -101,17 +101,26 @@ object DeltaStore {
 
   /** Last-writer-wins fold of (base + delta) rows carrying `net_op` and
     * a per-generation `_seq`: newest row per pk wins, tombstones drop.
-    * One hash aggregation — `max_by` over a struct, so partial buffers
-    * merge map-side; no window sort. */
+    * One aggregation, map-side partial merge, no window sort.
+    *
+    * The argmax runs PER COLUMN with the tombstone flag int-coded, not
+    * once over a struct of the row: struct- and string-typed aggregation
+    * buffers can't live in the hash map (immutable fields), which silently
+    * demotes the whole fold to SortAggregate — a per-partition sort on
+    * every read (PlanSpec pins the HashAggregate form). Per-column argmax
+    * is row-consistent here because a pk has at most one row per
+    * generation (batches are compacted nets, one row per key; a fold
+    * emits one row per key), so `_seq` is unique within the group and
+    * every `max_by` picks its field from the same winning row. */
   private def resolve(all: DataFrame, pkCols: Seq[String]): DataFrame = {
     val valueCols = all.columns
       .filterNot(c => pkCols.contains(c) || c == "net_op" || c == "_seq")
-    all.groupBy(pkCols.map(col): _*)
-      .agg(max_by(struct(col("net_op") +: valueCols.map(col): _*),
-        col("_seq")).as("_last"))
-      .filter(col("_last").getField("net_op") =!= "delete")
-      .select(pkCols.map(col) ++
-        valueCols.map(v => col("_last").getField(v).as(v)): _*)
+    all.withColumn("_del", when(col("net_op") === "delete", 1).otherwise(0))
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(col("_del"), col("_seq")).as("_last_del"),
+        valueCols.map(v => max_by(col(v), col("_seq")).as(v)): _*)
+      .filter(col("_last_del") === 0)
+      .select(pkCols.map(col) ++ valueCols.map(col): _*)
   }
 
   /** ONE multi-path scan over every chain segment, each row's batch-id

@@ -72,6 +72,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("DeltaStore.read stays one scan + one hash agg however deep the chains") {
+    import spark.implicits._
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-plan-delta").toString + "/state"
+    (0 until 6).foreach { i =>
+      graft.sink.DeltaStore.append(
+        Seq(("t", i.toLong, "insert", i.toLong, i, i / 2.0))
+          .toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        target, Seq("tbl", "pk"), nBuckets = 4, batchId = i)
+    }
+    assert(graft.sink.DeltaStore.readManifest(target).values.flatten.toSet.size > 1)
+    val p = graft.sink.DeltaStore.read(spark, target).get
+      .queryExecution.executedPlan.toString
+    // the resolve must be ONE multi-path scan (not a union of one scan
+    // per live generation — that plan grows with maxLiveGens) feeding
+    // ONE map-side-partial hash aggregation (max_by, no window sort)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan over all generations, got $scans:\n$p")
+    assert(!p.contains("Union"), "read plan grew a per-generation union")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    assert(!p.contains("Window "), "LWW resolve must not use a window sort")
+  }
+
   test("scans prune columns: q1 reads 6 of 11 lineitem columns") {
     val p = plan("q1_agg")
     val cols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
