@@ -105,11 +105,20 @@ object BucketStore {
     val netTouched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
     val manifest = manifest0
+    val globalFold = manifest.values.toSet.size >= maxLiveGens
+    if (netTouched.isEmpty && !globalFold) {
+      // empty micro-batch (e.g. every doc in an admission batch was
+      // rejected): a generation holding only _SUCCESS would be referenced
+      // by no manifest entry and leak one dir per empty batch forever;
+      // re-merging an empty net on replay is a no-op, so skipping is safe
+      bucketed.unpersist()
+      return manifest0
+    }
     // periodic fold-down: once enough generations accumulated, rewrite
     // every live bucket into this generation so the flip's GC reclaims
     // all of them
     val touched =
-      if (manifest.values.toSet.size >= maxLiveGens) netTouched ++ manifest.keySet
+      if (globalFold) netTouched ++ manifest.keySet
       else netTouched
     val stateSchema = net.drop("net_op").schema
     val cur = {
@@ -135,15 +144,20 @@ object BucketStore {
       touched.intersect(present).map(_ -> genName)
   }
 
-  /** Phase 2: atomically flip MANIFEST to the new mapping, then GC
-    * generations no longer referenced by any bucket. */
+  /** Phase 2: atomically flip MANIFEST to the new mapping, then GC every
+    * on-disk generation dir no manifest entry references — superseded
+    * generations AND a replayed batch's own output when all its touched
+    * buckets netted to empty (that dir never enters any manifest). Safe
+    * under the single-writer contract (the streaming sink serializes
+    * batches): at flip time an unreferenced dir cannot belong to an
+    * in-flight batch. */
   def flip(target: String, newManifest: Map[Int, String]): Unit = {
-    val old = readManifest(target)
     writeManifest(target, newManifest)
     val live = newManifest.values.toSet
-    (old.values.toSet -- live).foreach { gen =>
-      try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
-    }
+    Option(new File(target).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("gen-") && !live(n)).foreach { gen =>
+        try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
+      }
   }
 
   /** Merge one compacted net-change batch into the store (both phases). */

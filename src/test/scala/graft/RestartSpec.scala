@@ -194,6 +194,39 @@ class RestartSpec extends SparkSpec {
     assert(got == (0 until 12).map(i => i.toLong -> i).toMap)
   }
 
+  test("empty and all-cancelling batches leave no orphan generation dirs") {
+    import graft.sink.BucketStore
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-empty-gens").toString + "/state"
+    val pkCols = Seq("tbl", "pk")
+    def net(rows: (String, Long, String, Long, Int, Double)*) =
+      rows.toSeq.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v")
+    def onDisk() = Option(new java.io.File(target).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("gen-")).toSet
+    BucketStore.merge(net(("t", 1L, "insert", 1L, 1, 1.0)), target, pkCols, 8, 0)
+    // an empty net (e.g. an admission batch that rejected every doc) must
+    // write nothing: a gen dir holding only _SUCCESS is referenced by no
+    // manifest entry and would leak one dir per empty batch forever
+    val m1 = BucketStore.readManifest(target)
+    BucketStore.merge(net(), target, pkCols, 8, 1)
+    assert(BucketStore.readManifest(target) == m1)
+    assert(onDisk() == m1.values.toSet, s"orphans: ${onDisk() -- m1.values.toSet}")
+    // a batch that deletes EVERYTHING nets every touched bucket to empty:
+    // the manifest empties and the batch's own output dir is swept
+    BucketStore.merge(net(("t", 1L, "delete", 0L, 0, 0.0)), target, pkCols, 8, 2)
+    assert(BucketStore.readManifest(target).isEmpty)
+    assert(onDisk().isEmpty, s"orphans: ${onDisk()}")
+    assert(BucketStore.read(spark, target).isEmpty)
+    // at-least-once redelivery of that batch (crash fell between flip and
+    // checkpoint commit): deleting absent keys is a no-op, and the sweep
+    // reclaims the replay's own re-written dir
+    BucketStore.merge(net(("t", 1L, "delete", 0L, 0, 0.0)), target, pkCols, 8, 2)
+    assert(BucketStore.readManifest(target).isEmpty && onDisk().isEmpty)
+    // the store stays writable past the replayed id
+    BucketStore.merge(net(("t", 2L, "insert", 2L, 2, 2.0)), target, pkCols, 8, 3)
+    assert(BucketStore.read(spark, target).get.count() == 1)
+  }
+
   test("pipeline config assembles and runs end to end") {
     val cfg = s"""{
       "source": {"type": "events", "dir": "$sf"},
