@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Standalone pipeline runner — the engine's `cmd/task` analog: load a
-  * JSON pipeline config and execute it.
+  * JSON pipeline config and execute it. A config with a streaming
+  * source (`events_stream`) runs as a checkpointed streaming sync
+  * (blocks until the bounded source drains); anything else runs as a
+  * one-shot batch pipeline.
   *
   *   sbt "runMain graft.Run examples/compact_changelog.json"
+  *   sbt "runMain graft.Run examples/delta_sync.json"
   */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -20,7 +24,13 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.pipeline.Pipeline.run(spark, json)
+    val streaming = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).path("source").path("type").asText() == "events_stream"
+    if (streaming)
+      graft.pipeline.Pipeline.runStream(spark, json).foreach(s =>
+        println(s"[run] last batch ${s.batchId}: ${s.numInputRows} rows, " +
+          s"${s.processedRowsPerSecond.round} rows/s, trigger ${s.triggerMs} ms"))
+    else graft.pipeline.Pipeline.run(spark, json)
     spark.stop()
   }
 }
