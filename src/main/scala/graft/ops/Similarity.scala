@@ -129,10 +129,16 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm),
         posexplode(sketches(col(vecCol), bits, tables, dim, sketchFn)).as(Seq("tbl_id", "bucket")))
         .select(id, vec, nrm, "tbl_id", "bucket")
+    // pair dedup across colliding tables is a FULL-ROW distinct after
+    // dropping the collision key: duplicate (qid, nid) rows are
+    // bit-identical in the carried vectors/norms, and array-typed
+    // grouping KEYS hash-aggregate fine — dropDuplicates(subset) would
+    // instead put the arrays in first() aggregation BUFFERS, silently
+    // demoting the dedup to SortAggregate (per-partition sort)
     val cand = keyed(corpus, "nid", "nv", "nn")
       .join(keyed(queries, "qid", "qv", "qn"), Seq("tbl_id", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .dropDuplicates("qid", "nid")
+      .drop("tbl_id", "bucket").distinct()
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     cand.withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -242,7 +248,8 @@ object Similarity {
     val q = assignCells(queries, cent, "qid", "qv", probes = nprobe, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
-      .dropDuplicates("qid", "nid")
+      // full-row distinct, not dropDuplicates(subset): see lshTopK
+      .drop("cell").distinct()
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -264,7 +271,8 @@ object Similarity {
         .select(id, vec, "tbl_id", "bucket")
     keyed("a_id", "av").join(keyed("b_id", "bv"), Seq("tbl_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      // full-row distinct, not dropDuplicates(subset): see lshTopK
+      .drop("tbl_id", "bucket").distinct()
       .withColumn("cos", dot(col("av"), col("bv")) / (norm(col("av")) * norm(col("bv"))))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
@@ -291,7 +299,8 @@ object Similarity {
     keyed(newVecs, "new_id", "nv", "nn")
       .join(keyed(corpusVecs, "corpus_id", "cv", "cn"), Seq("tbl_id", "bucket"))
       .filter(col("new_id") =!= col("corpus_id"))
-      .dropDuplicates("new_id", "corpus_id")
+      // full-row distinct, not dropDuplicates(subset): see lshTopK
+      .drop("tbl_id", "bucket").distinct()
       .withColumn("cos", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .filter(col("cos") >= threshold)
       .select("new_id", "corpus_id", "cos")
