@@ -52,10 +52,14 @@ object ChangeStream {
       val dst = drop.resolve("events.parquet")
       if (!java.nio.file.Files.exists(dst))
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
-    } else if (!java.nio.file.Files.exists(drop.resolve("slice-0.parquet"))) {
+    } else if (!java.nio.file.Files.exists(
+        drop.resolve(s"slice-${slices - 1}.parquet"))) {
       // event_id-range segments preserve binlog order between slices (a
       // key's ops land in batch order), mirroring sequential segment
-      // rotation; staged once, reused by every run against this (sf, n)
+      // rotation; staged once, reused by every run against this (sf, n).
+      // Completion is keyed on the LAST slice (moved last): a crash
+      // mid-staging re-stages everything, and the moves are REPLACE so
+      // the retry is idempotent.
       val ev = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
       val (lo, hi) = ev.agg(min("event_id"), max("event_id")).collect()
         .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
@@ -66,7 +70,8 @@ object ChangeStream {
             col("event_id") < lo + (i + 1L) * span)
           .coalesce(1).write.mode("overwrite").parquet(out.toString)
         val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, drop.resolve(s"slice-$i.parquet"))
+        java.nio.file.Files.move(part.toPath, drop.resolve(s"slice-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
     val raw = spark.readStream.schema(schema)
