@@ -208,6 +208,17 @@ class DeltaStoreSpec extends SparkSpec {
       .select("tbl", "pk", "r_k").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
     assert(got == want && got.nonEmpty)
+    // close the loop with the consistency checker (K3), exactly as a
+    // deployment would audit the sync: source netted state vs the delta
+    // target, zero diff rows in either direction
+    val cols = Seq("tbl", "pk", "r_id", "r_k", "r_v")
+    val src = graft.op.Compactor.compact(
+      graft.source.Changelog.fromEvents(spark, sf))
+      .filter(col("net_op") =!= "delete")
+      .select(cols.map(col): _*)
+    val tgt = DeltaStore.read(spark, target).get.select(cols.map(col): _*)
+    assert(graft.op.Checker.check(src, tgt, Seq("tbl", "pk")).isEmpty)
+    assert(graft.op.Checker.check(tgt, src, Seq("tbl", "pk")).isEmpty)
     // restart from the same checkpoint: no new batches, target unchanged
     graft.pipeline.Pipeline.runStream(spark, cfg)
     assert(DeltaStore.read(spark, target).get.count() == got.size)
