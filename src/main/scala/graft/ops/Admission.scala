@@ -130,8 +130,15 @@ object Admission {
         // pass — from a fresh post-flip read of the signature store
         // (which now includes this batch), never from the pre-flip plan
         // whose generations the flip just GC'd
+        // .getOrElse(admitted): when the first-ever batch admitted nothing
+        // (empty batch, or every doc under the <3-token guard) the
+        // signature merge no-ops and the store still doesn't exist — an
+        // absent store means there is nothing to backfill, and the empty
+        // admitted frame makes the band merge a no-op too (a bare .get
+        // would crash the stream, and replay would wedge on the same state)
         val bandSrc =
-          if (bandStoreOpt.isEmpty) BucketStore.read(spark, cfg.target).get
+          if (bandStoreOpt.isEmpty)
+            BucketStore.read(spark, cfg.target).getOrElse(admitted)
           else admitted
         BucketStore.merge(
           Dedup.lshBands(bandSrc, "sig", cfg.bands, cfg.rows, "doc_id")

@@ -326,6 +326,70 @@ object CdcQueries {
         |ORDER BY tbl, pk""".stripMargin),
       bench = true),
 
+    // The STREAMING sync task lifecycle, end to end — where delta_sync
+    // gates the DeltaStore append/fold/read ALGEBRA by calling append in
+    // a batch loop, this runs the reference's actual task shape
+    // (task.go:119-165: source → per-batch compact → incremental apply,
+    // checkpointed): Pipeline.runStream drains a 4-slice events_stream
+    // (event_id-ranged segments, one micro-batch each under
+    // maxFilesPerTrigger=1) through compactedApply into a parquet_delta
+    // sink, then reads back the resolved store. Checkpointing, trigger
+    // boundaries, and micro-batch id assignment are all INSIDE the gated
+    // path. The oracle is delta_sync's per-batch-compaction +
+    // newest-batch-wins QUALIFY, with batch = the slice's event_id range
+    // ((seq - lo) // span, the staging arithmetic in
+    // ChangeStream.fromEventsStream — slice order = batch-id order by the
+    // staged files' strictly increasing mtimes). maxChain=2 forces
+    // chain-cap folds inside the gated path here too.
+    "stream_sync" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sync-q")
+        graft.pipeline.Pipeline.runStream(s, s"""{
+          "source": {"type": "events_stream", "dir": "$dir", "slices": 4},
+          "processors": [],
+          "sink": {"type": "parquet_delta", "path": "$tmp/state",
+                   "checkpoint": "$tmp/ckpt", "pk": ["tbl", "pk"],
+                   "buckets": 16, "maxChain": 2}
+        }""")
+        graft.sink.DeltaStore.read(s, s"$tmp/state").get
+          .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+          .orderBy("tbl", "pk")
+      },
+      Some(s"""$cte,
+        |bounds AS (
+        |  SELECT min(seq) AS lo, (max(seq) - min(seq) + 4) // 4 AS span
+        |  FROM changelog),
+        |batched AS (
+        |  SELECT c.*, (c.seq - b.lo) // b.span AS batch
+        |  FROM changelog c, bounds b),
+        |net AS (
+        |  SELECT batch, tbl, pk, min_by(op, seq) AS first_op,
+        |         max_by(op, seq) AS last_op, max(seq) AS last_seq
+        |  FROM batched GROUP BY batch, tbl, pk),
+        |lastrow AS (
+        |  SELECT batch, tbl, pk, max_by(r_id, seq) AS u_id,
+        |         max_by(r_k, seq) AS u_k, max_by(r_v, seq) AS u_v
+        |  FROM batched WHERE op <> 'delete' GROUP BY batch, tbl, pk),
+        |compacted AS (
+        |  SELECT n.batch AS batch, n.tbl AS tbl, n.pk AS pk,
+        |         CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |              WHEN n.first_op = 'insert' THEN 'insert'
+        |              ELSE 'update' END AS net_op,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |         n.last_seq AS last_seq
+        |  FROM net n LEFT JOIN lastrow l
+        |    ON n.batch = l.batch AND n.tbl = l.tbl AND n.pk = l.pk
+        |  WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')),
+        |resolved AS (
+        |  SELECT * FROM compacted
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1)
+        |SELECT tbl, pk, r_id, r_k, r_v, last_seq FROM resolved
+        |WHERE net_op <> 'delete'
+        |ORDER BY tbl, pk""".stripMargin),
+      bench = true),
+
     // S2 — bounded snapshot scan with logical keyset pages
     "s2_scan" -> QueryDef(
       (s, dir) => {

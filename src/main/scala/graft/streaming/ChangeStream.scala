@@ -61,8 +61,12 @@ object ChangeStream {
       // mid-staging re-stages everything, and the moves are REPLACE so
       // the retry is idempotent.
       val ev = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+      // an empty source yields one all-null agg row (not zero rows):
+      // guard the null, not just headOption, so the drain stays empty
+      // instead of throwing on getLong
       val (lo, hi) = ev.agg(min("event_id"), max("event_id")).collect()
-        .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+        .headOption.filterNot(_.isNullAt(0))
+        .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
       val span = (hi - lo + slices) / slices
       (0 until slices).foreach { i =>
         val out = java.nio.file.Files.createTempDirectory("graft-slice")
@@ -70,8 +74,16 @@ object ChangeStream {
             col("event_id") < lo + (i + 1L) * span)
           .coalesce(1).write.mode("overwrite").parquet(out.toString)
         val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, drop.resolve(s"slice-$i.parquet"),
+        val dst = drop.resolve(s"slice-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource orders arriving files by modification time, and
+        // the move PRESERVES the tmp part file's mtime — identical stamps
+        // fall back to name order, where slice-10 sorts before slice-2 at
+        // ≥11 slices and a key's delete could apply before its insert.
+        // Stamp a strictly increasing mtime per slice index instead.
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_600_000_000_000L + i * 1000L))
       }
     }
     val raw = spark.readStream.schema(schema)
