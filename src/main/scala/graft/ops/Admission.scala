@@ -25,22 +25,26 @@ import graft.sink.BucketStore
   * state), so re-running an uncommitted batch converges.
   *
   * Scale notes: signatures are computed once per arriving doc (map-only);
-  * the corpus side is ONE scan per batch of the PERSISTED banded store —
-  * `bands` pre-derived (doc_id, band, key) rows per stored doc, written
-  * at admission time alongside the signatures — so candidate generation
-  * never re-derives bands from `perms` stored hashes; candidates meet on
-  * the (band, key) shuffle key, and verification touches candidate pairs
-  * only, reading shingle sets straight from the signature store. A store
-  * written before the banded form existed is backfilled in one pass on
-  * its first post-upgrade batch.
+  * the corpus side is ONE scan per batch of the persisted store, whose
+  * rows carry the banded form as a PACKED column family next to the
+  * signature — `bands: array<struct<band,key>>`, pre-derived at admission
+  * time — so candidate generation explodes fixed-width band structs
+  * (parquet column pruning skips the shingle/signature columns entirely)
+  * and never re-derives bands from `perms` stored hashes; candidates meet
+  * on the (band, key) shuffle key, and verification touches candidate
+  * pairs only, reading shingle sets straight from the same store.
   *
-  * The two stores flip independently (signatures first), both
-  * generation-keyed by batch id. A crash between the flips leaves the
-  * band store one batch behind; the checkpoint has not committed, so the
-  * batch replays: the admission decision recomputes identically (its
-  * candidate input — the band store — is in its pre-batch state; the
-  * within-batch check is deterministic), the signature merge detects its
-  * already-flipped generation and skips, and the band merge completes.
+  * ONE store, ONE merge, ONE flip per batch: because the band rows travel
+  * inside the signature store's own generation, there is no window in
+  * which the corpus and its banded form disagree, and replay safety is
+  * exactly BucketStore's single-generation contract (an already-flipped
+  * batch is detected and skipped; an unflipped one recomputes
+  * deterministically against the pre-batch store). A store written by the
+  * earlier two-store layout (no `bands` column, sibling `<target>.bands`
+  * dir) is upgraded in one pass on its first post-upgrade batch: bands
+  * are derived from stored signatures one last time, the whole corpus is
+  * rewritten under that batch's generation with the packed column, and
+  * the orphaned sibling dir is removed after the flip.
   */
 object Admission {
 
@@ -52,7 +56,9 @@ object Admission {
       threshold: Double = 0.5, perms: Int = 8, bands: Int = 4, rows: Int = 2,
       nBuckets: Int = 16) {
     require(bands * rows == perms, "bands*rows must equal perms")
-    /** Sibling store holding the corpus's banded form, (doc_id, band) → key. */
+    /** The LEGACY two-store layout's sibling band dir — only ever read to
+      * detect and clean up after the one-pass upgrade to the single-store
+      * packed-band layout. */
     def bandTarget: String = s"$target.bands"
   }
 
@@ -100,50 +106,57 @@ object Admission {
         "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
         .select(col("b_id").as("doc_id")).distinct()
 
-      // 2. vs the persisted corpus: candidates from the banded store
-      // (pre-derived band rows — no per-batch re-derivation from stored
-      // signatures), shingles for verification from the signature store.
-      // A store predating the banded form derives bands one last time.
+      // 2. vs the persisted corpus: candidates from the store's packed
+      // band column (exploded — column pruning skips sh/sig on this
+      // scan), shingles for verification from the same store. A store
+      // written by the legacy layout (no `bands` column) derives bands
+      // from stored signatures one last time.
       val storeOpt = BucketStore.read(spark, cfg.target)
-      val bandStoreOpt = BucketStore.read(spark, cfg.bandTarget)
+      val legacy = storeOpt.exists(s => !s.columns.contains("bands"))
       val corpusRejected = storeOpt match {
         case None => selfRejected.limit(0)
         case Some(store) =>
-          val corpBands = bandStoreOpt
-            .map(_.select("doc_id", "band", "key"))
-            .getOrElse(Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id"))
+          val corpBands =
+            if (legacy) Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
+            else store.select(col("doc_id"), explode(col("bands")).as("bk"))
+              .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
           verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
             sig, store, "new_id", "corpus_id", cfg.threshold)
             .select(col("new_id").as("doc_id")).distinct()
       }
 
-      // 3. merge survivors into the stores (generation-keyed: replay-safe)
+      // 3. merge survivors — signature AND packed bands in the same row —
+      // into the store: ONE generation, ONE flip (replay-safe by the
+      // generation key). On a legacy store, this batch's net is the WHOLE
+      // corpus re-asserted with the packed column (the one-pass upgrade;
+      // BucketStore's merge reads pre-evolution generations with the
+      // net's schema, so the added column is simply null there and every
+      // rewritten row carries its value).
       val admitted = sig
         .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
+        .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
         .cache()
       try {
         val n = admitted.count() // materialize before the flip GCs old gens
-        BucketStore.merge(admitted.withColumn("net_op", lit("insert")),
-          cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
-        // band rows for the survivors; with no band store yet (fresh
-        // store OR pre-banded upgrade), backfill the WHOLE corpus in one
-        // pass — from a fresh post-flip read of the signature store
-        // (which now includes this batch), never from the pre-flip plan
-        // whose generations the flip just GC'd
-        // .getOrElse(admitted): when the first-ever batch admitted nothing
-        // (empty batch, or every doc under the <3-token guard) the
-        // signature merge no-ops and the store still doesn't exist — an
-        // absent store means there is nothing to backfill, and the empty
-        // admitted frame makes the band merge a no-op too (a bare .get
-        // would crash the stream, and replay would wedge on the same state)
-        val bandSrc =
-          if (bandStoreOpt.isEmpty)
-            BucketStore.read(spark, cfg.target).getOrElse(admitted)
+        val net =
+          if (legacy)
+            storeOpt.get
+              .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
+              .unionByName(admitted)
           else admitted
-        BucketStore.merge(
-          Dedup.lshBands(bandSrc, "sig", cfg.bands, cfg.rows, "doc_id")
-            .withColumn("net_op", lit("insert")),
-          cfg.bandTarget, Seq("doc_id", "band"), cfg.nBuckets, batchId)
+        BucketStore.merge(net.withColumn("net_op", lit("insert")),
+          cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+        // the legacy layout's sibling band dir is orphaned once the store
+        // carries packed bands; the existence check (not `legacy`) also
+        // covers a replay after a crash between the upgrade flip and this
+        // cleanup, where the replayed batch no longer reads as legacy
+        val sibling = new java.io.File(cfg.bandTarget)
+        if (sibling.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(sibling)
+        }
         n
       } finally admitted.unpersist()
     } finally sig.unpersist() // also on failure: a retrying stream must

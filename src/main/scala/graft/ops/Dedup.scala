@@ -49,15 +49,22 @@ object Dedup {
   def minhashFast(sh: Column, k: Int): Column =
     graft.functions.MinHash64.of(sh, k)
 
-  /** Banded LSH: explode the signature into `bands` keys of `rows` hashes
-    * each; docs sharing any band key become candidate pairs. Returns
-    * (idCol, band, key). */
+  /** The banded form of one signature, PACKED: an
+    * `array<struct<band:int, key:string>>` of `bands` entries, `rows`
+    * hashes concatenated per key. This is the column-family shape the
+    * admission store persists NEXT TO the signature (one row per doc, one
+    * merge) — candidate generation explodes it, never re-hashing. */
+  def lshBandArray(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        concat_ws("#", (1 to rows).map(r => element_at(sigCol, b * rows + r)): _*)
+          .as("key")))
+
+  /** Banded LSH, exploded: one (idCol, band, key) row per band; docs
+    * sharing any band key become candidate pairs. */
   def lshBands(df: DataFrame, sigCol: String, bands: Int, rows: Int, idCol: String): DataFrame =
     df.select(col(idCol),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          concat_ws("#", (1 to rows).map(r => element_at(col(sigCol), b * rows + r)): _*)
-            .as("key")))).as("bk"))
+      explode(lshBandArray(col(sigCol), bands, rows)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
 
   /** Candidate pairs from banded signatures: a self-equi-join on

@@ -126,7 +126,12 @@ object BucketStore {
         .map { case (b, gen) => s"$target/$gen/bucket=$b" }.toSeq
       if (livePaths.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
-      else spark.read.parquet(livePaths: _*)
+      // read with the NET's state schema, resolved by name: the merge
+      // evolves the store to the net's schema — a column the net adds
+      // reads as null from pre-evolution generations (and a column the
+      // net drops is dropped from the store). Single-writer contract
+      // makes the net's schema authoritative.
+      else spark.read.schema(stateSchema).parquet(livePaths: _*)
     }
     val merged = Merge.applyNetChanges(cur, bucketed.drop("bucket"), pkCols)
     merged.withColumn("bucket", bucketCol(pkCols, nBuckets))

@@ -139,7 +139,7 @@ object DeltaStore {
     else Some(spark.read.parquet(paths.distinct: _*)
       .withColumn("_seq", regexp_extract(
         element_at(split(input_file_name(), "/"), -3),
-        "^gen-(\\d+)$", 1).cast("long")))
+        "^(?:gen|snap)-(\\d+)$", 1).cast("long")))
   }
 
   /** Resolved current state (None when the store is empty). Same output
@@ -257,9 +257,54 @@ object DeltaStore {
       math.max(readApplied(target), appliedBatchId))
     val live = newManifest.values.flatten.toSet
     Option(new File(target).list()).getOrElse(Array.empty)
-      .filter(n => n.startsWith("gen-") && !live(n)).foreach { gen =>
+      .filter(n => (n.startsWith("gen-") || n.startsWith("snap-")) && !live(n))
+      .foreach { gen =>
         try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
       }
+  }
+
+  /** Offline compaction — the maintenance entry point for read-heavy
+    * targets: materialize the resolved state as ONE folded generation
+    * (`snap-<applied>`), so reads stop re-paying the LWW fold per query.
+    * The fold IS [[resolve]] over [[chainFrames]] — the read path itself —
+    * so snapshot output and read output cannot diverge.
+    *
+    * Sequencing: the snapshot takes the id of the last applied batch, so
+    * later appends (ids > applied) sort after it in every chain and LWW
+    * order is preserved; `#applied` is NOT advanced — a snapshot consumes
+    * no batch id from the stream's sequence, and replay detection is
+    * untouched. Crash contract: the snap generation is written complete
+    * (`_SUCCESS` required) before the flip; a crash before the flip
+    * leaves the old chains fully readable and the partial dir is swept by
+    * the next flip's GC. If the store is already snapshotted at the
+    * current `#applied`, this is a no-op (never overwrite a LIVE
+    * generation in place — a crash mid-overwrite would corrupt the only
+    * copy).
+    *
+    * @param nBuckets must match what [[append]] uses for this store: a
+    * different bucketing would not corrupt reads (LWW is global) but
+    * would break per-bucket fold locality for subsequent appends. */
+  def snapshot(spark: SparkSession, target: String, nBuckets: Int): Unit = {
+    val chains = readManifest(target)
+    val applied = readApplied(target)
+    val genName = s"snap-$applied"
+    if (chains.isEmpty || chains.values.exists(_.contains(genName))) return
+    val genDir = s"$target/$genName"
+    val pkCols = inferPkCols(target)
+    val all = chainFrames(spark, target, chains).get
+    resolve(all, pkCols)
+      .withColumn("net_op", lit("insert"))
+      .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    require(Files.exists(Paths.get(genDir, "_SUCCESS")),
+      s"snapshot write did not complete: $genDir")
+    // every key resolved away (all tombstoned) writes no bucket dir: the
+    // manifest legitimately flips to empty and the GC sweeps everything
+    val present = Option(new File(genDir).list()).getOrElse(Array.empty)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+    flip(target, present.map(b => b -> Seq(genName)).toMap, applied)
   }
 
   /** Append one compacted net-change batch (both phases). */

@@ -1,11 +1,12 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.ops.{Admission, Dedup}
 import graft.sink.BucketStore
 
-/** The persisted banded form of the admission store: candidate
-  * generation reads pre-derived (doc_id, band, key) rows instead of
-  * re-deriving bands from stored signatures every batch. */
+/** The admission store's packed banded form: candidate generation reads
+  * pre-derived band structs from the SAME store row as the signature —
+  * one store, one merge, one flip per batch. */
 class AdmissionSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,61 +24,74 @@ class AdmissionSpec extends SparkSpec {
     BucketStore.read(spark, cfg.target)
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
 
+  /** The store's packed band column, exploded. */
   private def bandRows(cfg: Admission.Config): Set[(Long, Int, String)] =
-    BucketStore.read(spark, cfg.bandTarget)
-      .map(_.select("doc_id", "band", "key").as[(Long, Int, String)]
-        .collect().toSet).getOrElse(Set.empty)
+    BucketStore.read(spark, cfg.target)
+      .map(_.select(col("doc_id"), explode(col("bands")).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        .as[(Long, Int, String)].collect().toSet)
+      .getOrElse(Set.empty)
 
-  /** What the band store must always contain: the banded form of the
-    * signature store, exactly. */
+  /** What the packed column must always equal: the banded form of the
+    * stored signatures, exactly. */
   private def wantBands(cfg: Admission.Config): Set[(Long, Int, String)] =
     Dedup.lshBands(BucketStore.read(spark, cfg.target).get,
       "sig", cfg.bands, cfg.rows, "doc_id")
       .as[(Long, Int, String)].collect().toSet
 
-  test("admission persists band rows and rejects cross-batch dups through them") {
+  test("admission persists packed bands and rejects cross-batch dups through them") {
     val cfg = cfgIn("graft-adm-bands")
     Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)
     assert(bandRows(cfg) == wantBands(cfg))
     assert(bandRows(cfg).map(_._1) == Set(1L, 2L))
     assert(bandRows(cfg).size == 2 * cfg.bands)
     // doc 3 duplicates ADMITTED doc 1: its candidate pair comes from the
-    // banded store now; doc 4 is new and its bands are appended
+    // stored band structs now; doc 4 is new and lands with its bands
     Admission.admitBatch(Seq((3L, base), (4L, third)).toDF("doc_id", "text"), cfg, 1L)
     assert(storedIds(cfg) == Set(1L, 2L, 4L))
     assert(bandRows(cfg) == wantBands(cfg))
     assert(bandRows(cfg).map(_._1) == Set(1L, 2L, 4L))
   }
 
-  test("a store predating the banded form is backfilled on its next batch") {
+  test("a legacy two-store layout is upgraded in one pass and its sibling removed") {
     val cfg = cfgIn("graft-adm-upgrade")
-    Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)
-    // simulate a store written before the banded form existed
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(cfg.bandTarget))
-    assert(bandRows(cfg).isEmpty)
-    // the next batch still dedupes against the full corpus (bands derived
-    // from signatures one last time) AND leaves the band store complete —
-    // a partial backfill of only the new docs would silently blind every
-    // later batch to the pre-upgrade corpus
+    // write the OLD layout directly: a signature store without the packed
+    // band column, plus the sibling band store the old code maintained
+    val sig = Admission.signatures(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg.perms)
+    BucketStore.merge(sig.withColumn("net_op", lit("insert")),
+      cfg.target, Seq("doc_id"), cfg.nBuckets, 0L)
+    BucketStore.merge(
+      Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
+        .withColumn("net_op", lit("insert")),
+      cfg.bandTarget, Seq("doc_id", "band"), cfg.nBuckets, 0L)
+    assert(!BucketStore.read(spark, cfg.target).get.columns.contains("bands"))
+    // the next batch still dedupes against the full legacy corpus (bands
+    // derived from signatures one last time), rewrites the WHOLE corpus
+    // with the packed column under its own generation, and removes the
+    // orphaned sibling — a partial upgrade of only the new docs would
+    // silently blind every later batch to the pre-upgrade corpus
     Admission.admitBatch(Seq((3L, base), (4L, third)).toDF("doc_id", "text"), cfg, 1L)
     assert(storedIds(cfg) == Set(1L, 2L, 4L))
     assert(bandRows(cfg) == wantBands(cfg))
     assert(bandRows(cfg).map(_._1) == Set(1L, 2L, 4L))
+    assert(!new java.io.File(cfg.bandTarget).exists())
   }
 
-  test("at-least-once redelivery converges with the split band-store flip") {
+  test("at-least-once redelivery converges under the single flip") {
     val cfg = cfgIn("graft-adm-replay")
     Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)
     Admission.admitBatch(Seq((3L, base), (4L, third)).toDF("doc_id", "text"), cfg, 1L)
     val (ids, bands) = (storedIds(cfg), bandRows(cfg))
-    // crash fell between the stores' flips and the checkpoint commit:
-    // the whole batch replays; both generation-keyed merges must detect
-    // their already-flipped generations and the pair must converge
+    // crash fell between the flip and the checkpoint commit: the whole
+    // batch replays; the generation-keyed merge detects its
+    // already-flipped generation and the store converges unchanged.
+    // Because signatures and bands travel in the SAME generation, there
+    // is no cross-store window to converge — the invariant
+    // store ≡ banded(store) holds at every flip boundary by construction
     Admission.admitBatch(Seq((3L, base), (4L, third)).toDF("doc_id", "text"), cfg, 1L)
     assert(storedIds(cfg) == ids)
     assert(bandRows(cfg) == bands)
+    assert(!new java.io.File(cfg.bandTarget).exists())
   }
 }

@@ -189,6 +189,45 @@ class DeltaStoreSpec extends SparkSpec {
     assert(state(target) == Map(("t", 2L) -> (2L, 2, 2.0)))
   }
 
+  test("resolved-snapshot materialization: read-after equals read-before") {
+    val target = tmp("graft-delta-snap")
+    val rnd = new scala.util.Random(42L)
+    (0 until 6).foreach { b =>
+      val batch = (0 until 5).map { k =>
+        val op = if (b > 0 && k == b % 5) "delete"
+          else if (b == 0) "insert" else "update"
+        ("t", k.toLong, op, k.toLong, rnd.nextInt(100), rnd.nextDouble())
+      }
+      DeltaStore.append(batch.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        target, pkCols, nBuckets = 4, batchId = b, maxChain = 10)
+    }
+    val before = state(target)
+    val applied = DeltaStore.readApplied(target)
+    assert(DeltaStore.readManifest(target).values.exists(_.size > 1),
+      "fixture should have real chains to fold")
+    DeltaStore.snapshot(spark, target, nBuckets = 4)
+    // the snapshot is invisible to readers…
+    assert(state(target) == before && before.nonEmpty)
+    // …consumes no batch id…
+    assert(DeltaStore.readApplied(target) == applied)
+    // …and leaves exactly one live generation per bucket, all superseded
+    // generations GC'd
+    val m = DeltaStore.readManifest(target)
+    assert(m.nonEmpty && m.values.forall(_ == Seq(s"snap-$applied")))
+    def dirs() = new java.io.File(target).list()
+      .filter(n => n.startsWith("gen-") || n.startsWith("snap-")).toSet
+    assert(dirs() == Set(s"snap-$applied"))
+    // re-snapshot at the same applied id is a no-op (never overwrite the
+    // live generation in place)
+    DeltaStore.snapshot(spark, target, nBuckets = 4)
+    assert(state(target) == before && dirs() == Set(s"snap-$applied"))
+    // the stream continues: the next append takes the next batch id and
+    // wins LWW over the snapshot
+    DeltaStore.append(netOf(("t", 0L, "update", 0L, 999, 9.9)),
+      target, pkCols, nBuckets = 4, batchId = applied + 1)
+    assert(state(target) == before + (("t", 0L) -> ((0L, 999, 9.9))))
+  }
+
   test("config-driven streaming sync appends into the delta target") {
     val target = tmp("graft-delta-sync")
     val ckpt = Files.createTempDirectory("graft-delta-sync-c").toString
