@@ -109,19 +109,24 @@ object StreamBench {
   private def runDeltaVsMerge(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "8").toInt
+    // event_id = key-spray regime (every batch touches every bucket);
+    // user_id = key-locality regime (each batch touches only its own
+    // keys' buckets) — the two ends of the BucketStore/DeltaStore trade
+    val sliceBy = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICEBY", "event_id")
     val events = graft.source.Changelog.events(spark, sfDir).count()
     // Stage the slice segments BEFORE timing: fromEventsStream stages the
     // (sf, slices) drop dir lazily on first use, so without this the first
     // drain (parquet_merge) would absorb the one-time staging cost the
     // second skips, biasing the comparison.
-    graft.streaming.ChangeStream.fromEventsStream(spark, sfDir, slices)
+    graft.streaming.ChangeStream.fromEventsStream(spark, sfDir, slices, sliceBy)
     def drain(sinkType: String): (Double, DataFrame) = {
       val target = java.nio.file.Files.createTempDirectory(s"graft-sbench-$sinkType")
         .toString + "/state"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
       val t0 = System.nanoTime()
       graft.pipeline.Pipeline.runStream(spark, s"""{
-        "source": {"type": "events_stream", "dir": "$sfDir", "slices": $slices},
+        "source": {"type": "events_stream", "dir": "$sfDir",
+                   "slices": $slices, "sliceBy": "$sliceBy"},
         "processors": [],
         "sink": {"type": "$sinkType", "path": "$target",
                  "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}
@@ -143,7 +148,8 @@ object StreamBench {
     Seq(("parquet_merge", mergeSecs), ("parquet_delta", deltaSecs)).foreach {
       case (mode, secs) =>
         println(s"""{"metric":"stream_sync_events_per_sec","value":${events / secs},""" +
-          s""""unit":"events/sec","sink":"$mode","slices":$slices,"events":$events,""" +
+          s""""unit":"events/sec","sink":"$mode","slices":$slices,""" +
+          s""""slice_by":"$sliceBy","events":$events,""" +
           s""""secs":$secs,"state_rows":$rows,"sf":"$sfDir"}""")
     }
   }

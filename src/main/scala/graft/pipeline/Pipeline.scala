@@ -113,7 +113,8 @@ object Pipeline {
       "streaming pipeline needs an events_stream source")
     val stream = graft.streaming.ChangeStream.fromEventsStream(
       spark, src.get("dir").asText(),
-      if (src.has("slices")) src.get("slices").asInt() else 1)
+      if (src.has("slices")) src.get("slices").asInt() else 1,
+      if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
     val ckpt = snk.get("checkpoint").asText()

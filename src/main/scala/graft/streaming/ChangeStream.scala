@@ -27,14 +27,24 @@ object ChangeStream {
     * `from_json`, same downstream code). The parquet's TIMESTAMP(NANOS)
     * is declared as long and narrowed to µs, as in the batch source.
     *
-    * `slices` > 1 stages the events file as that many event_id-ranged
+    * `slices` > 1 stages the events file as that many range-sliced
     * segment files instead of one, so the bounded drain runs as `slices`
     * micro-batches (`maxFilesPerTrigger`=1) — the shape of a real binlog
     * tail, where state accumulates ACROSS batches. Multi-batch apply is
     * where the incremental sinks' semantics (chain growth, compaction,
-    * replay) actually engage; a single-batch drain never exercises them. */
+    * replay) actually engage; a single-batch drain never exercises them.
+    *
+    * `sliceBy` picks the slicing column and with it the apply regime:
+    *  - `event_id` (default): log order — every batch's keys spray
+    *    across all buckets (the uniform-update regime, BucketStore's
+    *    worst case and DeltaStore's best);
+    *  - `user_id`: key ranges — each batch touches only its own keys'
+    *    buckets (the key-partitioned/backfill regime, where
+    *    read-modify-write's O(touched) is small). A key's ops stay in
+    *    ONE slice, so batch order between a key's ops is preserved
+    *    trivially. */
   def fromEventsStream(spark: SparkSession, sfDir: String,
-      slices: Int = 1): DataFrame = {
+      slices: Int = 1, sliceBy: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
@@ -46,7 +56,7 @@ object ChangeStream {
     // per-(sf, slices) drop dir once; a deployment would point this at
     // the real landing directory instead.
     val drop = java.nio.file.Paths.get("/tmp/graft-stream",
-      Integer.toHexString(s"$sfDir#$slices".hashCode))
+      Integer.toHexString(s"$sfDir#$slices#$sliceBy".hashCode))
     java.nio.file.Files.createDirectories(drop)
     if (slices <= 1) {
       val dst = drop.resolve("events.parquet")
@@ -64,14 +74,14 @@ object ChangeStream {
       // an empty source yields one all-null agg row (not zero rows):
       // guard the null, not just headOption, so the drain stays empty
       // instead of throwing on getLong
-      val (lo, hi) = ev.agg(min("event_id"), max("event_id")).collect()
+      val (lo, hi) = ev.agg(min(sliceBy), max(sliceBy)).collect()
         .headOption.filterNot(_.isNullAt(0))
         .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
       val span = (hi - lo + slices) / slices
       (0 until slices).foreach { i =>
         val out = java.nio.file.Files.createTempDirectory("graft-slice")
-        ev.filter(col("event_id") >= lo + i * span &&
-            col("event_id") < lo + (i + 1L) * span)
+        ev.filter(col(sliceBy) >= lo + i * span &&
+            col(sliceBy) < lo + (i + 1L) * span)
           .coalesce(1).write.mode("overwrite").parquet(out.toString)
         val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
         val dst = drop.resolve(s"slice-$i.parquet")
