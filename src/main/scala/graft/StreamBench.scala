@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   * both incremental parquet sinks — `parquet_merge` (BucketStore:
   * read-modify-write O(touched state) per batch) and `parquet_delta`
   * (DeltaStore: O(|batch|) append, merge deferred to read) — asserts the
-  * two final states are row-identical, and prints one JSON line per sink.
+  * two final states are row-identical, and prints one JSON line per sink
+  * plus a `state_read_secs` line timing the read side of the trade
+  * (bucket scan vs LWW fold vs fold-after-snapshot).
   *
   * Prints one JSON line: events ingested, wall seconds, events/s, and
   * the final state row count (validated against one-shot compaction).
@@ -119,7 +121,7 @@ object StreamBench {
     // drain (parquet_merge) would absorb the one-time staging cost the
     // second skips, biasing the comparison.
     graft.streaming.ChangeStream.fromEventsStream(spark, sfDir, slices, sliceBy)
-    def drain(sinkType: String): (Double, DataFrame) = {
+    def drain(sinkType: String): (Double, DataFrame, String) = {
       val target = java.nio.file.Files.createTempDirectory(s"graft-sbench-$sinkType")
         .toString + "/state"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
@@ -136,10 +138,10 @@ object StreamBench {
         case "parquet_merge" => graft.sink.BucketStore.read(spark, target).get
         case _ => graft.sink.DeltaStore.read(spark, target).get
       }
-      (secs, state)
+      (secs, state, target)
     }
-    val (mergeSecs, mergeState) = drain("parquet_merge")
-    val (deltaSecs, deltaState) = drain("parquet_delta")
+    val (mergeSecs, mergeState, mergeTarget) = drain("parquet_merge")
+    val (deltaSecs, deltaState, deltaTarget) = drain("parquet_delta")
     val rows = mergeState.count()
     require(deltaState.count() == rows &&
       mergeState.exceptAll(deltaState).isEmpty &&
@@ -152,6 +154,29 @@ object StreamBench {
           s""""slice_by":"$sliceBy","events":$events,""" +
           s""""secs":$secs,"state_rows":$rows,"sf":"$sfDir"}""")
     }
+
+    // The other half of the trade: READ cost. BucketStore reads scan one
+    // generation per bucket; DeltaStore reads re-pay the LWW fold over
+    // the live chains — until snapshot() (offline compaction) folds the
+    // store back to one generation. Min of 3 full materializations each.
+    def timeRead(df: => DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val readMerge = timeRead(graft.sink.BucketStore.read(spark, mergeTarget).get)
+    val readDelta = timeRead(graft.sink.DeltaStore.read(spark, deltaTarget).get)
+    graft.sink.DeltaStore.snapshot(spark, deltaTarget, nBuckets = 64)
+    val snapState = graft.sink.DeltaStore.read(spark, deltaTarget).get
+    require(snapState.count() == rows &&
+      mergeState.exceptAll(snapState).isEmpty &&
+      snapState.exceptAll(mergeState).isEmpty,
+      "snapshot changed the resolved state")
+    val readSnap = timeRead(graft.sink.DeltaStore.read(spark, deltaTarget).get)
+    println(s"""{"metric":"state_read_secs","merge":$readMerge,""" +
+      s""""delta":$readDelta,"delta_snapshot":$readSnap,""" +
+      s""""slices":$slices,"slice_by":"$sliceBy","state_rows":$rows,"sf":"$sfDir"}""")
   }
 
   /** DSv2 chunked-source drain: rate-limited batches over spooled segment

@@ -101,4 +101,29 @@ class PlanSpec extends SparkSpec {
       .map(_.group(1)).getOrElse(fail(s"no FileScan in plan:\n$p"))
     assert(cols.split(",").length == 6, s"ReadSchema not pruned: $cols")
   }
+
+  test("admission candidate scan prunes to (doc_id, bands) — never the arrays") {
+    // the point of persisting the packed band column: candidate
+    // generation must read fixed-width band structs WITHOUT dragging the
+    // shingle-set and signature arrays through the scan — at corpus
+    // scale those arrays are ~all of the store's bytes
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cfg = graft.ops.Admission.Config(
+      target = java.nio.file.Files.createTempDirectory("graft-plan-adm")
+        .resolve("store").toString,
+      checkpoint = "unused")
+    graft.ops.Admission.admitBatch(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), cfg, 0L)
+    val store = graft.sink.BucketStore.read(spark, cfg.target).get
+    val candSide = store.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val p = candSide.queryExecution.executedPlan.toString
+    val cols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no FileScan in plan:\n$p"))
+    assert(!cols.contains("sh") && !cols.contains("sig"),
+      s"candidate scan reads the heavy array columns: $cols")
+    assert(cols.contains("doc_id") && cols.contains("bands"), cols)
+  }
 }
