@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *   - the quadratic n-gram Jaccard join exists as the *oracle baseline*
   *     and must be bounded by the caller (it is the spec for what LSH
   *     approximates);
-  *   - two hash families: md5 (engine-portable, drives the DuckDB-checked
-  *     queries) and xxhash64 (codegen'd, ~10× cheaper — the production
-  *     path, same algebra).
+  *   - two hash families: sliced md5 (engine-portable — one digest per
+  *     shingle, perms carved as 16-bit hex slices — drives the
+  *     DuckDB-checked queries) and xxhash64 (codegen'd, ~10× cheaper —
+  *     the production path, same algebra).
   */
 object Dedup {
 
@@ -31,12 +32,28 @@ object Dedup {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
 
-  /** MinHash signature, portable family: hash_i(s) = md5(i || '|' || s);
-    * the minimum is taken over the hex strings (order-isomorphic to the
-    * numeric min). k independent permutations via seed prefixes. */
-  def minhashMd5(sh: Column, k: Int): Column =
+  /** Per-shingle md5 digests (hex) — the ONLY hashing pass of the
+    * sliced portable family. Materialize this behind a cache/checkpoint
+    * barrier BEFORE slicing perms off it: Catalyst's projection collapse
+    * inlines the subtree into every consumer, so an unbarriered
+    * [[minhashMd5Sliced]] on top would re-run the md5 pass once per perm
+    * (the same trap the shingleFrame token cache documents). */
+  def md5PerShingle(sh: Column): Column = transform(sh, s => md5(s))
+
+  /** MinHash signature, portable family: perm i is the lexicographic min
+    * (= numeric min — fixed-width lowercase hex) over hex chars
+    * [4i+1 .. 4i+4] of the per-shingle digests. ONE md5 per shingle
+    * total, vs the k digests per shingle of the seed-prefix formulation
+    * it replaced (measured ~2× on the admission queries at sf0.1, k=8).
+    * Slices of one digest are not independent permutations in the strict
+    * sense, but 16-bit slices of a cryptographic hash are pairwise
+    * uncorrelated in practice (the standard one-hash minhash trade); a
+    * lower-entropy slice can only ADD band-collision candidates, and
+    * verification is exact Jaccard either way. Oracle-portable:
+    * `substr(md5(x), 4*i + 1, 4)`. */
+  def minhashMd5Sliced(hashed: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+      i => array_min(transform(hashed, h => h.substr(i * 4 + 1, lit(4)))))
 
   /** MinHash signature, production family: xxhash64 with integer seeds —
     * a native codegen'd expression ([[graft.functions.MinHash64]]): one

@@ -88,7 +88,10 @@ object DedupQueries {
         // both sides of the candidate/verify joins (at cluster scale: a
         // checkpointed signature table, one k×|shingles| hash pass)
         val withSh = shingleFrame(s, dir)
-        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
+        // one md5 per shingle, cached BEFORE the perm slicing (projection
+        // collapse would otherwise re-run the digest pass once per perm)
+        val hashed = withSh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+        val sig = hashed.withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), 8)).cache()
         val cand = Dedup.lshCandidates(
           Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id"), "doc_id")
         val sa = withSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
@@ -106,7 +109,7 @@ object DedupQueries {
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 8),
         |      i -> list_aggregate(list_transform(sh,
-        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
         |  FROM s),
         |bands AS (
         |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
@@ -136,7 +139,10 @@ object DedupQueries {
     "dedup_incremental" -> QueryDef(
       (s, dir) => {
         val withSh = shingleFrame(s, dir)
-        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
+        // one md5 per shingle, cached BEFORE the perm slicing (projection
+        // collapse would otherwise re-run the digest pass once per perm)
+        val hashed = withSh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+        val sig = hashed.withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), 8)).cache()
         val bands = Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id")
         val cand = Dedup.lshCandidatesAgainst(
           bands.filter(col("doc_id") >= 400),
@@ -156,7 +162,7 @@ object DedupQueries {
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 8),
         |      i -> list_aggregate(list_transform(sh,
-        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
         |  FROM s),
         |bands AS (
         |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
@@ -184,7 +190,10 @@ object DedupQueries {
     "pipeline_admit" -> QueryDef(
       (s, dir) => {
         val withSh = shingleFrame(s, dir)
-        val sig = withSh.withColumn("sig", Dedup.minhashMd5(col("sh"), 8)).cache()
+        // one md5 per shingle, cached BEFORE the perm slicing (projection
+        // collapse would otherwise re-run the digest pass once per perm)
+        val hashed = withSh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+        val sig = hashed.withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), 8)).cache()
         val bands = Dedup.lshBands(sig, "sig", bands = 4, rows = 2, "doc_id")
         val cand = Dedup.lshCandidatesAgainst(
           bands.filter(col("doc_id") >= 400),
@@ -205,7 +214,7 @@ object DedupQueries {
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 8),
         |      i -> list_aggregate(list_transform(sh,
-        |             x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
         |  FROM s),
         |bands AS (
         |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
