@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Standalone pipeline runner — the engine's `cmd/task` analog: load a
   * JSON pipeline config and execute it. A config with a streaming
   * source (`events_stream`) runs as a checkpointed streaming sync
-  * (blocks until the bounded source drains); anything else runs as a
-  * one-shot batch pipeline.
+  * (blocks until the bounded source drains); a config with a
+  * `maintenance` block runs the named store-maintenance operation
+  * (currently `snapshot`: DeltaStore offline compaction); anything else
+  * runs as a one-shot batch pipeline.
   *
   *   sbt "runMain graft.Run examples/compact_changelog.json"
   *   sbt "runMain graft.Run examples/delta_sync.json"
+  *   sbt "runMain graft.Run examples/snapshot_store.json"
   */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -24,9 +27,17 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val streaming = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json).path("source").path("type").asText() == "events_stream"
-    if (streaming)
+    val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (cfg.has("maintenance")) {
+      val m = cfg.get("maintenance")
+      m.get("type").asText() match {
+        case "snapshot" =>
+          graft.sink.DeltaStore.snapshot(spark, m.get("path").asText(),
+            if (m.has("buckets")) m.get("buckets").asInt() else 64)
+        case other => throw new IllegalArgumentException(
+          s"unknown maintenance op: $other")
+      }
+    } else if (cfg.path("source").path("type").asText() == "events_stream")
       graft.pipeline.Pipeline.runStream(spark, json).foreach(s =>
         println(s"[run] last batch ${s.batchId}: ${s.numInputRows} rows, " +
           s"${s.processedRowsPerSecond.round} rows/s, trigger ${s.triggerMs} ms"))
