@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data corpus composition: deterministic stratified sampling
+  * (data mixing) and sequence packing — the two operations that sit
+  * between a deduped document store and a training run.
+  *
+  * Scale design:
+  *   - sampling is MAP-ONLY: the keep/drop decision is a pure function
+  *     of (id, stratum) — no shuffle, no state, and the same doc makes
+  *     the same decision on every run, engine, and partition layout
+  *     (md5-slice uniformity, the same portable family the dedup
+  *     queries use). Changing a stratum's rate re-decides only that
+  *     stratum, monotonically: lowering a rate keeps a SUBSET of the
+  *     previously kept docs (the hash-threshold property), so a re-mix
+  *     is an incremental delete, never a reshuffle of the corpus.
+  *   - packing is SHARD-PARALLEL: docs are hash-sharded, each shard
+  *     packs independently under a per-shard running-offset window — at
+  *     1000 executors every shard's window sorts only |corpus|/shards
+  *     rows; no global window, no single-partition exchange.
+  */
+object Mixing {
+
+  /** Uniform-in-[0, 65536) hash slice of the id — the sampling coin.
+    * First 4 hex chars of md5(id): portable to any engine that can md5
+    * a string (the DuckDB oracle decodes the same slice with strpos). */
+  private[graft] def hashSlice(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `hashSlice(id) < rate(stratum) * 65536`. `rates` maps stratum
+    * values to keep-rates in [0, 1]; unlisted strata use `default`.
+    *
+    * This is the data-mixing primitive: rates are the mixture weights
+    * (relative to each stratum's natural frequency), and the decision
+    * is reproducible — reruns, backfills, and incremental increments
+    * all agree on every doc without coordination. */
+  def sampleByRate(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ default).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashSlice(col(idCol)) < rate * 65536.0)
+  }
+
+  /** Shard-parallel sequence packing, concat-offset form: within each
+    * of `nShards` hash-shards, docs are laid out in id order and cut
+    * into packs at fixed `ctxTokens` boundaries — a doc is assigned to
+    * the pack where its first token LANDS (`floor(start_offset / ctx)`).
+    * This is the concat-then-chunk shape production packing uses (a
+    * pack can spill past the boundary by less than one doc; a doc
+    * longer than the context spans packs but is ASSIGNED once). True
+    * first-fit bin packing is inherently sequential per shard and buys
+    * little over this at corpus scale.
+    *
+    * Output: the input columns + `shard`, `start_off` (token offset of
+    * the doc within its shard's layout), `pack_id` (unique across
+    * shards). One row per input doc; every doc lands in exactly one
+    * pack; pack_ids are dense per shard.
+    *
+    * @param shardHash id → hash for shard assignment: xxhash64 by
+    * default (codegen'd — the production family), [[hashSlice]] for the
+    * oracle-portable md5 family (same two-family pattern as dedup). */
+  def packByOffset(df: DataFrame, idCol: String, tokensCol: String,
+      ctxTokens: Int, nShards: Int = 32,
+      shardHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
+    val shard = pmod(shardHash(col(idCol)), lit(nShards.toLong)).cast("int")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("start_off",
+        (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
+      .withColumn("pack_id",
+        col("shard").cast("long") * Int.MaxValue +
+          floor(col("start_off") / ctxTokens).cast("long"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.source.Changelog.table
+import graft.ops.{Mixing, TextAnalysis}
+
+/** Corpus-composition queries over `documents`: deterministic
+  * stratified sampling (data mixing) and shard-parallel sequence
+  * packing — the ops between a deduped store and a training run.
+  * Both use the md5 hash family so the DuckDB oracle replays the
+  * identical decisions (production callers pass xxhash64). */
+object MixQueries {
+
+  /** DuckDB spelling of [[Mixing.hashSlice]]: decode the first 4 hex
+    * chars of md5(id) to an int in [0, 65536). */
+  private val uCte =
+    """WITH u AS (
+      |  SELECT *,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u
+      |  FROM documents)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Data mixing: downsample the over-represented strata by fixed
+    // per-language rates (en 0.5, de 0.25, zh 0.75, rest untouched).
+    // The keep decision is a pure function of doc_id — reruns,
+    // backfills, and increments agree without coordination, and
+    // lowering a rate keeps a subset of the previously kept docs.
+    "mix_sample" -> QueryDef(
+      (s, dir) => {
+        Mixing.sampleByRate(table(s, dir, "documents"),
+          "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte
+        |SELECT doc_id, lang FROM u
+        |WHERE u < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
+        |                    WHEN 'zh' THEN 49152 ELSE 65536 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing, concat-offset form: hash-shard the corpus, lay
+    // each shard out in doc_id order, cut packs at 512-token
+    // boundaries; a doc belongs to the pack where its first token
+    // lands. Shard-parallel by construction — the window sorts only
+    // |corpus|/shards rows per shard, never a global single-partition
+    // window.
+    "doc_pack" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+        Mixing.packByOffset(docs, "doc_id", "toks",
+          ctxTokens = 512, nShards = 8, shardHash = Mixing.hashSlice)
+          .select(col("doc_id"), col("toks"), col("shard").cast("long").as("shard"),
+            col("start_off"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte,
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks,
+        |    u % 8 AS shard
+        |  FROM u),
+        |laid AS (
+        |  SELECT doc_id, toks, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, toks, shard, start_off,
+        |  shard * 2147483647 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
+        |FROM laid ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -17,7 +17,7 @@ final case class QueryDef(
 object Registry {
   lazy val all: Map[String, QueryDef] =
     CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ AnnQueries.defs
+      DedupQueries.defs ++ AnnQueries.defs ++ MixQueries.defs
 
   lazy val benchSet: Seq[String] = all.collect { case (n, d) if d.bench => n }.toSeq.sorted
 }

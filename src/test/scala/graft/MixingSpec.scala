@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Mixing
+
+/** Corpus composition: deterministic stratified sampling and
+  * shard-parallel sequence packing. */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select($"doc_id", $"lang", $"text")
+
+  test("sampleByRate: deterministic, boundary rates exact, subsets monotone") {
+    val total = docs.count()
+    // rate 1.0 keeps everything, 0.0 keeps nothing
+    assert(Mixing.sampleByRate(docs, "lang", "doc_id", Map.empty).count() == total)
+    assert(Mixing.sampleByRate(docs, "lang", "doc_id",
+      Map.empty, default = 0.0).count() == 0)
+    // deterministic: the same call twice keeps the identical id set
+    def ids(rate: Double): Set[Long] =
+      Mixing.sampleByRate(docs, "lang", "doc_id", Map("en" -> rate))
+        .filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert(ids(0.5) == ids(0.5))
+    // monotone: lowering a rate keeps a SUBSET (the re-mix-as-delete
+    // property — a rate change must never reshuffle which docs survive)
+    assert(ids(0.25).subsetOf(ids(0.5)) && ids(0.5).subsetOf(ids(0.75)))
+    // the kept fraction tracks the rate (hash-slice uniformity)
+    val en = docs.filter($"lang" === "en").count().toDouble
+    val frac = ids(0.5).size / en
+    assert(frac > 0.35 && frac < 0.65, s"kept fraction $frac far from rate 0.5")
+  }
+
+  test("packByOffset: every doc in exactly one pack, offsets gapless, packs aligned") {
+    val withToks = docs.select($"doc_id",
+      size(split(trim($"text"), " +")).cast("long").as("toks"))
+    val packed = Mixing.packByOffset(withToks, "doc_id", "toks",
+      ctxTokens = 256, nShards = 4).cache()
+    try {
+      // one output row per input doc (nothing lost, nothing duplicated)
+      assert(packed.count() == withToks.count())
+      assert(packed.select("doc_id").distinct().count() == withToks.count())
+      val rows = packed.select("doc_id", "toks", "shard", "start_off", "pack_id")
+        .as[(Long, Long, Int, Long, Long)].collect()
+      rows.groupBy(_._3).foreach { case (_, shardRows) =>
+        val ordered = shardRows.sortBy(_._1)
+        // gapless layout: each doc starts where the previous one ended
+        ordered.foldLeft(0L) { case (expected, (_, toks, _, off, _)) =>
+          assert(off == expected, s"offset gap: $off != $expected")
+          expected + toks
+        }
+        // pack assignment is exactly the boundary the offset lands in
+        ordered.foreach { case (_, _, shard, off, pack) =>
+          assert(pack == shard.toLong * Int.MaxValue + off / 256)
+        }
+        // docs within a pack are contiguous in id order
+        val packsInOrder = ordered.map(_._5)
+        assert(packsInOrder.sameElements(packsInOrder.sorted),
+          "pack ids must be non-decreasing along the shard layout")
+      }
+      // production default (xxhash64 sharding) holds the same invariants
+      val prod = Mixing.packByOffset(withToks, "doc_id", "toks",
+        ctxTokens = 256, nShards = 4)
+      assert(prod.count() == withToks.count())
+    } finally { packed.unpersist(); () }
+  }
+}
