@@ -2,13 +2,14 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.source.Changelog.table
-import graft.ops.{Mixing, TextAnalysis}
+import graft.ops.{Decontaminate, Mixing, TextAnalysis}
 
 /** Corpus-composition queries over `documents`: deterministic
-  * stratified sampling (data mixing) and shard-parallel sequence
-  * packing — the ops between a deduped store and a training run.
-  * Both use the md5 hash family so the DuckDB oracle replays the
-  * identical decisions (production callers pass xxhash64). */
+  * stratified sampling (data mixing), shard-parallel sequence packing,
+  * and benchmark decontamination — the ops between a deduped store and
+  * a training run. The hash-based ops use the md5 family so the DuckDB
+  * oracle replays the identical decisions (production callers pass
+  * xxhash64). */
 object MixQueries {
 
   /** DuckDB spelling of [[Mixing.hashSlice]]: decode the first 4 hex
@@ -72,6 +73,34 @@ object MixQueries {
         |  FROM t)
         |SELECT doc_id, toks, shard, start_off,
         |  shard * 2147483647 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
-        |FROM laid ORDER BY doc_id""".stripMargin))
+        |FROM laid ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing any verbatim 5-gram with
+    // the "benchmark" split (doc_id < 50 plays the eval suite), with
+    // the distinct-collision count per contaminated doc. The benchmark
+    // n-gram set broadcasts; the corpus side is a map-only explode —
+    // the corpus is never shuffled.
+    "decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Decontaminate.contaminated(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))) AS ng
+        |  FROM t WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_hits
+        |FROM g JOIN bench USING (ng)
+        |WHERE g.doc_id >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -64,4 +64,27 @@ class MixingSpec extends SparkSpec {
       assert(prod.count() == withToks.count())
     } finally { packed.unpersist(); () }
   }
+
+  test("decontaminate: exact n-gram collision flags the leaked doc only") {
+    import graft.ops.Decontaminate
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares exactly one 5-gram with the benchmark doc
+      (10L, "prefix alpha beta gamma delta epsilon suffix"),
+      (11L, "totally different words with no overlap at all"),
+      // shares all the WORDS but no contiguous 5-gram — vocabulary
+      // overlap must not read as contamination
+      (12L, "alpha beta gamma x delta epsilon zeta y")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L))
+    val scrubbed = Decontaminate.scrub(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scrubbed == Set(11L, 12L))
+    // a clean corpus passes through untouched
+    assert(Decontaminate.contaminated(
+      corpus.filter($"doc_id" > 10), bench, "doc_id", "text", n = 5).isEmpty)
+  }
 }

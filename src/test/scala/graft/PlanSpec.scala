@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
     assert(cols.split(",").length == 6, s"ReadSchema not pruned: $cols")
   }
 
+  test("decontamination broadcasts the benchmark side — the corpus never shuffles") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark n-gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffled n-gram join drags the whole exploded corpus through the wire")
+  }
+
   test("admission candidate scan prunes to (doc_id, bands) — never the arrays") {
     // the point of persisting the packed band column: candidate
     // generation must read fixed-width band structs WITHOUT dragging the
