@@ -228,6 +228,29 @@ class DeltaStoreSpec extends SparkSpec {
     assert(state(target) == before + (("t", 0L) -> ((0L, 999, 9.9))))
   }
 
+  test("a crash mid-snapshot leaves readers intact; the orphan dir is GC'd") {
+    val target = tmp("graft-delta-snapcrash")
+    (0 until 3).foreach { b =>
+      DeltaStore.append(netOf(("t", b.toLong, "insert", b.toLong, b, b / 2.0)),
+        target, pkCols, nBuckets = 4, batchId = b)
+    }
+    val before = state(target)
+    val m = DeltaStore.readManifest(target)
+    // simulate a snapshot that died between the generation write and the
+    // flip: a partial snap dir exists, the manifest still points at the
+    // old chains — readers must see the old state untouched
+    val orphan = java.nio.file.Paths.get(target, "snap-1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "partial")
+    assert(state(target) == before)
+    assert(DeltaStore.readManifest(target) == m)
+    // the next flip (any append) sweeps the unreferenced snap dir
+    DeltaStore.append(netOf(("t", 9L, "insert", 9L, 9, 9.0)),
+      target, pkCols, nBuckets = 4, batchId = 3)
+    assert(!java.nio.file.Files.exists(orphan), "orphan snap dir not GC'd")
+    assert(state(target) == before + (("t", 9L) -> ((9L, 9, 9.0))))
+  }
+
   test("config-driven streaming sync appends into the delta target") {
     val target = tmp("graft-delta-sync")
     val ckpt = Files.createTempDirectory("graft-delta-sync-c").toString
