@@ -61,6 +61,24 @@ object TextAnalysis {
       .drop("_p")
   }
 
+  /** Intra-document repetition signals — the Gopher/MassiveText
+    * duplicate-n-gram-fraction filter class: the fraction of
+    * unigram/bigram/trigram positions occupied by repeats,
+    * `1 − |distinct|/|total|`. High values mark boilerplate loops and
+    * degenerate generations; production pipelines threshold these
+    * per-n. Map-only array arithmetic per row (no shuffle); ratios are
+    * two IEEE ops on exact integer counts — oracle-portable. */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def dupFrac(grams: Column): Column =
+      when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        .otherwise(lit(0.0))
+    val toks = tokens(col(textCol))
+    df.withColumn("dup_tok_frac", dupFrac(toks))
+      .withColumn("dup_2gram_frac", dupFrac(Dedup.shingles(toks, 2)))
+      .withColumn("dup_3gram_frac", dupFrac(Dedup.shingles(toks, 3)))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with fixed tie-break order. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

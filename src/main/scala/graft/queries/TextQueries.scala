@@ -39,6 +39,32 @@ object TextQueries {
         |FROM c ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // Intra-doc repetition (duplicate n-gram fractions) — the
+    // boilerplate/degeneration filter signal that complements the
+    // cross-doc dedup family.
+    "text_repetition" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.repetition(table(s, dir, "documents"))
+          .select("doc_id", "dup_tok_frac", "dup_2gram_frac", "dup_3gram_frac")
+          .orderBy("doc_id")
+      },
+      Some(s"""$tokCte,
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(toks)) / len(toks) END AS dup_tok_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(g2)) / len(g2) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     "text_langid" -> QueryDef(
       (s, dir) => {
         TextAnalysis.langId(table(s, dir, "documents"))

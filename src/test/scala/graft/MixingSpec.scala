@@ -65,6 +65,21 @@ class MixingSpec extends SparkSpec {
     } finally { packed.unpersist(); () }
   }
 
+  test("repetition: duplicate n-gram fractions match hand counts") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "a a a a"),            // toks 4/1 distinct; bigrams 3/1; trigrams 2/1
+      (2L, "w x y z"),            // all distinct at every n
+      (3L, "spam ham spam ham")   // toks 4/2; bigrams: sh hs sh -> 3/2; trigrams 2/2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df)
+      .select("doc_id", "dup_tok_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1.0 - 1.0 / 4, 1.0 - 1.0 / 3, 1.0 - 1.0 / 2)))
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1.0 - 2.0 / 4, 1.0 - 2.0 / 3, 0.0)))
+  }
+
   test("decontaminate: exact n-gram collision flags the leaked doc only") {
     import graft.ops.Decontaminate
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
