@@ -101,6 +101,64 @@ object MixQueries {
         |SELECT g.doc_id AS doc_id, count(*) AS n_hits
         |FROM g JOIN bench USING (ng)
         |WHERE g.doc_id >= 50
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The corpus-release pipeline END TO END — scrub benchmark leakage,
+    // apply the mixture weights, pack for training, emit per-pack audit
+    // stats. Composition is the point: each stage is the operator gated
+    // above, and the whole chain is ONE Catalyst plan (scrub's broadcast
+    // join → map-only mix filter → per-shard pack window → final agg).
+    "pipeline_release" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val clean = Decontaminate.scrub(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 5)
+        val mixed = Mixing.sampleByRate(clean, "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75))
+        val withToks = mixed.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+        Mixing.packByOffset(withToks, "doc_id", "toks",
+          ctxTokens = 512, nShards = 8, shardHash = Mixing.hashSlice)
+          .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_toks"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("pack_id")
+      },
+      Some("""WITH u AS (
+        |  SELECT *,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u,
+        |    regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))) AS ng
+        |  FROM u WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
+        |  WHERE g.doc_id >= 50),
+        |released AS (
+        |  SELECT doc_id, u % 8 AS shard, CAST(len(toks) AS BIGINT) AS toks
+        |  FROM u
+        |  WHERE doc_id >= 50
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND u < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
+        |                      WHEN 'zh' THEN 49152 ELSE 65536 END),
+        |laid AS (
+        |  SELECT doc_id, toks, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
+        |  FROM released)
+        |SELECT shard,
+        |  shard * 2147483647 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_toks,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM laid GROUP BY 1, 2 ORDER BY pack_id""".stripMargin))
   )
 }
