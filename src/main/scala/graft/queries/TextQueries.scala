@@ -44,7 +44,11 @@ object TextQueries {
     // cross-doc dedup family.
     "text_repetition" -> QueryDef(
       (s, dir) => {
-        TextAnalysis.repetition(table(s, dir, "documents"))
+        // token arrays behind a cache barrier (repetition() contract)
+        val toksDf = table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .cache()
+        TextAnalysis.repetition(toksDf)
           .select("doc_id", "dup_tok_frac", "dup_2gram_frac", "dup_3gram_frac")
           .orderBy("doc_id")
       },

@@ -72,6 +72,7 @@ class MixingSpec extends SparkSpec {
       (2L, "w x y z"),            // all distinct at every n
       (3L, "spam ham spam ham")   // toks 4/2; bigrams: sh hs sh -> 3/2; trigrams 2/2
     ).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
     val got = TextAnalysis.repetition(df)
       .select("doc_id", "dup_tok_frac", "dup_2gram_frac", "dup_3gram_frac")
       .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
