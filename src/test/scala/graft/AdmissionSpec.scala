@@ -78,6 +78,21 @@ class AdmissionSpec extends SparkSpec {
     assert(!new java.io.File(cfg.bandTarget).exists())
   }
 
+  test("an empty (or all-filtered) first batch neither crashes nor creates a store") {
+    val cfg = cfgIn("graft-adm-empty")
+    // nothing admitted: every doc is under the <3-token signature guard
+    Admission.admitBatch(Seq((1L, "too short")).toDF("doc_id", "text"), cfg, 0L)
+    assert(BucketStore.read(spark, cfg.target).isEmpty)
+    // a literally empty batch on the still-absent store is also a no-op
+    Admission.admitBatch(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"), cfg, 1L)
+    assert(BucketStore.read(spark, cfg.target).isEmpty)
+    // the stream then proceeds normally once real docs arrive
+    Admission.admitBatch(Seq((2L, base)).toDF("doc_id", "text"), cfg, 2L)
+    assert(storedIds(cfg) == Set(2L))
+    assert(bandRows(cfg) == wantBands(cfg))
+  }
+
   test("at-least-once redelivery converges under the single flip") {
     val cfg = cfgIn("graft-adm-replay")
     Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)
