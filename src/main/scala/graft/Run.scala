@@ -37,7 +37,8 @@ object Run {
         case other => throw new IllegalArgumentException(
           s"unknown maintenance op: $other")
       }
-    } else if (cfg.path("source").path("type").asText() == "events_stream")
+    } else if (Set("events_stream", "events_dsv2")(
+        cfg.path("source").path("type").asText()))
       graft.pipeline.Pipeline.runStream(spark, json).foreach(s =>
         println(s"[run] last batch ${s.batchId}: ${s.numInputRows} rows, " +
           s"${s.processedRowsPerSecond.round} rows/s, trigger ${s.triggerMs} ms"))

@@ -109,12 +109,32 @@ object Pipeline {
   def runStream(spark: SparkSession, json: String): Option[graft.streaming.PipelineMetrics#Snapshot] = {
     val cfg = new ObjectMapper().readTree(json)
     val src = cfg.get("source")
-    require(src.get("type").asText() == "events_stream",
-      "streaming pipeline needs an events_stream source")
-    val stream = graft.streaming.ChangeStream.fromEventsStream(
-      spark, src.get("dir").asText(),
-      if (src.has("slices")) src.get("slices").asInt() else 1,
-      if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
+    val stream = src.get("type").asText() match {
+      case "events_stream" =>
+        graft.streaming.ChangeStream.fromEventsStream(
+          spark, src.get("dir").asText(),
+          if (src.has("slices")) src.get("slices").asInt() else 1,
+          if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
+      case "events_dsv2" =>
+        // the custom DSv2 MicroBatchStream (S1): spooled seq-ordered
+        // segments, executor-side splits, admission-control rate limit.
+        // It spools only the replicated columns; `db` is the fixture
+        // constant (as in Changelog.fromEventsDf) and event_time is not
+        // carried — sync configs don't read it, windowed ones should
+        // use events_stream
+        import org.apache.spark.sql.functions.lit
+        var r = spark.readStream.format("graft.source.ChangelogSource")
+          .option("dir", src.get("dir").asText())
+        if (src.has("maxRowsPerTrigger"))
+          r = r.option("maxRowsPerTrigger", src.get("maxRowsPerTrigger").asText())
+        if (src.has("chunkRows"))
+          r = r.option("chunkRows", src.get("chunkRows").asText())
+        r.load()
+          .withColumn("db", lit("srcdb"))
+          .withColumn("event_time", lit(null).cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"streaming pipeline needs an events_stream or events_dsv2 source, got $other")
+    }
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
     val ckpt = snk.get("checkpoint").asText()

@@ -82,6 +82,34 @@ class Dsv2SourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("config-driven sync over the dsv2 source: both incremental sinks agree") {
+    // the custom source driving the APPLY path through the one-binary
+    // front-end (source type events_dsv2): multi-batch rate-limited
+    // drain into each incremental sink, final states cross-validated —
+    // chunking and the rate limit are deterministic, so both drains see
+    // identical batch cuts, and the apply algebra makes the final state
+    // batch-cut-independent anyway
+    def drain(sinkType: String): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dsv2-$sinkType")
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_dsv2", "dir": "$sf",
+                   "maxRowsPerTrigger": "300"},
+        "processors": [],
+        "sink": {"type": "$sinkType", "path": "$dir/state",
+                 "checkpoint": "$dir/ckpt", "pk": ["tbl", "pk"], "buckets": 16}
+      }""")
+      if (sinkType == "parquet_merge")
+        graft.sink.BucketStore.read(spark, s"$dir/state").get
+      else graft.sink.DeltaStore.read(spark, s"$dir/state").get
+    }
+    val cols = Seq("tbl", "pk", "r_id", "r_k", "r_v")
+    val m = drain("parquet_merge").select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val d = drain("parquet_delta").select(cols.map(org.apache.spark.sql.functions.col): _*)
+    assert(m.count() > 0)
+    assert(m.exceptAll(d).isEmpty && d.exceptAll(m).isEmpty,
+      "dsv2-driven merge and delta final states diverge")
+  }
+
   test("dsv2 source feeds the standard operator chain") {
     val df = spark.readStream.format("graft.source.ChangelogSource")
       .option("dir", sf).load()
