@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: direct scale evidence for the two hottest paths. Unions
+  * the sf tables k× with SHIFTED ids (so key cardinality grows with
+  * the data — the realistic growth mode, not hot-key pileup) and times
+  * the operator at k=1 vs k=K. A scalable plan grows ≈ linearly; a
+  * hidden quadratic (pair blowup, re-derivation trap) shows up as a
+  * super-linear jump long before a cluster run would.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe 10"
+  */
+object ScaleProbe {
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
+      val span = base.agg(max(col(idCols.head))).head().getLong(0) + 1
+      (0 until n).map { i =>
+        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * span))
+      }.reduce(_ unionByName _)
+    }
+
+    // P8 compaction: events ×k, user_id AND event_id shifted — both key
+    // cardinality and log length grow ×k
+    val ev = graft.source.Changelog.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts")
+    def compactAt(n: Int): (Double, Long) = {
+      val log = graft.source.Changelog.fromEventsDf(
+        scaled(ev, Seq("user_id", "event_id"), n))
+      time(graft.op.Compactor.compact(log).count())
+    }
+    compactAt(1) // warm
+    val (c1, r1) = compactAt(1)
+    val (ck, rk) = compactAt(k)
+    println(s"""{"probe":"p8_compact","k":$k,"secs_1":$c1,"secs_k":$ck,""" +
+      s""""rows_1":$r1,"rows_k":$rk,"ratio":${ck / c1},"sf":"$sfDir"}""")
+
+    // MinHash+LSH dedup: documents ×k, shifted doc_id AND a per-copy
+    // suffix appended to every WORD — verbatim copies would be genuine
+    // cross-copy near-dups (k² pair blowup by DATA construction, not
+    // plan behavior), while the suffix makes each copy token-bijective
+    // to the original (identical internal dup structure, zero shared
+    // shingles across copies). Honest expectation: pairs = ×k exactly,
+    // cost ≈ ×k. Tokens are cached before shingling, as in the
+    // production queries.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def dedupAt(n: Int): (Double, Long) = {
+      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val d = (0 until n).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + i * span)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+      }.reduce(_ unionByName _)
+      val toksDf = d.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("toks")).cache()
+      try {
+        val sh = toksDf.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(graft.ops.Dedup.shingles(col("toks"))).as("sh"))
+          .withColumn("sig",
+            graft.ops.Dedup.minhashFast(col("sh"), 8).cast("array<string>"))
+        val bands = graft.ops.Dedup.lshBands(sh, "sig", 4, 2, "doc_id")
+        time(graft.ops.Dedup.lshCandidates(bands, "doc_id").count())
+      } finally { toksDf.unpersist(); () }
+    }
+    dedupAt(1) // warm
+    val (d1, p1) = dedupAt(1)
+    val (dk, pk) = dedupAt(k)
+    println(s"""{"probe":"dedup_minhash_lsh","k":$k,"secs_1":$d1,"secs_k":$dk,""" +
+      s""""pairs_1":$p1,"pairs_k":$pk,"ratio":${dk / d1},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
