@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Mixing
+
+/** Property checks for corpus composition: packing invariants against a
+  * driver-side model over random corpora, and sampling monotonicity
+  * over random rate pairs. */
+class MixingPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 80)
+    ids <- Gen.pick(n, 0L until 200L)
+    toks <- Gen.listOfN(n, Gen.choose(1L, 300L))
+  } yield ids.toList.zip(toks)
+
+  test("packByOffset invariants hold for random corpora, ctx sizes, shard counts") {
+    val prop = Prop.forAll(corpusGen, Gen.choose(16, 512), Gen.choose(1, 8)) {
+      (docs, ctx, nShards) =>
+        val df = docs.toDF("doc_id", "toks")
+        val got = Mixing.packByOffset(df, "doc_id", "toks", ctx, nShards)
+          .select("doc_id", "toks", "shard", "start_off", "pack_id")
+          .as[(Long, Long, Int, Long, Long)].collect()
+        // one row per doc, nothing invented
+        val exact = got.length == docs.length &&
+          got.map(_._1).toSet == docs.map(_._1).toSet
+        // model: within each shard, docs in id order, gapless running
+        // offsets, pack = boundary the offset lands in
+        val model = got.groupBy(_._3).forall { case (shard, rows) =>
+          val ordered = rows.sortBy(_._1)
+          var off = 0L
+          ordered.forall { case (_, toks, sh, start, pack) =>
+            val ok = start == off &&
+              pack == sh.toLong * Int.MaxValue + start / ctx
+            off += toks
+            ok
+          }
+        }
+        exact && model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sampleByRate is monotone in the rate for random rate pairs") {
+    val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rateGen = Gen.choose(0, 100).map(_ / 100.0)
+    val prop = Prop.forAll(rateGen, rateGen) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      def kept(r: Double): Set[Long] =
+        Mixing.sampleByRate(ids, "lang", "doc_id", Map("en" -> r), default = 0.0)
+          .select("doc_id").as[Long].collect().toSet
+      kept(lo).subsetOf(kept(hi))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
