@@ -58,18 +58,34 @@ object ChangeStream {
     val drop = java.nio.file.Paths.get("/tmp/graft-stream",
       Integer.toHexString(s"$sfDir#$slices#$sliceBy".hashCode))
     java.nio.file.Files.createDirectories(drop)
-    if (slices <= 1) {
-      val dst = drop.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
-    } else if (!java.nio.file.Files.exists(
-        drop.resolve(s"slice-${slices - 1}.parquet"))) {
-      // event_id-range segments preserve binlog order between slices (a
-      // key's ops land in batch order), mirroring sequential segment
-      // rotation; staged once, reused by every run against this (sf, n).
-      // Completion is keyed on the LAST slice (moved last): a crash
-      // mid-staging re-stages everything, and the moves are REPLACE so
-      // the retry is idempotent.
+    // Staging completion is keyed on a SOURCE marker carrying the input
+    // file's (size, mtime), written atomically AFTER the segments: a
+    // crash mid-staging re-stages everything (moves are REPLACE, so the
+    // retry is idempotent), and a REGENERATED events.parquet at the same
+    // path invalidates the staged dir instead of silently serving stale
+    // slices to every later drain on this machine.
+    val srcFile = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val srcSig = s"${java.nio.file.Files.size(srcFile)}#${
+      java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+    // the marker lives NEXT TO the drop dir, never inside it: the file
+    // stream tails the dir and would try to read the marker as parquet —
+    // and a current-mtime file among the 2020-stamped slices would also
+    // shift the source's maxFileAge window under the slices
+    val marker = drop.resolveSibling(drop.getFileName.toString + ".SOURCE")
+    java.nio.file.Files.deleteIfExists(drop.resolve("SOURCE")) // pre-fix leftover
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == srcSig
+    if (fresh) {
+      // staged and current — nothing to do
+    } else if (slices <= 1) {
+      java.nio.file.Files.copy(srcFile, drop.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeMarker(marker, srcSig)
+    } else {
+      // range segments preserve binlog order between slices (a key's
+      // ops land in batch order), mirroring sequential segment rotation;
+      // staged once, reused by every run against this (sf, n, sliceBy)
       val ev = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
       // an empty source yields one all-null agg row (not zero rows):
       // guard the null, not just headOption, so the drain stays empty
@@ -95,6 +111,7 @@ object ChangeStream {
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1_600_000_000_000L + i * 1000L))
       }
+      writeMarker(marker, srcSig)
     }
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -102,6 +119,15 @@ object ChangeStream {
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
     graft.source.Changelog.fromEventsDf(raw)
+  }
+
+  private def writeMarker(marker: java.nio.file.Path, sig: String): Unit = {
+    val tmp = marker.resolveSibling(s"SOURCE.tmp-${java.util.UUID.randomUUID}")
+    java.nio.file.Files.write(tmp,
+      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Tumbling-window aggregation with watermark — the streaming form of

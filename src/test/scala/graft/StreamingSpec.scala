@@ -10,6 +10,31 @@ import graft.streaming.ChangeStream.{FlatEvent, NetRow}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("slice staging invalidates when the source file is regenerated") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-restage")
+    val src = dir.resolve("events.parquet")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), src)
+    def stagedCount(): Long = {
+      // build (or reuse) the staged drop dir, then count its slice rows
+      ChangeStream.fromEventsStream(spark, dir.toString, slices = 2)
+      val drop = Paths.get("/tmp/graft-stream",
+        Integer.toHexString(s"$dir#2#event_id".hashCode))
+      spark.read.parquet(
+        drop.resolve("slice-0.parquet").toString,
+        drop.resolve("slice-1.parquet").toString).count()
+    }
+    val n1 = graft.source.Changelog.events(spark, dir.toString).count()
+    assert(stagedCount() == n1 && n1 > 0)
+    // the driver regenerates the source at the SAME path (different
+    // content): the staged dir must invalidate, not serve stale slices
+    Files.copy(Paths.get("/root/testdata/sf0.01/events.parquet"), src,
+      StandardCopyOption.REPLACE_EXISTING)
+    val n2 = graft.source.Changelog.events(spark, dir.toString).count()
+    assert(n2 != n1)
+    assert(stagedCount() == n2)
+  }
+
   test("stateful compaction emits incremental net ops across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[FlatEvent]
