@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,13 +8,25 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs per-partition in batches.
   *
-  * The actual codec is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] produces deterministic fake features.
-  * Everything around it — schema, batch shape, partition-parallel
-  * execution, column pruning of the heavy binary column — is the real
-  * production plumbing and is exercised by tests. On a real cluster the
-  * stub body is replaced by the native decoder; the Spark plan is
-  * unchanged.
+  * Two codec families:
+  *
+  *   - IMAGE (PNG/JPEG/BMP/GIF — anything with a JDK `ImageIO` plugin):
+  *     [[decodeImage]] and [[resizeImage]] are REAL decoders — they parse
+  *     the container, recover pixel dimensions, and fold per-channel
+  *     pixel sums, all with `javax.imageio` + `java.awt.image` (in every
+  *     JDK; zero external dependencies). [[synthPng]] writes real PNG
+  *     bytes from a deterministic raster so tests and oracles can pin
+  *     exact expected dimensions and channel sums.
+  *   - OPAQUE (audio/video/unknown — no codec in a stock JVM):
+  *     [[opaqueFeatures]] / [[resizeBytes]] / [[frameSample]] operate on
+  *     the raw byte payload with deterministic byte-window arithmetic.
+  *     On a real cluster a native demuxer slots into the same
+  *     mapPartitions seam; the Spark plan is unchanged.
+  *
+  * Every operator here is map-only over the media table: no shuffle, no
+  * state, decode cost parallelizes with input splits — at 100 TB the
+  * scan is the only cost, and the heavy `bytes` column is pruned by
+  * every query that doesn't decode.
   */
 object Multimodal {
 
@@ -37,6 +49,128 @@ object Multimodal {
         lit("fake/raw").as("format"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
+
+  /** Deterministic raster for doc `id`: width `4 + id%13`, height
+    * `3 + id%11`, pixel (x,y) = ((id+x)%256, (id+y)%256, (id+x+y)%256).
+    * Closed-form in `id`, so a SQL oracle can recompute the expected
+    * dimensions and channel sums without decoding anything — and PNG is
+    * lossless, so a correct decoder must recover these values exactly. */
+  private[graft] def synthRaster(id: Long): java.awt.image.BufferedImage = {
+    val w = (4 + id % 13).toInt
+    val h = (3 + id % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x) % 256).toInt
+        val g = ((id + y) % 256).toInt
+        val b = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Synthesize a real PNG per document (deterministic [[synthRaster]]
+    * encoded with the JDK PNG writer). Reads ONLY doc_id — the text
+    * column is pruned from the scan. */
+  def synthPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(synthRaster(id), "png", bos)
+          val bytes = bos.toByteArray
+          (id, bytes, "image/png", bytes.length.toLong, "synth")
+        }
+      }
+      .toDF("media_id", "bytes", "format", "n_bytes", "source")
+      .select(col("media_id"), col("bytes"),
+        struct(col("format"), col("n_bytes"), col("source")).as("meta"))
+  }
+
+  case class ImageFeature(media_id: Long, format: String, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode: `ImageIO` parses the container (any format with
+    * a JDK plugin — PNG/JPEG/BMP/GIF), yielding true pixel dimensions
+    * and per-channel pixel sums. Per-partition batched; one reader
+    * resolve per row, no shuffle. Throws on bytes no JDK codec accepts —
+    * route unknown formats to [[opaqueFeatures]] instead. */
+  def decodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, img) = readImage(id, bytes)
+          val (sr, sg, sb) = channelSums(img, img.getWidth, img.getHeight,
+            (x, _) => x, (_, y) => y)
+          ImageFeature(id, fmt, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }.toDF()
+  }
+
+  case class ImageResized(media_id: Long, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel-space resize: decode with `ImageIO`, nearest-neighbor
+    * resample to (outW, outH) — source pixel of output (x',y') is
+    * (x'·w/outW, y'·h/outH) with floor division, the same convention as
+    * [[resizeBytes]] — then fold per-channel sums of the resampled
+    * raster. */
+  def resizeImage(spark: SparkSession, media: DataFrame, outW: Int = 8,
+      outH: Int = 6): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (_, img) = readImage(id, bytes)
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          val (sr, sg, sb) = channelSums(img, outW, outH,
+            (xp, _) => ((xp * w) / outW).toInt,
+            (_, yp) => ((yp * h) / outH).toInt)
+          ImageResized(id, outW, outH, sr, sg, sb)
+        }
+      }.toDF()
+  }
+
+  private def readImage(id: Long,
+      bytes: Array[Byte]): (String, java.awt.image.BufferedImage) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"media $id: no JDK image codec for payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      (reader.getFormatName.toLowerCase, reader.read(0))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Fold (sum_r, sum_g, sum_b) over an (outW × outH) grid, sampling the
+    * source pixel chosen by (sx, sy). */
+  private def channelSums(img: java.awt.image.BufferedImage, outW: Int,
+      outH: Int, sx: (Int, Int) => Int, sy: (Int, Int) => Int): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        val rgb = img.getRGB(sx(x, y), sy(x, y))
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
 
   case class MediaFeature(media_id: Long, n_bytes: Long, n_frames: Long,
       frame_digest: String, width: Int, height: Int)
@@ -69,11 +203,12 @@ object Multimodal {
 
   case class Resized(media_id: Long, out_len: Long, digest: String)
 
-  /** Resize stub — deterministic nearest-neighbor downsample of the byte
-    * payload to at most `target` bytes (out[i] = in[i·len/outLen]); a
-    * real implementation swaps the per-pixel kernel into the same
-    * batched seam. Empty payloads are dropped (nothing to resize). */
-  def resizeStub(spark: SparkSession, media: DataFrame, target: Int = 64): DataFrame = {
+  /** Byte-space resize for OPAQUE payloads — deterministic
+    * nearest-neighbor downsample of the byte payload to at most `target`
+    * bytes (out[i] = in[i·len/outLen]); for formats with a pixel codec
+    * use [[resizeImage]]. Empty payloads are dropped (nothing to
+    * resize). */
+  def resizeBytes(spark: SparkSession, media: DataFrame, target: Int = 64): DataFrame = {
     import spark.implicits._
     media.select("media_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -91,12 +226,13 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Per-partition batched "decode" — the mapPartitions seam where a
-    * native decoder would run. The stub derives deterministic pseudo
-    * features (frame count from a 32-byte stride, a digest of the first
-    * sampled frame, fake dimensions from the byte length) so tests can
-    * assert exact values. */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Per-partition batched feature fold for OPAQUE payloads (no JDK
+    * codec: audio/video) — deterministic pseudo features (frame count
+    * from a 32-byte stride, a digest of the first sampled frame, fake
+    * dimensions from the byte length) so tests can assert exact values.
+    * A native demuxer slots into this same seam on a real cluster; for
+    * images, [[decodeImage]] is already the real thing. */
+  def opaqueFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val stride = 32
     media.select("media_id", "bytes").as[(Long, Array[Byte])]

@@ -191,7 +191,7 @@ object TextQueries {
     "mm_resize" -> QueryDef(
       (s, dir) => {
         val media = Multimodal.attachBinary(table(s, dir, "documents"))
-        Multimodal.resizeStub(s, media, target = 64).orderBy("media_id")
+        Multimodal.resizeBytes(s, media, target = 64).orderBy("media_id")
       },
       Some("""WITH d AS (
         |  SELECT doc_id, text, strlen(text) AS len,
@@ -205,6 +205,48 @@ object TextQueries {
         |  md5(string_agg(substr(text, CAST((i * len) // out_len AS BIGINT) + 1, 1),
         |                 '' ORDER BY i)) AS digest
         |FROM s GROUP BY doc_id, out_len
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // REAL image decode: synthesize a deterministic PNG per doc (raster
+    // is closed-form in doc_id), decode it back with the JDK's ImageIO,
+    // and report true dimensions + per-channel pixel sums. PNG is
+    // lossless, so the oracle recomputes the expected values from the
+    // raster formula alone — a wrong decoder cannot pass.
+    "mm_decode" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.synthPng(s, table(s, dir, "documents"))
+        Multimodal.decodeImage(s, media).orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(4 + doc_id % 13 AS INT) AS width,
+        |  CAST(3 + doc_id % 11 AS INT) AS height,
+        |  CAST((3 + doc_id % 11) * list_sum(list_transform(
+        |    range(0, CAST(4 + doc_id % 13 AS BIGINT)), x -> (doc_id + x) % 256)) AS BIGINT) AS sum_r,
+        |  CAST((4 + doc_id % 13) * list_sum(list_transform(
+        |    range(0, CAST(3 + doc_id % 11 AS BIGINT)), y -> (doc_id + y) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, CAST(4 + doc_id % 13 AS BIGINT)), x ->
+        |    list_sum(list_transform(range(0, CAST(3 + doc_id % 11 AS BIGINT)), y ->
+        |      (doc_id + x + y) % 256)))) AS BIGINT) AS sum_b
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL pixel-space resize: decode the synthesized PNG, nearest-
+    // neighbor resample to 8x6 (src pixel = floor(out·dim/outDim), the
+    // byte-family convention), sum channels of the resampled raster.
+    "mm_resize_img" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.synthPng(s, table(s, dir, "documents"))
+        Multimodal.resizeImage(s, media, outW = 8, outH = 6).orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h,
+        |  CAST(6 * list_sum(list_transform(range(0, 8), xp ->
+        |    (doc_id + (xp * (4 + doc_id % 13)) // 8) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(8 * list_sum(list_transform(range(0, 6), yp ->
+        |    (doc_id + (yp * (3 + doc_id % 11)) // 6) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, 8), xp ->
+        |    list_sum(list_transform(range(0, 6), yp ->
+        |      (doc_id + (xp * (4 + doc_id % 13)) // 8
+        |              + (yp * (3 + doc_id % 11)) // 6) % 256)))) AS BIGINT) AS sum_b
+        |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

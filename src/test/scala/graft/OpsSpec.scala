@@ -228,7 +228,7 @@ class OpsSpec extends SparkSpec {
   test("multimodal stub: binary plumbing with deterministic features") {
     val media = Multimodal.attachBinary(docs)
     assert(media.schema.fields.map(_.name).toSeq == Seq("media_id", "bytes", "meta"))
-    val feats = Multimodal.decodeStub(spark, media)
+    val feats = Multimodal.opaqueFeatures(spark, media)
     val row = feats.filter($"media_id" === 0L).collect().head
     val text0 = docs.filter($"doc_id" === 0L).select("text").as[String].collect().head
     assert(row.getAs[Long]("n_bytes") == text0.getBytes("UTF-8").length)
@@ -260,7 +260,7 @@ class OpsSpec extends SparkSpec {
       .digest(b).map("%02x".format(_)).mkString
     assert(frames(0).getString(2) == md5hex(("ab" * 16).getBytes("UTF-8")))
     // resize: 80 bytes → 64 samples at idx i*80/64; 10 bytes → identity
-    val r = Multimodal.resizeStub(spark,
+    val r = Multimodal.resizeBytes(spark,
       Seq((1L, (0 until 80).map(i => ('a' + i % 26).toChar).mkString.getBytes("UTF-8")),
           (2L, "0123456789".getBytes("UTF-8")),
           (3L, Array.empty[Byte])).toDF("media_id", "bytes"), target = 64)
@@ -269,6 +269,45 @@ class OpsSpec extends SparkSpec {
     assert(r(0).getLong(1) == 64L)
     assert(r(1).getLong(1) == 10L)
     assert(r(1).getString(2) == md5hex("0123456789".getBytes("UTF-8"))) // identity
+  }
+
+  test("real image decode: ImageIO round-trip recovers exact raster; jpeg dims") {
+    // PNG is lossless: decode must recover the synthetic raster's exact
+    // dimensions and channel sums (closed-form in media_id).
+    val media = Multimodal.synthPng(spark, Seq(37L, 0L, 255L).toDF("doc_id"))
+    val dec = Multimodal.decodeImage(spark, media).orderBy("media_id").collect()
+    assert(dec.map(_.getAs[String]("format")).toSeq == Seq("png", "png", "png"))
+    def expected(id: Long) = {
+      val (w, h) = ((4 + id % 13).toInt, (3 + id % 11).toInt)
+      val sr = h.toLong * (0 until w).map(x => (id + x) % 256).sum
+      val sg = w.toLong * (0 until h).map(y => (id + y) % 256).sum
+      val sb = (for (x <- 0 until w; y <- 0 until h) yield (id + x + y) % 256).sum
+      (w, h, sr, sg, sb)
+    }
+    for (row <- dec) {
+      val (w, h, sr, sg, sb) = expected(row.getLong(0))
+      assert((row.getInt(2), row.getInt(3)) == (w, h))
+      assert((row.getLong(4), row.getLong(5), row.getLong(6)) == (sr, sg, sb))
+    }
+    // identity resize (outW=w, outH=h) reproduces the decode sums
+    val id37 = media.filter($"media_id" === 37L)
+    val (w37, h37, sr37, sg37, sb37) = expected(37L)
+    val rz = Multimodal.resizeImage(spark, id37, outW = w37, outH = h37).collect().head
+    assert((rz.getLong(3), rz.getLong(4), rz.getLong(5)) == (sr37, sg37, sb37))
+    // a JPEG payload (lossy — sums not pinned) still decodes to true
+    // dims and a detected "jpeg" format via the same reader-dispatch path
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(Multimodal.synthRaster(5L), "jpg", bos)
+    val jmedia = Seq((5L, bos.toByteArray)).toDF("media_id", "bytes")
+    val jrow = Multimodal.decodeImage(spark, jmedia).collect().head
+    assert(jrow.getAs[String]("format").contains("jpeg"))
+    assert((jrow.getInt(2), jrow.getInt(3)) == ((4 + 5 % 13), (3 + 5 % 11)))
+    // opaque bytes (no JDK codec) fail loudly, not silently
+    val bad = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val e = intercept[Exception](Multimodal.decodeImage(spark, bad).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no JDK image codec")))
   }
 
   test("packed-lane folds raise on >=2^16-token documents instead of wrapping") {
