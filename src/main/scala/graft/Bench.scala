@@ -30,6 +30,31 @@ object Bench {
     spark
   }
 
+  /** Calibration anchor: a fixed, data-independent workload (codegen'd
+    * hash agg over a 40M-row range, one 9973-key shuffle) timed in its
+    * own session. Query timings can only be compared ACROSS bench runs
+    * if the machine was equally loaded in both; round 10 saw 2x min
+    * drift on three untouched queries that the within-run median/min
+    * guard cannot flag (ambient load inflates every rep alike). The
+    * anchor's min is that cross-run control: if it drifts, the run's
+    * absolute numbers are inflated by the environment, not the code. */
+  private def anchorMin(cpus: String): Double = {
+    val spark = newSession(cpus)
+    import org.apache.spark.sql.functions._
+    def runOne(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 40000000L, 1, 32)
+        .select((col("id") % 9973).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum("v"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runOne() // JIT/codegen warmup, unmeasured
+    val m = (1 to 3).map(_ => runOne()).min
+    spark.stop()
+    m
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,6 +72,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val phases = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+    val anchor = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "1") == "1"
+    val anchorStart = if (anchor) anchorMin(cpus) else -1.0
     val results = ordered.flatMap { case (name, d) =>
       val spark = newSession(cpus)
       // A query that THROWS must not record its fast error path as a
@@ -63,15 +91,23 @@ object Bench {
       // Warm this session (parquet footer cache) outside the clock.
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       if (warmup) { runOne(); spark.catalog.clearCache() }
-      val times = (1 to reps).map { _ =>
+      // Lifecycle queries record a PhaseClock split (stage/start/apply/
+      // drain); keep the split of the MIN rep — the number the driver
+      // trusts — so a slow run is attributable from the artifact alone
+      // (residual = total - stage - start - drain ≈ final store read).
+      val timed = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        PhaseClock.reset()
         val t0 = System.nanoTime()
         runOne()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        ((System.nanoTime() - t0) / 1e9, PhaseClock.snapshot())
+      }.sortBy(_._1)
       spark.stop()
-      if (ok) Some(name -> (times(times.length / 2), times.head))
-      else { failed += name; None }
+      val times = timed.map(_._1)
+      if (ok) {
+        if (timed.head._2.nonEmpty) phases(name) = timed.head._2
+        Some(name -> (times(times.length / 2), times.head))
+      } else { failed += name; None }
     }
     // Variance guard: the min is the query's floor on this box — a median
     // far above its own min is environment noise (GC pause, page-cache
@@ -94,11 +130,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
+    val anchorEnd = if (anchor) anchorMin(cpus) else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val phasesJson = phases.toSeq.sortBy(_._1).map { case (q, ps) =>
+      "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
+        .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":$totalMin,"noisy":$noisyJson,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+      s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
+      s""""anchor_min_end":$anchorEnd,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -163,7 +163,11 @@ object Pipeline {
     // thread or leave the listeners registered on the shared session
     try {
     poller.start()
-    val q = snk.get("type").asText() match {
+    // PhaseClock seams ("start" = query construction + .start(); "drain" =
+    // awaitTermination, which CONTAINS the foreachBatch "apply" time —
+    // drain minus apply is trigger/checkpoint-commit overhead): Bench
+    // publishes this split so lifecycle cost is attributable per phase.
+    val q = graft.PhaseClock.time("start") { snk.get("type").asText() match {
       case "parquet_merge" =>
         val target = snk.get("path").asText()
         val pkCols = strs(snk.get("pk"))
@@ -204,11 +208,11 @@ object Pipeline {
         }
       case other => throw new IllegalArgumentException(
         s"streaming pipeline needs a parquet_merge, parquet_delta or jdbc_apply sink, got $other")
-    }
+    } }
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it
     watchdog.restrictTo(q.id)
-    q.awaitTermination()
+    graft.PhaseClock.time("drain") { q.awaitTermination() }
     } finally {
       poller.interrupt()
       spark.streams.removeListener(watchdog)

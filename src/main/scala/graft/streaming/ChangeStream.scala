@@ -78,7 +78,7 @@ object ChangeStream {
         java.nio.charset.StandardCharsets.UTF_8) == srcSig
     if (fresh) {
       // staged and current — nothing to do
-    } else if (slices <= 1) {
+    } else graft.PhaseClock.time("stage") { if (slices <= 1) {
       java.nio.file.Files.copy(srcFile, drop.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       writeMarker(marker, srcSig)
@@ -112,7 +112,7 @@ object ChangeStream {
           java.nio.file.attribute.FileTime.fromMillis(1_600_000_000_000L + i * 1000L))
       }
       writeMarker(marker, srcSig)
-    }
+    } }
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(drop.toString)
@@ -152,7 +152,10 @@ object ChangeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyBatch(Compactor.compact(batch.toDF()), id)
+        graft.PhaseClock.count("batches")
+        graft.PhaseClock.time("apply") {
+          applyBatch(Compactor.compact(batch.toDF()), id)
+        }
       }
       .start()
 
