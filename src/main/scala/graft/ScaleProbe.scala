@@ -30,9 +30,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
-      val span = base.agg(max(col(idCols.head))).head().getLong(0) + 1
+      // one span PER COLUMN: shifting every id column by a shared span
+      // (the first column's) would leave the wider column's copies
+      // overlapping — its cardinality would not actually grow ×k
+      val spans = idCols.map(c =>
+        c -> (base.agg(max(col(c))).head().getLong(0) + 1)).toMap
       (0 until n).map { i =>
-        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * span))
+        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * spans(c)))
       }.reduce(_ unionByName _)
     }
 
@@ -84,6 +88,70 @@ object ScaleProbe {
     val (dk, pk) = dedupAt(k)
     println(s"""{"probe":"dedup_minhash_lsh","k":$k,"secs_1":$d1,"secs_k":$dk,""" +
       s""""pairs_1":$p1,"pairs_k":$pk,"ratio":${dk / d1},"sf":"$sfDir"}""")
+
+    // Streaming corpus admission, STATEFUL: documents ×k (same
+    // suffix-salted construction — cross-copy shingles disjoint, so
+    // admissions grow ×k, not collisions²) fed as 4 sequential batches
+    // against a growing store. Cost model: O(batch signatures) +
+    // O(collisions) + O(touched buckets) per batch — the store's growth
+    // must not leak into per-batch cost beyond the candidate scan.
+    def admitAt(n: Int): (Double, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-admit$n")
+      val cfg = graft.ops.Admission.Config(
+        target = dir.resolve("store").toString,
+        checkpoint = dir.resolve("ckpt").toString)
+      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val d = (0 until n).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + i * span)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+      }.reduce(_ unionByName _)
+      // batches cut by doc_id mod 4: every batch mixes all copies, so
+      // batch size grows ×k while the store grows underneath the run
+      time {
+        (0 until 4).map { b =>
+          graft.ops.Admission.admitBatch(
+            d.filter(pmod(col("doc_id"), lit(4)) === b), cfg, b.toLong)
+        }.sum
+      }
+    }
+    admitAt(1) // warm
+    val (a1, ad1) = admitAt(1)
+    val (ak, adk) = admitAt(k)
+    println(s"""{"probe":"admission_4batch","k":$k,"secs_1":$a1,"secs_k":$ak,""" +
+      s""""admitted_1":$ad1,"admitted_k":$adk,"ratio":${ak / a1},"sf":"$sfDir"}""")
+
+    // parquet_delta drain, STATEFUL: events ×k through the full
+    // checkpointed 4-slice streaming lifecycle into a DeltaStore with
+    // chain-cap folds (stream_sync's shape). The apply phase
+    // (PhaseClock) is the state-dependent cost — O(|batch|) appends +
+    // amortized chain folds; stream startup/commit is fixed, so total
+    // ratio should come in UNDER k and apply ratio ≈ k or below.
+    val evRaw = graft.source.Changelog.events(spark, sfDir)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    def drainAt(n: Int): (Double, Double) = {
+      val evDir = java.nio.file.Files.createTempDirectory(s"graft-probe-ev$n")
+      scaled(evRaw, Seq("user_id", "event_id"), n)
+        .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+      val st = java.nio.file.Files.createTempDirectory(s"graft-probe-state$n")
+      PhaseClock.reset()
+      val (secs, _) = time {
+        graft.pipeline.Pipeline.runStream(spark, s"""{
+          "source": {"type": "events_stream", "dir": "$evDir", "slices": 4},
+          "processors": [],
+          "sink": {"type": "parquet_delta", "path": "$st/state",
+                   "checkpoint": "$st/ckpt", "pk": ["tbl", "pk"],
+                   "buckets": 16, "maxChain": 2}
+        }""")
+      }
+      (secs, PhaseClock.snapshot().getOrElse("apply", 0.0))
+    }
+    drainAt(1) // warm
+    val (t1, ap1) = drainAt(1)
+    val (tk, apk) = drainAt(k)
+    println(s"""{"probe":"delta_drain_4slice","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
+      s""""apply_1":$ap1,"apply_k":$apk,"ratio":${tk / t1},""" +
+      s""""apply_ratio":${apk / ap1},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

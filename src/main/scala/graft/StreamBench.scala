@@ -121,7 +121,7 @@ object StreamBench {
     // drain (parquet_merge) would absorb the one-time staging cost the
     // second skips, biasing the comparison.
     graft.streaming.ChangeStream.fromEventsStream(spark, sfDir, slices, sliceBy)
-    def drain(sinkType: String): (Double, DataFrame, String) = {
+    def drain(sinkType: String, extra: String = ""): (Double, DataFrame, String) = {
       val target = java.nio.file.Files.createTempDirectory(s"graft-sbench-$sinkType")
         .toString + "/state"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-c").toString
@@ -131,7 +131,7 @@ object StreamBench {
                    "slices": $slices, "sliceBy": "$sliceBy"},
         "processors": [],
         "sink": {"type": "$sinkType", "path": "$target",
-                 "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64}
+                 "checkpoint": "$ckpt", "pk": ["tbl", "pk"], "buckets": 64$extra}
       }""")
       val secs = (System.nanoTime() - t0) / 1e9
       val state = sinkType match {
@@ -176,6 +176,26 @@ object StreamBench {
     val readSnap = timeRead(graft.sink.DeltaStore.read(spark, deltaTarget).get)
     println(s"""{"metric":"state_read_secs","merge":$readMerge,""" +
       s""""delta":$readDelta,"delta_snapshot":$readSnap,""" +
+      s""""slices":$slices,"slice_by":"$sliceBy","state_rows":$rows,"sf":"$sfDir"}""")
+
+    // Auto-snapshot policy, end to end: the same drain again with
+    // `autoSnapshotGens` set and NO operator snapshot call anywhere —
+    // the post-drain read must land at the snapshot number above, not
+    // the live-chain number, with the fold cost absorbed into the drain.
+    val autoGens = math.max(slices / 4, 2)
+    val (autoSecs, autoState, autoTarget) =
+      drain("parquet_delta", s""", "maxChain": 100, "autoSnapshotGens": $autoGens""")
+    require(autoState.count() == rows &&
+      mergeState.exceptAll(autoState).isEmpty &&
+      autoState.exceptAll(mergeState).isEmpty,
+      "auto-snapshot drain's resolved state diverges")
+    val liveAuto = graft.sink.DeltaStore.readManifest(autoTarget)
+      .values.flatten.toSet
+    val readAuto = timeRead(graft.sink.DeltaStore.read(spark, autoTarget).get)
+    println(s"""{"metric":"state_read_secs_autosnap","auto":$readAuto,""" +
+      s""""drain_secs":$autoSecs,"auto_snapshot_gens":$autoGens,""" +
+      s""""live_gens_at_drain_end":${liveAuto.size},""" +
+      s""""snap_fired":${liveAuto.exists(_.startsWith("snap-"))},""" +
       s""""slices":$slices,"slice_by":"$sliceBy","state_rows":$rows,"sf":"$sfDir"}""")
   }
 

@@ -50,10 +50,17 @@ object Dedup {
     * uncorrelated in practice (the standard one-hash minhash trade); a
     * lower-entropy slice can only ADD band-collision candidates, and
     * verification is exact Jaccard either way. Oracle-portable:
-    * `substr(md5(x), 4*i + 1, 4)`. */
-  def minhashMd5Sliced(hashed: Column, k: Int): Column =
+    * `substr(md5(x), 4*i + 1, 4)`. One 32-char digest yields at most 8
+    * 4-char slices, so k ≤ 8 — past that every slice is the empty
+    * string, all band keys degenerate, and LSH candidates go quadratic
+    * silently; use [[minhashFast]] for production k. */
+  def minhashMd5Sliced(hashed: Column, k: Int): Column = {
+    require(k * 4 <= 32,
+      s"sliced md5 family supports at most 8 perms (got k=$k); " +
+        "use minhashFast (xxhash64 seeds) for larger k")
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hashed, h => h.substr(i * 4 + 1, lit(4)))))
+  }
 
   /** MinHash signature, production family: xxhash64 with integer seeds —
     * a native codegen'd expression ([[graft.functions.MinHash64]]): one

@@ -63,6 +63,14 @@ object Mixing {
     * shards). One row per input doc; every doc lands in exactly one
     * pack; pack_ids are dense per shard.
     *
+    * pack_id layout: `(shard << 42) + pack_no` — shards own disjoint
+    * 2^42-pack id spaces (≈2.25e15 tokens per shard at ctx=512, beyond
+    * any 100 TB corpus; an Int.MaxValue stride would collide at ~1.1e12
+    * tokens/shard, which IS reachable). A shard whose pack index
+    * somehow reached 2^42 raises instead of bleeding into the next
+    * shard's space, and nShards is bounded so the shard field fits the
+    * remaining bits.
+    *
     * @param shardHash id → hash for shard assignment: xxhash64 by
     * default (codegen'd — the production family), [[hashSlice]] for the
     * oracle-portable md5 family (same two-family pattern as dedup). */
@@ -70,14 +78,20 @@ object Mixing {
       ctxTokens: Int, nShards: Int = 32,
       shardHash: Column => Column = xxhash64(_)): DataFrame = {
     require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
+    require(nShards <= (1 << 21), s"nShards $nShards exceeds the 2^21 shard-id space")
     val shard = pmod(shardHash(col(idCol)), lit(nShards.toLong)).cast("int")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packNo = floor(col("start_off") / ctxTokens).cast("long")
     df.withColumn("shard", shard)
       .withColumn("start_off",
         (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
       .withColumn("pack_id",
-        col("shard").cast("long") * Int.MaxValue +
-          floor(col("start_off") / ctxTokens).cast("long"))
+        when(packNo >= (1L << 42),
+          raise_error(concat(lit("packByOffset: pack index overflow — start_off "),
+            col("start_off").cast("string"),
+            lit(s" exceeds the 2^42 packs-per-shard space at ctx $ctxTokens")))
+            .cast("long"))
+          .otherwise(shiftleft(col("shard").cast("long"), 42) + packNo))
   }
 }

@@ -119,9 +119,11 @@ object Pipeline {
         // the custom DSv2 MicroBatchStream (S1): spooled seq-ordered
         // segments, executor-side splits, admission-control rate limit.
         // It spools only the replicated columns; `db` is the fixture
-        // constant (as in Changelog.fromEventsDf) and event_time is not
-        // carried — sync configs don't read it, windowed ones should
-        // use events_stream
+        // constant (as in Changelog.fromEventsDf). event_time is NOT
+        // carried and deliberately NOT fabricated as a null column: a
+        // windowed/canonical stage pairing with this source must fail
+        // at analysis ("event_time cannot be resolved"), not watermark-
+        // drop every row at runtime — windowed configs use events_stream
         import org.apache.spark.sql.functions.lit
         var r = spark.readStream.format("graft.source.ChangelogSource")
           .option("dir", src.get("dir").asText())
@@ -131,7 +133,6 @@ object Pipeline {
           r = r.option("chunkRows", src.get("chunkRows").asText())
         r.load()
           .withColumn("db", lit("srcdb"))
-          .withColumn("event_time", lit(null).cast("timestamp"))
       case other => throw new IllegalArgumentException(
         s"streaming pipeline needs an events_stream or events_dsv2 source, got $other")
     }
@@ -186,12 +187,22 @@ object Pipeline {
           else graft.sink.DeltaStore.defaultMaxChain
         val maxLiveGens = if (snk.has("maxLiveGens")) snk.get("maxLiveGens").asInt()
           else graft.sink.DeltaStore.defaultMaxLiveGens
+        // `autoSnapshotGens`: fold the store to one resolved generation
+        // whenever live generation dirs reach the threshold — keeps read
+        // cost near the snapshot floor on long-running streams without a
+        // separate maintenance run (0/absent = manual snapshots only)
+        val autoSnap = if (snk.has("autoSnapshotGens"))
+          snk.get("autoSnapshotGens").asInt() else 0
         // append-only delta-log apply: each batch lands as a new delta
         // generation — O(|batch|) per batch, merge deferred to read,
         // chain-capped compaction — crash-safe (see graft.sink.DeltaStore)
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
           graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id,
             maxChain, maxLiveGens)
+          if (autoSnap > 0) graft.PhaseClock.time("maintain") {
+            graft.sink.DeltaStore.maybeSnapshot(net.sparkSession, target,
+              nBuckets, autoSnap)
+          }
         }
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the

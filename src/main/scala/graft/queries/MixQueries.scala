@@ -72,7 +72,7 @@ object MixQueries {
         |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
         |  FROM t)
         |SELECT doc_id, toks, shard, start_off,
-        |  shard * 2147483647 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
+        |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
         |FROM laid ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: docs sharing any verbatim 5-gram with
@@ -156,7 +156,7 @@ object MixQueries {
         |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
         |  FROM released)
         |SELECT shard,
-        |  shard * 2147483647 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
+        |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_toks,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM laid GROUP BY 1, 2 ORDER BY pack_id""".stripMargin))

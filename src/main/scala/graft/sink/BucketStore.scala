@@ -89,7 +89,8 @@ object BucketStore {
 
   def writeGen(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,
-      maxLiveGens: Int = defaultMaxLiveGens): Map[Int, String] = {
+      maxLiveGens: Int = defaultMaxLiveGens,
+      allowDropColumns: Boolean = false): Map[Int, String] = {
     val spark = net.sparkSession
     val genName = s"gen-$batchId"
     val genDir = s"$target/$genName"
@@ -126,12 +127,23 @@ object BucketStore {
         .map { case (b, gen) => s"$target/$gen/bucket=$b" }.toSeq
       if (livePaths.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
-      // read with the NET's state schema, resolved by name: the merge
-      // evolves the store to the net's schema — a column the net adds
-      // reads as null from pre-evolution generations (and a column the
-      // net drops is dropped from the store). Single-writer contract
-      // makes the net's schema authoritative.
-      else spark.read.schema(stateSchema).parquet(livePaths: _*)
+      else {
+        // read with the NET's state schema, resolved by name: the merge
+        // evolves the store to the net's schema — a column the net adds
+        // reads as null from pre-evolution generations. A column the net
+        // DROPS is dropped from the whole store on this merge, which must
+        // be intentional: an accidentally narrowed net (schema drift, a
+        // typo'd select) would otherwise silently destroy stored data.
+        // Guard with the stored footer schema; cost is the footer read of
+        // files this merge reads anyway.
+        val stored = spark.read.parquet(livePaths: _*).schema.fieldNames.toSet
+        val dropped = stored -- stateSchema.fieldNames.toSet
+        require(dropped.isEmpty || allowDropColumns,
+          s"net schema omits stored column(s) ${dropped.mkString(", ")} — " +
+            "this merge would drop them from the whole store; pass " +
+            "allowDropColumns=true for intentional schema evolution")
+        spark.read.schema(stateSchema).parquet(livePaths: _*)
+      }
     }
     val merged = Merge.applyNetChanges(cur, bucketed.drop("bucket"), pkCols)
     merged.withColumn("bucket", bucketCol(pkCols, nBuckets))
@@ -168,8 +180,10 @@ object BucketStore {
   /** Merge one compacted net-change batch into the store (both phases). */
   def merge(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,
-      maxLiveGens: Int = defaultMaxLiveGens): Unit =
-    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxLiveGens))
+      maxLiveGens: Int = defaultMaxLiveGens,
+      allowDropColumns: Boolean = false): Unit =
+    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxLiveGens,
+      allowDropColumns))
 
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -307,6 +307,25 @@ object DeltaStore {
     flip(target, present.map(b => b -> Seq(genName)).toMap, applied)
   }
 
+  /** Read-amplification-triggered snapshot policy — the streaming
+    * sink's automatic analog of the manual `snapshot` maintenance config
+    * (the reference's periodic-maintenance ticker,
+    * `/root/reference/pkg/task/task.go:138-147`): fold the store to one
+    * resolved generation whenever live generation dirs reach
+    * `minLiveGens`, so a long-running stream's read cost stays near the
+    * snapshot floor without operator action. Amortized like any LSM
+    * compaction: a fold brings the count back to ≤1, so the policy fires
+    * at most once per `minLiveGens - 1` appends and each fold's cost is
+    * spread over the appends that grew the chains. Single-writer safe:
+    * call it from the apply thread, between batches. Returns whether it
+    * fired. */
+  def maybeSnapshot(spark: SparkSession, target: String, nBuckets: Int,
+      minLiveGens: Int): Boolean = {
+    val fire = readManifest(target).values.flatten.toSet.size >= minLiveGens
+    if (fire) snapshot(spark, target, nBuckets)
+    fire
+  }
+
   /** Append one compacted net-change batch (both phases). */
   def append(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,

@@ -286,6 +286,45 @@ class DeltaStoreSpec extends SparkSpec {
     assert(DeltaStore.read(spark, target).get.count() == got.size)
   }
 
+  test("auto-snapshot policy fires from the streaming sink; readers see nothing") {
+    // the same 4-slice drain twice: once with autoSnapshotGens=3, once
+    // without. The policy must fire during the auto drain (a snap-
+    // generation appears without any operator snapshot call), consume no
+    // batch id, and be invisible to readers (identical resolved state).
+    def run(extra: String): String = {
+      val target = tmp("graft-delta-autosnap")
+      val ckpt = Files.createTempDirectory("graft-delta-autosnap-c").toString
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_stream", "dir": "$sf", "slices": 4},
+        "processors": [],
+        "sink": {"type": "parquet_delta", "path": "$target",
+                 "checkpoint": "$ckpt", "pk": ["tbl", "pk"],
+                 "maxChain": 100$extra}
+      }""")
+      target
+    }
+    val auto = run(""", "autoSnapshotGens": 3""")
+    val plain = run("")
+    def liveGens(t: String) = DeltaStore.readManifest(t).values.flatten.toSet
+    // fired: some chain references a snap- generation (batches 0,1,2 grow
+    // live gens to the threshold; the fold runs between batches 2 and 3)
+    assert(liveGens(auto).exists(_.startsWith("snap-")),
+      s"auto-snapshot never fired: ${liveGens(auto)}")
+    assert(liveGens(plain).forall(_.startsWith("gen-")))
+    // read cost at drain end: the folded store holds fewer live
+    // generations than the append-only one
+    assert(liveGens(auto).size < liveGens(plain).size)
+    // a snapshot consumes no batch id — both drains applied the same ids
+    assert(DeltaStore.readApplied(auto) == DeltaStore.readApplied(plain))
+    // and resolves to the identical state
+    val a = DeltaStore.read(spark, auto).get
+    val p = DeltaStore.read(spark, plain).get
+    assert(a.count() > 0 && a.exceptAll(p).isEmpty && p.exceptAll(a).isEmpty)
+    // the policy primitive itself: below threshold it declines
+    assert(!DeltaStore.maybeSnapshot(spark, auto, nBuckets = 16,
+      minLiveGens = 100))
+  }
+
   test("maxLiveGens config reaches the store; fold policy never changes state") {
     // the same 3-slice drain twice: once with the store-wide fold forced
     // every batch (maxLiveGens=1), once with defaults. The configured

@@ -33,7 +33,7 @@ class MixingPropSpec extends SparkSpec {
           var off = 0L
           ordered.forall { case (_, toks, sh, start, pack) =>
             val ok = start == off &&
-              pack == sh.toLong * Int.MaxValue + start / ctx
+              pack == (sh.toLong << 42) + start / ctx
             off += toks
             ok
           }
@@ -42,6 +42,36 @@ class MixingPropSpec extends SparkSpec {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("pack_id spaces stay disjoint across shards past the old Int.MaxValue stride") {
+    // Token counts sized so every shard's pack index blows far past
+    // 2^31 (where the old `shard * Int.MaxValue` stride bled into the
+    // next shard's space): ~40 docs of 6.4e10 tokens per shard ≈
+    // 2.56e12 tokens ≈ pack_no 5e9 at ctx=512. Ids interleave shards
+    // via identity hash mod 2.
+    val docs = (0L until 80L).map(i => (i, 64_000_000_000L)).toDF("doc_id", "toks")
+    val got = Mixing.packByOffset(docs, "doc_id", "toks", ctxTokens = 512,
+      nShards = 2, shardHash = c => c) // identity hash: shard = id % 2
+      .select("shard", "pack_id").as[(Int, Long)].collect()
+    val byShard = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byShard.keySet == Set(0, 1))
+    // every shard-0 id below every shard-1 id — disjoint intervals
+    assert(byShard(0).max < byShard(1).min)
+    // and each shard's ids sit inside its own 2^42 window
+    assert(byShard(0).forall(p => p >= 0L && p < (1L << 42)))
+    assert(byShard(1).forall(p => p >= (1L << 42) && p < (2L << 42)))
+    // past the per-shard space the op raises instead of wrapping:
+    // one doc placed at a start_off beyond 2^42 packs
+    val monster = Seq((0L, (1L << 42) * 512 + 512), (2L, 1L))
+      .toDF("doc_id", "toks")
+    val e = intercept[Exception] {
+      Mixing.packByOffset(monster, "doc_id", "toks", ctxTokens = 512,
+        nShards = 2, shardHash = c => c).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pack index overflow")), s"got: $e")
   }
 
   test("sampleByRate is monotone in the rate for random rate pairs") {

@@ -51,7 +51,7 @@ class MixingSpec extends SparkSpec {
         }
         // pack assignment is exactly the boundary the offset lands in
         ordered.foreach { case (_, _, shard, off, pack) =>
-          assert(pack == shard.toLong * Int.MaxValue + off / 256)
+          assert(pack == (shard.toLong << 42) + off / 256)
         }
         // docs within a pack are contiguous in id order
         val packsInOrder = ordered.map(_._5)

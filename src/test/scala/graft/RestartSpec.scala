@@ -169,6 +169,39 @@ class RestartSpec extends SparkSpec {
       java.nio.file.Files.exists(java.nio.file.Paths.get(target, g, "_SUCCESS"))))
   }
 
+  test("a net that omits a stored column fails loudly unless drops are allowed") {
+    import graft.sink.BucketStore
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-drop").toString + "/state"
+    val pkCols = Seq("tbl", "pk")
+    BucketStore.merge(Seq(("t", 1L, "insert", 10L, 0.5))
+      .toDF("tbl", "pk", "net_op", "r_id", "r_v"),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    // schema drift: the next net forgot r_v — the old net-authoritative
+    // read would have silently dropped it from the whole store. Same pk
+    // so the merge reads the stored bucket (the guard rides the footer
+    // of files the merge reads anyway; drift that touches only fresh
+    // buckets surfaces at the next fold of an old one — still loud).
+    val narrow = Seq(("t", 1L, "update", 20L)).toDF("tbl", "pk", "net_op", "r_id")
+    val e = intercept[IllegalArgumentException] {
+      BucketStore.merge(narrow, target, pkCols, nBuckets = 4, batchId = 1)
+    }
+    assert(e.getMessage.contains("r_v"))
+    // the store is untouched by the refused merge
+    assert(BucketStore.read(spark, target).get.columns.contains("r_v"))
+    assert(BucketStore.read(spark, target).get.count() == 1)
+    // intentional evolution is explicit — and additive evolution (a NEW
+    // column) needs no flag: old generations read it as null
+    BucketStore.merge(narrow, target, pkCols, nBuckets = 4, batchId = 1,
+      allowDropColumns = true)
+    assert(!BucketStore.read(spark, target).get.columns.contains("r_v"))
+    val wide = Seq(("t", 1L, "update", 30L, 7))
+      .toDF("tbl", "pk", "net_op", "r_id", "r_extra")
+    BucketStore.merge(wide, target, pkCols, nBuckets = 4, batchId = 2)
+    val rows = BucketStore.read(spark, target).get
+    assert(rows.columns.contains("r_extra") && rows.count() == 1)
+  }
+
   test("bucket store folds generations down: live gens stay bounded") {
     import graft.sink.BucketStore
     import spark.implicits._
