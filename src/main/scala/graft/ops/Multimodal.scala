@@ -77,14 +77,17 @@ object Multimodal {
 
   /** Synthesize a real PNG per document (deterministic [[synthRaster]]
     * encoded with the JDK PNG writer). Reads ONLY doc_id — the text
-    * column is pruned from the scan. */
-  def synthPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * column is pruned from the scan. `idMod` > 0 derives the raster
+    * from `doc_id % idMod` (media_id stays doc_id): a corpus with
+    * repeated images, the dedup fixtures' shape. */
+  def synthPng(spark: SparkSession, docs: DataFrame, idMod: Long = 0L): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(synthRaster(id), "png", bos)
+          val rasterId = if (idMod > 0) id % idMod else id
+          javax.imageio.ImageIO.write(synthRaster(rasterId), "png", bos)
           val bytes = bos.toByteArray
           (id, bytes, "image/png", bytes.length.toLong, "synth")
         }
@@ -92,6 +95,35 @@ object Multimodal {
       .toDF("media_id", "bytes", "format", "n_bytes", "source")
       .select(col("media_id"), col("bytes"),
         struct(col("format"), col("n_bytes"), col("source")).as("meta"))
+  }
+
+  case class PHash(media_id: Long, phash: String)
+
+  /** Perceptual hash (aHash family): REAL decode → 8×8 nearest-neighbor
+    * downsample (the [[resizeImage]] convention) → integer grayscale
+    * `(r+g+b)/3` → threshold each cell at the image mean → 64-bit
+    * signature, emitted as a 64-char bit string (a signed long would
+    * put bit 63 in the sign — the string form is portable to any SQL
+    * engine with no overflow corner). Identical images hash
+    * identically; near-identical ones differ in few bits, so the
+    * signature slots into the same hamming band-blocking machinery as
+    * [[Dedup.simhash64]] for cross-corpus image dedup. Map-only: one
+    * decode + 64 pixel reads per row, no shuffle. */
+  def aHash64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (_, img) = readImage(id, bytes)
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          val gray = Array.tabulate(64) { i =>
+            val rgb = img.getRGB(((i % 8) * w / 8).toInt, ((i / 8) * h / 8).toInt)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          val mean = gray.sum / 64.0
+          PHash(id, gray.map(g => if (g > mean) '1' else '0').mkString)
+        }
+      }.toDF()
   }
 
   case class ImageFeature(media_id: Long, format: String, width: Int,

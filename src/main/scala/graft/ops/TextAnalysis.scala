@@ -148,4 +148,25 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fp",
       md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")))
+
+  /** Conservative RE2-portable PII patterns (both engines' regex
+    * dialects agree on this subset — no lookaround, no backrefs). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrub every released training corpus runs:
+    * emails then phone-like numbers are counted and replaced with
+    * typed placeholders, IN THAT ORDER (phones are counted on the
+    * email-redacted text, so a digit run inside an email address is
+    * never double-counted). Replaces `textCol` in place and adds
+    * `n_emails`/`n_phones`. Map-only: two regex passes per row, no
+    * shuffle; counts make the scrub auditable (Σ n_emails over the
+    * corpus = the release report's redaction line). */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), phonePattern, "<PHONE>"))
 }

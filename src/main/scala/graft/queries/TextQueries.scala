@@ -207,6 +207,40 @@ object TextQueries {
         |FROM s GROUP BY doc_id, out_len
         |ORDER BY media_id""".stripMargin)),
 
+    // PII redaction: the corpus has no natural PII, so the fixture is
+    // synthesized in-query (deterministic email + phone per doc, the
+    // synthPng pattern); the op then counts and scrubs both. Phones are
+    // counted AFTER email redaction — digits inside an address never
+    // double-count. Output pins counts AND the full redacted text (md5).
+    "text_redact" -> QueryDef(
+      (s, dir) => {
+        val withPii = table(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        TextAnalysis.redactPii(withPii)
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or call 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM p)
+        |SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+        |FROM r1 ORDER BY doc_id""".stripMargin)),
+
     // REAL image decode: synthesize a deterministic PNG per doc (raster
     // is closed-form in doc_id), decode it back with the JDK's ImageIO,
     // and report true dimensions + per-channel pixel sums. PNG is
@@ -228,6 +262,38 @@ object TextQueries {
         |    list_sum(list_transform(range(0, CAST(3 + doc_id % 11 AS BIGINT)), y ->
         |      (doc_id + x + y) % 256)))) AS BIGINT) AS sum_b
         |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Image dedup by perceptual hash: rasters repeat with doc_id % 64
+    // (a corpus with duplicated images), each is REALLY decoded, aHash'd
+    // (8x8 downsample → grayscale → mean threshold → 64-bit signature as
+    // a bit string), and grouped — dup_cnt is the per-signature group
+    // size. The oracle recomputes every gray cell and the mean from the
+    // raster formula; a decoder or downsampler off by one pixel fails.
+    "mm_phash" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.synthPng(s, table(s, dir, "documents"), idMod = 64)
+        Multimodal.aHash64(s, media)
+          .withColumn("dup_cnt",
+            count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      (((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8) % 256
+        |     + ((doc_id % 64) + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256
+        |     + ((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8
+        |                      + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256) // 3
+        |    ) AS gray
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(gray, v ->
+        |      CASE WHEN v > list_sum(gray) / 64.0 THEN '1' ELSE '0' END), '') AS phash
+        |  FROM g)
+        |SELECT doc_id AS media_id, phash,
+        |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_cnt
+        |FROM h ORDER BY media_id""".stripMargin)),
 
     // REAL pixel-space resize: decode the synthesized PNG, nearest-
     // neighbor resample to 8x6 (src pixel = floor(out·dim/outDim), the

@@ -310,6 +310,45 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("no JDK image codec")))
   }
 
+  test("perceptual hash: identical rasters collide, perturbed ones stay near") {
+    // two docs with the same raster id (idMod) must hash identically
+    val media = Multimodal.synthPng(spark,
+      Seq(3L, 67L, 5L).toDF("doc_id"), idMod = 64) // 3 and 67 share a raster
+    val hs = Multimodal.aHash64(spark, media).orderBy("media_id")
+      .select("media_id", "phash").as[(Long, String)].collect().toMap
+    assert(hs(3L) == hs(67L))
+    assert(hs(3L) != hs(5L))
+    assert(hs.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // a small single-pixel perturbation (+3 blue at (0,0)) moves few
+    // bits (near-dup, not equal): hamming distance stays inside what
+    // 4x16-bit band blocking catches. (A LARGE perturbation moves the
+    // mean and legitimately flips many threshold bits — aHash proximity
+    // tracks perturbation size, pin the small case.)
+    val img = Multimodal.synthRaster(3L)
+    val rgb0 = img.getRGB(0, 0)
+    img.setRGB(0, 0, rgb0 + 3) // blue channel +3 → gray cell +1
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pert = Multimodal.aHash64(spark,
+      Seq((9L, bos.toByteArray)).toDF("media_id", "bytes"))
+      .select("phash").as[String].collect().head
+    val dist = hs(3L).zip(pert).count { case (a, b) => a != b }
+    assert(dist > 0 && dist <= 16, s"hamming $dist")
+  }
+
+  test("PII redaction counts and scrubs; phones never double-count inside emails") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or 555-1234 thanks"),
+      (2L, "digits 555-0199 only"),
+      (3L, "clean text, nothing here")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df).orderBy("doc_id")
+      .select("doc_id", "text", "n_emails", "n_phones")
+      .as[(Long, String, Long, Long)].collect()
+    assert(r(0) == ((1L, "mail me at <EMAIL> or <PHONE> thanks", 1L, 1L)))
+    assert(r(1) == ((2L, "digits <PHONE> only", 0L, 1L)))
+    assert(r(2) == ((3L, "clean text, nothing here", 0L, 0L)))
+  }
+
   test("packed-lane folds raise on >=2^16-token documents instead of wrapping") {
     // 70,000 single-char tokens: every 16-bit lane would overflow silently
     val monster = Seq((1L, Array.fill(70000)("x").mkString(" ")))
