@@ -204,6 +204,39 @@ object Multimodal {
     (sr, sg, sb)
   }
 
+  /** Image near-dup PAIRS over [[aHash64]] signatures — the scale path
+    * (the exact-group form is a plain hash agg on `phash`): the 64-bit
+    * signature splits into 4 contiguous 16-bit bands; a pair within
+    * hamming distance ≤ 3 differs in at most 3 bands, so it SHARES at
+    * least one exact band (pigeonhole) and candidates meet on a
+    * (band, key) equi-join — never corpus² — with exact hamming
+    * (xor + bit_count, codegen'd) verifying candidates only. Same
+    * blocking scheme as [[Dedup]]'s SimHash64 text family, so the
+    * guarantee is exact, not approximate: band-blocked output ≡ the
+    * full quadratic filter for maxDist ≤ 3. */
+  def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band pigeonhole blocking is exact only for maxDist <= 3 (got $maxDist)")
+    val withBands = hashes.select(col("media_id"),
+      transform(sequence(lit(0), lit(3)),
+        i => conv(substring(col("phash"), i * 16 + 1, lit(16)), 2, 10)
+          .cast("long")).as("b"))
+    val exploded = withBands.select(col("media_id"), col("b"),
+      posexplode(col("b")).as(Seq("band", "key")))
+    val a = exploded.select(col("media_id").as("a_id"), col("b").as("a_b"),
+      col("band"), col("key"))
+    val bb = exploded.select(col("media_id").as("b_id"), col("b").as("b_b"),
+      col("band"), col("key"))
+    a.join(bb, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_b", "b_b").distinct()
+      .withColumn("dist", expr(
+        "bit_count(a_b[0] ^ b_b[0]) + bit_count(a_b[1] ^ b_b[1]) + " +
+          "bit_count(a_b[2] ^ b_b[2]) + bit_count(a_b[3] ^ b_b[3])").cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
   case class MediaFeature(media_id: Long, n_bytes: Long, n_frames: Long,
       frame_digest: String, width: Int, height: Int)
 

@@ -295,6 +295,41 @@ object TextQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_cnt
         |FROM h ORDER BY media_id""".stripMargin)),
 
+    // Image near-dup PAIRS at scale: aHash signatures band-blocked into
+    // 4x16-bit keys, candidates meet on a (band, key) equi-join (never
+    // corpus^2), exact hamming verifies. The oracle is the FULL
+    // quadratic hamming filter — pigeonhole makes the band-blocked
+    // output provably identical for maxDist <= 3, and the gate checks
+    // that equivalence on real decoded images.
+    "mm_phash_neardup" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.synthPng(s, table(s, dir, "documents"), idMod = 64)
+        Multimodal.phashNearDup(Multimodal.aHash64(s, media), maxDist = 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      (((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8) % 256
+        |     + ((doc_id % 64) + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256
+        |     + ((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8
+        |                      + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256) // 3
+        |    ) AS gray
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(gray, v ->
+        |      CASE WHEN v > list_sum(gray) / 64.0 THEN '1' ELSE '0' END), '') AS phash
+        |  FROM g),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(a.phash, CAST(i AS INT), 1)
+        |        <> substr(b.phash, CAST(i AS INT), 1))) AS BIGINT) AS dist
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, dist FROM pairs
+        |WHERE dist <= 3 ORDER BY a_id, b_id""".stripMargin)),
+
     // REAL pixel-space resize: decode the synthesized PNG, nearest-
     // neighbor resample to 8x6 (src pixel = floor(out·dim/outDim), the
     // byte-family convention), sum channels of the resampled raster.

@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup pairs meet on the hamming band key, never n²") {
+    val p = plan("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "phash candidate generation must stay a (band, key) equi-join")
+  }
+
   test("DeltaStore.read stays one scan + one hash agg however deep the chains") {
     import spark.implicits._
     val target = java.nio.file.Files
