@@ -178,6 +178,41 @@ object AnnQueries {
         |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id FROM p WHERE cos >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Symmetric int8 quantization — the 4x storage/serving compression
+    // with its audit trail: per-row scale, an order-weighted integer
+    // checksum of the quantized vector (exact; permutation/truncation
+    // cannot pass), and the max reconstruction error. Every column is a
+    // sequential IEEE fold both engines compute identically, and the
+    // scale rides a cache barrier so the HOF never re-derives it
+    // per element.
+    "emb_quantize" -> QueryDef(
+      (s, dir) => {
+        val scaled = vecs(s, dir)
+          .withColumn("scale", Similarity.int8Scale(col("v")))
+          .cache()
+        Similarity.quantizeInt8(scaled)
+          .select("vec_id", "scale", "q_checksum", "max_err")
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x ->
+        |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale) END) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_checksum,
+        |  list_max(list_transform(range(1, len(qv) + 1),
+        |    i -> abs(qv[i] * scale - v[i]))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin))
   )
 }

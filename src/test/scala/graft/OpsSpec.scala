@@ -225,6 +225,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(fastMedian - exactMedian) / exactMedian < 0.1)
   }
 
+  test("int8 quantization: values in range, error bounded by scale/2, zero-vector safe") {
+    import graft.ops.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5, -1.27, 0.003, 1.27)),
+      (2L, Array(100.0, -0.1, 0.0, 3.7)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val scaled = vecs.withColumn("scale", Similarity.int8Scale($"v")).cache()
+    val q = Similarity.quantizeInt8(scaled).orderBy("vec_id")
+      .select("vec_id", "scale", "q", "max_err")
+      .as[(Long, Double, Array[Double], Double)].collect()
+    for ((id, scale, qv, maxErr) <- q) {
+      assert(qv.forall(x => x == x.floor && math.abs(x) <= 127), s"vec $id: $qv")
+      if (scale > 0) assert(maxErr <= scale / 2 + 1e-12, s"vec $id err $maxErr > ${scale / 2}")
+      else assert(qv.forall(_ == 0.0) && maxErr == 0.0)
+    }
+    // the largest-|value| dim quantizes to exactly ±127
+    assert(q(0)._3.contains(-127.0) || q(0)._3.contains(127.0))
+    scaled.unpersist()
+  }
+
   test("multimodal stub: binary plumbing with deterministic features") {
     val media = Multimodal.attachBinary(docs)
     assert(media.schema.fields.map(_.name).toSeq == Seq("media_id", "bytes", "meta"))
