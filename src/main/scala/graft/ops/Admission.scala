@@ -51,10 +51,14 @@ object Admission {
   /** @param target     BucketStore directory for the signature store
     * @param checkpoint streaming checkpoint dir
     * @param threshold  Jaccard rejection threshold on trigram shingles
-    * @param perms      MinHash permutations (bands*rows must equal it) */
+    * @param perms      MinHash permutations (bands*rows must equal it)
+    * @param portableHash use the sliced-md5 MinHash family (k ≤ 8)
+    *   instead of xxhash64 — an external SQL engine can then replay the
+    *   identical admission decisions (the oracle family; production
+    *   keeps the default) */
   final case class Config(target: String, checkpoint: String,
       threshold: Double = 0.5, perms: Int = 8, bands: Int = 4, rows: Int = 2,
-      nBuckets: Int = 16) {
+      nBuckets: Int = 16, portableHash: Boolean = false) {
     require(bands * rows == perms, "bands*rows must equal perms")
     /** The LEGACY two-store layout's sibling band dir — only ever read to
       * detect and clean up after the one-pass upgrade to the single-store
@@ -62,12 +66,24 @@ object Admission {
     def bandTarget: String = s"$target.bands"
   }
 
-  /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema. */
-  private[graft] def signatures(docs: DataFrame, perms: Int): DataFrame = {
+  /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema.
+    * The portable family LET-BINDS the per-shingle digest array through
+    * a one-element `transform` lambda: interpreted HOFs get no
+    * common-subexpression elimination, so an inlined digest expression
+    * would re-run the md5 pass once per perm (the documented shingle
+    * trap) — a bound lambda variable is evaluated once and referenced
+    * `perms` times, no cache barrier needed. */
+  private[graft] def signatures(docs: DataFrame, perms: Int,
+      portableHash: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    val sig =
+      if (portableHash)
+        element_at(transform(array(Dedup.md5PerShingle(col("sh"))),
+          mh => Dedup.minhashMd5Sliced(mh, perms)), 1)
+      else Dedup.minhashFast(col("sh"), perms).cast("array<string>")
     docs.filter(size(toks) >= 3)
       .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))
-      .withColumn("sig", Dedup.minhashFast(col("sh"), perms).cast("array<string>"))
+      .withColumn("sig", sig)
   }
 
   /** Verified near-dup pairs above the threshold, given candidate
@@ -90,7 +106,7 @@ object Admission {
     * micro-batch. */
   def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): Long = {
     val spark = batch.sparkSession
-    val sig = signatures(batch, cfg.perms).cache()
+    val sig = signatures(batch, cfg.perms, cfg.portableHash).cache()
     try {
       val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
 
@@ -170,7 +186,9 @@ object Admission {
       .option("checkpointLocation", cfg.checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admitBatch(batch, cfg, id); ()
+        graft.PhaseClock.count("batches")
+        graft.PhaseClock.time("apply") { admitBatch(batch, cfg, id) }
+        ()
       }
       .start()
 }

@@ -115,6 +115,14 @@ object Pipeline {
           spark, src.get("dir").asText(),
           if (src.has("slices")) src.get("slices").asInt() else 1,
           if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
+      case "documents_stream" =>
+        // crawl-increment source: the documents table arriving as
+        // doc_id-range slices, one micro-batch each — pairs with the
+        // corpus_admit sink for a config-driven streaming admission task
+        graft.streaming.ChangeStream.fromDocumentsStream(
+          spark, src.get("dir").asText(),
+          if (src.has("slices")) src.get("slices").asInt() else 1,
+          if (src.has("sliceBy")) src.get("sliceBy").asText() else "doc_id")
       case "events_dsv2" =>
         // the custom DSv2 MicroBatchStream (S1): spooled seq-ordered
         // segments, executor-side splits, admission-control rate limit.
@@ -134,7 +142,8 @@ object Pipeline {
         r.load()
           .withColumn("db", lit("srcdb"))
       case other => throw new IllegalArgumentException(
-        s"streaming pipeline needs an events_stream or events_dsv2 source, got $other")
+        "streaming pipeline needs an events_stream, events_dsv2 or " +
+          s"documents_stream source, got $other")
     }
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
@@ -204,6 +213,21 @@ object Pipeline {
               nBuckets, autoSnap)
           }
         }
+      case "corpus_admit" =>
+        // streaming corpus admission (the training-data flagship in task
+        // form): each micro-batch of documents is LSH-deduped within
+        // itself (keep-first) and against the growing signature store,
+        // survivors merged in — graft.ops.Admission.admitBatch per batch
+        val acfg = graft.ops.Admission.Config(
+          target = snk.get("path").asText(),
+          checkpoint = ckpt,
+          threshold = if (snk.has("threshold")) snk.get("threshold").asDouble() else 0.5,
+          perms = if (snk.has("perms")) snk.get("perms").asInt() else 8,
+          bands = if (snk.has("bands")) snk.get("bands").asInt() else 4,
+          rows = if (snk.has("rows")) snk.get("rows").asInt() else 2,
+          nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 16,
+          portableHash = snk.has("portableHash") && snk.get("portableHash").asBoolean())
+        graft.ops.Admission.admissionStream(transformed, acfg)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)

@@ -234,6 +234,84 @@ object DedupQueries {
         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT new_id FROM rejected)
         |ORDER BY new_id""".stripMargin)),
 
+    // The STREAMING admission lifecycle, end to end — where
+    // pipeline_admit gates the one-shot admission DECISION, this runs
+    // the task shape a recurring crawl actually deploys: a config-built
+    // pipeline (documents_stream → corpus_admit) drains the corpus as 3
+    // doc_id-range micro-batches, each batch LSH-deduped within itself
+    // (keep-first edge policy) and against the signature store grown by
+    // the previous batches, survivors merged in — checkpointing, trigger
+    // boundaries, and the store lifecycle all INSIDE the gated path.
+    // The oracle unrolls the 3 rounds: because slices are doc_id ranges,
+    // every verified pair (a < b) has batch(a) <= batch(b), so
+    // same-batch rejection is the pair edge and cross-batch rejection is
+    // "a admitted in an earlier round" — admitted sets build forward
+    // with no recursion. portableHash switches admission to the
+    // sliced-md5 MinHash family so the decisions replay exactly.
+    "stream_admit" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-admit-q")
+        graft.pipeline.Pipeline.runStream(s, s"""{
+          "source": {"type": "documents_stream", "dir": "$dir", "slices": 3},
+          "processors": [],
+          "sink": {"type": "corpus_admit", "path": "$tmp/store",
+                   "checkpoint": "$tmp/ckpt", "portableHash": true}
+        }""")
+        graft.sink.BucketStore.read(s, s"$tmp/store").get
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""$shCte,
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |bounds AS (
+        |  SELECT min(doc_id) AS lo, (max(doc_id) - min(doc_id) + 3) // 3 AS span
+        |  FROM documents),
+        |bt AS (
+        |  SELECT s.doc_id, (s.doc_id - b.lo) // b.span AS batch FROM s, bounds b),
+        |vp AS (
+        |  SELECT DISTINCT n.doc_id AS a_id, c.doc_id AS b_id
+        |  FROM bands n JOIN bands c ON n.b = c.b AND n.key = c.key
+        |   AND n.doc_id < c.doc_id),
+        |ver AS (
+        |  SELECT a_id, b_id, ba.batch AS a_bat, bb.batch AS b_bat
+        |  FROM vp JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+        |  JOIN bt ba ON ba.doc_id = a_id JOIN bt bb ON bb.doc_id = b_id
+        |  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+        |        (len(sa.sh) + len(sb.sh)
+        |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.5),
+        |selfrej AS (
+        |  SELECT DISTINCT b_id AS doc_id FROM ver WHERE a_bat = b_bat),
+        |adm0 AS (
+        |  SELECT doc_id FROM bt WHERE batch = 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM selfrej)),
+        |adm1 AS (
+        |  SELECT doc_id FROM bt WHERE batch = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM selfrej)
+        |    AND doc_id NOT IN (
+        |      SELECT b_id FROM ver
+        |      WHERE b_bat = 1 AND a_bat < 1
+        |        AND a_id IN (SELECT doc_id FROM adm0))),
+        |adm2 AS (
+        |  SELECT doc_id FROM bt WHERE batch = 2
+        |    AND doc_id NOT IN (SELECT doc_id FROM selfrej)
+        |    AND doc_id NOT IN (
+        |      SELECT b_id FROM ver
+        |      WHERE b_bat = 2 AND a_bat < 2
+        |        AND a_id IN (SELECT doc_id FROM adm0
+        |                     UNION ALL SELECT doc_id FROM adm1)))
+        |SELECT doc_id FROM (
+        |  SELECT doc_id FROM adm0
+        |  UNION ALL SELECT doc_id FROM adm1
+        |  UNION ALL SELECT doc_id FROM adm2)
+        |ORDER BY doc_id""".stripMargin)),
+
     // 64-bit SimHash near-dup pairs: codegen'd fingerprint + pigeonhole
     // band blocking — candidates meet on the (band, slice) shuffle key,
     // bit_count(xor) verifies exactly. The md5 hash family

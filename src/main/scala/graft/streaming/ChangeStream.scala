@@ -52,82 +52,36 @@ object ChangeStream {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // The file stream source tails a DIRECTORY (arriving files = arriving
-    // binlog segments). Stage the harness's single events file into a
-    // per-(sf, slices) drop dir once; a deployment would point this at
-    // the real landing directory instead.
-    val drop = java.nio.file.Paths.get("/tmp/graft-stream",
-      Integer.toHexString(s"$sfDir#$slices#$sliceBy".hashCode))
-    java.nio.file.Files.createDirectories(drop)
-    // Staging completion is keyed on a SOURCE marker carrying the input
-    // file's (size, mtime), written atomically AFTER the segments: a
-    // crash mid-staging re-stages everything (moves are REPLACE, so the
-    // retry is idempotent), and a REGENERATED events.parquet at the same
-    // path invalidates the staged dir instead of silently serving stale
-    // slices to every later drain on this machine.
-    val srcFile = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val srcSig = s"${java.nio.file.Files.size(srcFile)}#${
-      java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-    // the marker lives NEXT TO the drop dir, never inside it: the file
-    // stream tails the dir and would try to read the marker as parquet —
-    // and a current-mtime file among the 2020-stamped slices would also
-    // shift the source's maxFileAge window under the slices
-    val marker = drop.resolveSibling(drop.getFileName.toString + ".SOURCE")
-    java.nio.file.Files.deleteIfExists(drop.resolve("SOURCE")) // pre-fix leftover
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8) == srcSig
-    if (fresh) {
-      // staged and current — nothing to do
-    } else graft.PhaseClock.time("stage") { if (slices <= 1) {
-      java.nio.file.Files.copy(srcFile, drop.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      writeMarker(marker, srcSig)
-    } else {
-      // range segments preserve binlog order between slices (a key's
-      // ops land in batch order), mirroring sequential segment rotation;
-      // staged once, reused by every run against this (sf, n, sliceBy)
-      val ev = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
-      // an empty source yields one all-null agg row (not zero rows):
-      // guard the null, not just headOption, so the drain stays empty
-      // instead of throwing on getLong
-      val (lo, hi) = ev.agg(min(sliceBy), max(sliceBy)).collect()
-        .headOption.filterNot(_.isNullAt(0))
-        .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-      val span = (hi - lo + slices) / slices
-      (0 until slices).foreach { i =>
-        val out = java.nio.file.Files.createTempDirectory("graft-slice")
-        ev.filter(col(sliceBy) >= lo + i * span &&
-            col(sliceBy) < lo + (i + 1L) * span)
-          .coalesce(1).write.mode("overwrite").parquet(out.toString)
-        val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = drop.resolve(s"slice-$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // FileStreamSource orders arriving files by modification time, and
-        // the move PRESERVES the tmp part file's mtime — identical stamps
-        // fall back to name order, where slice-10 sorts before slice-2 at
-        // ≥11 slices and a key's delete could apply before its insert.
-        // Stamp a strictly increasing mtime per slice index instead.
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1_600_000_000_000L + i * 1000L))
-      }
-      writeMarker(marker, srcSig)
-    } }
+    // binlog segments) — see [[Staging]] for the slice/marker contract.
+    // Range segments preserve binlog order between slices (a key's ops
+    // land in batch order), mirroring sequential segment rotation.
+    val drop = Staging.stageSlices(spark, s"$sfDir/events.parquet",
+      Some(schema), sliceBy, slices)
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(drop.toString)
+      .parquet(drop)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
     graft.source.Changelog.fromEventsDf(raw)
   }
 
-  private def writeMarker(marker: java.nio.file.Path, sig: String): Unit = {
-    val tmp = marker.resolveSibling(s"SOURCE.tmp-${java.util.UUID.randomUUID}")
-    java.nio.file.Files.write(tmp,
-      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** The crawl-increment analog of [[fromEventsStream]]: the `documents`
+    * table tailed as an unbounded (doc_id, text, …) stream — `slices`
+    * doc_id-range segments arriving one micro-batch each. This is the
+    * source shape of a streaming corpus-admission task (each batch is a
+    * crawl increment admitted against the growing corpus). */
+  def fromDocumentsStream(spark: SparkSession, sfDir: String,
+      slices: Int = 1, sliceBy: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val drop = Staging.stageSlices(spark, s"$sfDir/documents.parquet",
+      Some(schema), sliceBy, slices)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop)
   }
 
   /** Tumbling-window aggregation with watermark — the streaming form of

@@ -93,6 +93,28 @@ class AdmissionSpec extends SparkSpec {
     assert(bandRows(cfg) == wantBands(cfg))
   }
 
+  test("config-driven streaming admission drains, then restarts as a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-adm-cfg")
+    val cfg = s"""{
+      "source": {"type": "documents_stream", "dir": "$sf", "slices": 3},
+      "processors": [],
+      "sink": {"type": "corpus_admit", "path": "${dir.resolve("store")}",
+               "checkpoint": "${dir.resolve("ckpt")}", "portableHash": true}
+    }"""
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val store = BucketStore.read(spark, dir.resolve("store").toString).get
+    val ids = store.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // the store invariant holds through the config path too
+    val acfg = Admission.Config(dir.resolve("store").toString,
+      dir.resolve("ckpt").toString)
+    assert(bandRows(acfg) == wantBands(acfg))
+    // restart from the same checkpoint: no new batches, store unchanged
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    assert(BucketStore.read(spark, dir.resolve("store").toString).get
+      .select("doc_id").as[Long].collect().toSet == ids)
+  }
+
   test("at-least-once redelivery converges under the single flip") {
     val cfg = cfgIn("graft-adm-replay")
     Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)

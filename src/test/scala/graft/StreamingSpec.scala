@@ -19,7 +19,7 @@ class StreamingSpec extends SparkSpec {
       // build (or reuse) the staged drop dir, then count its slice rows
       ChangeStream.fromEventsStream(spark, dir.toString, slices = 2)
       val drop = Paths.get("/tmp/graft-stream",
-        Integer.toHexString(s"$dir#2#event_id".hashCode))
+        Integer.toHexString(s"$dir/events.parquet#2#event_id".hashCode))
       spark.read.parquet(
         drop.resolve("slice-0.parquet").toString,
         drop.resolve("slice-1.parquet").toString).count()
