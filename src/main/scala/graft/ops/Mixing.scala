@@ -48,6 +48,43 @@ object Mixing {
     df.filter(hashSlice(col(idCol)) < rate * 65536.0)
   }
 
+  /** Deterministic TOKEN-BUDGET sampling: cut each stratum down to (at
+    * least) `budgets(stratum)` tokens by keeping the docs whose hash
+    * slice falls at or below the smallest threshold meeting the budget.
+    * Strata without a budget keep everything; a stratum whose total is
+    * under its budget keeps everything (the budget is unreachable).
+    *
+    * Two distributed passes, NO driver collect: (1) per-(stratum, slice)
+    * token sums — at most 65,536 rows per stratum REGARDLESS of corpus
+    * size (map-side combine does the heavy lifting); a per-stratum
+    * running sum over that bounded frame finds each stratum's threshold;
+    * (2) a map-only filter of the corpus against the broadcast
+    * thresholds. Same determinism/monotonicity family as
+    * [[sampleByRate]]: the kept set is a pure function of (id, stratum,
+    * budget), and RAISING a budget only ever ADDS docs (the threshold is
+    * monotone in the budget). Overshoot is bounded by one slice's docs
+    * (~1/65,536 of the stratum). */
+  def sampleByTokenBudget(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val withU = df.withColumn("_u", hashSlice(col(idCol)))
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val thresholds = withU
+      .groupBy(col(strataCol), col("_u"))
+      .agg(sum(col(tokensCol)).as("_btoks"))
+      .withColumn("_cum", sum(col("_btoks"))
+        .over(Window.partitionBy(strataCol).orderBy("_u")))
+      .withColumn("_budget", budget)
+      .filter(col("_budget").isNotNull && col("_cum") >= col("_budget"))
+      .groupBy(col(strataCol))
+      .agg(min(col("_u")).as("_thr"))
+    withU.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(col("_thr").isNull || col("_u") <= col("_thr"))
+      .drop("_u", "_thr")
+  }
+
   /** Shard-parallel sequence packing, concat-offset form: within each
     * of `nShards` hash-shards, docs are laid out in id order and cut
     * into packs at fixed `ctxTokens` boundaries — a doc is assigned to

@@ -44,6 +44,39 @@ object MixQueries {
         |                    WHEN 'zh' THEN 49152 ELSE 65536 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget mixing: cut en to 6000 tokens and de to 2000 (other
+    // langs untouched) by the deterministic hash-slice threshold — the
+    // "sample each language down to N training tokens" primitive.
+    // Thresholds come from a bounded per-(lang, slice) aggregate (≤64k
+    // rows per lang at ANY corpus size), never a driver collect.
+    "mix_budget" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+        Mixing.sampleByTokenBudget(docs, "lang", "doc_id", "toks",
+          Map("en" -> 6000L, "de" -> 2000L))
+          .select("doc_id", "lang", "toks")
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte,
+        |tok AS (
+        |  SELECT doc_id, lang, u,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM u),
+        |cum AS (
+        |  SELECT lang, u,
+        |    sum(btoks) OVER (PARTITION BY lang ORDER BY u) AS c
+        |  FROM (SELECT lang, u, sum(toks) AS btoks FROM tok GROUP BY 1, 2)),
+        |thr AS (
+        |  SELECT lang, min(u) AS t FROM cum
+        |  WHERE c >= CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000 END
+        |    AND lang IN ('en', 'de')
+        |  GROUP BY lang)
+        |SELECT doc_id, tok.lang AS lang, toks
+        |FROM tok LEFT JOIN thr ON tok.lang = thr.lang
+        |WHERE t IS NULL OR u <= t
+        |ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing, concat-offset form: hash-shard the corpus, lay
     // each shard out in doc_id order, cut packs at 512-token
     // boundaries; a doc belongs to the pack where its first token

@@ -74,6 +74,37 @@ class MixingPropSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("pack index overflow")), s"got: $e")
   }
 
+  test("token-budget sampling meets the budget and is monotone in it") {
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", 1L + rnd.nextInt(50)))
+      .toDF("doc_id", "lang", "toks")
+    val totals = docs.groupBy("lang").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    def kept(budget: Long): Map[String, (Set[Long], Long)] =
+      Mixing.sampleByTokenBudget(docs, "lang", "doc_id", "toks",
+        Map("en" -> budget, "de" -> budget))
+        .select("lang", "doc_id", "toks").as[(String, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(rs => (rs.map(_._2).toSet, rs.map(_._3).sum)).toMap
+    val budgetGen = Gen.choose(0L, 12000L)
+    val prop = Prop.forAll(budgetGen, budgetGen) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (kLo, kHi) = (kept(lo), kept(hi))
+      Seq("en", "de").forall { lang =>
+        val (idsLo, _) = kLo.getOrElse(lang, (Set.empty[Long], 0L))
+        val (idsHi, tokHi) = kHi.getOrElse(lang, (Set.empty[Long], 0L))
+        // monotone: a bigger budget keeps a superset
+        idsLo.subsetOf(idsHi) &&
+          // satisfied: kept tokens reach min(budget, stratum total) —
+          // unless the budget is 0 and no slice is forced in
+          (tokHi >= math.min(hi, totals(lang)) || hi == 0)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
