@@ -73,7 +73,10 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val phases = scala.collection.mutable.Map.empty[String, Map[String, Double]]
-    val anchor = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "1") == "1"
+    // cross-run calibration only matters for full-suite comparisons:
+    // filtered iteration runs (BENCH_ONLY) skip it unless forced on
+    val anchor = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR")
+      .map(_ == "1").getOrElse(only.isEmpty)
     val anchorStart = if (anchor) anchorMin(cpus) else -1.0
     val results = ordered.flatMap { case (name, d) =>
       val spark = newSession(cpus)

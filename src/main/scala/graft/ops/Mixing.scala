@@ -52,7 +52,9 @@ object Mixing {
     * least) `budgets(stratum)` tokens by keeping the docs whose hash
     * slice falls at or below the smallest threshold meeting the budget.
     * Strata without a budget keep everything; a stratum whose total is
-    * under its budget keeps everything (the budget is unreachable).
+    * under its (positive) budget keeps everything (the budget is
+    * unreachable); a ZERO budget keeps nothing — zeroing a stratum out
+    * excludes it, it does not leak the first hash slice.
     *
     * Two distributed passes, NO driver collect: (1) per-(stratum, slice)
     * token sums — at most 65,536 rows per stratum REGARDLESS of corpus
@@ -79,7 +81,11 @@ object Mixing {
       .withColumn("_budget", budget)
       .filter(col("_budget").isNotNull && col("_cum") >= col("_budget"))
       .groupBy(col(strataCol))
-      .agg(min(col("_u")).as("_thr"))
+      // budget 0 is satisfied by the first occupied slice, but "keep at
+      // least 0 tokens" minimally means keep NOTHING: force the
+      // threshold below every slice (u >= 0 always)
+      .agg(when(min(col("_budget")) === 0, lit(-1L))
+        .otherwise(min(col("_u"))).as("_thr"))
     withU.join(broadcast(thresholds), Seq(strataCol), "left")
       .filter(col("_thr").isNull || col("_u") <= col("_thr"))
       .drop("_u", "_thr")

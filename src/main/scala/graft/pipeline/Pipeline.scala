@@ -186,7 +186,9 @@ object Pipeline {
         // buckets it touches and flips the store's MANIFEST atomically —
         // O(touched) per batch, crash-safe (see graft.sink.BucketStore)
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
-          graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
+          graft.PhaseClock.time("apply") {
+            graft.sink.BucketStore.merge(net, target, pkCols, nBuckets, id)
+          }
         }
       case "parquet_delta" =>
         val target = snk.get("path").asText()
@@ -206,8 +208,10 @@ object Pipeline {
         // generation — O(|batch|) per batch, merge deferred to read,
         // chain-capped compaction — crash-safe (see graft.sink.DeltaStore)
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, id) =>
-          graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id,
-            maxChain, maxLiveGens)
+          graft.PhaseClock.time("apply") {
+            graft.sink.DeltaStore.append(net, target, pkCols, nBuckets, id,
+              maxChain, maxLiveGens)
+          }
           if (autoSnap > 0) graft.PhaseClock.time("maintain") {
             graft.sink.DeltaStore.maybeSnapshot(net.sparkSession, target,
               nBuckets, autoSnap)
@@ -239,10 +243,11 @@ object Pipeline {
           batchSize = if (snk.has("batchSize")) snk.get("batchSize").asInt() else 1000,
           nullToDefault = snk.has("nullToDefault") && snk.get("nullToDefault").asBoolean())
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
-          graft.sink.JdbcApply(net, jc)
+          graft.PhaseClock.time("apply") { graft.sink.JdbcApply(net, jc) }
         }
       case other => throw new IllegalArgumentException(
-        s"streaming pipeline needs a parquet_merge, parquet_delta or jdbc_apply sink, got $other")
+        "streaming pipeline needs a parquet_merge, parquet_delta, " +
+          s"jdbc_apply or corpus_admit sink, got $other")
     } }
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it

@@ -134,9 +134,13 @@ object BucketStore {
         // DROPS is dropped from the whole store on this merge, which must
         // be intentional: an accidentally narrowed net (schema drift, a
         // typo'd select) would otherwise silently destroy stored data.
-        // Guard with the stored footer schema; cost is the footer read of
+        // Guard with the stored footer schema, MERGED across files: after
+        // additive evolution the touched generations carry different
+        // footers, and a single-file inference could sample a
+        // pre-evolution file and miss the drop. Cost is footer reads of
         // files this merge reads anyway.
-        val stored = spark.read.parquet(livePaths: _*).schema.fieldNames.toSet
+        val stored = spark.read.option("mergeSchema", "true")
+          .parquet(livePaths: _*).schema.fieldNames.toSet
         val dropped = stored -- stateSchema.fieldNames.toSet
         require(dropped.isEmpty || allowDropColumns,
           s"net schema omits stored column(s) ${dropped.mkString(", ")} — " +

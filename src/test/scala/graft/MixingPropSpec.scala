@@ -69,9 +69,7 @@ class MixingPropSpec extends SparkSpec {
       Mixing.packByOffset(monster, "doc_id", "toks", ctxTokens = 512,
         nShards = 2, shardHash = c => c).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("pack index overflow")), s"got: $e")
+    assert(causeMessages(e).exists(_.contains("pack index overflow")), s"got: $e")
   }
 
   test("token-budget sampling meets the budget and is monotone in it") {
@@ -96,9 +94,11 @@ class MixingPropSpec extends SparkSpec {
         val (idsHi, tokHi) = kHi.getOrElse(lang, (Set.empty[Long], 0L))
         // monotone: a bigger budget keeps a superset
         idsLo.subsetOf(idsHi) &&
-          // satisfied: kept tokens reach min(budget, stratum total) —
-          // unless the budget is 0 and no slice is forced in
-          (tokHi >= math.min(hi, totals(lang)) || hi == 0)
+          // satisfied: kept tokens reach min(budget, stratum total)
+          tokHi >= math.min(hi, totals(lang)) &&
+          // a zero budget keeps NOTHING (excluding a stratum must not
+          // leak its first hash slice)
+          (lo > 0 || idsLo.isEmpty)
       }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)

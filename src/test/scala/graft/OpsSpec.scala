@@ -325,9 +325,7 @@ class OpsSpec extends SparkSpec {
     // opaque bytes (no JDK codec) fail loudly, not silently
     val bad = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("media_id", "bytes")
     val e = intercept[Exception](Multimodal.decodeImage(spark, bad).collect())
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("no JDK image codec")))
+    assert(causeMessages(e).exists(_.contains("no JDK image codec")))
   }
 
   test("perceptual hash: identical rasters collide, perturbed ones stay near") {
@@ -375,9 +373,7 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     def failsLoudly(f: => Unit): Unit = {
       val e = intercept[Exception](f)
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(_.contains("lane overflow")), s"got: $e")
+      assert(causeMessages(e).exists(_.contains("lane overflow")), s"got: $e")
     }
     failsLoudly(TextAnalysis.quality(monster).collect())
     failsLoudly(TextAnalysis.langId(monster).collect())

@@ -8,6 +8,12 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** All messages along a throwable's cause chain (Spark wraps the
+    * interesting raise_error/require text several layers deep). */
+  protected def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ causeMessages(x.getCause))
 }
 
 object SparkSpec {
