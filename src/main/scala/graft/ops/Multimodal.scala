@@ -173,15 +173,22 @@ object Multimodal {
 
   private def readImage(id: Long,
       bytes: Array[Byte]): (String, java.awt.image.BufferedImage) = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory's default disk cache would spill every in-memory
+    // payload to a temp file per row on the executor hot path. The
+    // no-codec require sits INSIDE the try so a rejected payload never
+    // leaks the stream.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"media $id: no JDK image codec for payload")
-    val reader = readers.next()
     try {
-      reader.setInput(iis)
-      (reader.getFormatName.toLowerCase, reader.read(0))
-    } finally { reader.dispose(); iis.close() }
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"media $id: no JDK image codec for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        (reader.getFormatName.toLowerCase, reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Fold (sum_r, sum_g, sum_b) over an (outW × outH) grid, sampling the
@@ -205,36 +212,22 @@ object Multimodal {
   }
 
   /** Image near-dup PAIRS over [[aHash64]] signatures — the scale path
-    * (the exact-group form is a plain hash agg on `phash`): the 64-bit
-    * signature splits into 4 contiguous 16-bit bands; a pair within
-    * hamming distance ≤ 3 differs in at most 3 bands, so it SHARES at
-    * least one exact band (pigeonhole) and candidates meet on a
-    * (band, key) equi-join — never corpus² — with exact hamming
-    * (xor + bit_count, codegen'd) verifying candidates only. Same
-    * blocking scheme as [[Dedup]]'s SimHash64 text family, so the
-    * guarantee is exact, not approximate: band-blocked output ≡ the
-    * full quadratic filter for maxDist ≤ 3. */
+    * (the exact-group form is a plain hash agg on `phash`). The 64-char
+    * bit string packs into one signed long (four 16-bit `conv` pieces
+    * OR'd into place — bit-bijective, so hamming on the packed long
+    * equals hamming on the string) and the pair machinery DELEGATES to
+    * [[Dedup.simhashPairs]]: the pigeonhole band blocking, (band,
+    * slice) equi-join, and xor/bit_count verification live in exactly
+    * one place for text and image signatures alike. Exactness contract
+    * unchanged: band-blocked output ≡ the full quadratic filter for
+    * maxDist ≤ 3 (enforced by simhashPairs' maxHamming < bands). */
   def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"4-band pigeonhole blocking is exact only for maxDist <= 3 (got $maxDist)")
-    val withBands = hashes.select(col("media_id"),
-      transform(sequence(lit(0), lit(3)),
-        i => conv(substring(col("phash"), i * 16 + 1, lit(16)), 2, 10)
-          .cast("long")).as("b"))
-    val exploded = withBands.select(col("media_id"), col("b"),
-      posexplode(col("b")).as(Seq("band", "key")))
-    val a = exploded.select(col("media_id").as("a_id"), col("b").as("a_b"),
-      col("band"), col("key"))
-    val bb = exploded.select(col("media_id").as("b_id"), col("b").as("b_b"),
-      col("band"), col("key"))
-    a.join(bb, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_b", "b_b").distinct()
-      .withColumn("dist", expr(
-        "bit_count(a_b[0] ^ b_b[0]) + bit_count(a_b[1] ^ b_b[1]) + " +
-          "bit_count(a_b[2] ^ b_b[2]) + bit_count(a_b[3] ^ b_b[3])").cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select("a_id", "b_id", "dist")
+    val packed = (0 until 4).map(i =>
+      shiftleft(conv(substring(col("phash"), lit(i * 16 + 1), lit(16)), 2, 10)
+        .cast("long"), i * 16)).reduce(_ bitwiseOR _)
+    Dedup.simhashPairs(hashes.withColumn("_sim", packed), "_sim", "media_id",
+      maxHamming = maxDist, bands = 4)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("dist"))
   }
 
   case class MediaFeature(media_id: Long, n_bytes: Long, n_frames: Long,

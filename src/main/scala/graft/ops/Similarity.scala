@@ -319,27 +319,34 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
-  /** The per-row symmetric int8 scale: `max(|v_i|) / 127`. Materialize
-    * this behind a barrier (cache) BEFORE calling [[quantizeInt8]] —
-    * interpreted HOF projections get no common-subexpression
-    * elimination, so an inlined scale expression would re-scan the
-    * vector once per element (the documented shingle/token trap). */
+  /** The per-row symmetric int8 scale: `max(|v_i|) / 127`. */
   def int8Scale(vecCol: Column): Column =
     array_max(transform(vecCol, x => abs(x))) / 127.0
 
   /** Symmetric int8 embedding quantization — the storage/serving trade
     * every large corpus makes (4 bytes/dim → 1): `q_i = round(v_i /
-    * scale)` ∈ [-127, 127], dequantize = `q_i · scale`. Emits the
-    * quantized vector plus audit columns: an order-weighted integer
-    * checksum (exact — a permuted or truncated vector cannot pass) and
-    * the max absolute reconstruction error (≤ scale/2 by construction —
-    * the bound a caller should assert). Map-only; expects `scale`
-    * already materialized on the input (see [[int8Scale]]). */
-  def quantizeInt8(scaled: DataFrame, vecCol: String = "v"): DataFrame = {
-    val q = transform(col(vecCol), x =>
-      when(col("scale") === 0.0, lit(0.0)).otherwise(round(x / col("scale"))))
-    scaled
-      .withColumn("q", q)
+    * scale)` ∈ [-127, 127], dequantize = `q_i · scale`. Adds `scale`
+    * and `q`. The scale is LET-BOUND through a one-element lambda
+    * inside the quantize transform (interpreted HOFs get no
+    * common-subexpression elimination — an inlined scale expression
+    * would re-scan the vector once per ELEMENT), so no barrier is
+    * needed before this call. Materialize the OUTPUT behind a barrier
+    * (cache) before [[int8Audit]], which references `q` three times. */
+  def int8Quantize(df: DataFrame, vecCol: String = "v"): DataFrame = {
+    val q = element_at(transform(array(int8Scale(col(vecCol))), s =>
+      transform(col(vecCol), x =>
+        when(s === 0.0, lit(0.0)).otherwise(round(x / s)))), 1)
+    df.withColumn("scale", int8Scale(col(vecCol))).withColumn("q", q)
+  }
+
+  /** Audit columns over a MATERIALIZED [[int8Quantize]] output (cache it
+    * first — `q` is referenced per column, and only an attribute
+    * reference is free): an order-weighted integer checksum (exact — a
+    * permuted or truncated vector cannot pass) and the max absolute
+    * reconstruction error (≤ scale/2 by construction — the bound a
+    * caller should assert). */
+  def int8Audit(qdf: DataFrame, vecCol: String = "v"): DataFrame =
+    qdf
       .withColumn("q_checksum",
         aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
           (qi, i) => qi.cast("long") * i.cast("long")),
@@ -347,5 +354,4 @@ object Similarity {
       .withColumn("max_err",
         array_max(zip_with(col("q"), col(vecCol),
           (qi, vi) => abs(qi * col("scale") - vi))))
-  }
 }

@@ -184,15 +184,14 @@ object AnnQueries {
     // with its audit trail: per-row scale, an order-weighted integer
     // checksum of the quantized vector (exact; permutation/truncation
     // cannot pass), and the max reconstruction error. Every column is a
-    // sequential IEEE fold both engines compute identically, and the
-    // scale rides a cache barrier so the HOF never re-derives it
-    // per element.
+    // sequential IEEE fold both engines compute identically; the scale
+    // is let-bound inside the quantize and the quantized vector rides a
+    // cache barrier into the audit (each is otherwise re-derived per
+    // reference — interpreted HOFs get no CSE).
     "emb_quantize" -> QueryDef(
       (s, dir) => {
-        val scaled = vecs(s, dir)
-          .withColumn("scale", Similarity.int8Scale(col("v")))
-          .cache()
-        Similarity.quantizeInt8(scaled)
+        val qdf = Similarity.int8Quantize(vecs(s, dir)).cache()
+        Similarity.int8Audit(qdf)
           .select("vec_id", "scale", "q_checksum", "max_err")
           .orderBy("vec_id")
       },

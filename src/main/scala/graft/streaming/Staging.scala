@@ -47,7 +47,13 @@ object Staging {
         java.nio.charset.StandardCharsets.UTF_8) == srcSig
     if (fresh) {
       // staged and current — nothing to do
-    } else graft.PhaseClock.time("stage") { if (slices <= 1) {
+    } else graft.PhaseClock.time("stage") {
+      // the fast single-slice copy only works for a FILE source; a
+      // Spark-written source is a DIRECTORY (Files.copy would stage an
+      // empty dir named slice-0.parquet and every drain would silently
+      // stream zero rows) — directories take the spark.read path below,
+      // which handles slices = 1 fine (one range covering everything)
+      if (slices <= 1 && java.nio.file.Files.isRegularFile(src)) {
       java.nio.file.Files.copy(src, drop.resolve("slice-0.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       writeMarker(marker, srcSig)

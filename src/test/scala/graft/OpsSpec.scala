@@ -231,8 +231,8 @@ class OpsSpec extends SparkSpec {
       (1L, Array(0.5, -1.27, 0.003, 1.27)),
       (2L, Array(100.0, -0.1, 0.0, 3.7)),
       (3L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
-    val scaled = vecs.withColumn("scale", Similarity.int8Scale($"v")).cache()
-    val q = Similarity.quantizeInt8(scaled).orderBy("vec_id")
+    val qdf = Similarity.int8Quantize(vecs).cache()
+    val q = Similarity.int8Audit(qdf).orderBy("vec_id")
       .select("vec_id", "scale", "q", "max_err")
       .as[(Long, Double, Array[Double], Double)].collect()
     for ((id, scale, qv, maxErr) <- q) {
@@ -242,7 +242,7 @@ class OpsSpec extends SparkSpec {
     }
     // the largest-|value| dim quantizes to exactly ±127
     assert(q(0)._3.contains(-127.0) || q(0)._3.contains(127.0))
-    scaled.unpersist()
+    qdf.unpersist()
   }
 
   test("multimodal stub: binary plumbing with deterministic features") {
