@@ -55,6 +55,28 @@ object Bench {
     m
   }
 
+  /** The commit the numbers were measured at (+ "-dirty" when the
+    * working tree differs) — BENCH artifacts are compared across rounds
+    * AND across machines, and without the SHA in the artifact itself a
+    * cross-machine delta (r11: mm_phash_neardup 5.07 s driver vs 3.13 s
+    * builder) cannot be attributed to commit vs ambient load. */
+  private def commitSha: String = try {
+    def git(cmd: String*): (Int, String) = {
+      val p = new ProcessBuilder(("git" +: cmd): _*)
+        .directory(new java.io.File(sys.props.getOrElse("user.dir", ".")))
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      (p.waitFor(), out)
+    }
+    val (rc, sha) = git("rev-parse", "--short=12", "HEAD")
+    if (rc != 0 || sha.isEmpty) "unknown"
+    else {
+      val (_, status) = git("status", "--porcelain", "--untracked-files=no")
+      if (status.nonEmpty) s"$sha-dirty" else sha
+    }
+  } catch { case _: Exception => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,7 +165,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
-      s""""anchor_min_end":$anchorEnd,"failed":$failedJson,"sf":"$sfDir"}""")
+      s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

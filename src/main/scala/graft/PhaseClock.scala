@@ -16,6 +16,13 @@ package graft
   * Recording is a no-op-cheap merge into a concurrent map; phases are
   * recorded from whatever thread runs them (foreachBatch applies land on
   * the streaming thread).
+  *
+  * SINGLE-PIPELINE ASSUMPTION: the accumulator is process-global, so two
+  * pipelines/streams running concurrently in one JVM would interleave
+  * their phase totals under the same keys. Bench runs queries strictly
+  * sequentially (reset per rep), which is the only consumer today; a
+  * concurrent-pipeline harness must key its own snapshots (reset before /
+  * snapshot after each pipeline, or don't trust the split).
   */
 object PhaseClock {
   private val acc = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()

@@ -67,23 +67,72 @@ object Admission {
   }
 
   /** (doc_id, sh, sig) for a (doc_id, text) frame — the store's schema.
-    * The portable family LET-BINDS the per-shingle digest array through
-    * a one-element `transform` lambda: interpreted HOFs get no
-    * common-subexpression elimination, so an inlined digest expression
-    * would re-run the md5 pass once per perm (the documented shingle
-    * trap) — a bound lambda variable is evaluated once and referenced
-    * `perms` times, no cache barrier needed. */
+    * Two LET-BINDINGS via one-element `transform` lambdas (interpreted
+    * HOFs get no common-subexpression elimination; a bound lambda
+    * variable is evaluated once and referenced many times, no cache
+    * barrier needed — the streaming-safe form of shingleFrame's token
+    * cache):
+    *   - the TOKEN array is bound before shingling — an inlined token
+    *     expression would re-run the regex split once per `element_at`
+    *     of the shingle transform, O(tokens) re-tokenizations per doc
+    *     (measured: admit.sig 8.0 s → 1.4 s over 3 sf0.1 batches);
+    *   - the portable family binds the per-shingle digest array before
+    *     perm slicing — an inlined digest expression would re-run the
+    *     md5 pass once per perm (the documented shingle trap). */
   private[graft] def signatures(docs: DataFrame, perms: Int,
       portableHash: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    val sh = element_at(transform(array(toks),
+      t => array_distinct(Dedup.shingles(t))), 1)
     val sig =
       if (portableHash)
         element_at(transform(array(Dedup.md5PerShingle(col("sh"))),
           mh => Dedup.minhashMd5Sliced(mh, perms)), 1)
       else Dedup.minhashFast(col("sh"), perms).cast("array<string>")
     docs.filter(size(toks) >= 3)
-      .select(col("doc_id"), array_distinct(Dedup.shingles(toks)).as("sh"))
+      .select(col("doc_id"), sh.as("sh"))
       .withColumn("sig", sig)
+  }
+
+  /** The store's LSH-parameter stamp (`LSHPARAMS` next to MANIFEST).
+    * Band keys are a pure function of (hash family, perms, bands, rows):
+    * a batch run with a DIFFERENT config against an existing store would
+    * produce keys that never collide with stored ones — near-duplicates
+    * silently admitted instead of an error. [[admitBatch]] stamps the
+    * store on first merge and refuses a mismatched config thereafter
+    * (threshold included: a drifting threshold makes admission decisions
+    * inconsistent across batches even though the keys still collide). */
+  private[graft] def paramsLine(cfg: Config): String =
+    s"family=${if (cfg.portableHash) "md5-sliced" else "xxhash64"} " +
+      s"perms=${cfg.perms} bands=${cfg.bands} rows=${cfg.rows} " +
+      s"threshold=${cfg.threshold}"
+
+  private def paramsPath(target: String): java.nio.file.Path =
+    java.nio.file.Paths.get(target, "LSHPARAMS")
+
+  private def checkOrNoteParams(cfg: Config): Unit = {
+    val p = paramsPath(cfg.target)
+    if (java.nio.file.Files.exists(p)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(stored == paramsLine(cfg),
+        s"signature store ${cfg.target} was built with [$stored] but this " +
+          s"batch runs [${paramsLine(cfg)}] — mismatched LSH parameters " +
+          "would silently admit near-duplicates (band keys never collide)")
+    }
+  }
+
+  private def stampParams(cfg: Config): Unit = {
+    val p = paramsPath(cfg.target)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(s"LSHPARAMS.tmp-${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        paramsLine(cfg).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Verified near-dup pairs above the threshold, given candidate
@@ -105,9 +154,15 @@ object Admission {
     * directly for batch pipelines; [[admissionStream]] drives it per
     * micro-batch. */
   def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): Long = {
+    import graft.PhaseClock.{time => phase}
     val spark = batch.sparkSession
+    checkOrNoteParams(cfg) // refuse a config mismatched with the store
     val sig = signatures(batch, cfg.perms, cfg.portableHash).cache()
     try {
+      // attribution seam: the sig cache would otherwise fill lazily inside
+      // whichever downstream phase touches it first, mis-charging the
+      // (expensive, portable-family) hash pass to that phase
+      phase("admit.sig") { sig.count() }
       val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
 
       // 1. within-batch keep-first, EDGE-based: the higher id of any
@@ -118,9 +173,14 @@ object Admission {
       // MinHash-dedup keep-first, and its only batching sensitivity is
       // the degenerate chain case where the surviving endpoint of a
       // pair is itself corpus-rejected.)
+      // Rejected-id frames are tiny (ids only) and feed the anti-join:
+      // caching them makes each rejection branch's cost attributable AND
+      // lets the anti-join broadcast a materialized id set instead of
+      // re-running candidates+verify inside the merge job.
       val selfRejected = verified(Dedup.lshCandidates(bands, "doc_id"), sig, sig,
         "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
-        .select(col("b_id").as("doc_id")).distinct()
+        .select(col("b_id").as("doc_id")).distinct().cache()
+      phase("admit.self") { selfRejected.count() }
 
       // 2. vs the persisted corpus: candidates from the store's packed
       // band column (exploded — column pruning skips sh/sig on this
@@ -129,7 +189,7 @@ object Admission {
       // from stored signatures one last time.
       val storeOpt = BucketStore.read(spark, cfg.target)
       val legacy = storeOpt.exists(s => !s.columns.contains("bands"))
-      val corpusRejected = storeOpt match {
+      val corpusRejected = (storeOpt match {
         case None => selfRejected.limit(0)
         case Some(store) =>
           val corpBands =
@@ -139,7 +199,8 @@ object Admission {
           verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
             sig, store, "new_id", "corpus_id", cfg.threshold)
             .select(col("new_id").as("doc_id")).distinct()
-      }
+      }).cache()
+      phase("admit.corpus") { corpusRejected.count() }
 
       // 3. merge survivors — signature AND packed bands in the same row —
       // into the store: ONE generation, ONE flip (replay-safe by the
@@ -153,15 +214,23 @@ object Admission {
         .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
         .cache()
       try {
-        val n = admitted.count() // materialize before the flip GCs old gens
+        val n = phase("admit.merge") { admitted.count() } // materialize before the flip GCs old gens
+        selfRejected.unpersist()
+        corpusRejected.unpersist()
         val net =
           if (legacy)
             storeOpt.get
               .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
               .unionByName(admitted)
           else admitted
-        BucketStore.merge(net.withColumn("net_op", lit("insert")),
-          cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+        phase("admit.write") {
+          BucketStore.merge(net.withColumn("net_op", lit("insert")),
+            cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+        }
+        // stamp AFTER the first successful merge: a store that exists
+        // without a stamp (pre-stamp layout, or a crash before this line)
+        // is stamped with the current config on its next batch
+        stampParams(cfg)
         // the legacy layout's sibling band dir is orphaned once the store
         // carries packed bands; the existence check (not `legacy`) also
         // covers a replay after a crash between the upgrade flip and this

@@ -27,6 +27,22 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Fail-fast guard for the quadratic baseline paths: the all-pairs
+    * n-gram Jaccard join is O(n²) BY CONTRACT (it is the spec LSH
+    * approximates) and must never see unbounded input — a 100 TB misuse
+    * should die in milliseconds, not run forever. The probe is
+    * `limit(maxRows+1).count()`: it scans at most maxRows+1 rows, so the
+    * guard itself stays cheap on arbitrarily large inputs. Returns `df`
+    * unchanged so it wraps inline at the join's build site. */
+  def requireBounded(df: DataFrame, maxRows: Int,
+      what: String = "quadratic pairwise baseline"): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$what is O(n²) and caller-bounded: input exceeds $maxRows rows — " +
+        "use the LSH/band-blocked path for unbounded data")
+    df
+  }
+
   /** Word n-gram shingles from a token array (1-indexed element_at). */
   def shingles(toks: Column, n: Int = 3): Column =
     transform(sequence(lit(1), size(toks) - (n - 1)),

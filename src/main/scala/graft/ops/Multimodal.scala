@@ -87,7 +87,14 @@ object Multimodal {
         it.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
           val rasterId = if (idMod > 0) id % idMod else id
-          javax.imageio.ImageIO.write(synthRaster(rasterId), "png", bos)
+          // MemoryCacheImageOutputStream, NOT the bare OutputStream form:
+          // ImageIO.write(_, _, OutputStream) wraps it via
+          // createImageOutputStream, which with the default useCache=true
+          // allocates a disk-backed FileCacheImageOutputStream per row —
+          // the per-row temp-file spill the readImage path avoids
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try javax.imageio.ImageIO.write(synthRaster(rasterId), "png", ios)
+          finally ios.close()
           val bytes = bos.toByteArray
           (id, bytes, "image/png", bytes.length.toLong, "synth")
         }

@@ -54,7 +54,12 @@ object DedupQueries {
     // same-language pairs, doc_id < 500 (the spec for the LSH path).
     "dedup_ngram" -> QueryDef(
       (s, dir) => {
-        val withSh = shingleFrame(s, dir, Seq("lang")).filter(col("doc_id") < 500)
+        // requireBounded: the all-pairs join below is the quadratic
+        // oracle baseline — refuse unbounded input instead of running
+        // forever (the guard probe reads at most cap+1 rows)
+        val withSh = Dedup.requireBounded(
+          shingleFrame(s, dir, Seq("lang")).filter(col("doc_id") < 500),
+          maxRows = 10000, what = "dedup_ngram all-pairs Jaccard baseline")
         val a = withSh.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("sh").as("sha"))
         val b = withSh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("sh").as("shb"))
         val (inter, uni, jac) = Dedup.jaccardCols(col("sha"), col("shb"))
@@ -251,14 +256,27 @@ object DedupQueries {
     "stream_admit" -> QueryDef(
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-admit-q")
-        graft.pipeline.Pipeline.runStream(s, s"""{
-          "source": {"type": "documents_stream", "dir": "$dir", "slices": 3},
-          "processors": [],
-          "sink": {"type": "corpus_admit", "path": "$tmp/store",
-                   "checkpoint": "$tmp/ckpt", "portableHash": true}
-        }""")
-        graft.sink.BucketStore.read(s, s"$tmp/store").get
-          .select("doc_id").orderBy("doc_id")
+        try {
+          graft.pipeline.Pipeline.runStream(s, s"""{
+            "source": {"type": "documents_stream", "dir": "$dir", "slices": 3},
+            "processors": [],
+            "sink": {"type": "corpus_admit", "path": "$tmp/store",
+                     "checkpoint": "$tmp/ckpt", "portableHash": true}
+          }""")
+          // materialize the admitted ids (bounded: the id column only)
+          // before returning, so the temp store/checkpoint can be deleted
+          // HERE — the caller's lazy read would otherwise pin the dir, and
+          // repeated bench reps would accumulate full store copies in /tmp
+          import s.implicits._
+          graft.sink.BucketStore.read(s, s"$tmp/store").get
+            .select("doc_id").orderBy("doc_id")
+            .as[Long].collect().toSeq.toDF("doc_id")
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
       },
       Some(s"""$shCte,
         |sig AS (

@@ -115,6 +115,24 @@ class AdmissionSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == ids)
   }
 
+  test("a store refuses a batch whose LSH parameters mismatch its stamp") {
+    val cfg = cfgIn("graft-adm-params")
+    Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)
+    // same layout, DIFFERENT hash family: every band key the new batch
+    // derives would miss the stored ones — without the stamp this
+    // silently admits near-duplicates; with it, the batch dies up front
+    val flipped = cfg.copy(portableHash = true)
+    val e = intercept[IllegalArgumentException] {
+      Admission.admitBatch(Seq((3L, base)).toDF("doc_id", "text"), flipped, 1L)
+    }
+    assert(e.getMessage.contains("md5-sliced"))
+    assert(e.getMessage.contains("xxhash64"))
+    // the store is untouched and the ORIGINAL config still works
+    assert(storedIds(cfg) == Set(1L, 2L))
+    Admission.admitBatch(Seq((4L, third)).toDF("doc_id", "text"), cfg, 1L)
+    assert(storedIds(cfg) == Set(1L, 2L, 4L))
+  }
+
   test("at-least-once redelivery converges under the single flip") {
     val cfg = cfgIn("graft-adm-replay")
     Admission.admitBatch(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), cfg, 0L)

@@ -19,6 +19,20 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("requireBounded passes small inputs through and refuses oversize ones fast") {
+    val small = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.requireBounded(small, maxRows = 2).count() == 2)
+    // an "unbounded" input: the guard must fail without scanning past the
+    // cap (a full count of 1e6 synthetic rows would be visibly slower,
+    // but the contract we pin is the refusal itself)
+    val big = spark.range(1000000L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireBounded(big, maxRows = 100, what = "test baseline")
+    }
+    assert(e.getMessage.contains("test baseline"))
+    assert(e.getMessage.contains("100"))
+  }
+
   test("minhash LSH candidates superset the high-jaccard pairs and verify exactly") {
     val toks = TextAnalysis.tokens(col("text"))
     val withSh = docs.filter(size(toks) >= 3)
