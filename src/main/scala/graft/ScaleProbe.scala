@@ -152,6 +152,56 @@ object ScaleProbe {
     println(s"""{"probe":"delta_drain_4slice","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
       s""""apply_1":$ap1,"apply_k":$apk,"ratio":${tk / t1},""" +
       s""""apply_ratio":${apk / ap1},"sf":"$sfDir"}""")
+
+    // IVF sampled k-means: the per-ITERATION cost must be independent of
+    // corpus size (training touches only the bounded hash-ranked sample;
+    // the one-time sample selection and the final full-corpus assignment
+    // are the only O(corpus) terms). Isolation: time 1 vs 3 Lloyd
+    // iterations at each scale — the difference is two pure iterations,
+    // with the sample-selection TakeOrdered cancelled out.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def trainAt(n: Int, iters: Int): Double = {
+      val span = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val d = (0 until n).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + i * span)
+      }.reduce(_ unionByName _)
+      time(graft.ops.Similarity.trainCentroids(d, cells = 16, iters = iters,
+        trainSample = 256).count())._1
+    }
+    trainAt(1, 1) // warm
+    val it1 = (trainAt(1, 3) - trainAt(1, 1)) / 2
+    val itk = (trainAt(k, 3) - trainAt(k, 1)) / 2
+    println(s"""{"probe":"ivf_train_iter","k":$k,"per_iter_1":$it1,""" +
+      s""""per_iter_k":$itk,"ratio":${itk / it1},"sf":"$sfDir"}""")
+
+    // int8 IVF serving: the representation trade measured directly —
+    // total shuffle WRITE bytes for the same topk query served from the
+    // double corpus (ivfTopK) vs the quantized corpus (ivfTopKQ8). The
+    // listener is async; the sleep lets the bus drain before reading
+    // (dev probe — a stray straggler event under-counts both sides
+    // alike, the RATIO is the evidence).
+    def shuffledBytes(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(2000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val q32 = emb.filter(col("vec_id") < 32)
+    def runNoop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)) // warm
+    val bytesD = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)))
+    val bytesQ = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopKQ8(emb, q32, 5)))
+    println(s"""{"probe":"ivf_q8_shuffle_bytes","double":$bytesD,""" +
+      s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

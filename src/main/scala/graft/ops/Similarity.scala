@@ -197,32 +197,66 @@ object Similarity {
     }
   }
 
-  /** K-means (Lloyd) refinement of IVF centroids, DataFrame-only: assign
-    * every vector to its nearest centroid (map-side-combined `max_by`),
-    * recompute each cell's element-wise mean (posexplode → per-dimension
-    * avg → re-assemble), repeat. Tighter cells raise recall at the same
-    * nprobe. Empty cells drop out naturally. */
+  /** Default k-means training-set bound: comfortably more than enough
+    * members per cell at any realistic `cells`, still bounded driver-
+    * and executor-side metadata. */
+  val defaultTrainSample = 4096
+
+  /** The deterministic hash that ranks corpus vectors for centroid
+    * seeding and training-set selection. `portableSeeding` swaps
+    * xxhash64 for multiply-mod arithmetic a SQL oracle can reproduce. */
+  private def seedHashFor(idCol: String, portableSeeding: Boolean): Column =
+    if (portableSeeding) pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    else xxhash64(col(idCol))
+
+  /** K-means (Lloyd) refinement of IVF centroids over a BOUNDED training
+    * set — the standard sampled k-means: the `trainSample` lowest
+    * hash-ranked corpus vectors (a deterministic uniform draw; the
+    * centroid seeds are this ranking's prefix, so seeding is unchanged)
+    * are cached once and re-assigned each iteration. Per-iteration cost
+    * is O(trainSample × cells), INDEPENDENT of corpus size — the
+    * previous formulation re-read the full corpus every Lloyd pass,
+    * which at 100 TB is `iters` complete scans; the full corpus is
+    * assigned exactly once, by the caller, after training. Tighter cells
+    * raise recall at the same nprobe. Empty cells drop out naturally.
+    *
+    * Each cell's new centroid is the element-wise mean of its members
+    * summed by a SEQUENTIAL fold in (id-sorted) member order — a
+    * distributed `avg()` would sum in partition order, making the
+    * centroids non-portable across engines and not even stable across
+    * runs; the sorted fold is bit-identical everywhere, so a SQL oracle
+    * can replay the whole training loop. The per-cell collect_list is
+    * bounded by trainSample. */
   def trainCentroids(corpus: DataFrame, cells: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    var cent = seedCentroids(corpus, cells, xxhash64(col(idCol)), idCol, vecCol)
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, cent, idCol, vecCol, probes = 1, idCol, vecCol)
-      val next = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, e -> e.m)").as("cv"))
-      // ≤cells rows of bounded metadata: materialize each iteration's
-      // centroids so pass i+1's plan reads the corpus once instead of
-      // replaying every prior pass's assignment (the growing lineage
-      // also re-cached identical RDD blocks — the bench-tail
-      // "Block rdd_N already exists" warnings)
-      val spark = corpus.sparkSession
-      cent = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(next.collect(): _*), next.schema))
-    }
-    cent
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    val spark = corpus.sparkSession
+    val seedHash = seedHashFor(idCol, portableSeeding)
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(seedHash, col(idCol)).limit(trainSample).cache()
+    try {
+      var cent = seedCentroids(sample, cells, seedHash, idCol, vecCol)
+      for (_ <- 0 until iters) {
+        val assigned = assignCells(sample, cent, idCol, vecCol, probes = 1, idCol, vecCol)
+        val next = assigned
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col(idCol), col(vecCol)))).as("ms"))
+          .select(col("cell"), transform(
+            sequence(lit(1), size(element_at(col("ms"), 1).getField(vecCol))),
+            p => aggregate(col("ms"), lit(0.0),
+              (acc, m) => acc + element_at(m.getField(vecCol), p))
+              / size(col("ms"))).as("cv"))
+        // ≤cells rows of bounded metadata: materialize each iteration's
+        // centroids so pass i+1's plan reads the sample cache once
+        // instead of replaying every prior pass's assignment (the
+        // growing lineage also re-cached identical RDD blocks — the
+        // bench-tail "Block rdd_N already exists" warnings)
+        cent = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(next.collect(): _*), next.schema))
+      }
+      cent
+    } finally { sample.unpersist(); () }
   }
 
   /** IVF-style bucketed ANN: `cells` centroid vectors are drawn
@@ -235,15 +269,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
       nprobe: Int = 4, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "v",
-      portableSeeding: Boolean = false): DataFrame = {
-    // hash-ranked deterministic sample; `portableSeeding` swaps xxhash64
-    // for multiply-mod arithmetic a SQL oracle can reproduce.
-    val seedHash =
-      if (portableSeeding) pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
-      else xxhash64(col(idCol))
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
     val cent =
-      if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol, vecCol)
-      else seedCentroids(corpus, cells, seedHash, idCol, vecCol)
+      if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol,
+        vecCol, portableSeeding, trainSample)
+      else seedCentroids(corpus, cells, seedHashFor(idCol, portableSeeding),
+        idCol, vecCol)
     val c = assignCells(corpus, cent, "nid", "nv", probes = 1, idCol, vecCol)
     val q = assignCells(queries, cent, "qid", "qv", probes = nprobe, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -251,6 +283,55 @@ object Similarity {
       // full-row distinct, not dropDuplicates(subset): see lshTopK
       .drop("cell").distinct()
       .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** [[ivfTopK]] serving through an int8-quantized corpus: the corpus
+    * vector never enters a shuffle at full width — both the
+    * nearest-cell aggregation and the cell join (the ANN family's
+    * largest-volume shuffles) carry `(q8: array<tinyint>, scale, qs)`
+    * ≈ dim + 16 bytes per row instead of the dim × 8-byte double
+    * vector (~6× narrower at dim = 64). Cell assignment still scores
+    * the FULL-precision vector, map-side against broadcast centroids,
+    * BEFORE any shuffle; only the candidate re-rank runs on the
+    * dequantized form, so ranks can differ from [[ivfTopK]] within the
+    * quantization error ([[int8Audit]]: ≤ scale/2 per component). The
+    * scoring algebra is plain sequential-fold IEEE, so a SQL oracle
+    * replays it exactly: cos = (scale·Σ qv_i·q_i) / (|qv| ·
+    * scale·√(Σ q_i²)), with Σ q_i² precomputed map-side (8 bytes) so
+    * no per-pair pass over the int array is needed for the norm. */
+  def ivfTopKQ8(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
+      nprobe: Int = 4, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    val cent =
+      if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol,
+        vecCol, portableSeeding, trainSample)
+      else seedCentroids(corpus, cells, seedHashFor(idCol, portableSeeding),
+        idCol, vecCol)
+    val qz = int8Quantize(corpus.select(col(idCol).as("nid"), col(vecCol)), vecCol)
+      .withColumn("q8", col("q").cast("array<tinyint>"))
+      .withColumn("qs", dot(col("q"), col("q"))) // Σ q_i², integral double
+    val c = qz.join(cent, lit(true))
+      .withColumn("_d", cosine(col(vecCol), col("cv")))
+      .groupBy("nid")
+      .agg(max_by(struct(col("q8"), col("scale"), col("qs"), col("cell")),
+        struct(col("_d"), (-col("cell")).as("_nc"))).as("_best"))
+      .select(col("nid"), col("_best").getField("q8").as("nq"),
+        col("_best").getField("scale").as("nscale"),
+        col("_best").getField("qs").as("nqs"),
+        col("_best").getField("cell").as("cell"))
+    val q = assignCells(queries, cent, "qid", "qv", probes = nprobe, idCol, vecCol)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
+      // full-row distinct, not dropDuplicates(subset): see lshTopK
+      .drop("cell").distinct()
+      .withColumn("cos",
+        (col("nscale") * dot(col("qv"), transform(col("nq"), x => x.cast("double")))) /
+          (norm(col("qv")) * (col("nscale") * sqrt(col("nqs")))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")

@@ -121,6 +121,139 @@ object AnnQueries {
         |       nid
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // IVF served through the int8-quantized corpus — the storage/shuffle
+    // trade wired end to end: the cell join carries (int8 vector, scale,
+    // Σq²) instead of the 8-byte-per-dim double vector, and the re-rank
+    // scores the dequantized form with pure sequential-fold IEEE
+    // arithmetic, so DuckDB replays quantization, bucketing AND scoring
+    // exactly (same cells/seeding as ann_ivf — only the serving
+    // representation differs).
+    "ann_ivf_q8" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.ivfTopKQ8(e, e.filter(col("vec_id") < 32), k = 5,
+          cells = 16, nprobe = 4, portableSeeding = true)
+          .select("qid", "rank", "nid")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |qq AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x ->
+        |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale) END) AS q
+        |  FROM qz),
+        |qs AS (
+        |  SELECT vec_id, v, scale, q,
+        |    list_sum(list_transform(q, x -> x * x)) AS sq
+        |  FROM qq),
+        |scored AS (
+        |  SELECT qs.vec_id, qs.v, qs.scale, qs.q, qs.sq, cent.cell,
+        |    list_sum(list_transform(range(1, len(qs.v) + 1), i -> qs.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(qs.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM qs CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, scale AS nscale, q AS nq, sq AS nqs, cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    (nscale * list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nq[i]))) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) * (nscale * sqrt(nqs))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // IVF with sampled k-means refinement — the trained coarse
+    // quantizer, oracle-checked END TO END: the training set is the 256
+    // lowest portable-hash-ranked corpus vectors (seeds = that ranking's
+    // 16-prefix), 2 Lloyd iterations refine the centroids, and every
+    // step is bit-portable — assignment ties break (best cosine, lowest
+    // cell), each cell's new centroid is a SEQUENTIAL per-dimension fold
+    // over its members in vec_id order (a distributed avg would sum in
+    // partition order: not replayable in any SQL engine). The oracle
+    // unrolls both iterations, so candidate generation through the
+    // TRAINED cells is verified, not just recall.
+    "ann_ivf_trained" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), k = 5,
+          cells = 16, nprobe = 4, trainIters = 2, portableSeeding = true,
+          trainSample = 256)
+          .select("qid", "rank", "nid")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, v,
+        |         row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+        |  FROM e),
+        |samp AS (SELECT vec_id, v FROM r WHERE rn <= 256),
+        |cent0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS cv FROM r WHERE rn <= 16),
+        |a0 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT s.vec_id, s.v, c.cell,
+        |      list_sum(list_transform(range(1, len(s.v) + 1), i -> s.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cd
+        |    FROM samp s CROSS JOIN cent0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |cent1 AS (
+        |  SELECT cell, list_transform(range(1, len(ms[1]) + 1), p ->
+        |    list_sum(list_transform(ms, m -> m[p])) / len(ms)) AS cv
+        |  FROM (SELECT cell, list(v ORDER BY vec_id) AS ms FROM a0 GROUP BY cell)),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT s.vec_id, s.v, c.cell,
+        |      list_sum(list_transform(range(1, len(s.v) + 1), i -> s.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cd
+        |    FROM samp s CROSS JOIN cent1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |cent2 AS (
+        |  SELECT cell, list_transform(range(1, len(ms[1]) + 1), p ->
+        |    list_sum(list_transform(ms, m -> m[p])) / len(ms)) AS cv
+        |  FROM (SELECT cell, list(v ORDER BY vec_id) AS ms FROM a1 GROUP BY cell)),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, cent2.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent2),
+        |corpus AS (
+        |  SELECT vec_id AS nid, v AS nv, cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Incremental embedding admission — new (vec_id >= 400) vs corpus
     // (< 400) only, through the sketch-bucketed scale path: candidates
     // meet on the portable (tbl_id, bucket) key (so DuckDB replicates

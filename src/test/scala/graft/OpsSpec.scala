@@ -213,6 +213,15 @@ class OpsSpec extends SparkSpec {
     assert(untrained > 0.5, s"ivf recall $untrained")
     val trained = recallOf(2)
     assert(trained > 0.4, s"trained-ivf recall $trained")
+    // int8-served IVF: same cells, quantized re-rank — recall against
+    // the exact-double truth survives the ≤scale/2 per-component error
+    val q8 = Similarity.ivfTopKQ8(embs, queries, 5, cells = 8, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q8Recall = (0L until 8L).map { q =>
+      q8.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+    }.sum / 8
+    assert(q8Recall > 0.4, s"int8-ivf recall $q8Recall")
   }
 
   test("sketch-bucketed near-dup pairs superset-verify against bounded brute force") {
