@@ -202,6 +202,47 @@ object ScaleProbe {
     val bytesQ = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopKQ8(emb, q32, 5)))
     println(s"""{"probe":"ivf_q8_shuffle_bytes","double":$bytesD,""" +
       s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
+
+    // JDBC batch apply — the path behind the reference's headline number
+    // (BASELINE.md's batch-mixed tps is exactly compact-then-execute).
+    // Phases split: `compact` = the one-shot changelog fold (engine
+    // side), `execute` = statement generation + PreparedStatement
+    // batches against an embedded Derby target (delivery side).
+    // Execute work is O(|net keys|) by construction — the honest
+    // expectation at 10x keys is execute ≈ 10x minus amortized fixed
+    // costs (connections, statement shapes, JVM warmup), so wall comes
+    // in UNDER k; a super-linear execute would flag a per-row
+    // re-preparation or fallback storm.
+    def jdbcAt(n: Int): (Double, Double, Long) = {
+      val url = s"jdbc:derby:memory:graftprobe$n;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        (0 until 10).foreach { i =>
+          try st.execute(s"DROP TABLE SBTEST$i") catch { case _: Exception => () }
+          st.execute(s"CREATE TABLE SBTEST$i " +
+            "(PK BIGINT PRIMARY KEY, R_ID BIGINT, R_K INT, R_V DOUBLE)")
+        }
+        st.close()
+      } finally conn.close()
+      val log = graft.source.Changelog.fromEventsDf(
+        scaled(ev, Seq("user_id", "event_id"), n))
+      val net = graft.op.Compactor.compact(log).cache()
+      try {
+        val (cSecs, rows) = time(net.count())
+        val (eSecs, _) = time(
+          graft.sink.JdbcApply(net, graft.sink.JdbcApply.Config(url)))
+        (cSecs, eSecs, rows)
+      } finally { net.unpersist(); () }
+    }
+    jdbcAt(1) // warm (Derby boot + codegen)
+    val (jc1, je1, jr1) = jdbcAt(1)
+    val (jck, jek, jrk) = jdbcAt(k)
+    println(s"""{"probe":"jdbc_apply_10x","k":$k,"compact_1":$jc1,""" +
+      s""""execute_1":$je1,"compact_k":$jck,"execute_k":$jek,""" +
+      s""""rows_1":$jr1,"rows_k":$jrk,""" +
+      s""""execute_ratio":${jek / je1},""" +
+      s""""wall_ratio":${(jck + jek) / (jc1 + je1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

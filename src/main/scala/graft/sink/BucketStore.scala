@@ -2,7 +2,7 @@ package graft.sink
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -55,14 +55,10 @@ object BucketStore {
       }.toMap
   }
 
-  private def writeManifest(target: String, m: Map[Int, String]): Unit = {
-    Files.createDirectories(Paths.get(target))
-    val tmp = Paths.get(target, s"MANIFEST.tmp-${java.util.UUID.randomUUID}")
-    val body = m.toSeq.sortBy(_._1).map { case (b, g) => s"$b\t$g" }.mkString("\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(target),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeManifest(target: String, m: Map[Int, String],
+      fs: ManifestStore): Unit =
+    fs.publish(target, "MANIFEST",
+      m.toSeq.sortBy(_._1).map { case (b, g) => s"$b\t$g" }.mkString("\n"))
 
   /** Current state as one DataFrame (None when the store is empty).
     * Each manifest entry resolves to `gen/bucket=<b>` — a path INSIDE the
@@ -165,32 +161,29 @@ object BucketStore {
       touched.intersect(present).map(_ -> genName)
   }
 
-  /** Phase 2: atomically flip MANIFEST to the new mapping, then GC every
-    * on-disk generation dir no manifest entry references — superseded
+  /** Phase 2: atomically flip MANIFEST to the new mapping
+    * ([[ManifestStore.publish]] — conditional put on an object store),
+    * then GC every on-disk generation dir no manifest entry references
+    * ([[ManifestStore.sweep]] — batch delete there): superseded
     * generations AND a replayed batch's own output when all its touched
     * buckets netted to empty (that dir never enters any manifest). Safe
     * under the single-writer contract (the streaming sink serializes
     * batches): at flip time an unreferenced dir cannot belong to an
-    * in-flight batch. */
-  def flip(target: String, newManifest: Map[Int, String]): Unit = {
-    writeManifest(target, newManifest)
-    val live = newManifest.values.toSet
-    Option(new File(target).list()).getOrElse(Array.empty)
-      .filter(n => n.startsWith("gen-") && !live(n)).foreach { gen =>
-        try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
-      }
+    * in-flight batch; and sweep runs only after a successful publish, so
+    * a crash between the two merely orphans dirs for the next flip's
+    * sweep (ManifestStoreSpec pins both races). */
+  def flip(target: String, newManifest: Map[Int, String],
+      fs: ManifestStore = ManifestStore.LocalFs): Unit = {
+    writeManifest(target, newManifest, fs)
+    fs.sweep(target, Seq("gen-"), newManifest.values.toSet)
   }
 
   /** Merge one compacted net-change batch into the store (both phases). */
   def merge(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,
       maxLiveGens: Int = defaultMaxLiveGens,
-      allowDropColumns: Boolean = false): Unit =
+      allowDropColumns: Boolean = false,
+      fs: ManifestStore = ManifestStore.LocalFs): Unit =
     flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxLiveGens,
-      allowDropColumns))
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+      allowDropColumns), fs)
 }

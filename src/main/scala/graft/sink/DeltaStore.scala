@@ -89,15 +89,10 @@ object DeltaStore {
   }
 
   private def writeManifest(target: String, m: Map[Int, Seq[String]],
-      applied: Long): Unit = {
-    Files.createDirectories(Paths.get(target))
-    val tmp = Paths.get(target, s"MANIFEST.tmp-${java.util.UUID.randomUUID}")
-    val body = (s"#applied\t$applied" +: m.toSeq.sortBy(_._1)
-      .map { case (b, gens) => s"$b\t${gens.mkString(",")}" }).mkString("\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(target),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+      applied: Long, fs: ManifestStore): Unit =
+    fs.publish(target, "MANIFEST",
+      (s"#applied\t$applied" +: m.toSeq.sortBy(_._1)
+        .map { case (b, gens) => s"$b\t${gens.mkString(",")}" }).mkString("\n"))
 
   /** Last-writer-wins fold of (base + delta) rows carrying `net_op` and
     * a per-generation `_seq`: newest row per pk wins, tombstones drop.
@@ -252,15 +247,11 @@ object DeltaStore {
     * contract: no unflipped generation from another batch can exist at
     * flip time. */
   def flip(target: String, newManifest: Map[Int, Seq[String]],
-      appliedBatchId: Long): Unit = {
+      appliedBatchId: Long,
+      fs: ManifestStore = ManifestStore.LocalFs): Unit = {
     writeManifest(target, newManifest,
-      math.max(readApplied(target), appliedBatchId))
-    val live = newManifest.values.flatten.toSet
-    Option(new File(target).list()).getOrElse(Array.empty)
-      .filter(n => (n.startsWith("gen-") || n.startsWith("snap-")) && !live(n))
-      .foreach { gen =>
-        try deleteRecursively(new File(target, gen)) catch { case _: Exception => () }
-      }
+      math.max(readApplied(target), appliedBatchId), fs)
+    fs.sweep(target, Seq("gen-", "snap-"), newManifest.values.flatten.toSet)
   }
 
   /** Offline compaction — the maintenance entry point for read-heavy
@@ -330,12 +321,8 @@ object DeltaStore {
   def append(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,
       maxChain: Int = defaultMaxChain,
-      maxLiveGens: Int = defaultMaxLiveGens): Unit =
+      maxLiveGens: Int = defaultMaxLiveGens,
+      fs: ManifestStore = ManifestStore.LocalFs): Unit =
     flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain, maxLiveGens),
-      batchId)
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+      batchId, fs)
 }
