@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.sink.BucketStore
+import graft.sink.DeltaStore
 
 /** Streaming corpus admission — incremental dedup in its full
   * production shape. Each arriving micro-batch of documents is:
@@ -13,10 +13,10 @@ import graft.sink.BucketStore
   *   2. checked AGAINST the persisted corpus signature store
   *      (new-vs-corpus candidates only, [[Dedup.lshCandidatesAgainst]]
   *      — corpus×corpus pairs never form);
-  *   3. survivors' shingle sets + MinHash signatures are merged INTO
-  *      the store ([[graft.sink.BucketStore]]: pk-bucketed generations,
-  *      atomic MANIFEST flip), so a later batch dedupes against
-  *      everything admitted before it.
+  *   3. survivors' shingle sets + MinHash signatures are APPENDED to
+  *      the store ([[graft.sink.DeltaStore]]: pk-bucketed append-only
+  *      generations, atomic MANIFEST flip), so a later batch dedupes
+  *      against everything admitted before it.
   *
   * Replay safety end to end: the store merge is generation-keyed by
   * batch id (an at-least-once redelivery overwrites its own partial
@@ -34,17 +34,31 @@ import graft.sink.BucketStore
   * on the (band, key) shuffle key, and verification touches candidate
   * pairs only, reading shingle sets straight from the same store.
   *
-  * ONE store, ONE merge, ONE flip per batch: because the band rows travel
-  * inside the signature store's own generation, there is no window in
-  * which the corpus and its banded form disagree, and replay safety is
-  * exactly BucketStore's single-generation contract (an already-flipped
-  * batch is detected and skipped; an unflipped one recomputes
-  * deterministically against the pre-batch store). A store written by the
-  * earlier two-store layout (no `bands` column, sibling `<target>.bands`
-  * dir) is upgraded in one pass on its first post-upgrade batch: bands
-  * are derived from stored signatures one last time, the whole corpus is
-  * rewritten under that batch's generation with the packed column, and
-  * the orphaned sibling dir is removed after the flip.
+  * ONE store, ONE append, ONE flip per batch — and the append is
+  * O(|admitted batch|), NOT O(corpus): admission is insert-only (an
+  * admitted doc is never updated or deleted), so the store is a
+  * [[graft.sink.DeltaStore]] whose batches land as append-only
+  * generations. The earlier read-modify-write layout rewrote every
+  * touched bucket, and a batch of new docs hashes uniformly across ALL
+  * buckets — at corpus scale that is a full store rewrite per
+  * increment, the exact cost this operator exists to avoid. Reads go
+  * through [[DeltaStore.readAppendOnly]] (a plain chain-union scan, no
+  * LWW fold — column pruning reaches the footers); the chain cap folds
+  * a bucket once per `maxChain` appends, amortized like any LSM.
+  * Because the band rows travel inside the store's own generation,
+  * there is no window in which the corpus and its banded form disagree,
+  * and replay safety is the generation-key + `#applied` contract (an
+  * already-flipped batch is detected and skipped; an unflipped one
+  * recomputes deterministically against the pre-batch store).
+  *
+  * Pre-delta layouts migrate in one pass on their first post-upgrade
+  * batch: a store written by the read-modify-write era (no `#applied`
+  * manifest header), or by the still-earlier two-store layout (no
+  * packed `bands` column, sibling `<target>.bands` dir), has its whole
+  * corpus re-asserted — bands derived from stored signatures where
+  * missing — as THIS batch's single generation ([[DeltaStore.rewrite]]:
+  * chains reset atomically, superseded generations swept after the
+  * flip, orphaned sibling dir removed).
   */
 object Admission {
 
@@ -93,6 +107,15 @@ object Admission {
       .select(col("doc_id"), sh.as("sh"))
       .withColumn("sig", sig)
   }
+
+  /** Current signature-store contents (None when absent). The admission
+    * store is append-only, so this is [[DeltaStore.readAppendOnly]]'s
+    * plain chain-union scan — and it also reads stores written by the
+    * pre-delta BucketStore layout unchanged (same gen/bucket file
+    * layout; the manifest's bucket→gen lines parse as one-element
+    * chains). */
+  def readStore(spark: SparkSession, target: String): Option[DataFrame] =
+    DeltaStore.readAppendOnly(spark, target)
 
   /** The store's LSH-parameter stamp (`LSHPARAMS` next to MANIFEST).
     * Band keys are a pure function of (hash family, perms, bands, rows):
@@ -184,16 +207,20 @@ object Admission {
 
       // 2. vs the persisted corpus: candidates from the store's packed
       // band column (exploded — column pruning skips sh/sig on this
-      // scan), shingles for verification from the same store. A store
-      // written by the legacy layout (no `bands` column) derives bands
-      // from stored signatures one last time.
-      val storeOpt = BucketStore.read(spark, cfg.target)
-      val legacy = storeOpt.exists(s => !s.columns.contains("bands"))
+      // scan), shingles for verification from the same store. Pre-delta
+      // layouts are detected for the one-pass migration below: no
+      // `#applied` header = the read-modify-write era; no `bands`
+      // column = the still-earlier two-store era (bands derived from
+      // stored signatures one last time).
+      val storeOpt = readStore(spark, cfg.target)
+      val legacyBands = storeOpt.exists(s => !s.columns.contains("bands"))
+      val legacy = legacyBands ||
+        (storeOpt.isDefined && DeltaStore.readApplied(cfg.target) == -1L)
       val corpusRejected = (storeOpt match {
         case None => selfRejected.limit(0)
         case Some(store) =>
           val corpBands =
-            if (legacy) Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
+            if (legacyBands) Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
             else store.select(col("doc_id"), explode(col("bands")).as("bk"))
               .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
           verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
@@ -202,13 +229,12 @@ object Admission {
       }).cache()
       phase("admit.corpus") { corpusRejected.count() }
 
-      // 3. merge survivors — signature AND packed bands in the same row —
-      // into the store: ONE generation, ONE flip (replay-safe by the
-      // generation key). On a legacy store, this batch's net is the WHOLE
-      // corpus re-asserted with the packed column (the one-pass upgrade;
-      // BucketStore's merge reads pre-evolution generations with the
-      // net's schema, so the added column is simply null there and every
-      // rewritten row carries its value).
+      // 3. append survivors — signature AND packed bands in the same
+      // row — to the store: ONE generation, ONE flip, O(|admitted|)
+      // written (replay-safe by the generation key / #applied header).
+      // On a legacy store this batch instead RESET-writes the WHOLE
+      // corpus re-asserted with the packed column as its single
+      // generation (the one-pass migration).
       val admitted = sig
         .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
         .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
@@ -217,15 +243,18 @@ object Admission {
         val n = phase("admit.merge") { admitted.count() } // materialize before the flip GCs old gens
         selfRejected.unpersist()
         corpusRejected.unpersist()
-        val net =
-          if (legacy)
-            storeOpt.get
-              .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
-              .unionByName(admitted)
-          else admitted
         phase("admit.write") {
-          BucketStore.merge(net.withColumn("net_op", lit("insert")),
-            cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+          if (legacy) {
+            val upgraded =
+              if (legacyBands) storeOpt.get
+                .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
+              else storeOpt.get
+            DeltaStore.rewrite(
+              upgraded.unionByName(admitted).withColumn("net_op", lit("insert")),
+              cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+          } else
+            DeltaStore.append(admitted.withColumn("net_op", lit("insert")),
+              cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
         }
         // stamp AFTER the first successful merge: a store that exists
         // without a stamp (pre-stamp layout, or a crash before this line)

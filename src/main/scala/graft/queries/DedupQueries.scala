@@ -268,7 +268,7 @@ object DedupQueries {
           // HERE — the caller's lazy read would otherwise pin the dir, and
           // repeated bench reps would accumulate full store copies in /tmp
           import s.implicits._
-          graft.sink.BucketStore.read(s, s"$tmp/store").get
+          graft.ops.Admission.readStore(s, s"$tmp/store").get
             .select("doc_id").orderBy("doc_id")
             .as[Long].collect().toSeq.toDF("doc_id")
         } finally {

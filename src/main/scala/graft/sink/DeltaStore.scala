@@ -147,6 +147,31 @@ object DeltaStore {
     }
   }
 
+  /** Union of the live chains WITHOUT the per-pk LWW fold — the read
+    * path for APPEND-ONLY stores (insert-only nets, globally unique pks:
+    * the admission signature store). No key is ever superseded, so the
+    * fold would only burn a corpus-wide shuffle; skipping it keeps the
+    * read a plain multi-path scan whose column pruning reaches the
+    * parquet footers directly (a consumer selecting (doc_id, bands)
+    * never drags the shingle arrays through an aggregation). Tolerates
+    * mixed-era chains (mergeSchema): rows from generations written by
+    * [[BucketStore]] before a migration carry no `net_op` and read as
+    * null — kept; genuine tombstones (never produced by an append-only
+    * writer) are dropped defensively. */
+  def readAppendOnly(spark: SparkSession, target: String): Option[DataFrame] = {
+    val chains = readManifest(target)
+    val paths = chains.toSeq
+      .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
+    if (paths.isEmpty) None
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(paths.distinct: _*)
+      if (df.columns.contains("net_op"))
+        Some(df.filter(col("net_op").isNull || col("net_op") =!= "delete")
+          .drop("net_op"))
+      else Some(df)
+    }
+  }
+
   private def pkColsPath(target: String): Path = Paths.get(target, "PKCOLS")
 
   /** The resolution key is part of the store's identity; persist it at
@@ -315,6 +340,35 @@ object DeltaStore {
     val fire = readManifest(target).values.flatten.toSet.size >= minLiveGens
     if (fire) snapshot(spark, target, nBuckets)
     fire
+  }
+
+  /** Reset-write: land `net` (state rows carrying `net_op`) as the
+    * store's SINGLE generation, every chain reset to it — the
+    * migration / offline-fold entry for a caller that computed the full
+    * resolved state itself (e.g. [[graft.ops.Admission]] upgrading a
+    * pre-delta store layout in one pass). Crash contract identical to
+    * [[append]]: the generation is written complete (`_SUCCESS`
+    * required) before the atomic flip, a replayed batch is detected by
+    * generation name / `#applied` and skipped, and superseded
+    * generations are swept only after the flip. */
+  def rewrite(net: DataFrame, target: String, pkCols: Seq[String],
+      nBuckets: Int, batchId: Long,
+      fs: ManifestStore = ManifestStore.LocalFs): Unit = {
+    val genName = s"gen-$batchId"
+    val genDir = s"$target/$genName"
+    val manifest0 = readManifest(target)
+    if (manifest0.values.exists(_.contains(genName)) ||
+        batchId <= readApplied(target)) return
+    writePkCols(target, pkCols)
+    net.withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    require(Files.exists(Paths.get(genDir, "_SUCCESS")),
+      s"generation write did not complete: $genDir")
+    val present = Option(new File(genDir).list()).getOrElse(Array.empty)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+    flip(target, present.map(b => b -> Seq(genName)).toMap, batchId, fs)
   }
 
   /** Append one compacted net-change batch (both phases). */

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.{Admission, Dedup}
 import graft.sink.BucketStore
+import graft.ops.Admission.readStore
 
 /** The admission store's packed banded form: candidate generation reads
   * pre-derived band structs from the SAME store row as the signature —
@@ -21,12 +22,12 @@ class AdmissionSpec extends SparkSpec {
   }
 
   private def storedIds(cfg: Admission.Config): Set[Long] =
-    BucketStore.read(spark, cfg.target)
+    readStore(spark, cfg.target)
       .map(_.select("doc_id").as[Long].collect().toSet).getOrElse(Set.empty)
 
   /** The store's packed band column, exploded. */
   private def bandRows(cfg: Admission.Config): Set[(Long, Int, String)] =
-    BucketStore.read(spark, cfg.target)
+    readStore(spark, cfg.target)
       .map(_.select(col("doc_id"), explode(col("bands")).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
         .as[(Long, Int, String)].collect().toSet)
@@ -35,7 +36,7 @@ class AdmissionSpec extends SparkSpec {
   /** What the packed column must always equal: the banded form of the
     * stored signatures, exactly. */
   private def wantBands(cfg: Admission.Config): Set[(Long, Int, String)] =
-    Dedup.lshBands(BucketStore.read(spark, cfg.target).get,
+    Dedup.lshBands(readStore(spark, cfg.target).get,
       "sig", cfg.bands, cfg.rows, "doc_id")
       .as[(Long, Int, String)].collect().toSet
 
@@ -65,7 +66,7 @@ class AdmissionSpec extends SparkSpec {
       Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
         .withColumn("net_op", lit("insert")),
       cfg.bandTarget, Seq("doc_id", "band"), cfg.nBuckets, 0L)
-    assert(!BucketStore.read(spark, cfg.target).get.columns.contains("bands"))
+    assert(!readStore(spark, cfg.target).get.columns.contains("bands"))
     // the next batch still dedupes against the full legacy corpus (bands
     // derived from signatures one last time), rewrites the WHOLE corpus
     // with the packed column under its own generation, and removes the
@@ -82,11 +83,11 @@ class AdmissionSpec extends SparkSpec {
     val cfg = cfgIn("graft-adm-empty")
     // nothing admitted: every doc is under the <3-token signature guard
     Admission.admitBatch(Seq((1L, "too short")).toDF("doc_id", "text"), cfg, 0L)
-    assert(BucketStore.read(spark, cfg.target).isEmpty)
+    assert(readStore(spark, cfg.target).isEmpty)
     // a literally empty batch on the still-absent store is also a no-op
     Admission.admitBatch(
       spark.emptyDataset[(Long, String)].toDF("doc_id", "text"), cfg, 1L)
-    assert(BucketStore.read(spark, cfg.target).isEmpty)
+    assert(readStore(spark, cfg.target).isEmpty)
     // the stream then proceeds normally once real docs arrive
     Admission.admitBatch(Seq((2L, base)).toDF("doc_id", "text"), cfg, 2L)
     assert(storedIds(cfg) == Set(2L))
@@ -102,7 +103,7 @@ class AdmissionSpec extends SparkSpec {
                "checkpoint": "${dir.resolve("ckpt")}", "portableHash": true}
     }"""
     graft.pipeline.Pipeline.runStream(spark, cfg)
-    val store = BucketStore.read(spark, dir.resolve("store").toString).get
+    val store = readStore(spark, dir.resolve("store").toString).get
     val ids = store.select("doc_id").as[Long].collect().toSet
     assert(ids.nonEmpty)
     // the store invariant holds through the config path too
@@ -111,7 +112,7 @@ class AdmissionSpec extends SparkSpec {
     assert(bandRows(acfg) == wantBands(acfg))
     // restart from the same checkpoint: no new batches, store unchanged
     graft.pipeline.Pipeline.runStream(spark, cfg)
-    assert(BucketStore.read(spark, dir.resolve("store").toString).get
+    assert(readStore(spark, dir.resolve("store").toString).get
       .select("doc_id").as[Long].collect().toSet == ids)
   }
 

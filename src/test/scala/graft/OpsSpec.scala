@@ -129,7 +129,7 @@ class OpsSpec extends SparkSpec {
       admitted ++= batchIds.filter(d =>
         !selfRej(d) && !admitted.exists(c => near(c, d)))
     }
-    val got = graft.sink.BucketStore.read(spark, cfg.target)
+    val got = graft.ops.Admission.readStore(spark, cfg.target)
       .map(_.select("doc_id").as[Long].collect().toSeq.sorted).getOrElse(Seq.empty)
     assert(relation.nonEmpty, "fixture should contain verified near-dups")
     assert(got == admitted.sorted.toSeq,

@@ -130,7 +130,7 @@ class PlanSpec extends SparkSpec {
     graft.ops.Admission.admitBatch(
       Seq((1L, "the quick brown fox jumps over the lazy dog"))
         .toDF("doc_id", "text"), cfg, 0L)
-    val store = graft.sink.BucketStore.read(spark, cfg.target).get
+    val store = graft.ops.Admission.readStore(spark, cfg.target).get
     val candSide = store.select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val p = candSide.queryExecution.executedPlan.toString

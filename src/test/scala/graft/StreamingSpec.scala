@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSpec {
       target = dir.resolve("store").toString,
       checkpoint = dir.resolve("ckpt").toString)
     def ids(): Seq[Long] =
-      graft.sink.BucketStore.read(spark, cfg.target)
+      graft.ops.Admission.readStore(spark, cfg.target)
         .map(_.select("doc_id").as[Long].collect().toSeq.sorted).getOrElse(Seq.empty)
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val other = "completely different content about spark shuffles and parquet footers"
