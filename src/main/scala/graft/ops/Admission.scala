@@ -69,10 +69,14 @@ object Admission {
     * @param portableHash use the sliced-md5 MinHash family (k ≤ 8)
     *   instead of xxhash64 — an external SQL engine can then replay the
     *   identical admission decisions (the oracle family; production
-    *   keeps the default) */
+    *   keeps the default)
+    * @param maxChain per-bucket delta-chain cap before the append folds
+    *   that bucket ([[graft.sink.DeltaStore]]'s LSM trade: larger =
+    *   cheaper appends, more files per candidate scan) */
   final case class Config(target: String, checkpoint: String,
       threshold: Double = 0.5, perms: Int = 8, bands: Int = 4, rows: Int = 2,
-      nBuckets: Int = 16, portableHash: Boolean = false) {
+      nBuckets: Int = 16, portableHash: Boolean = false,
+      maxChain: Int = DeltaStore.defaultMaxChain) {
     require(bands * rows == perms, "bands*rows must equal perms")
     /** The LEGACY two-store layout's sibling band dir — only ever read to
       * detect and clean up after the one-pass upgrade to the single-store
@@ -254,7 +258,7 @@ object Admission {
               cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
           } else
             DeltaStore.append(admitted.withColumn("net_op", lit("insert")),
-              cfg.target, Seq("doc_id"), cfg.nBuckets, batchId)
+              cfg.target, Seq("doc_id"), cfg.nBuckets, batchId, cfg.maxChain)
         }
         // stamp AFTER the first successful merge: a store that exists
         // without a stamp (pre-stamp layout, or a crash before this line)

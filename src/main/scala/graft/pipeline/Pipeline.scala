@@ -230,7 +230,9 @@ object Pipeline {
           bands = if (snk.has("bands")) snk.get("bands").asInt() else 4,
           rows = if (snk.has("rows")) snk.get("rows").asInt() else 2,
           nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 16,
-          portableHash = snk.has("portableHash") && snk.get("portableHash").asBoolean())
+          portableHash = snk.has("portableHash") && snk.get("portableHash").asBoolean(),
+          maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
+            else graft.sink.DeltaStore.defaultMaxChain)
         graft.ops.Admission.admissionStream(transformed, acfg)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
