@@ -162,15 +162,29 @@ object Admission {
     }
   }
 
-  /** Verified near-dup pairs above the threshold, given candidate
-    * (leftId, rightId) pairs and per-side shingle frames. */
-  private def verified(cand: DataFrame, leftSh: DataFrame, rightSh: DataFrame,
-      leftId: String, rightId: String, threshold: Double): DataFrame = {
+  /** Rejected batch ids from a unified candidate frame
+    * `(doc_id, other_id, src)` — `doc_id` is the batch doc that dies if
+    * the pair verifies; `src` names which shingle table the OTHER side
+    * lives in (`"batch"` or `"corpus"`). One join pipeline and one
+    * distinct serve BOTH rejection branches: the batch side binds its
+    * shingles once, the other side resolves against the union of the
+    * batch and corpus shingle frames keyed by (src, id) — the src tag
+    * keeps the lookup unambiguous even when a replayed batch's ids
+    * already exist in the store. */
+  private def rejectedIds(cand: DataFrame, batchSh: DataFrame,
+      corpusSh: Option[DataFrame], threshold: Double): DataFrame = {
     val (inter, uni, _) = Dedup.jaccardCols(col("_lsh"), col("_rsh"))
-    cand.join(leftSh.select(col("doc_id").as(leftId), col("sh").as("_lsh")), leftId)
-      .join(rightSh.select(col("doc_id").as(rightId), col("sh").as("_rsh")), rightId)
+    val batchOther = batchSh.select(lit("batch").as("src"),
+      col("doc_id").as("other_id"), col("sh").as("_rsh"))
+    val otherSh = corpusSh match {
+      case Some(c) => batchOther.unionByName(c.select(lit("corpus").as("src"),
+        col("doc_id").as("other_id"), col("sh").as("_rsh")))
+      case None => batchOther
+    }
+    cand.join(batchSh.select(col("doc_id"), col("sh").as("_lsh")), "doc_id")
+      .join(otherSh, Seq("src", "other_id"))
       .filter(inter * 1.0 / uni >= threshold)
-      .select(leftId, rightId)
+      .select("doc_id").distinct()
   }
 
   /** Admit one batch: merges the admitted signature rows into the store
@@ -192,46 +206,48 @@ object Admission {
       phase("admit.sig") { sig.count() }
       val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
 
-      // 1. within-batch keep-first, EDGE-based: the higher id of any
-      // verified pair is rejected even if the lower id itself gets
-      // rejected against the corpus — near-dup chains collapse
-      // transitively. (Deliberate: clique-aware admission would need a
-      // driver-side iterative pass; the edge policy is the standard
-      // MinHash-dedup keep-first, and its only batching sensitivity is
-      // the degenerate chain case where the surviving endpoint of a
-      // pair is itself corpus-rejected.)
-      // Rejected-id frames are tiny (ids only) and feed the anti-join:
-      // caching them makes each rejection branch's cost attributable AND
-      // lets the anti-join broadcast a materialized id set instead of
-      // re-running candidates+verify inside the merge job.
-      val selfRejected = verified(Dedup.lshCandidates(bands, "doc_id"), sig, sig,
-        "b_id", "a_id", cfg.threshold) // b_id = higher id (lshCandidates: a < b)
-        .select(col("b_id").as("doc_id")).distinct().cache()
-      phase("admit.self") { selfRejected.count() }
-
-      // 2. vs the persisted corpus: candidates from the store's packed
-      // band column (exploded — column pruning skips sh/sig on this
-      // scan), shingles for verification from the same store. Pre-delta
+      // 1+2 in ONE pass. Within-batch keep-first is EDGE-based: the
+      // higher id of any verified pair is rejected even if the lower id
+      // itself gets rejected against the corpus — near-dup chains
+      // collapse transitively. (Deliberate: clique-aware admission would
+      // need a driver-side iterative pass; the edge policy is the
+      // standard MinHash-dedup keep-first, and its only batching
+      // sensitivity is the degenerate chain case where the surviving
+      // endpoint of a pair is itself corpus-rejected.)
+      // Corpus candidates come from the store's packed band column
+      // (exploded — column pruning skips sh/sig on this scan), and the
+      // two candidate branches union into ONE shingle-join/verify
+      // pipeline ([[rejectedIds]]): one distinct over rejected ids, one
+      // count, one tiny cached id set feeding the anti-join — the
+      // earlier per-branch pipelines paid the batch-side shingle join,
+      // the verify filter and the distinct shuffle twice. Pre-delta
       // layouts are detected for the one-pass migration below: no
-      // `#applied` header = the read-modify-write era; no `bands`
-      // column = the still-earlier two-store era (bands derived from
-      // stored signatures one last time).
+      // `#applied` manifest header = the read-modify-write era; no
+      // `bands` column = the still-earlier two-store era (bands derived
+      // from stored signatures one last time).
       val storeOpt = readStore(spark, cfg.target)
       val legacyBands = storeOpt.exists(s => !s.columns.contains("bands"))
       val legacy = legacyBands ||
         (storeOpt.isDefined && DeltaStore.readApplied(cfg.target) == -1L)
-      val corpusRejected = (storeOpt match {
-        case None => selfRejected.limit(0)
+      // b_id = higher id (lshCandidates: a < b) — the rejected side
+      val selfCand = Dedup.lshCandidates(bands, "doc_id")
+        .select(col("b_id").as("doc_id"), col("a_id").as("other_id"),
+          lit("batch").as("src"))
+      val cand = storeOpt match {
+        case None => selfCand
         case Some(store) =>
           val corpBands =
             if (legacyBands) Dedup.lshBands(store, "sig", cfg.bands, cfg.rows, "doc_id")
             else store.select(col("doc_id"), explode(col("bands")).as("bk"))
               .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-          verified(Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id"),
-            sig, store, "new_id", "corpus_id", cfg.threshold)
-            .select(col("new_id").as("doc_id")).distinct()
-      }).cache()
-      phase("admit.corpus") { corpusRejected.count() }
+          selfCand.unionByName(
+            Dedup.lshCandidatesAgainst(bands, corpBands, "doc_id")
+              .select(col("new_id").as("doc_id"), col("corpus_id").as("other_id"),
+                lit("corpus").as("src")))
+      }
+      val rejected = rejectedIds(cand, sig,
+        storeOpt.map(_.select("doc_id", "sh")), cfg.threshold).cache()
+      phase("admit.verify") { rejected.count() }
 
       // 3. append survivors — signature AND packed bands in the same
       // row — to the store: ONE generation, ONE flip, O(|admitted|)
@@ -240,13 +256,12 @@ object Admission {
       // corpus re-asserted with the packed column as its single
       // generation (the one-pass migration).
       val admitted = sig
-        .join(selfRejected.unionByName(corpusRejected), Seq("doc_id"), "left_anti")
+        .join(rejected, Seq("doc_id"), "left_anti")
         .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
         .cache()
       try {
         val n = phase("admit.merge") { admitted.count() } // materialize before the flip GCs old gens
-        selfRejected.unpersist()
-        corpusRejected.unpersist()
+        rejected.unpersist()
         phase("admit.write") {
           if (legacy) {
             val upgraded =
