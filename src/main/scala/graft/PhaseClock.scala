@@ -37,9 +37,9 @@ object PhaseClock {
       (a, b) => Double.box(a + b))
   }
 
-  /** Bump a counter phase (e.g. batches applied) by 1. */
-  def count(name: String): Unit =
-    acc.merge(name, Double.box(1.0), (a, b) => Double.box(a + b))
+  /** Bump a counter phase (e.g. batches applied) by `n` (default 1). */
+  def count(name: String, n: Long = 1L): Unit =
+    acc.merge(name, Double.box(n.toDouble), (a, b) => Double.box(a + b))
 
   def snapshot(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._

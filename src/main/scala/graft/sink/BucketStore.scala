@@ -147,7 +147,7 @@ object BucketStore {
     }
     val merged = Merge.applyNetChanges(cur, bucketed.drop("bucket"), pkCols)
     merged.withColumn("bucket", bucketCol(pkCols, nBuckets))
-      .repartition(col("bucket"))
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     bucketed.unpersist()
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),

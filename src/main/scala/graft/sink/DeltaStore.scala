@@ -218,8 +218,16 @@ object DeltaStore {
     writePkCols(target, pkCols)
     val bucketed = net
       .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)).cache()
-    val touched = bucketed.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
+    // delta.* are attribution sub-phases of the enclosing sink "apply"
+    // ([[graft.PhaseClock]]): delta.net = computing+caching the net batch
+    // (the collect below fills the cache), delta.write = the generation
+    // write INCLUDING any chain-fold reads, delta.flip = manifest flip +
+    // GC sweep. delta.folds counts chain-capped bucket folds, so the
+    // artifact shows how often the LSM fold cost is actually paid.
+    val touched = graft.PhaseClock.time("delta.net") {
+      bucketed.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet // bucket ids only — bounded metadata
+    }
     val globalFold = manifest0.values.flatten.toSet.size >= maxLiveGens
     if (touched.isEmpty && !globalFold) {
       // empty micro-batch: nothing to write — a gen dir holding only
@@ -244,11 +252,14 @@ object DeltaStore {
           .withColumn("net_op", lit("insert"))
           .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)))
       }
+    if (foldBuckets.nonEmpty) graft.PhaseClock.count("delta.folds", foldBuckets.size)
     val out = foldedPart
       .map(f => deltaPart.unionByName(f, allowMissingColumns = false))
       .getOrElse(deltaPart)
-    out.repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    graft.PhaseClock.time("delta.write") {
+      out.repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    }
     bucketed.unpersist()
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),
       s"generation write did not complete: $genDir")
@@ -273,11 +284,12 @@ object DeltaStore {
     * flip time. */
   def flip(target: String, newManifest: Map[Int, Seq[String]],
       appliedBatchId: Long,
-      fs: ManifestStore = ManifestStore.LocalFs): Unit = {
-    writeManifest(target, newManifest,
-      math.max(readApplied(target), appliedBatchId), fs)
-    fs.sweep(target, Seq("gen-", "snap-"), newManifest.values.flatten.toSet)
-  }
+      fs: ManifestStore = ManifestStore.LocalFs): Unit =
+    graft.PhaseClock.time("delta.flip") {
+      writeManifest(target, newManifest,
+        math.max(readApplied(target), appliedBatchId), fs)
+      fs.sweep(target, Seq("gen-", "snap-"), newManifest.values.flatten.toSet)
+    }
 
   /** Offline compaction — the maintenance entry point for read-heavy
     * targets: materialize the resolved state as ONE folded generation
@@ -311,7 +323,7 @@ object DeltaStore {
     resolve(all, pkCols)
       .withColumn("net_op", lit("insert"))
       .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets))
-      .repartition(col("bucket"))
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),
       s"snapshot write did not complete: $genDir")
@@ -361,7 +373,7 @@ object DeltaStore {
         batchId <= readApplied(target)) return
     writePkCols(target, pkCols)
     net.withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets))
-      .repartition(col("bucket"))
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),
       s"generation write did not complete: $genDir")
