@@ -27,6 +27,15 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    dispatch(spark, json)
+    spark.stop()
+  }
+
+  /** Config dispatch, separated from `main`'s session bootstrap so a
+    * harness can drive any config kind (maintenance / streaming / batch)
+    * against its own session — the gated lifecycle queries call this for
+    * the maintenance front-end. */
+  def dispatch(spark: SparkSession, json: String): Unit = {
     val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     if (cfg.has("maintenance")) {
       val m = cfg.get("maintenance")
@@ -43,6 +52,5 @@ object Run {
         println(s"[run] last batch ${s.batchId}: ${s.numInputRows} rows, " +
           s"${s.processedRowsPerSecond.round} rows/s, trigger ${s.triggerMs} ms"))
     else graft.pipeline.Pipeline.run(spark, json)
-    spark.stop()
   }
 }

@@ -344,18 +344,57 @@ object CdcQueries {
     "stream_sync" -> QueryDef(
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sync-q")
-        graft.pipeline.Pipeline.runStream(s, s"""{
-          "source": {"type": "events_stream", "dir": "$dir", "slices": 4},
-          "processors": [],
-          "sink": {"type": "parquet_delta", "path": "$tmp/state",
-                   "checkpoint": "$tmp/ckpt", "pk": ["tbl", "pk"],
-                   "buckets": 16, "maxChain": 2}
-        }""")
-        graft.sink.DeltaStore.read(s, s"$tmp/state").get
+        graft.pipeline.Pipeline.runStream(s, deltaStreamConfig(dir, tmp))
+        graft.sink.DeltaStore.read(s, s"$tmp/state")
+          .get
           .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
           .orderBy("tbl", "pk")
       },
-      Some(s"""$cte,
+      Some(streamedStateOracle),
+      bench = true),
+
+    // The MAINTENANCE lifecycle on top of stream_sync's: drain the same
+    // 4-slice stream into the delta store, then run the config-driven
+    // `maintenance: snapshot` op (graft.Run's front-end — offline
+    // compaction folding every chain to ONE `snap-` generation), and
+    // read back POST-snapshot. The oracle is stream_sync's: a snapshot
+    // must be invisible to readers. The in-query require proves the fold
+    // actually happened (every chain = exactly one snap- generation) —
+    // without it a no-op snapshot would still pass the value gate.
+    "delta_snapshot" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-snap-q")
+        try {
+          graft.pipeline.Pipeline.runStream(s, deltaStreamConfig(dir, tmp))
+          graft.Run.dispatch(s, s"""{"maintenance":
+            {"type": "snapshot", "path": "$tmp/state", "buckets": 16}}""")
+          val chains = graft.sink.DeltaStore.readManifest(s"$tmp/state")
+          require(chains.nonEmpty && chains.values.forall(c =>
+            c.size == 1 && c.head.startsWith("snap-")),
+            s"snapshot did not fold the store to single snap- chains: $chains")
+          val res = graft.sink.DeltaStore.read(s, s"$tmp/state").get
+            .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+            .orderBy("tbl", "pk")
+          // materialize into a local relation so the temp store can be
+          // deleted here (a lazy read would pin the dir; see stream_admit)
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
+      },
+      Some(streamedStateOracle),
+      bench = true)) ++ moreDefs
+
+  /** Oracle for the streamed delta-store state — shared by stream_sync
+    * AND delta_snapshot (a snapshot must be invisible to readers):
+    * per-slice compaction + newest-batch-wins QUALIFY, with batch = the
+    * slice's event_id range ((seq - lo) // span, the staging arithmetic
+    * in ChangeStream.fromEventsStream). */
+  private lazy val streamedStateOracle: String = s"""$cte,
         |bounds AS (
         |  SELECT min(seq) AS lo, (max(seq) - min(seq) + 4) // 4 AS span
         |  FROM changelog),
@@ -387,8 +426,21 @@ object CdcQueries {
         |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1)
         |SELECT tbl, pk, r_id, r_k, r_v, last_seq FROM resolved
         |WHERE net_op <> 'delete'
-        |ORDER BY tbl, pk""".stripMargin),
-      bench = true),
+        |ORDER BY tbl, pk""".stripMargin
+
+  /** The 4-slice events_stream → parquet_delta lifecycle config shared
+    * by stream_sync and delta_snapshot: event_id-ranged segments, one
+    * micro-batch each under maxFilesPerTrigger=1; maxChain=2 forces
+    * chain-cap folds inside the gated path. */
+  private def deltaStreamConfig(dir: String, tmp: java.nio.file.Path): String = s"""{
+    "source": {"type": "events_stream", "dir": "$dir", "slices": 4},
+    "processors": [],
+    "sink": {"type": "parquet_delta", "path": "$tmp/state",
+             "checkpoint": "$tmp/ckpt", "pk": ["tbl", "pk"],
+             "buckets": 16, "maxChain": 2}
+  }"""
+
+  private def moreDefs: Map[String, QueryDef] = Map(
 
     // S2 — bounded snapshot scan with logical keyset pages
     "s2_scan" -> QueryDef(
