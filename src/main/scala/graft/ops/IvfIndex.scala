@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sink.DeltaStore
+
+/** Persisted, incrementally-maintained IVF index — similarity search in
+  * its production shape. The `ann_ivf*` queries rebuild the coarse
+  * quantizer and re-assign the whole corpus per query; at corpus scale
+  * the index is a STORE that embedding increments maintain:
+  *
+  *   1. the FIRST batch seeds the centroids (hash-ranked sample, as in
+  *      [[Similarity.ivfTopK]]) and freezes them next to the manifest
+  *      (`CENTROIDS`) — a coarse quantizer must not drift once postings
+  *      reference its cells;
+  *   2. every batch assigns its vectors to their nearest frozen centroid
+  *      (one broadcast pass, map-side `max_by`) and APPENDS the postings
+  *      as a [[DeltaStore]] generation — O(|batch|) per increment,
+  *      replay-safe by the generation-key / `#applied` contract;
+  *   3. the store is bucketed BY CELL ID (`bucketExpr`), so the bucket
+  *      dirs ARE the inverted lists: a top-k serve reads only the
+  *      `nprobe` probed cells' files ([[DeltaStore.readAppendOnly]]'s
+  *      bucket pruning) — nprobe/cells of the corpus touched on disk,
+  *      not a post-scan filter.
+  *
+  * Reference scope: the reference engine has no vector search; this is
+  * part of the training-data-pipeline surface (SURVEY §2 extension), so
+  * the layout follows the standard IVF file-index design (coarse
+  * quantizer + per-cell postings files) re-expressed on the delta-log
+  * store machinery.
+  */
+object IvfIndex {
+
+  /** @param target   index store directory (DeltaStore layout + CENTROIDS)
+    * @param checkpoint streaming checkpoint dir
+    * @param cells    coarse-quantizer size = bucket count of the store
+    * @param portableSeeding use the multiply-shift seeding hash so an
+    *   external SQL engine can replay seeding/assignment exactly (the
+    *   oracle family; production keeps the default xxhash64) */
+  final case class Config(target: String, checkpoint: String,
+      cells: Int = 16, portableSeeding: Boolean = false,
+      maxChain: Int = DeltaStore.defaultMaxChain)
+
+  private def centroidsPath(target: String): java.nio.file.Path =
+    java.nio.file.Paths.get(target, "CENTROIDS")
+
+  /** Frozen centroids as `cell\tv1,v2,...` lines (bounded: ≤cells rows);
+    * written once, atomically, before the first generation flips. */
+  private def writeCentroids(target: String, cents: Seq[(Long, Seq[Double])]): Unit = {
+    val p = centroidsPath(target)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val body = cents.sortBy(_._1)
+        .map { case (c, v) => s"$c\t${v.mkString(",")}" }.mkString("\n")
+      val tmp = p.resolveSibling(s"CENTROIDS.tmp-${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The frozen coarse quantizer (None before the first batch seeded
+    * it). Broadcast-sized by construction. */
+  def readCentroids(spark: SparkSession, target: String): Option[DataFrame] = {
+    val p = centroidsPath(target)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val cents = java.nio.file.Files
+        .readAllLines(p, java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(c, v) = line.split('\t')
+          (c.toLong, v.split(',').toSeq.map(_.toDouble))
+        }
+      import spark.implicits._
+      Some(broadcast(cents.toDF("cell", "cv")))
+    }
+  }
+
+  /** Index one batch of (vec_id, v) rows: seed-and-freeze centroids when
+    * this is the store's first batch, assign to the nearest frozen cell,
+    * append postings. Returns rows indexed. Materialized (not lazy) for
+    * the same reason as [[Admission.admitBatch]]: the flip GCs superseded
+    * generations a lazy plan could still reference. */
+  def indexBatch(batch: DataFrame, cfg: Config, batchId: Long): Long = {
+    import graft.PhaseClock.{time => phase}
+    val spark = batch.sparkSession
+    val cent = readCentroids(spark, cfg.target).getOrElse {
+      // first batch bootstraps the quantizer: hash-ranked sample of ITS
+      // vectors (the production shape — index seeded from the initial
+      // corpus, increments quantized against it). Freeze BEFORE any
+      // generation flips so a crash-replay of this batch reloads the
+      // identical quantizer instead of re-seeding over different data.
+      val seeded = phase("ivf.seed") {
+        Similarity.seedCentroids(batch, cfg.cells,
+          Similarity.seedHashFor("vec_id", cfg.portableSeeding), "vec_id", "v")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      }
+      writeCentroids(cfg.target, seeded)
+      readCentroids(spark, cfg.target).get
+    }
+    val postings = Similarity
+      .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
+      .withColumn("net_op", lit("insert"))
+      .cache()
+    try {
+      val n = phase("ivf.assign") { postings.count() }
+      phase("ivf.write") {
+        DeltaStore.append(postings, cfg.target, Seq("vec_id"), cfg.cells,
+          batchId, cfg.maxChain,
+          bucketExpr = Some(col("cell").cast("int")))
+      }
+      n
+    } finally postings.unpersist()
+  }
+
+  /** Drive [[indexBatch]] over an unbounded (vec_id, v) stream. */
+  def indexStream(newVecs: DataFrame, cfg: Config,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newVecs.writeStream
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.PhaseClock.count("batches")
+        graft.PhaseClock.time("apply") { indexBatch(batch, cfg, id) }
+        ()
+      }
+      .start()
+
+  /** Top-k cosine neighbors for each (vec_id, v) query row, served FROM
+    * THE STORE: queries probe their `nprobe` nearest frozen cells, and
+    * only those cells' bucket chains are read — the file-pruned inverted
+    * -list scan, not a full-corpus pass. Output (qid, rank, nid, cos),
+    * self-matches excluded, ties broken by lowest nid (as
+    * [[Similarity.ivfTopK]] and the oracle). */
+  def serve(spark: SparkSession, target: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = readCentroids(spark, target).getOrElse(
+      throw new IllegalStateException(s"no CENTROIDS at $target — index empty"))
+    val q = Similarity
+      .assignCells(queries, cent, "qid", "qv", probes = nprobe, "vec_id", "v")
+    // bounded collect: |queries| × nprobe cell ids, then prune the scan
+    // to exactly those chains
+    val probed = q.select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
+    val corpus = DeltaStore.readAppendOnly(spark, target, Some(probed)).getOrElse(
+      throw new IllegalStateException(s"index store empty at $target"))
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    corpus.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
+      .drop("cell").distinct()
+      .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+}

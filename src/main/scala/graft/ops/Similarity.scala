@@ -154,7 +154,7 @@ object Similarity {
     * run and read as a scale hazard despite the `limit`). `orderBy +
     * limit + collect` is a TakeOrdered — rows arrive already in (hash,
     * id) order. */
-  private def seedCentroids(corpus: DataFrame, cells: Int, seedHash: Column,
+  private[graft] def seedCentroids(corpus: DataFrame, cells: Int, seedHash: Column,
       idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -178,7 +178,7 @@ object Similarity {
     * branch but retained by the probes>1 window branch; inputs are
     * element-null-free by the embeddings contract, so both branches
     * agree on real data. */
-  private def assignCells(df: DataFrame, cent: DataFrame, id: String,
+  private[graft] def assignCells(df: DataFrame, cent: DataFrame, id: String,
       vec: String, probes: Int, idCol: String, vecCol: String): DataFrame = {
     val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
       .join(cent, lit(true))
@@ -205,7 +205,7 @@ object Similarity {
   /** The deterministic hash that ranks corpus vectors for centroid
     * seeding and training-set selection. `portableSeeding` swaps
     * xxhash64 for multiply-mod arithmetic a SQL oracle can reproduce. */
-  private def seedHashFor(idCol: String, portableSeeding: Boolean): Column =
+  private[graft] def seedHashFor(idCol: String, portableSeeding: Boolean): Column =
     if (portableSeeding) pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
     else xxhash64(col(idCol))
 

@@ -123,6 +123,14 @@ object Pipeline {
           spark, src.get("dir").asText(),
           if (src.has("slices")) src.get("slices").asInt() else 1,
           if (src.has("sliceBy")) src.get("sliceBy").asText() else "doc_id")
+      case "embeddings_stream" =>
+        // embedding-increment source: the embeddings table arriving as
+        // vec_id-range slices — pairs with the ivf_append sink for a
+        // config-driven streaming index-maintenance task
+        graft.streaming.ChangeStream.fromEmbeddingsStream(
+          spark, src.get("dir").asText(),
+          if (src.has("slices")) src.get("slices").asInt() else 1,
+          if (src.has("sliceBy")) src.get("sliceBy").asText() else "vec_id")
       case "events_dsv2" =>
         // the custom DSv2 MicroBatchStream (S1): spooled seq-ordered
         // segments, executor-side splits, admission-control rate limit.
@@ -142,8 +150,8 @@ object Pipeline {
         r.load()
           .withColumn("db", lit("srcdb"))
       case other => throw new IllegalArgumentException(
-        "streaming pipeline needs an events_stream, events_dsv2 or " +
-          s"documents_stream source, got $other")
+        "streaming pipeline needs an events_stream, events_dsv2, " +
+          s"documents_stream or embeddings_stream source, got $other")
     }
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
@@ -234,6 +242,19 @@ object Pipeline {
           maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
             else graft.sink.DeltaStore.defaultMaxChain)
         graft.ops.Admission.admissionStream(transformed, acfg)
+      case "ivf_append" =>
+        // streaming IVF index maintenance: first batch seeds + freezes
+        // the coarse quantizer, every batch appends cell-bucketed
+        // postings — graft.ops.IvfIndex.indexBatch per batch
+        val icfg = graft.ops.IvfIndex.Config(
+          target = snk.get("path").asText(),
+          checkpoint = ckpt,
+          cells = if (snk.has("cells")) snk.get("cells").asInt() else 16,
+          portableSeeding =
+            snk.has("portableSeeding") && snk.get("portableSeeding").asBoolean(),
+          maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
+            else graft.sink.DeltaStore.defaultMaxChain)
+        graft.ops.IvfIndex.indexStream(transformed, icfg)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)

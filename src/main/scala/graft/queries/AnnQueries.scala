@@ -345,6 +345,79 @@ object AnnQueries {
         |    i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_checksum,
         |  list_max(list_transform(range(1, len(qv) + 1),
         |    i -> abs(qv[i] * scale - v[i]))) AS max_err
-        |FROM q ORDER BY vec_id""".stripMargin))
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // The STREAMING index lifecycle — similarity search in task form:
+    // a config-built pipeline (embeddings_stream → ivf_append) drains
+    // the corpus as 3 vec_id-range micro-batches into a PERSISTED IVF
+    // store — batch 0 seeds + freezes the portable hash-ranked coarse
+    // quantizer (from ITS vectors only), every batch appends
+    // cell-bucketed postings (bucket dir = inverted list) — then top-k
+    // is served FROM THE STORE, reading only the probed cells' files
+    // (DeltaStore.readAppendOnly bucket pruning; IvfIndexSpec pins the
+    // pruned inputFiles). The oracle is ann_ivf's with the quantizer
+    // seeded from slice 0 ([lo, lo+span), span = (hi-lo+3)//3 — the
+    // staging arithmetic), so seeding, frozen-cell assignment of later
+    // increments AND the probed serve are all replayed exactly.
+    "stream_index" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-index-q")
+        try {
+          graft.pipeline.Pipeline.runStream(s, s"""{
+            "source": {"type": "embeddings_stream", "dir": "$dir", "slices": 3},
+            "processors": [],
+            "sink": {"type": "ivf_append", "path": "$tmp/index",
+                     "checkpoint": "$tmp/ckpt", "cells": 16,
+                     "portableSeeding": true}
+          }""")
+          val res = graft.ops.IvfIndex.serve(s, s"$tmp/index",
+            vecs(s, dir).filter(col("vec_id") < 32), k = 5, nprobe = 4)
+            .select("qid", "rank", "nid")
+            .orderBy("qid", "rank")
+          // materialize into a local relation so the temp index can be
+          // deleted here (a lazy read would pin the dir)
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT min(vec_id) AS lo, (max(vec_id) - min(vec_id) + 3) // 3 AS span
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e, b WHERE vec_id < b.lo + b.span
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, v AS nv, cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
+      bench = true)
   )
 }

@@ -157,9 +157,19 @@ object DeltaStore {
     * mixed-era chains (mergeSchema): rows from generations written by
     * [[BucketStore]] before a migration carry no `net_op` and read as
     * null — kept; genuine tombstones (never produced by an append-only
-    * writer) are dropped defensively. */
-  def readAppendOnly(spark: SparkSession, target: String): Option[DataFrame] = {
-    val chains = readManifest(target)
+    * writer) are dropped defensively.
+    * `buckets`, when given, restricts the scan to those chains — for
+    * stores bucketed by a semantic key (the IVF index's cell id), the
+    * caller's candidate cells prune to a subset of the FILES, not just a
+    * post-scan filter: an nprobe-cell top-k read touches nprobe/nBuckets
+    * of the corpus on disk. */
+  def readAppendOnly(spark: SparkSession, target: String,
+      buckets: Option[Set[Int]] = None): Option[DataFrame] = {
+    val chains0 = readManifest(target)
+    val chains = buckets match {
+      case Some(bs) => chains0.view.filterKeys(bs).toMap
+      case None => chains0
+    }
     val paths = chains.toSeq
       .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
     if (paths.isEmpty) None
@@ -201,7 +211,13 @@ object DeltaStore {
   def writeGen(net: DataFrame, target: String, pkCols: Seq[String],
       nBuckets: Int, batchId: Long,
       maxChain: Int = defaultMaxChain,
-      maxLiveGens: Int = defaultMaxLiveGens): Map[Int, Seq[String]] = {
+      maxLiveGens: Int = defaultMaxLiveGens,
+      bucketExpr: Option[Column] = None): Map[Int, Seq[String]] = {
+    // bucketExpr overrides the default pk-hash bucketing with a SEMANTIC
+    // key (e.g. the IVF cell id) so reads can prune whole chains; it must
+    // be a pure function of the row, stable across batches, in
+    // [0, nBuckets). Offline `snapshot` re-buckets by pk hash and is NOT
+    // valid for such stores (their append path never folds via snapshot).
     val spark = net.sparkSession
     val genName = s"gen-$batchId"
     val genDir = s"$target/$genName"
@@ -217,7 +233,8 @@ object DeltaStore {
     }
     writePkCols(target, pkCols)
     val bucketed = net
-      .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)).cache()
+      .withColumn("bucket",
+        bucketExpr.getOrElse(BucketStore.bucketCol(pkCols, nBuckets))).cache()
     // delta.* are attribution sub-phases of the enclosing sink "apply"
     // ([[graft.PhaseClock]]): delta.net = computing+caching the net batch
     // (the collect below fills the cache), delta.write = the generation
@@ -250,7 +267,8 @@ object DeltaStore {
         val all = base.map(_.unionByName(newDeltas)).getOrElse(newDeltas)
         Some(resolve(all, pkCols)
           .withColumn("net_op", lit("insert"))
-          .withColumn("bucket", BucketStore.bucketCol(pkCols, nBuckets)))
+          .withColumn("bucket",
+            bucketExpr.getOrElse(BucketStore.bucketCol(pkCols, nBuckets))))
       }
     if (foldBuckets.nonEmpty) graft.PhaseClock.count("delta.folds", foldBuckets.size)
     val out = foldedPart
@@ -388,7 +406,8 @@ object DeltaStore {
       nBuckets: Int, batchId: Long,
       maxChain: Int = defaultMaxChain,
       maxLiveGens: Int = defaultMaxLiveGens,
-      fs: ManifestStore = ManifestStore.LocalFs): Unit =
-    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain, maxLiveGens),
-      batchId, fs)
+      fs: ManifestStore = ManifestStore.LocalFs,
+      bucketExpr: Option[Column] = None): Unit =
+    flip(target, writeGen(net, target, pkCols, nBuckets, batchId, maxChain,
+      maxLiveGens, bucketExpr), batchId, fs)
 }

@@ -84,6 +84,25 @@ object ChangeStream {
       .parquet(drop)
   }
 
+  /** The `embeddings` table tailed as vec_id-range slices — the arriving
+    * -embedding-increment source (pairs with the `ivf_append` sink for a
+    * config-driven streaming index-maintenance task). Emits
+    * (vec_id, v: array<double>) — the cast the ANN family reads. */
+  def fromEmbeddingsStream(spark: SparkSession, sfDir: String,
+      slices: Int = 1, sliceBy: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val drop = Staging.stageSlices(spark, s"$sfDir/embeddings.parquet",
+      Some(schema), sliceBy, slices)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
   /** Tumbling-window aggregation with watermark — the streaming form of
     * the `stream_window` declared query. Late events beyond the watermark
     * are dropped; state is bounded by (watermark horizon / slide). */

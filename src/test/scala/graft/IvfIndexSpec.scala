@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.IvfIndex
+import graft.sink.DeltaStore
+
+/** The persisted IVF index: frozen coarse quantizer, cell-bucketed
+  * postings, FILE-pruned probes, replay-safe appends. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsOf(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      // deterministic spread-out unit-ish vectors, 8-dim
+      (i.toLong, (0 until 8).map(d => math.sin(i * 31 + d * 7).toDouble))
+    }.toDF("vec_id", "v")
+
+  private def cfgAt(dir: String) = IvfIndex.Config(
+    target = s"$dir/index", checkpoint = s"$dir/ckpt",
+    cells = 4, portableSeeding = true)
+
+  test("centroids freeze at batch 0; later batches assign against them") {
+    val dir = Files.createTempDirectory("graft-ivf-freeze").toString
+    val cfg = cfgAt(dir)
+    IvfIndex.indexBatch(vecsOf(0 until 40), cfg, 0L)
+    val frozen = Files.readAllBytes(java.nio.file.Paths.get(cfg.target, "CENTROIDS"))
+    IvfIndex.indexBatch(vecsOf(40 until 80), cfg, 1L)
+    val after = Files.readAllBytes(java.nio.file.Paths.get(cfg.target, "CENTROIDS"))
+    assert(java.util.Arrays.equals(frozen, after),
+      "a second batch must not re-seed the frozen quantizer")
+    // every posting's cell is the nearest frozen centroid (ties: lowest)
+    val cent = IvfIndex.readCentroids(spark, cfg.target).get.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val postings = DeltaStore.readAppendOnly(spark, cfg.target).get
+      .select("vec_id", "v", "cell").collect()
+    assert(postings.length === 80)
+    postings.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val best = cent.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, d) => (d, -c) }._1
+      assert(r.getLong(2) === best, s"vec ${r.getLong(0)} in wrong cell")
+    }
+  }
+
+  test("probed serve reads ONLY the probed cells' files") {
+    val dir = Files.createTempDirectory("graft-ivf-prune").toString
+    val cfg = cfgAt(dir)
+    IvfIndex.indexBatch(vecsOf(0 until 60), cfg, 0L)
+    // bucket dirs = cells actually populated
+    val allCells = DeltaStore.readManifest(cfg.target).keySet
+    assert(allCells.size > 1, "fixture must populate several cells")
+    val probe = Set(allCells.min)
+    val pruned = DeltaStore.readAppendOnly(spark, cfg.target, Some(probe)).get
+    pruned.inputFiles.foreach(f =>
+      assert(f.contains(s"bucket=${allCells.min}"),
+        s"pruned scan leaked a non-probed file: $f"))
+    // nprobe=1 serve ranks within the query's single best cell only —
+    // equal to brute-force top-k restricted to that cell's members
+    val queries = vecsOf(0 until 3)
+    val served = IvfIndex.serve(spark, cfg.target, queries, k = 3, nprobe = 1)
+      .select("qid", "rank", "nid").as[(Long, Long, Long)].collect().toSet
+    val cent = IvfIndex.readCentroids(spark, cfg.target).get
+    val qcells = graft.ops.Similarity
+      .assignCells(queries, cent, "qid", "qv", probes = 1, "vec_id", "v")
+      .select("qid", "cell").as[(Long, Long)].collect().toMap
+    val byCell = DeltaStore.readAppendOnly(spark, cfg.target).get
+      .select("vec_id", "v", "cell").collect()
+      .groupBy(_.getLong(2))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (0 until 3).flatMap { qi =>
+      val qv = (0 until 8).map(d => math.sin(qi * 31 + d * 7).toDouble)
+      byCell(qcells(qi.toLong)).toSeq
+        .filter(_.getLong(0) != qi.toLong)
+        .map(r => (r.getLong(0), cos(qv, r.getSeq[Double](1))))
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((nid, _), rk) => (qi.toLong, rk + 1L, nid) }
+    }.toSet
+    assert(served === expect)
+  }
+
+  test("replaying an applied batch neither duplicates nor re-seeds") {
+    val dir = Files.createTempDirectory("graft-ivf-replay").toString
+    val cfg = cfgAt(dir)
+    IvfIndex.indexBatch(vecsOf(0 until 30), cfg, 0L)
+    IvfIndex.indexBatch(vecsOf(30 until 50), cfg, 1L)
+    val before = DeltaStore.readAppendOnly(spark, cfg.target).get.count()
+    IvfIndex.indexBatch(vecsOf(30 until 50), cfg, 1L) // at-least-once redelivery
+    val after = DeltaStore.readAppendOnly(spark, cfg.target).get.count()
+    assert(before === 50L && after === 50L)
+  }
+}
