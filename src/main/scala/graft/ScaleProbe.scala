@@ -175,6 +175,75 @@ object ScaleProbe {
     println(s"""{"probe":"ivf_train_iter","k":$k,"per_iter_1":$it1,""" +
       s""""per_iter_k":$itk,"ratio":${itk / it1},"sf":"$sfDir"}""")
 
+    // Persisted-IVF serve: the FILE-pruning trade measured directly.
+    // Build the index store at 1x and kx (3 increments, frozen batch-0
+    // quantizer), then serve the same 32-query top-k (a) through the
+    // bucket-pruned read and (b) through the naive full-store scan with
+    // a post-join cell filter. The pruned path reads ~nprobe/cells of
+    // the store's FILES; per-query growth at kx tracks per-cell posting
+    // growth, and the files_full/files_pruned ratio is the on-disk
+    // pruning evidence a local wall-clock can't fake.
+    def indexAt(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-ivf$n")
+      val cfg = graft.ops.IvfIndex.Config(
+        target = dir.resolve("index").toString,
+        checkpoint = dir.resolve("ckpt").toString, cells = 16)
+      val span = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val d = (0 until n).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + i * span)
+      }.reduce(_ unionByName _)
+      val lo = d.agg(min("vec_id")).head().getLong(0)
+      val hi = d.agg(max("vec_id")).head().getLong(0)
+      val sp = (hi - lo + 3) / 3
+      (0 until 3).foreach { b =>
+        graft.ops.IvfIndex.indexBatch(
+          d.filter(col("vec_id") >= lo + b * sp && col("vec_id") < lo + (b + 1) * sp),
+          cfg, b.toLong)
+      }
+      cfg.target
+    }
+    // TWO query vectors (a point-lookup-shaped serve, the latency case
+    // pruning exists for): their probed union is ≤8 of 16 cells — a
+    // 32-query batch would probe every cell and prune nothing, which is
+    // the batch regime where the full scan is the right plan anyway
+    val embQ = emb.filter(col("vec_id") < 2)
+    def servePruned(target: String): Double =
+      time(graft.ops.IvfIndex.serve(spark, target, embQ, k = 5).count())._1
+    def serveFull(target: String): Double = time {
+      val cent = graft.ops.IvfIndex.readCentroids(spark, target).get
+      val q = graft.ops.Similarity
+        .assignCells(embQ, cent, "qid", "qv", probes = 4, "vec_id", "v")
+      val corpus = graft.sink.DeltaStore.readAppendOnly(spark, target, None).get
+        .select(col("vec_id").as("nid"), col("v").as("nv"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      corpus.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
+        .drop("cell").distinct()
+        .withColumn("cos", graft.ops.Similarity.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5).count()
+    }._1
+    val idx1 = indexAt(1)
+    servePruned(idx1); serveFull(idx1) // warm both paths
+    val sv1 = servePruned(idx1)
+    val idxK = indexAt(k)
+    servePruned(idxK); serveFull(idxK) // warm at scale too
+    val svK = servePruned(idxK)
+    val svFullK = serveFull(idxK)
+    val filesFull = graft.sink.DeltaStore.readAppendOnly(spark, idxK, None)
+      .get.inputFiles.length
+    // probed-cell file count for THIS query set (recomputed as serve does)
+    val centK = graft.ops.IvfIndex.readCentroids(spark, idxK).get
+    val probedK = graft.ops.Similarity
+      .assignCells(embQ, centK, "qid", "qv", probes = 4, "vec_id", "v")
+      .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
+    val filesPruned = graft.sink.DeltaStore
+      .readAppendOnly(spark, idxK, Some(probedK)).get.inputFiles.length
+    println(s"""{"probe":"ivf_serve_pruned","k":$k,"serve_1":$sv1,""" +
+      s""""serve_k":$svK,"serve_full_k":$svFullK,""" +
+      s""""files_pruned":$filesPruned,"files_full":$filesFull,""" +
+      s""""ratio":${svK / sv1},"sf":"$sfDir"}""")
+
     // int8 IVF serving: the representation trade measured directly —
     // total shuffle WRITE bytes for the same topk query served from the
     // double corpus (ivfTopK) vs the quantized corpus (ivfTopKQ8). The

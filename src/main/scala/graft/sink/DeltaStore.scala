@@ -184,6 +184,21 @@ object DeltaStore {
 
   private def pkColsPath(target: String): Path = Paths.get(target, "PKCOLS")
 
+  private def bucketByPath(target: String): Path = Paths.get(target, "BUCKETBY")
+
+  /** Stamp a store whose buckets are a caller-supplied semantic key, not
+    * the pk hash (atomic, once). [[snapshot]] refuses stamped stores. */
+  private def markSemanticBuckets(target: String): Unit = {
+    val p = bucketByPath(target)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      val tmp = Paths.get(target, s"BUCKETBY.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, "semantic".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** The resolution key is part of the store's identity; persist it at
     * first append so readers need no out-of-band schema knowledge. */
   private def writePkCols(target: String, pkCols: Seq[String]): Unit = {
@@ -216,8 +231,10 @@ object DeltaStore {
     // bucketExpr overrides the default pk-hash bucketing with a SEMANTIC
     // key (e.g. the IVF cell id) so reads can prune whole chains; it must
     // be a pure function of the row, stable across batches, in
-    // [0, nBuckets). Offline `snapshot` re-buckets by pk hash and is NOT
-    // valid for such stores (their append path never folds via snapshot).
+    // [0, nBuckets). Such stores are stamped (`BUCKETBY`) so offline
+    // `snapshot` — which re-buckets by pk hash and would silently break
+    // pruned reads — refuses them (their chain-cap folds preserve
+    // bucketExpr, so they never need it).
     val spark = net.sparkSession
     val genName = s"gen-$batchId"
     val genDir = s"$target/$genName"
@@ -232,6 +249,7 @@ object DeltaStore {
       return manifest0
     }
     writePkCols(target, pkCols)
+    if (bucketExpr.isDefined) markSemanticBuckets(target)
     val bucketed = net
       .withColumn("bucket",
         bucketExpr.getOrElse(BucketStore.bucketCol(pkCols, nBuckets))).cache()
@@ -331,6 +349,9 @@ object DeltaStore {
     * different bucketing would not corrupt reads (LWW is global) but
     * would break per-bucket fold locality for subsequent appends. */
   def snapshot(spark: SparkSession, target: String, nBuckets: Int): Unit = {
+    require(!Files.exists(bucketByPath(target)),
+      s"$target is bucketed by a semantic key (BUCKETBY stamp): snapshot " +
+        "would re-bucket by pk hash and silently break bucket-pruned reads")
     val chains = readManifest(target)
     val applied = readApplied(target)
     val genName = s"snap-$applied"

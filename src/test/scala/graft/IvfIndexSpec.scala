@@ -96,4 +96,15 @@ class IvfIndexSpec extends SparkSpec {
     val after = DeltaStore.readAppendOnly(spark, cfg.target).get.count()
     assert(before === 50L && after === 50L)
   }
+
+  test("offline snapshot refuses a semantically-bucketed store") {
+    val dir = Files.createTempDirectory("graft-ivf-snap").toString
+    val cfg = cfgAt(dir)
+    IvfIndex.indexBatch(vecsOf(0 until 30), cfg, 0L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaStore.snapshot(spark, cfg.target, cfg.cells)
+    }
+    assert(e.getMessage.contains("BUCKETBY"),
+      "snapshot must refuse: re-bucketing by pk hash would break pruning")
+  }
 }
