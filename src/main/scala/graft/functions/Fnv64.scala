@@ -39,6 +39,10 @@ object Fnv64 {
   final val OffsetBasis = 0xcbf29ce484222325L
   final val Prime = 0x100000001b3L
 
+  def of(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Fnv64(org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
+
   def hashBytes(bytes: Array[Byte]): Long = {
     var h = OffsetBasis
     var i = 0
@@ -63,6 +67,9 @@ object Fnv64 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash64", exprs => MinHash64(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", exprs => BloomContains(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 
@@ -90,5 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
       (exprs: Seq[Expression]) => MinHash64(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => BloomContains(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -35,6 +35,36 @@ object Decontaminate {
         .select("ng").distinct()), "ng")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
 
+  /** [[contaminated]] with a bloom prefilter on the corpus gram stream —
+    * the form for when the benchmark gram set outgrows a comfortable
+    * broadcast (a full eval-suite union is GBs of distinct grams; at
+    * ~10 bits/gram the bloom is MBs).
+    *
+    * Exactness is preserved by construction: the bloom admits every true
+    * benchmark gram (no false negatives), and survivors are confirmed by
+    * the same exact join as [[contaminated]] — false positives only cost
+    * verify work on the (tiny) hit stream. So the output is IDENTICAL to
+    * [[contaminated]] and shares its oracle. Scale shape: the corpus side
+    * stays a map-only explode + codegen'd bit probe (never shuffled, and
+    * with ~1% fpp ~99% of grams die before the join); the verify join's
+    * build side is the benchmark gram set as before, but the probe side
+    * has shrunk from |corpus grams| to |hits| ≈ |true collisions|, so at
+    * bench sets too big to broadcast a shuffle join is cheap — it only
+    * moves the hits. The bits build is a distributed OR-fold
+    * ([[graft.functions.Bloom64.BloomAgg]]): one m/8-byte value reaches
+    * the driver regardless of benchmark size. */
+  def contaminatedBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val benchNg = grams(bench, idCol, textCol, n).select("ng").distinct().cache()
+    val bits = graft.functions.Bloom64.build(
+      benchNg.select(graft.functions.Fnv64.of(col("ng")).as("h")), mBits, k)
+    val hits = grams(corpus, idCol, textCol, n)
+      .filter(graft.functions.Bloom64.of(
+        lit(bits), graft.functions.Fnv64.of(col("ng")), k))
+    hits.join(benchNg, "ng")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The scrub: corpus minus contaminated docs (anti-join on the
     * broadcast collision set). */
   def scrub(corpus: DataFrame, bench: DataFrame, idCol: String,

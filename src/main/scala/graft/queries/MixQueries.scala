@@ -136,6 +136,34 @@ object MixQueries {
         |WHERE g.doc_id >= 50
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The bloom-prefiltered form of `decontaminate` — same output, same
+    // oracle, different scale shape: the benchmark gram set is shipped
+    // as ~10-bits/gram bloom bits instead of a full broadcast set, the
+    // corpus gram stream dies map-side at the codegen'd bit probe, and
+    // only the surviving hits reach the exact verify join.
+    "decontaminate_bloom" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Decontaminate.contaminatedBloom(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 5, mBits = 1 << 18, k = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4]))) AS ng
+        |  FROM t WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_hits
+        |FROM g JOIN bench USING (ng)
+        |WHERE g.doc_id >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The corpus-release pipeline END TO END — scrub benchmark leakage,
     // apply the mixture weights, pack for training, emit per-pack audit
     // stats. Composition is the point: each stage is the operator gated
