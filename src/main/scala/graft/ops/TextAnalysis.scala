@@ -46,13 +46,14 @@ object TextAnalysis {
     * (separate counter expressions each inline the split — measured
     * ~1.4× on wide scans). Lane extraction is integer-exact, so results
     * are identical to independent counters. */
-  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val packed = laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
+  private def qualityPacked(toks: Column): Column =
+    laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
       acc + lit(1L) +
         when(t.isin(stopwords.map(w => w: Any): _*), lit(1L << 16)).otherwise(lit(0L)) +
         (length(t).cast("long") * lit(1L << 32))), "quality")
-    df.withColumn("_p", packed)
+
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    df.withColumn("_p", qualityPacked(tokens(col(textCol))))
       .withColumn("n_tokens", expr("_p % 65536"))
       .withColumn("stop_cnt", expr("(_p div 65536) % 65536"))
       .withColumn("sum_len", expr("_p div 4294967296"))
@@ -74,28 +75,28 @@ object TextAnalysis {
     * gram position, so an inline `split` here would re-tokenize the
     * text per element access: O(tokens²) per row, measured 67 s vs
     * 0.5 s on 5000 docs at sf0.1 (the shingleFrame trap). */
-  def repetition(df: DataFrame, toksCol: String = "toks"): DataFrame = {
-    val toks = col(toksCol)
-    val n = size(toks).cast("long")
-    // |k-grams| = n − (k−1) by construction, so the denominator (and
-    // the empty guard) is arithmetic on ONE size() call and each
-    // interpreted shingle transform evaluates exactly once — HOF
-    // projections get no common-subexpression elimination, so a
-    // size(grams) denominator would re-run the transform per reference
-    // (measured 2.1 s → 1.2 s at sf0.1). The guard also keeps
-    // shingles() from evaluating on sub-k docs, where sequence(1, n−k+1)
-    // would produce a DESCENDING index range and an invalid element_at.
-    def dupFrac(k: Int): Column = {
-      val cnt = n - (k - 1)
-      val grams = if (k == 1) toks else Dedup.shingles(toks, k)
-      when(cnt > 0,
-        lit(1.0) - size(array_distinct(grams)).cast("double") / cnt)
-        .otherwise(lit(0.0))
-    }
-    df.withColumn("dup_tok_frac", dupFrac(1))
-      .withColumn("dup_2gram_frac", dupFrac(2))
-      .withColumn("dup_3gram_frac", dupFrac(3))
+  // |k-grams| = n − (k−1) by construction, so the denominator (and
+  // the empty guard) is arithmetic on ONE size() call and each
+  // interpreted shingle transform evaluates exactly once — HOF
+  // projections get no common-subexpression elimination, so a
+  // size(grams) denominator would re-run the transform per reference
+  // (measured 2.1 s → 1.2 s at sf0.1). The guard also keeps
+  // shingles() from evaluating on sub-k docs, where sequence(1, n−k+1)
+  // would produce a DESCENDING index range and an invalid element_at.
+  // `toks` must be cheap to reference: a materialized column or a
+  // lambda-bound variable, never an inline split.
+  private def dupFrac(toks: Column, k: Int): Column = {
+    val cnt = size(toks).cast("long") - (k - 1)
+    val grams = if (k == 1) toks else Dedup.shingles(toks, k)
+    when(cnt > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / cnt)
+      .otherwise(lit(0.0))
   }
+
+  def repetition(df: DataFrame, toksCol: String = "toks"): DataFrame =
+    df.withColumn("dup_tok_frac", dupFrac(col(toksCol), 1))
+      .withColumn("dup_2gram_frac", dupFrac(col(toksCol), 2))
+      .withColumn("dup_3gram_frac", dupFrac(col(toksCol), 3))
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with fixed tie-break order. */
@@ -105,30 +106,34 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das"),
     "fr" -> Seq("le", "les", "et", "du"))
 
-  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // all four language scores in one fold (16-bit lanes; see quality())
-    val toks = tokens(col(textCol))
-    // 4 lanes → the top lane sits at bit 48; cap at 2^15 so its carry
-    // can't reach the sign bit under ANSI arithmetic
-    val packed = laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
+  // all four language scores in one fold (16-bit lanes; see quality());
+  // 4 lanes → the top lane sits at bit 48; cap at 2^15 so its carry
+  // can't reach the sign bit under ANSI arithmetic
+  private def langPacked(toks: Column): Column =
+    laneGuard(toks, aggregate(toks, lit(0L), (acc, t) =>
       acc + langMarkers.zipWithIndex.map { case ((_, words), i) =>
         when(t.isin(words.map(w => w: Any): _*), lit(1L << (16 * i))).otherwise(lit(0L))
       }.reduce(_ + _)), "langId", limit = 32768)
+
+  /** Argmax over the four `s_<lang>` score columns with tie-break in
+    * declaration order (en > es > de > fr). */
+  private def predLang: Column = langMarkers.map(_._1) match {
+    case Seq(a, b, c, d) =>
+      when(col(s"s_$a") >= col(s"s_$b") && col(s"s_$a") >= col(s"s_$c") &&
+        col(s"s_$a") >= col(s"s_$d"), a)
+        .when(col(s"s_$b") >= col(s"s_$c") && col(s"s_$b") >= col(s"s_$d"), b)
+        .when(col(s"s_$c") >= col(s"s_$d"), c)
+        .otherwise(d)
+  }
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val scored = langMarkers.map(_._1).zipWithIndex
-      .foldLeft(df.withColumn("_p", packed)) { case (acc, (lang, i)) =>
-        acc.withColumn(s"s_$lang", expr(s"(_p div ${1L << (16 * i)}) % 65536"))
+      .foldLeft(df.withColumn("_p", langPacked(tokens(col(textCol))))) {
+        case (acc, (lang, i)) =>
+          acc.withColumn(s"s_$lang", expr(s"(_p div ${1L << (16 * i)}) % 65536"))
       }
       .drop("_p")
-    // argmax with tie-break in declaration order (en > es > de > fr)
-    val pred = langMarkers.map(_._1) match {
-      case Seq(a, b, c, d) =>
-        when(col(s"s_$a") >= col(s"s_$b") && col(s"s_$a") >= col(s"s_$c") &&
-          col(s"s_$a") >= col(s"s_$d"), a)
-          .when(col(s"s_$b") >= col(s"s_$c") && col(s"s_$b") >= col(s"s_$d"), b)
-          .when(col(s"s_$c") >= col(s"s_$d"), c)
-          .otherwise(d)
-    }
-    scored.withColumn("pred_lang", pred).drop("toks")
+    scored.withColumn("pred_lang", predLang).drop("toks")
   }
 
   /** Token counting three ways: whitespace, regex word tokens, and the
@@ -148,6 +153,56 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fp",
       md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")))
+
+  /** The fused corpus profile: every per-doc text signal — quality
+    * counters, language scores + prediction, duplicate-n-gram
+    * fractions, content fingerprint, regex/BPE token estimates — in
+    * ONE pass over the text column.
+    *
+    * The point is scan economy: at 100 TB, running quality / langId /
+    * repetition / fingerprint / tokenCounts as separate jobs reads the
+    * corpus five times; a profiling pass before filtering should read
+    * it once. The token array is let-bound through a 1-element
+    * `transform` lambda (the [[graft.ops.Admission.signatures]]
+    * pattern), so the text is tokenized exactly once per row and every
+    * signal references the bound array — no cache barrier, no
+    * re-tokenization, and each signal's arithmetic is the SAME
+    * expression the single-signal operator uses (results are
+    * bit-identical to running them separately; the spec pins this).
+    * Struct extraction happens behind the projection boundary
+    * (CollapseProject keeps the expensive fold un-inlined — the
+    * established packed-lane pattern). Map-only: no shuffle, and the
+    * parquet scan prunes to (id cols, text). */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val prof = element_at(transform(array(tokens(col(textCol))), toks =>
+      struct(
+        qualityPacked(toks).as("q"),
+        langPacked(toks).as("l"),
+        dupFrac(toks, 1).as("d1"),
+        dupFrac(toks, 2).as("d2"),
+        dupFrac(toks, 3).as("d3"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp"))), 1)
+    val scored = langMarkers.map(_._1).zipWithIndex
+      .foldLeft(df.withColumn("_pr", prof)) { case (acc, (lang, i)) =>
+        acc.withColumn(s"s_$lang", expr(s"(_pr.l div ${1L << (16 * i)}) % 65536"))
+      }
+    scored
+      .withColumn("n_tokens", expr("_pr.q % 65536"))
+      .withColumn("stop_cnt", expr("(_pr.q div 65536) % 65536"))
+      .withColumn("sum_len", expr("_pr.q div 4294967296"))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_tokens"))
+      .withColumn("avg_tok_len", col("sum_len") / col("n_tokens"))
+      .withColumn("pred_lang", predLang)
+      .withColumn("dup_tok_frac", col("_pr.d1"))
+      .withColumn("dup_2gram_frac", col("_pr.d2"))
+      .withColumn("dup_3gram_frac", col("_pr.d3"))
+      .withColumn("fp", col("_pr.fp"))
+      .withColumn("n_re",
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).cast("long"))
+      .withColumn("bpe_est",
+        ceil(octet_length(col(textCol)) / lit(4.0)).cast("long"))
+      .drop("_pr")
+  }
 
   /** Conservative RE2-portable PII patterns (both engines' regex
     * dialects agree on this subset — no lookaround, no backrefs). */

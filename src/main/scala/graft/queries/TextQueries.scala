@@ -19,6 +19,59 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // The FUSED profile: every text signal gated individually below
+    // (quality counters, language scores, duplicate-n-gram fractions,
+    // fingerprint, token estimates) computed in ONE scan of the corpus
+    // — the shape a 100 TB profiling pass actually runs. The oracle is
+    // the union of the single-signal oracles, so the gate proves the
+    // fusion changes nothing.
+    "text_profile" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.profile(table(s, dir, "documents"))
+          .select("doc_id", "n_tokens", "stop_cnt", "sum_len", "stop_ratio",
+            "avg_tok_len", "s_en", "s_es", "s_de", "s_fr", "pred_lang",
+            "dup_tok_frac", "dup_2gram_frac", "dup_3gram_frac", "fp",
+            "n_re", "bpe_est")
+          .orderBy("doc_id")
+      },
+      Some(s"""$tokCte,
+        |g AS (
+        |  SELECT doc_id, text, toks,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, text, toks, g2, g3,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS stop_cnt,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','du'))) AS BIGINT) AS s_fr,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM g)
+        |SELECT doc_id, n_tokens, stop_cnt, sum_len,
+        |  stop_cnt / n_tokens AS stop_ratio,
+        |  sum_len / n_tokens AS avg_tok_len,
+        |  s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(toks)) / len(toks) END AS dup_tok_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(g2)) / len(g2) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS dup_3gram_frac,
+        |  fp,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_re,
+        |  CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     "text_quality" -> QueryDef(
       (s, dir) => {
         TextAnalysis.quality(table(s, dir, "documents"))

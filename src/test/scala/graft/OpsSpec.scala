@@ -290,6 +290,31 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length($"fp") =!= 32).count() == 0)
   }
 
+  test("fused profile is bit-identical to the single-signal operators, in one scan") {
+    val single = {
+      val toksDf = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks")).cache()
+      TextAnalysis.quality(docs).select("doc_id", "n_tokens", "stop_cnt",
+          "sum_len", "stop_ratio", "avg_tok_len")
+        .join(TextAnalysis.langId(docs).select("doc_id", "s_en", "s_es",
+          "s_de", "s_fr", "pred_lang"), "doc_id")
+        .join(TextAnalysis.repetition(toksDf).select("doc_id", "dup_tok_frac",
+          "dup_2gram_frac", "dup_3gram_frac"), "doc_id")
+        .join(TextAnalysis.fingerprint(docs).select("doc_id", "fp"), "doc_id")
+        .join(TextAnalysis.tokenCounts(docs).select("doc_id", "n_re", "bpe_est"), "doc_id")
+    }
+    val cols = single.columns.toSeq
+    val fused = TextAnalysis.profile(docs).select(cols.head, cols.tail: _*)
+    // bit-identical: same expressions over the same bound token array
+    assert(fused.orderBy("doc_id").collect().toSeq ===
+      single.orderBy("doc_id").collect().toSeq)
+    // one corpus scan, map-only: no shuffle at all below the sort, and
+    // exactly one parquet scan in the whole plan
+    val plan = TextAnalysis.profile(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"profile must be map-only:\n$plan")
+    assert("Scan parquet|FileScan".r.findAllIn(plan).length == 1,
+      s"profile must read the corpus once:\n$plan")
+  }
+
   test("multimodal frame sampling and resize stubs: exact windows") {
     import graft.ops.Multimodal
     // 80 bytes → frames of 32 at idx 0,1,2 (last short); everyK=2 → 0,2
