@@ -108,6 +108,37 @@ object MixQueries {
         |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
         |FROM laid ORDER BY doc_id""".stripMargin)),
 
+    // Count-balanced contiguous range layout over doc length — the
+    // release-shard plan: 8 groups of ~equal row count, each a
+    // contiguous n_chars range (similar-length docs batch together, so
+    // training pads less). Boundaries come from a bounded histogram
+    // fold, assignment is a map-only comparison chain — no global sort,
+    // no single-partition window, the corpus never shuffles.
+    "release_layout" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Mixing.rangeLayout(docs, "n_chars", 8)
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).cast("long").as("lo_chars"),
+            max(col("n_chars")).cast("long").as("hi_chars"))
+          .orderBy("grp")
+      },
+      Some("""WITH c AS (
+        |  SELECT n_chars AS k, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT k, cnt,
+        |    SUM(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS hi,
+        |    SUM(cnt) OVER () AS total
+        |  FROM c),
+        |g AS (
+        |  SELECT k, CAST((hi - 1) * 8 // total AS BIGINT) AS grp FROM cum)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(d.n_chars) AS BIGINT) AS lo_chars,
+        |  CAST(MAX(d.n_chars) AS BIGINT) AS hi_chars
+        |FROM documents d JOIN g ON d.n_chars = g.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Benchmark decontamination: docs sharing any verbatim 5-gram with
     // the "benchmark" split (doc_id < 50 plays the eval suite), with
     // the distinct-collision count per contaminated doc. The benchmark

@@ -65,6 +65,40 @@ class MixingSpec extends SparkSpec {
     } finally { packed.unpersist(); () }
   }
 
+  test("rangeLayout: contiguous, count-balanced, whole keys, bounded-key guard") {
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+    val laid = Mixing.rangeLayout(full, "n_chars", 8)
+    val stats = laid.groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("grp").collect()
+    assert(stats.length === 8, "500 docs over 311 keys must fill all 8 groups")
+    // contiguity: ranges strictly ordered, no overlap
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2),
+        s"group ${a.getLong(0)} hi ${a.getLong(3)} overlaps ${b.getLong(0)} lo ${b.getLong(2)}")
+    }
+    // whole keys: a key value never splits across groups
+    assert(laid.groupBy("n_chars").agg(countDistinct("grp").as("g"))
+      .filter($"g" > 1).count() === 0L)
+    // balance: within one max-key-count of the fair share on both sides
+    val total = stats.map(_.getLong(1)).sum
+    val maxKey = full.groupBy("n_chars").count().agg(max("count")).head().getLong(0)
+    val share = total / 8
+    stats.foreach { r =>
+      assert(r.getLong(1) <= share + maxKey && r.getLong(1) + maxKey >= share,
+        s"group ${r.getLong(0)} count ${r.getLong(1)} vs share $share (maxKey $maxKey)")
+    }
+    // determinism
+    assert(Mixing.rangeLayout(full, "n_chars", 8).groupBy("grp").count()
+      .orderBy("grp").collect().toSeq ===
+      laid.groupBy("grp").count().orderBy("grp").collect().toSeq)
+    // unbounded keys refused fast (quantize-first contract)
+    val e = intercept[IllegalArgumentException] {
+      Mixing.rangeLayout(full, "doc_id", 4, maxDistinct = 100)
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("repetition: duplicate n-gram fractions match hand counts") {
     import graft.ops.TextAnalysis
     val df = Seq(
