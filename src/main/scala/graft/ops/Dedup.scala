@@ -244,4 +244,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** All pairs within hamming `radius` by BALL ENUMERATION: explode
+    * each signature against the XOR masks of popcount ≤ radius and
+    * equi-join the probes against exact signatures. Each qualifying
+    * pair is found exactly ONCE (its mask is `a_sim ^ b_sim`), so
+    * there is no candidate verify and no distinct pass.
+    *
+    * This is the right shape when the ball is small and the signature
+    * space is DENSE — [[simhashPairs]]'s band buckets degenerate there
+    * (16-bit sigs / 4-bit slices = 16 bucket values per band: thousands
+    * of nodes per bucket is a quadratic candidate join no verify can
+    * save). Ball size is 1 + bits + bits·(bits−1)/2 (radius 2), e.g.
+    * 137 for 16 bits: the shuffle carries |nodes|·137 probe rows —
+    * linear in nodes, independent of how the signatures crowd. For wide
+    * sigs (64-bit, ball 2081) band blocking wins back; the two
+    * generators share output shape so callers pick per width. */
+  def hammingBallPairs(df: DataFrame, simCol: String, idCol: String,
+      radius: Int = 2, bits: Int = 16): DataFrame = {
+    require(radius >= 0 && radius <= 2, s"ball enumeration is for radius ≤ 2, got $radius")
+    require(bits >= 2 && bits <= 64, s"bits must be in [2, 64], got $bits")
+    val singles = (0 until bits).map(i => 1L << i)
+    val doubles = for {
+      i <- 0 until bits; j <- (i + 1) until bits
+    } yield (1L << i) | (1L << j)
+    val masks = (Seq(0L) ++ (if (radius >= 1) singles else Nil) ++
+      (if (radius >= 2) doubles else Nil)).toArray
+    val a = df.select(col(idCol).as("a_id"), col(simCol).as("a_sim"))
+      .withColumn("m", explode(lit(masks)))
+      .withColumn("probe", col("m").bitwiseXOR(col("a_sim")))
+      .drop("m")
+    val b = df.select(col(idCol).as("b_id"), col(simCol).as("b_sim"))
+    a.join(b, col("probe") === col("b_sim"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+  }
 }

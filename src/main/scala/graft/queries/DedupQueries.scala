@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.source.Changelog.table
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Clusters, Dedup, TextAnalysis}
 
 /** Deduplication queries over `documents`. The MinHash+LSH query is the
   * scale path (runs unbounded — candidate generation is a bucket join);
@@ -379,6 +379,64 @@ object DedupQueries {
 
     // SimHash fingerprints (16-bit portable family; simhash64/xxhash is
     // the production variant).
+    // Near-dup CLUSTERS, not pairs: connected components over the
+    // hamming≤2 simhash graph, canonical doc = min doc_id per
+    // component. Identical-signature cliques are CONTRACTED first (CC
+    // runs over DISTINCT signatures — a million-doc exact-dup clique is
+    // one node, not 10^12 edges), labels then join back to docs. The
+    // oracle recomputes reachability with a recursive CTE, so the gate
+    // checks transitive closure, not just pair agreement.
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sigs = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("sim", Dedup.simhash16(col("toks")))
+          .select("doc_id", "sim").cache()
+        val sigNodes = sigs.select(col("sim").as("id")).distinct()
+        // ball enumeration, not band blocking: 16-bit sigs are DENSE
+        // (16 values per 4-bit band slice), so banded candidates
+        // degenerate quadratic; the radius-2 ball is 137 masks — the
+        // probe join is linear in distinct sigs
+        val sigEdges = Dedup.hammingBallPairs(
+          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
+          radius = 2, bits = 16)
+        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
+        val w = Window.partitionBy("rootsim")
+        sigs
+          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
+          .withColumn("cluster", min("doc_id").over(w))
+          .withColumn("csize", count(lit(1)).over(w).cast("long"))
+          .select("doc_id", "cluster", "csize")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN list_sum(list_transform(toks,
+        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
+        |                       IN ('8','9','a','b','c','d','e','f')
+        |                  THEN 1 ELSE -1 END)) >= 0
+        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM t),
+        |n AS (SELECT DISTINCT sim FROM f),
+        |e AS (
+        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
+        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
+        |reach(v, r) AS (
+        |  SELECT sim, sim FROM n
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
+        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
+        |j AS (SELECT f.doc_id, c.rootsim FROM f JOIN c USING (sim))
+        |SELECT doc_id,
+        |  CAST(MIN(doc_id) OVER (PARTITION BY rootsim) AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY rootsim) AS BIGINT) AS csize
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
     "dedup_simhash" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")

@@ -290,6 +290,44 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length($"fp") =!= 32).count() == 0)
   }
 
+  test("hammingBallPairs finds exactly the band-blocked verified pair set") {
+    val sigs = docs
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .withColumn("sim", Dedup.simhash16($"toks"))
+      .select($"sim".as("id"), $"sim").distinct()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id", "hamming").orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val ball = norm(Dedup.hammingBallPairs(sigs, "sim", "id", radius = 2, bits = 16))
+    val band = norm(Dedup.simhashPairs(sigs, "sim", "id",
+      maxHamming = 2, bands = 4, bitsTotal = 16))
+    assert(ball.nonEmpty && ball === band,
+      s"ball ${ball.size} pairs vs band ${band.size}")
+    // each pair must appear exactly once (its mask is a_sim^b_sim)
+    assert(ball.map(p => (p._1, p._2)).distinct.size === ball.size)
+  }
+
+  test("components: transitive chains collapse, isolated nodes keep their id") {
+    import graft.ops.Clusters
+    // chain 1-2, 2-3 (1~3 only transitively); pair 10-11; isolated 20;
+    // edge listed once but graph is undirected (7 reaches 3's component
+    // via a reversed edge)
+    val nodes = Seq(1L, 2L, 3L, 7L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Clusters.components(nodes, "id", edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+      .map(identity), s"got ${got.toSeq}")
+    // a diameter-4 path cannot converge in 2 rounds: loud failure
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Clusters.components(Seq(1L, 2L, 3L, 4L, 5L).toDF("id"), "id",
+        path, "a", "b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("fused profile is bit-identical to the single-signal operators, in one scan") {
     val single = {
       val toksDf = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks")).cache()
