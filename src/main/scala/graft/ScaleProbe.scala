@@ -312,6 +312,38 @@ object ScaleProbe {
       s""""rows_1":$jr1,"rows_k":$jrk,""" +
       s""""execute_ratio":${jek / je1},""" +
       s""""wall_ratio":${(jck + jek) / (jc1 + je1)},"sf":"$sfDir"}""")
+
+    // Connected components: the near-dup cluster graph ×k with shifted
+    // sig ids — k disjoint copies, so nodes AND edges grow ×k while
+    // component diameter stays fixed. Rounds are O(log diameter)
+    // (pointer jumping), so the round count must NOT grow with k and
+    // wall growth must come only from per-round data volume.
+    val sims = graft.source.Changelog.table(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("sim", graft.ops.Dedup.simhash16(col("toks")))
+      .select(col("sim").as("id")).distinct().cache()
+    sims.count()
+    def ccAt(n: Int): (Double, Long) = {
+      // copy tag in the HIGH bits: the radius-2 masks flip low 16 bits
+      // only, so ball probes collide within a copy and never across —
+      // k exact disjoint copies of the original hamming graph
+      val nodes = (0 until n).map { i =>
+        sims.select((lit(i.toLong * 65536L) + col("id")).as("id"))
+      }.reduce(_ unionByName _).cache()
+      nodes.count()
+      try {
+        val edges = graft.ops.Dedup.hammingBallPairs(
+          nodes.select(col("id"), col("id").as("sim")), "sim", "id",
+          radius = 2, bits = 16)
+        time(graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
+          .filter(col("id") =!= col("comp")).count())
+      } finally { nodes.unpersist(); () }
+    }
+    ccAt(1) // warm
+    val (cc1, ccR1) = ccAt(1)
+    val (cck, ccRk) = ccAt(k)
+    println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
+      s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
