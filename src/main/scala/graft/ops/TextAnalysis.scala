@@ -204,6 +204,44 @@ object TextAnalysis {
       .drop("_pr")
   }
 
+  /** Top-k characteristic terms per doc by tf·idf — the corpus-level
+    * statistic family (everything above is per-doc map-only; this one
+    * genuinely needs corpus aggregation). Used in curation to surface
+    * what a document is "about" and to spot term-frequency anomalies.
+    *
+    * Scale shape: ONE shuffle on (doc, term) builds term frequencies
+    * (map-side combine collapses repeats before the exchange), ONE
+    * keyed agg on term builds document frequencies from that same
+    * frame, and the df table joins back on term — corpus-sized but
+    * keyed, never broadcast. The per-doc top-k window partitions by
+    * doc. N (corpus doc count) is a single-row agg materialized to a
+    * literal — the one bounded driver value.
+    *
+    * Scoring is transcendental-free on purpose: `tf · N / df` (one
+    * IEEE multiply + one divide on exact integer counts) ranks
+    * identically to tf·log-idf within a doc whenever comparisons
+    * differ, EXCEPT that log compresses — but the ratio form is
+    * engine-portable to the bit, which a libm `ln` is not; rank
+    * ties break on the term string. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Conservative RE2-portable PII patterns (both engines' regex
     * dialects agree on this subset — no lookaround, no backrefs). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -72,6 +72,32 @@ object TextQueries {
         |  CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_est
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Top-3 characteristic terms per doc by tf·idf (ratio form — no
+    // libm ln, so the score is bit-portable). The only text query that
+    // genuinely aggregates ACROSS the corpus: one (doc,term) shuffle,
+    // one term-keyed df agg, a keyed join back, a per-doc top-k window.
+    "text_tfidf" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.tfidf(table(s, dir, "documents"), "doc_id", "text", topK = 3)
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM x GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        CAST(tf AS DOUBLE) * nd / df AS score
+        |      FROM tf JOIN d USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     "text_quality" -> QueryDef(
       (s, dir) => {
         TextAnalysis.quality(table(s, dir, "documents"))

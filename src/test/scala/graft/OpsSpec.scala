@@ -290,6 +290,28 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length($"fp") =!= 32).count() == 0)
   }
 
+  test("tfidf: hand-computed scores, ranks dense in [1, k], deterministic") {
+    val tiny = Seq(
+      (1L, "the the the zebra the"),
+      (2L, "the quick fox"),
+      (3L, "the fox den")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(tiny, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank").collect()
+    // every doc gets ranks 1..min(k, |terms|), no gaps
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // doc 1 (N=3): score(the) = tf 4 · N 3 / df 3 = 4.0,
+    //              score(zebra) = 1 · 3 / 1 = 3.0
+    val d1 = got.filter(_.getLong(0) == 1L).map(r => (r.getString(1), r.getDouble(4)))
+    assert(d1.head._1 == "the" && d1.head._2 === 4.0)
+    assert(d1(1)._1 == "zebra" && d1(1)._2 === 3.0)
+    // determinism incl. tie-break
+    val again = TextAnalysis.tfidf(tiny, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("hammingBallPairs finds exactly the band-blocked verified pair set") {
     val sigs = docs
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
