@@ -228,12 +228,17 @@ object Multimodal {
     * one place for text and image signatures alike. Exactness contract
     * unchanged: band-blocked output ≡ the full quadratic filter for
     * maxDist ≤ 3 (enforced by simhashPairs' maxHamming < bands). */
-  def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    val packed = (0 until 4).map(i =>
-      shiftleft(conv(substring(col("phash"), lit(i * 16 + 1), lit(16)), 2, 10)
+  /** The 64-char bit string packed to one long (16-bit limbs via conv —
+    * conv's 64-bit parse is signed-overflow-prone only past 63 bits, so
+    * pack in quarters). Shared by the pair and cluster queries. */
+  def packPhash(phash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4).map(i =>
+      shiftleft(conv(substring(phash, i * 16 + 1, 16), 2, 10)
         .cast("long"), i * 16)).reduce(_ bitwiseOR _)
-    Dedup.simhashPairs(hashes.withColumn("_sim", packed), "_sim", "media_id",
-      maxHamming = maxDist, bands = 4)
+
+  def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    Dedup.simhashPairs(hashes.withColumn("_sim", packPhash(col("phash"))),
+      "_sim", "media_id", maxHamming = maxDist, bands = 4)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("dist"))
   }
 

@@ -409,6 +409,65 @@ object TextQueries {
         |SELECT a_id, b_id, dist FROM pairs
         |WHERE dist <= 3 ORDER BY a_id, b_id""".stripMargin)),
 
+    // Image near-dup CLUSTERS — the SAME Clusters.components that
+    // groups text docs, fed by the 64-bit phash graph (band-blocked
+    // pairs: wide sigs are where banding is right). Identical-raster
+    // cliques contract to one node each (distinct phashes), labels
+    // join back, canonical = min media_id per component. The oracle's
+    // recursive CTE groups by reachability over the distinct-phash
+    // graph — representatives differ (min string vs min packed long)
+    // but the PARTITIONS are the components on both sides, and only
+    // partition-functions (min id, size) are output.
+    "mm_phash_clusters" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.synthPng(s, table(s, dir, "documents"), idMod = 64)
+        val sigs = Multimodal.aHash64(s, media)
+          .select(col("media_id"), Multimodal.packPhash(col("phash")).as("sim"))
+          .cache()
+        val nodes = sigs.select(col("sim").as("id")).distinct()
+        val edges = graft.ops.Dedup.simhashPairs(
+          nodes.select(col("id"), col("id").as("_sim")), "_sim", "id",
+          maxHamming = 3, bands = 4)
+        val comp = graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
+        val w = Window.partitionBy("root")
+        sigs.join(comp.select(col("id").as("sim"), col("comp").as("root")), "sim")
+          .withColumn("cluster", min("media_id").over(w))
+          .withColumn("csize", count(lit(1)).over(w).cast("long"))
+          .select("media_id", "cluster", "csize")
+          .orderBy("media_id")
+      },
+      Some("""WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      (((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8) % 256
+        |     + ((doc_id % 64) + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256
+        |     + ((doc_id % 64) + ((i % 8) * (4 + (doc_id % 64) % 13)) // 8
+        |                      + ((i // 8) * (3 + (doc_id % 64) % 11)) // 8) % 256) // 3
+        |    ) AS gray
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(gray, v ->
+        |      CASE WHEN v > list_sum(gray) / 64.0 THEN '1' ELSE '0' END), '') AS phash
+        |  FROM g),
+        |n AS (SELECT DISTINCT phash FROM h),
+        |e AS (
+        |  SELECT a.phash AS u, b.phash AS v FROM n a JOIN n b
+        |  ON a.phash <> b.phash AND
+        |    len(list_filter(range(1, 65),
+        |      i -> substr(a.phash, CAST(i AS INT), 1)
+        |        <> substr(b.phash, CAST(i AS INT), 1))) <= 3),
+        |reach(v, r) AS (
+        |  SELECT phash, phash FROM n
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
+        |c AS (SELECT v AS phash, MIN(r) AS root FROM reach GROUP BY 1),
+        |j AS (SELECT h.doc_id AS media_id, c.root FROM h JOIN c USING (phash))
+        |SELECT media_id,
+        |  CAST(MIN(media_id) OVER (PARTITION BY root) AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS csize
+        |FROM j ORDER BY media_id""".stripMargin)),
+
     // REAL pixel-space resize: decode the synthesized PNG, nearest-
     // neighbor resample to 8x6 (src pixel = floor(out·dim/outDim), the
     // byte-family convention), sum channels of the resampled raster.

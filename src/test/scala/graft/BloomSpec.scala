@@ -63,6 +63,16 @@ class BloomSpec extends SparkSpec {
     assert(bloom.toSeq === exact.toSeq)
   }
 
+  test("empty benchmark: zero bits, zero hits, no crash") {
+    val bench = docs.filter(lit(false))
+    val bits = Bloom64.build(
+      bench.select(Fnv64.of(col("text")).as("h")), mBits = 1 << 10, k = 3)
+    assert(bits.length === (1 << 10) / 8 && bits.forall(_ == 0))
+    val out = Decontaminate.contaminatedBloom(
+      docs, bench, "doc_id", "text", n = 5, mBits = 1 << 10, k = 3)
+    assert(out.count() === 0L)
+  }
+
   test("corpus side of the bloom prefilter is map-only: no shuffle below the probe") {
     val corpus = docs.filter(col("doc_id") >= 50)
     val bench = docs.filter(col("doc_id") < 50)

@@ -99,6 +99,23 @@ class MixingSpec extends SparkSpec {
     assert(e.getMessage.contains("quantize"))
   }
 
+  test("rangeLayout degenerate cases: fewer keys than groups, one group") {
+    // 2 distinct keys, 4 groups: every row still assigned, whole keys,
+    // contiguous — skipped groups are allowed, splits are not
+    val two = Seq.fill(30)(10L).union(Seq.fill(10)(99L)).toDF("k")
+    val laid = Mixing.rangeLayout(two, "k", 4)
+    assert(laid.count() === 40L)
+    val byKey = laid.groupBy("k").agg(countDistinct("grp").as("g"),
+      min("grp").as("lo")).orderBy("k").collect()
+    assert(byKey.forall(_.getLong(1) === 1L), "whole keys only")
+    val g10 = byKey(0).getLong(2); val g99 = byKey(1).getLong(2)
+    // 30 of 40 rows end at cum 30 → grp (29*4)/40 = 2; last key → grp 3
+    assert(g10 === 2L && g99 === 3L, s"got $g10, $g99")
+    // nGroups = 1: everything in group 0
+    assert(Mixing.rangeLayout(two, "k", 1).select("grp").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("repetition: duplicate n-gram fractions match hand counts") {
     import graft.ops.TextAnalysis
     val df = Seq(
