@@ -242,6 +242,107 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** C4-style boilerplate removal at token-n-gram granularity: any
+    * n-gram of tokens that occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (navigation chrome, license footers,
+    * templated headers — whatever the corpus repeats verbatim); every
+    * token covered by a boilerplate n-gram is masked out, and the
+    * survivors reassemble IN ORDER into `clean_text`. This is the only
+    * text operator that REWRITES content from corpus-wide statistics —
+    * dedup drops whole documents, this scrubs the repeated spans and
+    * keeps the rest.
+    *
+    * Output: (idCol, n_tokens, n_masked, clean_text), one row per input
+    * document (fully-masked documents yield `clean_text = ""`).
+    *
+    * Scale: the gram-frequency table is ONE hash aggregation with
+    * map-side partial counts (the distinct-doc count is two-phase);
+    * membership joins back as a band-pruned semi join keyed on the gram
+    * string; coverage expansion and the keep anti-join shuffle on
+    * (doc, position) — co-partitioned, so the anti-join reuses the
+    * distinct's exchange; reassembly is one per-doc `collect_list`
+    * bounded by document length. Nothing is quadratic and nothing
+    * collects to the driver, so the plan survives a 100 TB corpus —
+    * the gram table is the big intermediate, and it is exactly as
+    * partitionable as any word-count. */
+  def maskBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // (id, gpos, gram): gram at 0-based gpos covers tokens gpos..gpos+n-1.
+    // Guarded: Dedup.shingles' sequence() DESCENDS for size < n (Spark
+    // sequence(1, negative) steps -1) — short docs get an empty array.
+    // The token array is LET-BOUND through a 1-element transform lambda:
+    // interpreted HOFs get no CSE, so an inlined `toks` would re-run the
+    // regex split once per element_at of the shingle transform — O(len²)
+    // splits per doc (the measured admit.sig trap).
+    val grams = base.select(col(idCol),
+      posexplode(element_at(transform(array(col("toks")),
+        t => when(size(t) >= n, Dedup.shingles(t, n)).otherwise(array())), 1))
+        .as(Seq("gpos", "gram")))
+    val boiler = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+    val covered = grams.join(boiler.select("gram"), Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_masked"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Bigram language-model fluency scoring — the KenLM-filter shape
+    * without the transcendentals: the corpus itself is the model
+    * (conditional bigram counts), and a document's disfluency signal is
+    * the fraction of its bigrams whose conditional probability
+    * P(v|u) = count(u,v)/count(u,·) falls below `num/den`. The
+    * comparison is integer cross-multiplication (`count(u,v)·den <
+    * count(u,·)·num`), so the decision — and the final single-division
+    * ratio — is bit-portable across engines; no log-space float sums.
+    *
+    * Output: (idCol, n_bigrams, n_rare, rare_frac) per document.
+    *
+    * Scale: the bigram-count model is one map-side-combinable hash
+    * aggregation; the context totals fold off the model (vocab-sized,
+    * broadcastable); scoring is two equi-joins keyed on the bigram —
+    * each document row meets exactly its own bigrams, so the join
+    * volume is O(corpus tokens), never O(model × corpus). */
+  def lmFluency(df: DataFrame, idCol: String, textCol: String,
+      num: Int = 1, den: Int = 30): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // bigram strings from the shared shingle builder (tokens never
+    // contain spaces, so the two halves split back losslessly); same
+    // descending-sequence guard and token let-binding as maskBoilerplate
+    val bi = base.select(col(idCol),
+      explode(element_at(transform(array(col("toks")),
+        t => when(size(t) >= 2, Dedup.shingles(t, 2)).otherwise(array())), 1))
+        .as("bigram"))
+      .select(col(idCol), substring_index(col("bigram"), " ", 1).as("u"),
+        substring_index(col("bigram"), " ", -1).as("v"))
+    val model = bi.groupBy("u", "v").agg(count(lit(1)).as("bc"))
+    val context = model.groupBy("u").agg(sum("bc").as("uc"))
+    val scored = bi.join(model, Seq("u", "v")).join(context, Seq("u"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum((col("bc") * den < col("uc") * num).cast("long")).as("n_rare"))
+    base.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_frac", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("n_rare").cast("double") / col("n_bigrams")))
+  }
+
   /** Conservative RE2-portable PII patterns (both engines' regex
     * dialects agree on this subset — no lookaround, no backrefs). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -458,6 +458,42 @@ object DedupQueries {
         |  FROM t)
         |SELECT doc_id, sim,
         |       CAST(COUNT(*) OVER (PARTITION BY sim) AS BIGINT) AS bucket_cnt
-        |FROM f ORDER BY doc_id""".stripMargin))
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Source-pair corpus overlap via union-set MinHash sketches: one
+    // min-agg pass per group (min over union = min of mins — no
+    // per-doc signatures, no document pairs), pairwise slot agreement
+    // is the standard Jaccard estimator over the md5-sliced family.
+    "corpus_source_sim" -> QueryDef(
+      (s, dir) => {
+        Dedup.groupSketchSim(table(s, dir, "documents"), "source", "text",
+          perms = 8).orderBy("grp_a", "grp_b")
+      },
+      Some("""WITH t AS (
+        |  SELECT source, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |sh AS (SELECT source, unnest(list_transform(
+        |         range(1, greatest(len(toks) - 1, 1)),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM t),
+        |h AS (SELECT source, md5(sh) AS h FROM sh),
+        |sk AS (SELECT source,
+        |         min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+        |         min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+        |         min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+        |         min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+        |       FROM h GROUP BY 1),
+        |p AS (SELECT a.source AS grp_a, b.source AS grp_b,
+        |        CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT grp_a, grp_b, matches, matches / 8.0 AS est_jaccard
+        |FROM p ORDER BY grp_a, grp_b""".stripMargin))
   )
 }

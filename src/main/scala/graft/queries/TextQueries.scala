@@ -486,6 +486,65 @@ object TextQueries {
         |    list_sum(list_transform(range(0, 6), yp ->
         |      (doc_id + (xp * (4 + doc_id % 13)) // 8
         |              + (yp * (3 + doc_id % 11)) // 6) % 256)))) AS BIGINT) AS sum_b
-        |FROM documents ORDER BY media_id""".stripMargin))
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // C4-style boilerplate scrub: 5-grams repeated across ≥2 distinct
+    // docs are masked, survivors reassemble in order. Content-REWRITE
+    // from corpus statistics — the oracle checks the rebuilt strings
+    // verbatim, so gram positions, coverage expansion and reassembly
+    // order are all load-bearing.
+    "text_boilerplate" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.maskBoilerplate(table(s, dir, "documents"),
+          "doc_id", "text", n = 5, minDocs = 2).orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+4], ' ') AS gram
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks) - 3, 1))) AS r(i)),
+        |f AS (SELECT gram FROM (
+        |        SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1)
+        |      WHERE c >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.gpos + j AS pos
+        |        FROM g JOIN f USING (gram), LATERAL unnest(range(0, 5)) AS u(j)),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |       FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |         ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_masked,
+        |       COALESCE(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Bigram-LM fluency: the corpus is the model, rarity is an integer
+    // cross-multiplied threshold (P(v|u) < 1/30) — KenLM-filter shape,
+    // zero transcendentals, bit-portable.
+    "text_lm_score" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.lmFluency(table(s, dir, "documents"),
+          "doc_id", "text", num = 1, den = 30).orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks[i] AS u, toks[i+1] AS v
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks), 1))) AS r(i)),
+        |bc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS bc FROM b GROUP BY 1, 2),
+        |uc AS (SELECT u, CAST(SUM(bc) AS BIGINT) AS uc FROM bc GROUP BY 1),
+        |j AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(CASE WHEN bc * 30 < uc THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |      FROM b JOIN bc USING (u, v) JOIN uc USING (u) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare,
+        |       CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+        |            ELSE n_rare * 1.0 / n_bigrams END AS rare_frac
+        |FROM t LEFT JOIN j USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -491,4 +491,56 @@ class OpsSpec extends SparkSpec {
     val big = Seq((1L, Array.fill(65535)("x").mkString(" "))).toDF("doc_id", "text")
     assert(TextAnalysis.quality(big).select("n_tokens").head.getLong(0) == 65535L)
   }
+
+  test("boilerplate masking: hand-computed coverage, order-preserving reassembly") {
+    val df = Seq(
+      (1L, "a b c d e x y z w q"),          // "a b c d e" shared with doc 2
+      (2L, "a b c d e p q r s t"),          // fully covered by two grams
+      (3L, "m n o p q r s t u v"),          // "p q r s t" shared with doc 2
+      (4L, "lone words only here now"),     // 5 toks, no shared gram
+      (5L, "tiny")                          // < n tokens: nothing to mask
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.maskBoilerplate(df, "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 10L, 5L, "x y z w q")))
+    assert(r(1) == ((2L, 10L, 10L, ""))) // every token under a shared gram
+    assert(r(2) == ((3L, 10L, 5L, "m n o u v")))
+    assert(r(3) == ((4L, 5L, 0L, "lone words only here now")))
+    assert(r(4) == ((5L, 1L, 0L, "tiny")))
+  }
+
+  test("lm fluency: rare bigrams by integer cross-multiplication, short docs total") {
+    // model: bc(a,b)=5, bc(b,a)=4, bc(a,c)=1; uc(a)=6, uc(b)=4
+    // threshold 1/5: rare iff bc*5 < uc — only (a,c): 5 < 6
+    val df = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "a c"),
+      (3L, "z")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmFluency(df, "doc_id", "text", num = 1, den = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r(0) == ((1L, 9L, 0L, 0.0)))
+    assert(r(1) == ((2L, 1L, 1L, 1.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0))) // no bigrams, still a row
+  }
+
+  test("group sketches: identical corpora agree on every slot, bound enforced") {
+    val df = Seq(
+      ("g1", "the quick brown fox jumps over the lazy dog"),
+      ("g1", "pack my box with five dozen liquor jugs"),
+      ("g2", "the quick brown fox jumps over the lazy dog"), // = g1 doc 1
+      ("g2", "pack my box with five dozen liquor jugs"),     // = g1 doc 2
+      ("g3", "completely different shingle material lives in this group")
+    ).toDF("source", "text")
+    val r = Dedup.groupSketchSim(df, "source", "text", perms = 8)
+      .orderBy("grp_a", "grp_b")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.length == 3) // C(3,2) unordered pairs
+    val g12 = r.find(p => p._1 == "g1" && p._2 == "g2").get
+    assert(g12._3 == 8L && g12._4 == 1.0, s"identical corpora must fully agree: $g12")
+    // disjoint shingle sets: agreement only by 16-bit slice collision
+    assert(r.filter(_._2 == "g3").forall(_._3 < 8L))
+    val e = intercept[Exception](
+      Dedup.groupSketchSim(df, "source", "text", perms = 8, maxGroups = 2).collect())
+    assert(causeMessages(e).exists(_.contains("caller-bounded")), s"got: $e")
+  }
 }

@@ -78,6 +78,16 @@ class PlanSpec extends SparkSpec {
       "phash candidate generation must stay a (band, key) equi-join")
   }
 
+  test("boilerplate + lm scoring stay gram-keyed equi-joins, never n²") {
+    // corpus-statistics joins must meet on the gram/bigram shuffle key;
+    // a nested-loop fallback here is O(model × corpus) at 100 TB
+    Seq("text_boilerplate", "text_lm_score").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: corpus-statistics joins must stay key-partitioned equi-joins")
+    }
+  }
+
   test("DeltaStore.read stays one scan + one hash agg however deep the chains") {
     import spark.implicits._
     val target = java.nio.file.Files
