@@ -156,6 +156,18 @@ object Bench {
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
     val anchorEnd = if (anchor) anchorMin(cpus) else -1.0
+    // The one baseline-transferable number (BASELINE.md): the reference's
+    // batch apply sustains ~130K events/s; compare p8_compact's min-rep
+    // throughput at this SF. baseline_ratio = our_time / baseline_time —
+    // ≤1.0 beats the reference, the round gate is ≤2.0.
+    val baselineJson = results.toMap.get("p8_compact").map { case (_, mn) =>
+      val s = newSession("4")
+      val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
+      s.stop()
+      val eps = nEvents / math.max(mn, 1e-9)
+      f""""p8_events":$nEvents,"p8_events_per_sec":${eps}%.1f,""" +
+        f""""baseline_ratio":${mn * 130000.0 / nEvents}%.3f,"""
+    }.getOrElse("")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val phasesJson = phases.toSeq.sortBy(_._1).map { case (q, ps) =>
@@ -166,6 +178,7 @@ object Bench {
       s""""queries_min":$qsMin,"total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
       s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
+      baselineJson +
       s""""failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }

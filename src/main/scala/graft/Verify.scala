@@ -17,13 +17,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cross-round input-drift tripwire (see graft.model.Footprint): any
+    // name/type change in the harness tables vs the committed footprint
+    // is shouted to stderr before a single query runs
+    graft.model.Footprint.warnOnDrift(spark, sfDir, "TESTDATA_FOOTPRINT.txt")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries cache intermediates (token/signature frames); drop them so
@@ -45,6 +51,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared == checked gate: a query that errors must be LOUD. A
+    // two-round blind spot (r12-r13) happened because errored queries
+    // simply vanished from the correctness denominator — stamp the split
+    // into the artifact dir and fail the run so nothing downstream can
+    // mistake "fewer rows checked" for "all green".
+    val status = s"""{"declared": ${selected.size}, """ +
+      s""""checked": ${selected.size - failed.size}, """ +
+      s""""failed": ${failed.toList.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), status)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size}/${selected.size} declared " +
+        s"queries FAILED: ${failed.toList.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -442,6 +442,37 @@ object CdcQueries {
 
   private def moreDefs: Map[String, QueryDef] = Map(
 
+    // S1 — the streamed changelog itself, event_time INCLUDED: drain a
+    // 2-slice events stream to parquet and hash-compare every row —
+    // with the event time as exact epoch-µs — against the batch oracle.
+    // This is the tripwire the r12 regression lacked: the stream path
+    // once mis-scaled event_time 1000× and stayed green because no gated
+    // output exposed it; here a unit slip changes et_us and fails the
+    // hash. (Long µs rather than a rendered timestamp: exact and
+    // portable across Spark/DuckDB string formats.)
+    "s1_stream_events" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-s1-events-q")
+        val q = graft.streaming.ChangeStream.fromEventsStream(s, dir, slices = 2)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/data")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val res = s.read.parquet(s"$tmp/data")
+          .select(col("seq"), col("pk"), col("tbl"), col("op"),
+            unix_micros(col("event_time")).as("et_us"))
+          .orderBy("seq")
+        // materialize so the temp drop can be reclaimed (lazy read would
+        // pin the dir; same pattern as delta_snapshot)
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      },
+      Some(s"""$cte
+        |SELECT seq, pk, tbl, op, epoch_us(event_time) AS et_us
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
     // S2 — bounded snapshot scan with logical keyset pages
     "s2_scan" -> QueryDef(
       (s, dir) => {

@@ -39,14 +39,32 @@ object Changelog {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEventsDf(events(spark, sfDir))
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read it as a long (ns since epoch) and
-    * materialize a proper µs timestamp column alongside. */
+  /** Harness fixtures have carried `events.ts` in two physical shapes:
+    * TIMESTAMP(NANOS) (readable only as a raw ns-since-epoch long under
+    * `nanosAsLong`, the pre-round-12 fixtures) and plain `timestamp[us]`
+    * (the regenerated fixtures, read as TIMESTAMP_NTZ). Normalize either
+    * to the pair the engine uses everywhere: `ts` TIMESTAMP (µs instant)
+    * + `ts_ns` LONG (ns since epoch). Sessions run with UTC timezone, so
+    * the NTZ→instant cast is value-preserving. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    normalizeTs(table(spark, sfDir, "events"))
+  }
+
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) surfaced as ns-long
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — " +
+            "expected long (legacy nanos) or timestamp")
+    }
   }
 
   def fromEventsDf(events: DataFrame): DataFrame =

@@ -45,24 +45,37 @@ object ChangeStream {
     *    trivially. */
   def fromEventsStream(spark: SparkSession, sfDir: String,
       slices: Int = 1, sliceBy: String = "event_id"): DataFrame = {
+    val (drop, schema) = stageEvents(spark, sfDir, slices, sliceBy)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop)
+    graft.source.Changelog.fromEventsDf(graft.source.Changelog.normalizeTs(raw))
+  }
+
+  /** Stage the events file as range slices and return (dropDir, declared
+    * schema). Public so tests can locate the staged dir — the drop path
+    * is keyed on the declared schema too, which callers can't rebuild
+    * without repeating the footer probe done here. */
+  def stageEvents(spark: SparkSession, sfDir: String,
+      slices: Int, sliceBy: String): (String, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A file stream needs a DECLARED schema — probe the fixture's footer
+    // through the batch reader first so the forced type of `ts` matches
+    // its actual physical shape (legacy ns-long vs timestamp[us]); a
+    // mismatched force here silently mis-scales event_time 1000×.
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // The file stream source tails a DIRECTORY (arriving files = arriving
     // binlog segments) — see [[Staging]] for the slice/marker contract.
     // Range segments preserve binlog order between slices (a key's ops
     // land in batch order), mirroring sequential segment rotation.
-    val drop = Staging.stageSlices(spark, s"$sfDir/events.parquet",
-      Some(schema), sliceBy, slices)
-    val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(drop)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-    graft.source.Changelog.fromEventsDf(raw)
+    (Staging.stageSlices(spark, s"$sfDir/events.parquet",
+      Some(schema), sliceBy, slices), schema)
   }
 
   /** The crawl-increment analog of [[fromEventsStream]]: the `documents`

@@ -35,8 +35,13 @@ object Staging {
     * tailing agree on types. */
   def stageSlices(spark: SparkSession, srcFile: String,
       readSchema: Option[StructType], sliceBy: String, slices: Int): String = {
+    // The declared schema is part of the drop-dir identity: slices are
+    // WRITTEN through it, so a schema change (e.g. the fixture's ts
+    // moving long→timestamp) must land in a fresh dir — the (size,mtime)
+    // marker alone can't see it and would serve stale-typed slices.
+    val schemaSig = readSchema.map(_.catalogString).getOrElse("inferred")
     val drop = java.nio.file.Paths.get("/tmp/graft-stream",
-      Integer.toHexString(s"$srcFile#$slices#$sliceBy".hashCode))
+      Integer.toHexString(s"$srcFile#$slices#$sliceBy#$schemaSig".hashCode))
     java.nio.file.Files.createDirectories(drop)
     val src = java.nio.file.Paths.get(srcFile)
     val srcSig = s"${java.nio.file.Files.size(src)}#${

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.Footprint
+
+/** Proves the footprint guard actually trips on a regenerated table with
+  * a changed column type — the deliberate-breakage case the r12 blind
+  * spot demanded (a fixture drift must fail/flag the SAME day, not two
+  * rounds later). */
+class FootprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("records a footprint, quiet when nothing drifts") {
+    val dir = Files.createTempDirectory("graft-fp-data").toString
+    val fp = Files.createTempDirectory("graft-fp").resolve("footprint.txt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Footprint.check(spark, dir, fp).isEmpty)       // first sighting
+    assert(Footprint.check(spark, dir, fp).isEmpty)       // stable re-check
+    val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
+    assert(recorded.contains("t = id:BIGINT,s:STRING"))
+  }
+
+  test("flags a type change on regeneration, then re-baselines") {
+    val dir = Files.createTempDirectory("graft-fp-data2").toString
+    val fp = Files.createTempDirectory("graft-fp2").resolve("footprint.txt").toString
+    // round N: ts carried as a long (the legacy nanos shape)
+    Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+    // round N+1: harness regenerates with ts as a timestamp — the r12 drift
+    Seq((1L, java.sql.Timestamp.valueOf("2026-01-02 03:04:05")))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val drifts = Footprint.check(spark, dir, fp)
+    assert(drifts.size === 1)
+    val (t, old, cur) = drifts.head
+    assert(t === "events")
+    assert(old.contains("ts:BIGINT") && cur.contains("ts:TIMESTAMP"))
+    // after the flag the new truth is the baseline: quiet again
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+  }
+
+  test("normalizeTs rejects an unsupported physical type loudly") {
+    val bad = Seq((1L, "not-a-time")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException] {
+      graft.source.Changelog.normalizeTs(bad)
+    }
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("live testdata footprint matches the committed record") {
+    // the committed TESTDATA_FOOTPRINT.txt is the cross-round memory; this
+    // spec makes `sbt test` itself shout when the harness regenerates a
+    // table (drift is reported, the file re-baselines for the next run)
+    val drifts = Footprint.check(spark, sf, "TESTDATA_FOOTPRINT.txt")
+    assert(drifts.isEmpty,
+      s"harness testdata drifted since last recorded footprint: $drifts")
+  }
+}

@@ -17,12 +17,10 @@ class StreamingSpec extends SparkSpec {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), src)
     def stagedCount(): Long = {
       // build (or reuse) the staged drop dir, then count its slice rows
-      ChangeStream.fromEventsStream(spark, dir.toString, slices = 2)
-      val drop = Paths.get("/tmp/graft-stream",
-        Integer.toHexString(s"$dir/events.parquet#2#event_id".hashCode))
+      val (drop, _) = ChangeStream.stageEvents(spark, dir.toString, 2, "event_id")
       spark.read.parquet(
-        drop.resolve("slice-0.parquet").toString,
-        drop.resolve("slice-1.parquet").toString).count()
+        Paths.get(drop, "slice-0.parquet").toString,
+        Paths.get(drop, "slice-1.parquet").toString).count()
     }
     val n1 = graft.source.Changelog.events(spark, dir.toString).count()
     assert(stagedCount() == n1 && n1 > 0)
