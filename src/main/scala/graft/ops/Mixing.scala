@@ -138,6 +138,25 @@ object Mixing {
           .otherwise(shiftleft(col("shard").cast("long"), 42) + packNo))
   }
 
+  /** Deterministic global training-order shuffle: every row gets a dense
+    * position `ord` in a pseudo-random total order — the step between
+    * packing and release (training must not see the corpus in crawl /
+    * source / id order, and the order must be REPRODUCIBLE so a resumed
+    * or re-sharded run reads the identical sequence).
+    *
+    * The order key is `md5(id)` (full 32-hex-char rank, ties broken by
+    * id): uniform, seedable by prefixing the id, and portable — any
+    * engine that can md5 a string derives the same permutation, so the
+    * DuckDB oracle checks the exact positions. Position assignment is
+    * [[graft.op.Seqs.globalSeqBy]]'s distributed range-sort +
+    * zipWithIndex — data moves through ONE range exchange, no
+    * single-partition window at any scale. */
+  def globalShuffle(df: DataFrame, idCol: String, out: String = "ord"): DataFrame =
+    graft.op.Seqs.globalSeqBy(
+      df.withColumn("_rank", md5(col(idCol).cast("string"))),
+      Seq("_rank", idCol), out)
+      .drop("_rank")
+
   /** Count-balanced contiguous range layout: assign every row a group
     * in [0, nGroups) such that groups are contiguous ranges of
     * `keyCol` and hold ~|rows|/nGroups rows each. This is the release

@@ -108,6 +108,25 @@ object MixQueries {
         |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
         |FROM laid ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic global training-order shuffle: dense positions in
+    // the md5(doc_id) pseudo-random total order — the release step
+    // between packing and training (the corpus must not train in
+    // crawl/source/id order, and the order must reproduce exactly on a
+    // resumed or re-sharded run). Position assignment is the
+    // distributed range-sort + zipWithIndex (Seqs) — one range
+    // exchange, never a single-partition window; the oracle replays the
+    // identical permutation from DuckDB's own md5.
+    "mix_shuffle" -> QueryDef(
+      (s, dir) => {
+        Mixing.globalShuffle(table(s, dir, "documents"), "doc_id")
+          .select(col("ord"), col("doc_id"), col("lang"))
+          .orderBy("ord")
+      },
+      Some("""SELECT
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord,
+        |  doc_id, lang
+        |FROM documents ORDER BY ord""".stripMargin)),
+
     // Count-balanced contiguous range layout over doc length — the
     // release-shard plan: 8 groups of ~equal row count, each a
     // contiguous n_chars range (similar-length docs batch together, so

@@ -116,6 +116,21 @@ class MixingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("globalShuffle: dense permutation, reproducible, not id order") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = Mixing.globalShuffle(docs, "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap // doc_id -> ord
+    // bijection onto 1..n
+    assert(a.values.toSeq.sorted === (1L to 500L).toSeq)
+    // deterministic: a second run produces the identical permutation
+    val b = Mixing.globalShuffle(docs, "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(a === b)
+    // actually shuffled: the order correlates with md5, not with doc_id
+    val inIdOrder = a.toSeq.sortBy(_._1).map(_._2)
+    assert(inIdOrder !== (1L to 500L).toSeq, "permutation is the identity")
+  }
+
   test("repetition: duplicate n-gram fractions match hand counts") {
     import graft.ops.TextAnalysis
     val df = Seq(
