@@ -344,6 +344,21 @@ object ScaleProbe {
     val (cck, ccRk) = ccAt(k)
     println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
       s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},"sf":"$sfDir"}""")
+
+    // Global training-order shuffle: documents ×k through the range-sort
+    // + zipWithIndex position assignment. ONE range exchange and a count
+    // job — cost must track data volume (ratio ≈ k, never k² and never a
+    // single-partition sort's cliff; the md5 rank keys are uniform by
+    // construction, so the range partitioner cannot skew).
+    def shuffleAt(n: Int): (Double, Long) = {
+      val d = scaled(docs.select("doc_id"), Seq("doc_id"), n)
+      time(graft.ops.Mixing.globalShuffle(d, "doc_id").count())
+    }
+    shuffleAt(1) // warm
+    val (s1, sr1) = shuffleAt(1)
+    val (sk, srk) = shuffleAt(k)
+    println(s"""{"probe":"global_shuffle","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
+      s""""rows_1":$sr1,"rows_k":$srk,"ratio":${sk / s1},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
