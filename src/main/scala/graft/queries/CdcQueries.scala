@@ -453,21 +453,30 @@ object CdcQueries {
     "s1_stream_events" -> QueryDef(
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-s1-events-q")
-        val q = graft.streaming.ChangeStream.fromEventsStream(s, dir, slices = 2)
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/data")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val res = s.read.parquet(s"$tmp/data")
-          .select(col("seq"), col("pk"), col("tbl"), col("op"),
-            unix_micros(col("event_time")).as("et_us"))
-          .orderBy("seq")
-        // materialize so the temp drop can be reclaimed (lazy read would
-        // pin the dir; same pattern as delta_snapshot)
-        val rows = res.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        try {
+          val q = graft.streaming.ChangeStream.fromEventsStream(s, dir, slices = 2)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/data")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val res = s.read.parquet(s"$tmp/data")
+            .select(col("seq"), col("pk"), col("tbl"), col("op"),
+              unix_micros(col("event_time")).as("et_us"))
+            .orderBy("seq")
+          // materialize so the temp drop can be reclaimed (lazy read would
+          // pin the dir; same pattern as delta_snapshot)
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          // the bench reruns this query several times — reclaim the
+          // drained parquet + checkpoint instead of accumulating in /tmp
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
       },
       Some(s"""$cte
         |SELECT seq, pk, tbl, op, epoch_us(event_time) AS et_us
