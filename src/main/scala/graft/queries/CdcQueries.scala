@@ -326,6 +326,62 @@ object CdcQueries {
         |ORDER BY tbl, pk""".stripMargin),
       bench = true),
 
+    // Time-travel read of the delta store: after landing 4 batches,
+    // resolve the state AS OF batch 2 — exactly what a reader saw after
+    // batch 2's flip (keys first appended in batch 3 absent, later
+    // updates/tombstones ignored). maxChain is high so no chain folds:
+    // folds collapse history under the folding batch's id (the LSM
+    // horizon), and DeltaStore records that floor and REFUSES travel
+    // below it — DeltaStoreSpec pins the refusal; this query gates the
+    // in-horizon resolve against the batch-2-truncated replay oracle.
+    "delta_timetravel" -> QueryDef(
+      (s, dir) => {
+        val log = Changelog.fromEvents(s, dir)
+        val nB = 4
+        val maxSeq = log.agg(max("seq")).head().getLong(0) // 1-row metadata
+        val target = java.nio.file.Files
+          .createTempDirectory("graft-delta-tt-q").toString + "/state"
+        (0 until nB).foreach { b =>
+          val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
+          graft.sink.DeltaStore.append(Compactor.compact(slice), target,
+            Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 16)
+        }
+        graft.sink.DeltaStore.readAt(s, target, asOfBatch = 2).get
+          .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+          .orderBy("tbl", "pk")
+      },
+      Some(s"""$cte,
+        |batched AS (
+        |  SELECT *, seq * 4 // ((SELECT max(seq) FROM changelog) + 1) AS batch
+        |  FROM changelog),
+        |hist AS (SELECT * FROM batched WHERE batch <= 2),
+        |net AS (
+        |  SELECT batch, tbl, pk, min_by(op, seq) AS first_op,
+        |         max_by(op, seq) AS last_op, max(seq) AS last_seq
+        |  FROM hist GROUP BY batch, tbl, pk),
+        |lastrow AS (
+        |  SELECT batch, tbl, pk, max_by(r_id, seq) AS u_id,
+        |         max_by(r_k, seq) AS u_k, max_by(r_v, seq) AS u_v
+        |  FROM hist WHERE op <> 'delete' GROUP BY batch, tbl, pk),
+        |compacted AS (
+        |  SELECT n.batch AS batch, n.tbl AS tbl, n.pk AS pk,
+        |         CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |              WHEN n.first_op = 'insert' THEN 'insert'
+        |              ELSE 'update' END AS net_op,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |         n.last_seq AS last_seq
+        |  FROM net n LEFT JOIN lastrow l
+        |    ON n.batch = l.batch AND n.tbl = l.tbl AND n.pk = l.pk
+        |  WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')),
+        |resolved AS (
+        |  SELECT * FROM compacted
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1)
+        |SELECT tbl, pk, r_id, r_k, r_v, last_seq FROM resolved
+        |WHERE net_op <> 'delete'
+        |ORDER BY tbl, pk""".stripMargin)),
+
     // The STREAMING sync task lifecycle, end to end — where delta_sync
     // gates the DeltaStore append/fold/read ALGEBRA by calling append in
     // a batch loop, this runs the reference's actual task shape

@@ -147,6 +147,56 @@ object DeltaStore {
     }
   }
 
+  /** Time-travel read: the resolved state AS OF `asOfBatch` — exactly
+    * what [[read]] returned after that batch's flip. The LWW fold simply
+    * ignores rows from newer generations (`_seq <= asOf`); a key first
+    * appended after the cut resolves away entirely.
+    *
+    * History is bounded by compaction, as in any LSM/delta-log store
+    * (Delta Lake's VACUUM horizon): a chain-cap fold, auto/offline
+    * snapshot, or rewrite re-asserts pre-fold rows under the folding
+    * batch's id, so states OLDER than the newest fold are gone. The
+    * store records that horizon (`HISTORY` file, monotone) and this read
+    * REFUSES an `asOfBatch` below it — silently returning partial state
+    * would be corruption, not time travel. A store that never folded
+    * (chains within `maxChain`, no snapshot) can travel to any batch. */
+  def readAt(spark: SparkSession, target: String, asOfBatch: Long): Option[DataFrame] = {
+    val floor = readHistoryFloor(target)
+    require(asOfBatch >= floor,
+      s"time travel to batch $asOfBatch impossible: a fold/snapshot collapsed " +
+        s"history up to batch $floor (states older than the newest fold are " +
+        "unrecoverable, as after any LSM compaction)")
+    val chains = readManifest(target)
+    chainFrames(spark, target, chains).map { all =>
+      val pkCols = inferPkCols(target)
+      resolve(all.filter(col("_seq") <= asOfBatch), pkCols)
+    }
+  }
+
+  private def historyPath(target: String): Path = Paths.get(target, "HISTORY")
+
+  /** Oldest batch id still exactly reconstructable by [[readAt]]
+    * (-1 = full history intact). */
+  def readHistoryFloor(target: String): Long = {
+    val p = historyPath(target)
+    if (!Files.exists(p)) -1L
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Raise the history floor to `batchId` (monotone; atomic rename).
+    * Called BEFORE the fold's flip: a crash in between leaves the floor
+    * conservatively high — [[readAt]] refuses slightly more than
+    * necessary, never serves a collapsed state. */
+  private def raiseHistoryFloor(target: String, batchId: Long): Unit = {
+    if (batchId > readHistoryFloor(target)) {
+      Files.createDirectories(Paths.get(target))
+      val tmp = Paths.get(target, s"HISTORY.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, historyPath(target),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Union of the live chains WITHOUT the per-pk LWW fold — the read
     * path for APPEND-ONLY stores (insert-only nets, globally unique pks:
     * the admission signature store). No key is ever superseded, so the
@@ -288,7 +338,12 @@ object DeltaStore {
           .withColumn("bucket",
             bucketExpr.getOrElse(BucketStore.bucketCol(pkCols, nBuckets))))
       }
-    if (foldBuckets.nonEmpty) graft.PhaseClock.count("delta.folds", foldBuckets.size)
+    if (foldBuckets.nonEmpty) {
+      graft.PhaseClock.count("delta.folds", foldBuckets.size)
+      // folded rows re-assert under THIS batch's id — states older than
+      // it stop being reconstructable; record that before the flip
+      raiseHistoryFloor(target, batchId)
+    }
     val out = foldedPart
       .map(f => deltaPart.unionByName(f, allowMissingColumns = false))
       .getOrElse(deltaPart)
@@ -366,6 +421,7 @@ object DeltaStore {
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),
       s"snapshot write did not complete: $genDir")
+    raiseHistoryFloor(target, applied)
     // every key resolved away (all tombstoned) writes no bucket dir: the
     // manifest legitimately flips to empty and the GC sweeps everything
     val present = Option(new File(genDir).list()).getOrElse(Array.empty)
@@ -416,6 +472,7 @@ object DeltaStore {
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),
       s"generation write did not complete: $genDir")
+    raiseHistoryFloor(target, batchId)
     val present = Option(new File(genDir).list()).getOrElse(Array.empty)
       .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
       .toSet

@@ -48,6 +48,59 @@ class DeltaStoreSpec extends SparkSpec {
     assert(state(target) == model.toMap && model.nonEmpty)
   }
 
+  test("readAt replays any flipped batch's state while history is intact") {
+    val target = tmp("graft-delta-tt")
+    // batch-by-batch model snapshots, maxChain high → no folds, full history
+    val model = scala.collection.mutable.Map[(String, Long), (Long, Int, Double)]()
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[(String, Long), (Long, Int, Double)]]()
+    val batches = Seq(
+      Seq(("a", 1L, "insert", 1L, 10, 0.5), ("a", 2L, "insert", 2L, 20, 0.25)),
+      Seq(("a", 1L, "update", 1L, 11, 0.75), ("b", 3L, "insert", 3L, 30, 1.5)),
+      Seq(("a", 2L, "delete", 0L, 0, 0.0)),
+      Seq(("a", 2L, "insert", 2L, 22, 2.5), ("b", 3L, "update", 3L, 33, 3.5)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.foreach { case (t, pk, op, rid, rk, rv) =>
+        if (op == "delete") model.remove((t, pk)) else model((t, pk)) = (rid, rk, rv)
+      }
+      snaps += model.toMap
+      DeltaStore.append(netOf(b: _*), target, pkCols,
+        nBuckets = 8, batchId = i, maxChain = 16)
+    }
+    assert(DeltaStore.readHistoryFloor(target) === -1L, "no fold happened")
+    snaps.zipWithIndex.foreach { case (snap, i) =>
+      val got = DeltaStore.readAt(spark, target, i).map(_.collect().map { r =>
+        (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+          (r.getAs[Long]("r_id"), r.getAs[Int]("r_k"), r.getAs[Double]("r_v"))
+      }.toMap).getOrElse(Map.empty)
+      assert(got === snap, s"asOf batch $i diverges from the replayed model")
+    }
+    // asOf latest == current read
+    assert(DeltaStore.readAt(spark, target, 3).get.collect().toSet ===
+      DeltaStore.read(spark, target).get.collect().toSet)
+  }
+
+  test("readAt refuses travel below the fold horizon; floor is recorded") {
+    val target = tmp("graft-delta-ttfold")
+    // maxChain=1 → the second append to a bucket folds it: floor rises
+    (0 until 3).foreach { b =>
+      DeltaStore.append(netOf(("a", 1L, if (b == 0) "insert" else "update",
+        1L, 10 + b, b.toDouble)), target, pkCols,
+        nBuckets = 4, batchId = b, maxChain = 1)
+    }
+    val floor = DeltaStore.readHistoryFloor(target)
+    assert(floor >= 1L, s"fold must raise the horizon, got $floor")
+    val e = intercept[IllegalArgumentException] {
+      DeltaStore.readAt(spark, target, floor - 1)
+    }
+    assert(e.getMessage.contains("time travel"))
+    // at/above the horizon still serves exact state
+    val cur = DeltaStore.readAt(spark, target, 2).get.collect()
+    assert(cur.length === 1 && cur.head.getAs[Int]("r_k") === 12)
+    // offline snapshot collapses everything to the applied id
+    DeltaStore.snapshot(spark, target, nBuckets = 4)
+    assert(DeltaStore.readHistoryFloor(target) === 2L)
+  }
+
   test("append writes only the batch: untouched chains keep their files") {
     val target = tmp("graft-delta-app")
     // batch 0 seeds two keys landing in (very likely) different buckets
