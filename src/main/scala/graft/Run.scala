@@ -43,6 +43,8 @@ object Run {
         case "snapshot" =>
           graft.sink.DeltaStore.snapshot(spark, m.get("path").asText(),
             if (m.has("buckets")) m.get("buckets").asInt() else 64)
+        case "optimize" => // append-only file merge (admission/IVF stores)
+          graft.sink.DeltaStore.optimizeAppendOnly(spark, m.get("path").asText())
         case other => throw new IllegalArgumentException(
           s"unknown maintenance op: $other")
       }

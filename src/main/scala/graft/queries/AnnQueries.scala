@@ -370,6 +370,16 @@ object AnnQueries {
                      "checkpoint": "$tmp/ckpt", "cells": 16,
                      "portableSeeding": true}
           }""")
+          // file-merge maintenance INSIDE the gated path (the
+          // delta_snapshot pattern: maintenance must be invisible to
+          // readers, so the oracle needs no change): every chain folds
+          // to one snap- generation, the serve below reads POST-optimize
+          graft.Run.dispatch(s, s"""{"maintenance":
+            {"type": "optimize", "path": "$tmp/index"}}""")
+          val chains = graft.sink.DeltaStore.readManifest(s"$tmp/index")
+          require(chains.nonEmpty && chains.values.forall(c =>
+            c.size == 1 && c.head.startsWith("snap-")),
+            s"optimize did not merge the index chains: $chains")
           val res = graft.ops.IvfIndex.serve(s, s"$tmp/index",
             vecs(s, dir).filter(col("vec_id") < 32), k = 5, nprobe = 4)
             .select("qid", "rank", "nid")

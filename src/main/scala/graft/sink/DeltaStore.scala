@@ -430,6 +430,48 @@ object DeltaStore {
     flip(target, present.map(b => b -> Seq(genName)).toMap, applied)
   }
 
+  /** File-merge maintenance for APPEND-ONLY stores — the OPTIMIZE
+    * counterpart of [[snapshot]] for stores read via [[readAppendOnly]]
+    * (the admission signature store, the IVF index). Such stores never
+    * need the LWW fold, but every increment appends one generation, so a
+    * long-lived index's serve path degrades into thousands of small
+    * files — THE practical failure mode of incremental indexes at scale.
+    * This merges each bucket's whole chain into one `snap-<applied>`
+    * generation, rows copied VERBATIM: no resolve, and the bucket id is
+    * taken from each row's file path, so semantically-bucketed stores
+    * (the IVF cell layout that [[snapshot]] must refuse) keep their
+    * bucket↔cell mapping and bucket-pruned reads exactly.
+    *
+    * Crash contract and sequencing are [[snapshot]]'s: complete
+    * generation write (`_SUCCESS`) before the atomic flip, `#applied`
+    * untouched, no-op when already optimized at the current applied id,
+    * history floor raised (rows re-assert under the snap id). Call from
+    * the apply thread between batches (single-writer contract). */
+  def optimizeAppendOnly(spark: SparkSession, target: String,
+      fs: ManifestStore = ManifestStore.LocalFs): Unit = {
+    val chains = readManifest(target)
+    val applied = readApplied(target)
+    val genName = s"snap-$applied"
+    if (chains.isEmpty || chains.values.exists(_.contains(genName))) return
+    val genDir = s"$target/$genName"
+    val paths = chains.toSeq
+      .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(paths.distinct: _*)
+      .withColumn("bucket", regexp_extract(
+        element_at(split(input_file_name(), "/"), -2),
+        "^bucket=(\\d+)$", 1).cast("int"))
+    merged.repartition(chains.size, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
+    require(Files.exists(Paths.get(genDir, "_SUCCESS")),
+      s"optimize write did not complete: $genDir")
+    raiseHistoryFloor(target, applied)
+    val present = Option(new File(genDir).list()).getOrElse(Array.empty)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+    flip(target, present.map(b => b -> Seq(genName)).toMap, applied, fs)
+  }
+
   /** Read-amplification-triggered snapshot policy — the streaming
     * sink's automatic analog of the manual `snapshot` maintenance config
     * (the reference's periodic-maintenance ticker,

@@ -97,6 +97,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(before === 50L && after === 50L)
   }
 
+  test("optimize merges chains to one generation; serve and pruning unchanged") {
+    val dir = Files.createTempDirectory("graft-ivf-opt").toString
+    val cfg = cfgAt(dir)
+    // 4 increments → every touched cell's chain is multiple generations
+    (0 until 4).foreach(b =>
+      IvfIndex.indexBatch(vecsOf(b * 25 until (b + 1) * 25), cfg, b.toLong))
+    val queries = vecsOf(0 until 3)
+    val before = IvfIndex.serve(spark, cfg.target, queries, k = 5).collect().toSet
+    val filesBefore = DeltaStore.readAppendOnly(spark, cfg.target).get.inputFiles.length
+    val chainsBefore = DeltaStore.readManifest(cfg.target)
+    assert(chainsBefore.values.exists(_.size > 1), "test needs multi-gen chains")
+
+    graft.Run.dispatch(spark, s"""{"maintenance":
+      {"type": "optimize", "path": "${cfg.target}"}}""")
+
+    val chainsAfter = DeltaStore.readManifest(cfg.target)
+    assert(chainsAfter.nonEmpty && chainsAfter.values.forall(c =>
+      c.size == 1 && c.head.startsWith("snap-")),
+      s"optimize did not merge chains: $chainsAfter")
+    val filesAfter = DeltaStore.readAppendOnly(spark, cfg.target).get.inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"optimize must reduce files: $filesBefore -> $filesAfter")
+    // rows verbatim, serve identical, cell-pruned reads still correct
+    assert(IvfIndex.serve(spark, cfg.target, queries, k = 5).collect().toSet === before)
+    assert(DeltaStore.readAppendOnly(spark, cfg.target).get.count() === 100)
+    // floor recorded; a replayed optimize at the same applied id is a no-op
+    assert(DeltaStore.readHistoryFloor(cfg.target) === DeltaStore.readApplied(cfg.target))
+    DeltaStore.optimizeAppendOnly(spark, cfg.target)
+    assert(DeltaStore.readManifest(cfg.target) === chainsAfter)
+  }
+
   test("offline snapshot refuses a semantically-bucketed store") {
     val dir = Files.createTempDirectory("graft-ivf-snap").toString
     val cfg = cfgAt(dir)
