@@ -138,6 +138,31 @@ object Mixing {
           .otherwise(shiftleft(col("shard").cast("long"), 42) + packNo))
   }
 
+  /** Deterministic train/val/test split: assign each row a named split
+    * by where its hash slice falls in the cumulative fraction ranges —
+    * the eval carve-out primitive. Same md5 family and guarantees as
+    * [[sampleByRate]]: map-only, no shuffle, reproducible on any engine,
+    * and STABLE under re-runs and corpus growth (a doc's split never
+    * changes when other docs arrive — the property a random split
+    * lacks, and the reason eval contamination audits are possible at
+    * all). `fractions` is (name, fraction) in order; fractions must sum
+    * to 1 (±1/65536 quantization). */
+  def assignSplits(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
+      "fractions must be non-negative")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => math.round(f * 65536).toLong)
+    val u = hashSlice(col(idCol))
+    val expr = fractions.map(_._1).zip(cuts).init
+      .foldRight(lit(fractions.last._1): Column) { case ((name, cut), acc) =>
+        when(u < cut, name).otherwise(acc)
+      }
+    df.withColumn(out, expr)
+  }
+
   /** Deterministic global training-order shuffle: every row gets a dense
     * position `ord` in a pseudo-random total order — the step between
     * packing and release (training must not see the corpus in crawl /

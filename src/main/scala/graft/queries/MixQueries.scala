@@ -108,6 +108,26 @@ object MixQueries {
         |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id
         |FROM laid ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split (90/5/5 by hash-slice ranges):
+    // the eval carve-out. A doc's split never changes as the corpus
+    // grows — the stability property a random split lacks — and the
+    // oracle replays the identical assignment, so the split boundary
+    // itself is value-checked.
+    "mix_split" -> QueryDef(
+      (s, dir) => {
+        Mixing.assignSplits(table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"))
+          .orderBy("split")
+      },
+      Some(s"""$uCte
+        |SELECT CASE WHEN u < 58982 THEN 'train'
+        |            WHEN u < 62259 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic global training-order shuffle: dense positions in
     // the md5(doc_id) pseudo-random total order — the release step
     // between packing and training (the corpus must not train in

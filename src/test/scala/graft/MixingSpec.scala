@@ -116,6 +116,29 @@ class MixingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("assignSplits: total partition, exact cuts, stable under growth") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val split = Mixing.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+    // every row gets exactly one split; coverage roughly matches fractions
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1600L && counts("val") < 300L && counts("test") < 300L)
+    // a doc's split is a pure function of its id: growing the corpus
+    // changes nothing (the stability property a random split lacks)
+    val before = split.filter(col("doc_id") <= 500).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Mixing.assignSplits((1L to 500L).toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === after)
+    // misconfigured fractions refuse loudly
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("globalShuffle: dense permutation, reproducible, not id order") {
     val docs = (1L to 500L).toDF("doc_id")
     val a = Mixing.globalShuffle(docs, "doc_id").collect()
