@@ -79,6 +79,59 @@ class DeltaStoreSpec extends SparkSpec {
       DeltaStore.read(spark, target).get.collect().toSet)
   }
 
+  test("randomized time travel: readAt(i) equals the model replay at every i") {
+    val target = tmp("graft-delta-ttrand")
+    val rnd = new scala.util.Random(20260813L)
+    val model = scala.collection.mutable.Map[(String, Long), (Long, Int, Double)]()
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[(String, Long), (Long, Int, Double)]]()
+    val ops = Seq("insert", "update", "delete")
+    (0 until 8).foreach { b =>
+      val keys = rnd.shuffle((0 until 30).map(i =>
+        (s"t${i % 5}", rnd.nextInt(15).toLong))).distinct.take(18)
+      val batch = keys.map { case (t, pk) =>
+        (t, pk, ops(rnd.nextInt(3)), pk * 10, rnd.nextInt(1000), rnd.nextDouble())
+      }
+      batch.foreach { case (t, pk, op, rid, rk, rv) =>
+        if (op == "delete") model.remove((t, pk)) else model((t, pk)) = (rid, rk, rv)
+      }
+      snaps += model.toMap
+      // maxChain high: full history retained, every batch reachable
+      DeltaStore.append(batch.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        target, pkCols, nBuckets = 8, batchId = b, maxChain = 100)
+    }
+    assert(DeltaStore.readHistoryFloor(target) === -1L)
+    snaps.zipWithIndex.foreach { case (snap, i) =>
+      val got = DeltaStore.readAt(spark, target, i).map(_.collect().map { r =>
+        (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+          (r.getAs[Long]("r_id"), r.getAs[Int]("r_k"), r.getAs[Double]("r_v"))
+      }.toMap).getOrElse(Map.empty)
+      assert(got === snap, s"asOf $i diverges from the model replay")
+    }
+  }
+
+  test("a crash mid-optimize leaves append-only readers intact") {
+    val target = tmp("graft-delta-optcrash")
+    (0 until 3).foreach { b =>
+      DeltaStore.append(netOf(("t", (10 + b).toLong, "insert", b.toLong, b, b / 2.0)),
+        target, pkCols, nBuckets = 4, batchId = b)
+    }
+    val before = DeltaStore.readAppendOnly(spark, target).get.collect().toSet
+    val m = DeltaStore.readManifest(target)
+    // optimize that died between the merged-generation write and the
+    // flip: partial snap dir on disk, manifest untouched — readers see
+    // the old chains; the next optimize completes and sweeps it
+    val orphan = java.nio.file.Paths.get(target, "snap-1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "partial")
+    assert(DeltaStore.readAppendOnly(spark, target).get.collect().toSet === before)
+    assert(DeltaStore.readManifest(target) === m)
+    DeltaStore.optimizeAppendOnly(spark, target)
+    assert(!java.nio.file.Files.exists(orphan), "orphan dir not GC'd by flip")
+    assert(DeltaStore.readAppendOnly(spark, target).get.collect().toSet === before)
+    assert(DeltaStore.readManifest(target).values.forall(c =>
+      c.size == 1 && c.head.startsWith("snap-")))
+  }
+
   test("readAt refuses travel below the fold horizon; floor is recorded") {
     val target = tmp("graft-delta-ttfold")
     // maxChain=1 → the second append to a bucket folds it: floor rises
