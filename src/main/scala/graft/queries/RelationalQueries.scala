@@ -22,6 +22,56 @@ object RelationalQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // File-format scans, witnessed explicitly (§2.4 row 1): documents
+    // round-trip through JSON-lines — write with the JSON sink, read
+    // back with the JSON source under the declared schema, prove byte
+    // fidelity via md5(text) against the parquet original. JSON string
+    // escaping is lossless, so the oracle is simply the source table.
+    "fmt_jsonl" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt-jsonl")
+        try {
+          val docs = table(s, dir, "documents")
+          docs.write.mode("overwrite").json(s"$tmp/docs")
+          val back = s.read.schema(docs.schema).json(s"$tmp/docs")
+          val res = back.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CSV round-trip on `part` (quoted strings, ints, doubles — Spark's
+    // writer quotes as needed and Double.toString round-trips exactly).
+    "fmt_csv" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt-csv")
+        try {
+          val parts = table(s, dir, "part")
+          parts.write.option("header", "true").mode("overwrite").csv(s"$tmp/part")
+          val back = s.read.option("header", "true").schema(parts.schema)
+            .csv(s"$tmp/part")
+          val res = back.orderBy("p_partkey")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // TPC-H Q1-style pricing summary — scan + hash agg, the throughput
     // workhorse. At scale: partial agg map-side, 6 groups → tiny shuffle.
     "q1_agg" -> QueryDef(
