@@ -150,6 +150,32 @@ object CdcQueries {
       Some(s"""$cte
         |SELECT seq, pk, op, r_k, r_v FROM changelog ORDER BY seq""".stripMargin)),
 
+    // P7b — JSON codec over the CANONICAL map-typed event (the
+    // reference's actual P7 payload, DBChangeEvent with named-map row
+    // images, marshaller.go:18-24 / unmarshaller.go:19-31): marshal the
+    // full canonical struct — maps included — to JSON bytes, parse back
+    // under the declared schema, then extract through GetRow semantics.
+    // Gates map<string,string> JSON fidelity, which p7_json's flat form
+    // never touches.
+    "p7_canonical" -> QueryDef(
+      (s, dir) => {
+        val canonical = Changelog.toCanonical(Changelog.fromEvents(s, dir))
+        val marshalled = canonical.select(to_json(struct(canonical.columns.map(col): _*)).as("json"))
+        val back = marshalled.select(
+          from_json(col("json"), canonical.schema).as("e")).select("e.*")
+        back
+          .withColumn("row_img",
+            when(col("operation") === "delete", col("old_row")).otherwise(col("new_row")))
+          .select(col("sequence").as("seq"), col("table").as("tbl"),
+            col("operation").as("op"),
+            element_at(col("row_img"), "id").cast("long").as("row_id"),
+            element_at(col("row_img"), "v").cast("double").as("row_v"))
+          .orderBy("seq")
+      },
+      Some(s"""$cte
+        |SELECT seq, tbl, op, r_id AS row_id, r_v AS row_v
+        |FROM changelog ORDER BY seq""".stripMargin)),
+
     // P8 — changelog compaction (the flagship fold; see Compactor)
     "p8_compact" -> QueryDef(
       (s, dir) => Compactor.compact(Changelog.fromEvents(s, dir)).orderBy("tbl", "pk"),
