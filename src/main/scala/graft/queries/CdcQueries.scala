@@ -408,6 +408,72 @@ object CdcQueries {
         |WHERE net_op <> 'delete'
         |ORDER BY tbl, pk""".stripMargin)),
 
+    // The DSv2 MicroBatchStream (S1's custom source) driving the delta
+    // sink end to end — the one S1 form that had specs but no oracle
+    // gate: spooled seq-ordered segments, index offsets, admission-
+    // control rate limit, checkpointed micro-batches, LWW delta apply.
+    // maxRowsPerTrigger is sized to ceil(n/4) so the log drains as
+    // exactly 4 rate-limit-cut batches at ANY scale factor; the oracle
+    // replays the identical cuts (batch = seq-rank // ceil(n/4)) and the
+    // per-batch compaction + newest-batch-wins algebra.
+    "s1_dsv2_sync" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-sync-q")
+        try {
+          val n = Changelog.events(s, dir).count()
+          val per = (n + 3) / 4
+          graft.pipeline.Pipeline.runStream(s, s"""{
+            "source": {"type": "events_dsv2", "dir": "$dir",
+                       "maxRowsPerTrigger": $per, "chunkRows": 4096},
+            "processors": [],
+            "sink": {"type": "parquet_delta", "path": "$tmp/state",
+                     "checkpoint": "$tmp/ckpt", "pk": ["tbl", "pk"],
+                     "buckets": 16, "maxChain": 2}
+          }""")
+          val res = graft.sink.DeltaStore.read(s, s"$tmp/state").get
+            .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+            .orderBy("tbl", "pk")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp.toFile)
+        }
+      },
+      Some(s"""$cte,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY seq) - 1 AS rk FROM changelog),
+        |sz AS (SELECT (count(*) + 3) // 4 AS per FROM changelog),
+        |batched AS (SELECT r.*, r.rk // z.per AS batch FROM ranked r, sz z),
+        |net AS (
+        |  SELECT batch, tbl, pk, min_by(op, seq) AS first_op,
+        |         max_by(op, seq) AS last_op, max(seq) AS last_seq
+        |  FROM batched GROUP BY batch, tbl, pk),
+        |lastrow AS (
+        |  SELECT batch, tbl, pk, max_by(r_id, seq) AS u_id,
+        |         max_by(r_k, seq) AS u_k, max_by(r_v, seq) AS u_v
+        |  FROM batched WHERE op <> 'delete' GROUP BY batch, tbl, pk),
+        |compacted AS (
+        |  SELECT n.batch AS batch, n.tbl AS tbl, n.pk AS pk,
+        |         CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |              WHEN n.first_op = 'insert' THEN 'insert'
+        |              ELSE 'update' END AS net_op,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |         n.last_seq AS last_seq
+        |  FROM net n LEFT JOIN lastrow l
+        |    ON n.batch = l.batch AND n.tbl = l.tbl AND n.pk = l.pk
+        |  WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')),
+        |resolved AS (
+        |  SELECT * FROM compacted
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1)
+        |SELECT tbl, pk, r_id, r_k, r_v, last_seq FROM resolved
+        |WHERE net_op <> 'delete'
+        |ORDER BY tbl, pk""".stripMargin)),
+
     // The STREAMING sync task lifecycle, end to end — where delta_sync
     // gates the DeltaStore append/fold/read ALGEBRA by calling append in
     // a batch loop, this runs the reference's actual task shape

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,12 +141,21 @@ case class IndexOffset(index: Long) extends Offset {
 }
 
 class ChangelogMicroBatchStream(dir: String, maxRows: Int, chunkRows: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private lazy val chunks = ChangelogSource.manifest(dir, chunkRows)
   private lazy val total = chunks.map(_.count).sum
 
   override def initialOffset(): Offset = IndexOffset(0L)
   override def deserializeOffset(json: String): Offset = IndexOffset(json.toLong)
+
+  // Trigger.AvailableNow support, implemented natively so the engine's
+  // fallback wrapper never second-guesses the admission-control cuts:
+  // the spooled log is bounded and the manifest freezes `total` at
+  // stream start, so "what is available now" is already a constant —
+  // batches keep flowing through latestOffset(start, limit) with the
+  // same maxRows clamp until the committed offset reaches it.
+  override def prepareForTriggerAvailableNow(): Unit = { chunks; () }
 
   // Admission control IS the rate limit: the engine commits exactly the
   // offset returned here, so the clamp must happen in latestOffset, not
