@@ -131,7 +131,12 @@ object DeltaStore {
     val paths = chains.toSeq
       .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths.distinct: _*)
+    // mergeSchema: a schema-ADDITIVE stream (a later batch's net carrying
+    // a new column — the CDC analog of ADD COLUMN) must resolve with
+    // nulls for pre-evolution rows; without it the read takes the first
+    // listed file's schema and silently DROPS the new column depending
+    // on path order. Bounded cost: one footer per live chain segment.
+    else Some(spark.read.option("mergeSchema", "true").parquet(paths.distinct: _*)
       .withColumn("_seq", regexp_extract(
         element_at(split(input_file_name(), "/"), -3),
         "^(?:gen|snap)-(\\d+)$", 1).cast("long")))

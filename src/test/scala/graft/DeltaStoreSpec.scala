@@ -109,6 +109,31 @@ class DeltaStoreSpec extends SparkSpec {
     }
   }
 
+  test("schema-additive append: new column resolves, old rows read null") {
+    val target = tmp("graft-delta-evolve")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 10, 0.5)),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    // batch 1's net carries a NEW column (the ADD COLUMN analog) and
+    // also updates key 1; key 2 is new with the column populated
+    val evolved = Seq(
+      ("t", 1L, "update", 1L, 11, 1.5, "x"),
+      ("t", 2L, "insert", 2L, 20, 2.5, "y"))
+      .toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v", "r_extra")
+    DeltaStore.append(evolved, target, pkCols, nBuckets = 4, batchId = 1)
+    val got = DeltaStore.read(spark, target).get
+    assert(got.columns.contains("r_extra"),
+      "evolved column must survive the chain read, not silently drop")
+    val byPk = got.collect().map(r =>
+      r.getAs[Long]("pk") -> Option(r.getAs[String]("r_extra"))).toMap
+    assert(byPk === Map(1L -> Some("x"), 2L -> Some("y")))
+    // a key never touched after the evolution reads the column as null
+    DeltaStore.append(netOf(("t", 3L, "insert", 3L, 30, 3.5)),
+      target, pkCols, nBuckets = 4, batchId = 2)
+    val after = DeltaStore.read(spark, target).get.collect().map(r =>
+      r.getAs[Long]("pk") -> Option(r.getAs[String]("r_extra"))).toMap
+    assert(after(3L) === None && after(1L) === Some("x"))
+  }
+
   test("a crash mid-optimize leaves append-only readers intact") {
     val target = tmp("graft-delta-optcrash")
     (0 until 3).foreach { b =>
