@@ -68,7 +68,13 @@ object BucketStore {
     if (m.isEmpty) None
     else {
       val paths = m.toSeq.sortBy(_._1).map { case (b, gen) => s"$target/$gen/bucket=$b" }
-      Some(spark.read.parquet(paths: _*))
+      // mergeSchema: after an additive evolution that touched only SOME
+      // buckets (merge evolves per-bucket, untouched buckets keep the old
+      // footer), a plain read takes the first file's schema and silently
+      // drops the new column; merged footers read it as null from
+      // pre-evolution buckets instead — matching the merge path's own
+      // mergeSchema read of stored state.
+      Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
   }
 

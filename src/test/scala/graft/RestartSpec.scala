@@ -202,6 +202,32 @@ class RestartSpec extends SparkSpec {
     assert(rows.columns.contains("r_extra") && rows.count() == 1)
   }
 
+  test("additive evolution touching SOME buckets: read merges, never drops") {
+    import graft.sink.BucketStore
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-evolve-part").toString + "/state"
+    val pkCols = Seq("tbl", "pk")
+    // 8 keys spread across the 4 hash buckets
+    BucketStore.merge((1L to 8L).map(k => ("t", k, "insert", k * 10, 0.5)).toDF(
+      "tbl", "pk", "net_op", "r_id", "r_v"),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    // the evolving batch touches ONE key → one bucket rewritten with the
+    // new column; the other buckets keep the pre-evolution footer. The
+    // store now has mixed per-bucket schemas — read must merge them (the
+    // old first-file-schema read silently dropped r_extra or not
+    // depending on path order).
+    BucketStore.merge(Seq(("t", 1L, "update", 10L, 0.5, "x")).toDF(
+      "tbl", "pk", "net_op", "r_id", "r_v", "r_extra"),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    val rows = BucketStore.read(spark, target).get
+    assert(rows.columns.contains("r_extra"),
+      "evolved column must survive a read spanning mixed-schema buckets")
+    val byPk = rows.collect().map(r =>
+      r.getAs[Long]("pk") -> Option(r.getAs[String]("r_extra"))).toMap
+    assert(byPk(1L) === Some("x"))
+    assert((2L to 8L).forall(byPk(_) === None))
+  }
+
   test("bucket store folds generations down: live gens stay bounded") {
     import graft.sink.BucketStore
     import spark.implicits._
