@@ -19,8 +19,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // cross-round input-drift tripwire (see graft.model.Footprint): any
     // name/type change in the harness tables vs the committed footprint
-    // is shouted to stderr before a single query runs
-    graft.model.Footprint.warnOnDrift(spark, sfDir, "TESTDATA_FOOTPRINT.txt")
+    // is shouted to stderr before a single query runs (path anchored to
+    // the repo root, not the launcher's cwd)
+    graft.model.Footprint.warnOnDrift(spark, sfDir,
+      graft.model.Footprint.defaultPath())
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -20,21 +20,43 @@ object Footprint {
 
   /** One line per table: `name = col:TYPE,col:TYPE,...` (field order as
     * in the footer; `DataType.sql` keeps TIMESTAMP vs TIMESTAMP_NTZ
-    * distinct — the distinction that bit in r12). */
+    * distinct — the distinction that bit in r12). A table whose footer
+    * Spark cannot read at all (e.g. TIMESTAMP(NANOS) without the legacy
+    * flag) records as `UNREADABLE(<error class>)` instead of crashing —
+    * the guard must SHOUT about a weird fixture, never die on one. */
   def snapshot(spark: SparkSession, sfDir: String): Map[String, String] = {
+    // the legacy-nanos fixture shape is readable only under this flag
+    // (normalizeTs's contract); set it here so the guard sees the same
+    // schema the engine will
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tables = Option(new java.io.File(sfDir).list()).getOrElse(Array.empty)
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
     tables.map { t =>
-      val schema = spark.read.parquet(s"$sfDir/$t.parquet").schema
-      t -> schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+      val line = try {
+        spark.read.parquet(s"$sfDir/$t.parquet").schema
+          .fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+      } catch {
+        case e: Exception =>
+          s"UNREADABLE(${e.getClass.getSimpleName}: ${Option(e.getMessage)
+            .getOrElse("").takeWhile(_ != '\n').take(120)})"
+      }
+      t -> line
     }.toMap
   }
 
   /** Compare current footers against `path`; returns (table, recorded,
     * current) triples — empty = no drift. A missing footprint or a table
     * absent from it records without flagging (first sighting, not drift).
-    * Always rewrites `path` with the current truth. */
-  def check(spark: SparkSession, sfDir: String, path: String): Seq[(String, String, String)] = {
+    *
+    * `rebaseline = true` rewrites `path` with the current truth so the
+    * NEXT run diffs against it; `false` is the pure compare (the spec's
+    * mode: a drifted committed footprint keeps failing `sbt test` until
+    * the new truth is deliberately re-recorded and committed, instead of
+    * self-silencing on the second run). Every detected drift is also
+    * APPENDED to `<path>.drift` — a persistent trace that survives the
+    * re-baseline even if the one stderr banner scrolls by unread. */
+  def check(spark: SparkSession, sfDir: String, path: String,
+      rebaseline: Boolean = true): Seq[(String, String, String)] = {
     val recorded: Map[String, String] =
       if (Files.exists(Paths.get(path)))
         Files.readAllLines(Paths.get(path)).asScala
@@ -46,14 +68,25 @@ object Footprint {
     val drifts = current.toSeq.sorted.flatMap { case (t, cur) =>
       recorded.get(t).filter(_ != cur).map(old => (t, old, cur))
     }
-    val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, current.toSeq.sorted
-      .map { case (k, v) => s"$k = $v" }.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    if (drifts.nonEmpty) {
+      val log = drifts.map { case (t, old, cur) =>
+        s"${java.time.Instant.now()} $sfDir $t: [$old] -> [$cur]"
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path + ".drift"), log.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    if (rebaseline) {
+      val tmp = Paths.get(path + ".tmp")
+      Files.write(tmp, current.toSeq.sorted
+        .map { case (k, v) => s"$k = $v" }.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    }
     drifts
   }
 
-  /** Verify-time hook: loud stderr banner per drifted table. */
+  /** Verify-time hook: loud stderr banner per drifted table (and the
+    * persistent `<path>.drift` append from [[check]]); re-baselines. */
   def warnOnDrift(spark: SparkSession, sfDir: String, path: String): Unit =
     check(spark, sfDir, path).foreach { case (t, old, cur) =>
       System.err.println(
@@ -64,4 +97,19 @@ object Footprint {
             |[footprint] fixture readers may now be wrong — see FixtureSmokeSpec
             |[footprint] ##############################################""".stripMargin)
     }
+
+  /** Anchor `TESTDATA_FOOTPRINT.txt` to the repo root regardless of the
+    * launcher's working directory: walk up from user.dir to the nearest
+    * dir containing build.sbt (a spark-submit from outside the repo
+    * would otherwise quietly start a fresh footprint somewhere else and
+    * never consult the committed baseline). */
+  def defaultPath(): String = {
+    var d = new java.io.File(sys.props.getOrElse("user.dir", ".")).getAbsoluteFile
+    var hops = 0
+    while (d != null && hops < 10 &&
+        !new java.io.File(d, "build.sbt").exists()) { d = d.getParentFile; hops += 1 }
+    val root = Option(d).filter(x => new java.io.File(x, "build.sbt").exists())
+      .map(_.getAbsolutePath).getOrElse(sys.props.getOrElse("user.dir", "."))
+    s"$root/TESTDATA_FOOTPRINT.txt"
+  }
 }

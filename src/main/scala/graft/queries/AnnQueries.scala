@@ -389,10 +389,7 @@ object AnnQueries {
           val rows = res.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some("""WITH e AS (

@@ -309,16 +309,20 @@ object CdcQueries {
         val log = Changelog.fromEvents(s, dir)
         val nB = 4
         val maxSeq = log.agg(max("seq")).head().getLong(0) // 1-row metadata
-        val target = java.nio.file.Files
-          .createTempDirectory("graft-delta-sync-q").toString + "/state"
-        (0 until nB).foreach { b =>
-          val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
-          graft.sink.DeltaStore.append(Compactor.compact(slice), target,
-            Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 2)
-        }
-        graft.sink.DeltaStore.read(s, target).get
-          .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
-          .orderBy("tbl", "pk")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-sync-q")
+        try {
+          val target = s"$tmp/state"
+          (0 until nB).foreach { b =>
+            val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
+            graft.sink.DeltaStore.append(Compactor.compact(slice), target,
+              Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 2)
+          }
+          val res = graft.sink.DeltaStore.read(s, target).get
+            .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+            .orderBy("tbl", "pk")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
       },
       Some(s"""$cte,
         |batched AS (
@@ -365,16 +369,20 @@ object CdcQueries {
         val log = Changelog.fromEvents(s, dir)
         val nB = 4
         val maxSeq = log.agg(max("seq")).head().getLong(0) // 1-row metadata
-        val target = java.nio.file.Files
-          .createTempDirectory("graft-delta-tt-q").toString + "/state"
-        (0 until nB).foreach { b =>
-          val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
-          graft.sink.DeltaStore.append(Compactor.compact(slice), target,
-            Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 16)
-        }
-        graft.sink.DeltaStore.readAt(s, target, asOfBatch = 2).get
-          .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
-          .orderBy("tbl", "pk")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-tt-q")
+        try {
+          val target = s"$tmp/state"
+          (0 until nB).foreach { b =>
+            val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
+            graft.sink.DeltaStore.append(Compactor.compact(slice), target,
+              Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 16)
+          }
+          val res = graft.sink.DeltaStore.readAt(s, target, asOfBatch = 2).get
+            .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
+            .orderBy("tbl", "pk")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
       },
       Some(s"""$cte,
         |batched AS (
@@ -436,10 +444,7 @@ object CdcQueries {
           val rows = res.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some(s"""$cte,
@@ -528,10 +533,7 @@ object CdcQueries {
           val rows = res.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some(streamedStateOracle),
@@ -620,10 +622,7 @@ object CdcQueries {
         } finally {
           // the bench reruns this query several times — reclaim the
           // drained parquet + checkpoint instead of accumulating in /tmp
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some(s"""$cte

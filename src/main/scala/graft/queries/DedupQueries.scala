@@ -272,10 +272,7 @@ object DedupQueries {
             .select("doc_id").orderBy("doc_id")
             .as[Long].collect().toSeq.toDF("doc_id")
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some(s"""$shCte,

@@ -138,7 +138,12 @@ object MixQueries {
     // identical permutation from DuckDB's own md5.
     "mix_shuffle" -> QueryDef(
       (s, dir) => {
-        Mixing.globalShuffle(table(s, dir, "documents"), "doc_id")
+        // prune BEFORE the shuffle: globalShuffle crosses an RDD
+        // boundary (zipWithIndex), so Catalyst cannot push the final
+        // select through it — an unpruned call would range-shuffle the
+        // full text column just to drop it
+        Mixing.globalShuffle(
+          table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
           .select(col("ord"), col("doc_id"), col("lang"))
           .orderBy("ord")
       },

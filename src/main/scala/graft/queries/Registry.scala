@@ -20,4 +20,11 @@ object Registry {
       DedupQueries.defs ++ AnnQueries.defs ++ MixQueries.defs
 
   lazy val benchSet: Seq[String] = all.collect { case (n, d) if d.bench => n }.toSeq.sorted
+
+  /** Recursive delete for the gated queries' temp stores/drops (pair
+    * with the collect-into-local-relation idiom: materialize the result
+    * BEFORE deleting, since a lazy read would pin the dir). */
+  private[queries] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
 }

@@ -40,10 +40,7 @@ object RelationalQueries {
           val rows = res.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
@@ -63,10 +60,7 @@ object RelationalQueries {
           val rows = res.collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp.toFile)
+          Registry.rmTree(tmp.toFile)
         }
       },
       Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice

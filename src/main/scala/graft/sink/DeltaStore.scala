@@ -466,6 +466,23 @@ object DeltaStore {
       .withColumn("bucket", regexp_extract(
         element_at(split(input_file_name(), "/"), -2),
         "^bucket=(\\d+)$", 1).cast("int"))
+    // Refuse an LWW store: verbatim merge collapses every generation's
+    // rows under ONE snap id, so resolve()'s _seq order — which decides
+    // which version of a key wins — is destroyed, silently serving stale
+    // versions. Exactly the rows that make a store non-append-only are
+    // update/delete net-ops, so the guard is data-derived and exact; a
+    // store that happens to hold only inserts (unique keys) merges
+    // safely. Null net_op (pre-migration BucketStore rows) is fine —
+    // readAppendOnly keeps those too. Cost: one short-circuit probe over
+    // data this maintenance reads anyway.
+    if (merged.columns.contains("net_op")) {
+      val lww = merged.filter(col("net_op").isNotNull && col("net_op") =!= "insert")
+        .head(1).nonEmpty
+      require(!lww,
+        s"$target holds update/delete net-ops — it is an LWW store, and a " +
+          "verbatim file-merge would destroy last-writer-wins order; use " +
+          "snapshot (maintenance type \"snapshot\") instead")
+    }
     merged.repartition(chains.size, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),

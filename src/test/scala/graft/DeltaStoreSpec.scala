@@ -134,6 +134,22 @@ class DeltaStoreSpec extends SparkSpec {
     assert(after(3L) === None && after(1L) === Some("x"))
   }
 
+  test("optimize refuses an LWW store (update/delete net-ops present)") {
+    val target = tmp("graft-delta-optlww")
+    DeltaStore.append(netOf(("t", 1L, "insert", 1L, 10, 0.5)),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    DeltaStore.append(netOf(("t", 1L, "update", 1L, 11, 1.5)),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaStore.optimizeAppendOnly(spark, target)
+    }
+    assert(e.getMessage.contains("LWW"))
+    // the refused merge changed nothing; snapshot is the right tool here
+    assert(state(target) === Map(("t", 1L) -> ((1L, 11, 1.5))))
+    DeltaStore.snapshot(spark, target, nBuckets = 4)
+    assert(state(target) === Map(("t", 1L) -> ((1L, 11, 1.5))))
+  }
+
   test("a crash mid-optimize leaves append-only readers intact") {
     val target = tmp("graft-delta-optcrash")
     (0 until 3).foreach { b =>

@@ -41,6 +41,40 @@ class FootprintSpec extends SparkSpec {
     assert(Footprint.check(spark, dir, fp).isEmpty)
   }
 
+  test("an unreadable table records UNREADABLE instead of crashing the guard") {
+    val dir = Files.createTempDirectory("graft-fp-bad").toString
+    val fp = Files.createTempDirectory("graft-fp-bad2").resolve("footprint.txt").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(s"$dir/ok.parquet")
+    // a "parquet" file Spark cannot read at all — the r12 lesson's dual:
+    // the drift guard must shout about a weird fixture, never die on one
+    Files.write(java.nio.file.Paths.get(s"$dir/broken.parquet"),
+      "not parquet at all".getBytes("UTF-8"))
+    val drifts = Footprint.check(spark, dir, fp) // must not throw
+    assert(drifts.isEmpty) // first sighting records, no drift yet
+    val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
+    assert(recorded.contains("ok = id:BIGINT,s:STRING"))
+    assert(recorded.contains("broken = UNREADABLE("))
+  }
+
+  test("drift leaves a persistent .drift trace; no-rebaseline mode keeps failing") {
+    val dir = Files.createTempDirectory("graft-fp-trace").toString
+    val fp = Files.createTempDirectory("graft-fp-trace2").resolve("fp.txt").toString
+    Seq((1L, 2L)).toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+    Seq((1L, "s")).toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    // pure compare: flags, does NOT re-baseline — a second run still flags
+    assert(Footprint.check(spark, dir, fp, rebaseline = false).size === 1)
+    assert(Footprint.check(spark, dir, fp, rebaseline = false).size === 1)
+    // the drift trace persists next to the footprint
+    val trace = new String(Files.readAllBytes(java.nio.file.Paths.get(fp + ".drift")))
+    assert(trace.contains("events") && trace.contains("ts:BIGINT"))
+    // re-baselining mode flags once, then the new truth is the baseline
+    assert(Footprint.check(spark, dir, fp).size === 1)
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+  }
+
   test("normalizeTs rejects an unsupported physical type loudly") {
     val bad = Seq((1L, "not-a-time")).toDF("event_id", "ts")
     val e = intercept[IllegalStateException] {
@@ -50,10 +84,13 @@ class FootprintSpec extends SparkSpec {
   }
 
   test("live testdata footprint matches the committed record") {
-    // the committed TESTDATA_FOOTPRINT.txt is the cross-round memory; this
-    // spec makes `sbt test` itself shout when the harness regenerates a
-    // table (drift is reported, the file re-baselines for the next run)
-    val drifts = Footprint.check(spark, sf, "TESTDATA_FOOTPRINT.txt")
+    // the committed TESTDATA_FOOTPRINT.txt is the cross-round memory.
+    // PURE compare (rebaseline = false): on drift this keeps failing
+    // every run until the new truth is deliberately re-recorded (run
+    // Verify, or Footprint.check with rebaseline) and committed — a
+    // re-baselining spec would self-silence on its second run.
+    val drifts = Footprint.check(spark, sf, Footprint.defaultPath(),
+      rebaseline = false)
     assert(drifts.isEmpty,
       s"harness testdata drifted since last recorded footprint: $drifts")
   }

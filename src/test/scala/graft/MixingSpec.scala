@@ -142,12 +142,12 @@ class MixingSpec extends SparkSpec {
   test("globalShuffle: dense permutation, reproducible, not id order") {
     val docs = (1L to 500L).toDF("doc_id")
     val a = Mixing.globalShuffle(docs, "doc_id").collect()
-      .map(r => (r.getLong(1), r.getLong(0))).toMap // doc_id -> ord
-    // bijection onto 1..n
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc_id -> ord
+    // ord is a DENSE 1-based permutation: the 500 ords are exactly 1..500
     assert(a.values.toSeq.sorted === (1L to 500L).toSeq)
     // deterministic: a second run produces the identical permutation
     val b = Mixing.globalShuffle(docs, "doc_id").collect()
-      .map(r => (r.getLong(1), r.getLong(0))).toMap
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a === b)
     // actually shuffled: the order correlates with md5, not with doc_id
     val inIdOrder = a.toSeq.sortBy(_._1).map(_._2)
