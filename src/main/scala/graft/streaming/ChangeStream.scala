@@ -170,6 +170,36 @@ object ChangeStream {
     * (`Trigger.ProcessingTime(...)`) — pending timeouts make the default
     * as-fast-as-possible trigger busy-loop empty batches, which also
     * starves `processAllAvailable` in tests. */
+  /** The per-(tbl, pk) batch fold, extracted PURE so its semantics — in
+    * particular the TTL-eviction contract — are unit-testable without a
+    * manual streaming clock (Spark's `StreamManualClock` lives in test
+    * jars absent from the runtime classpath): given the carried state
+    * (None = fresh key OR a key whose state was evicted by TTL) and a
+    * batch's events, return (next state, emitted net row). The eviction
+    * contract under test: with `prev = None`, prior existence is
+    * re-inferred from the first op (a non-insert first op ⇒ the key was
+    * applied before), which is correct as long as the TTL exceeds the
+    * source's max replay window. */
+  private[graft] def foldGroup(tbl: String, pk: Long,
+      prev: Option[KeyState], batch: Seq[FlatEvent]): (KeyState, Option[NetRow]) = {
+    val sorted = batch.sortBy(_.seq)
+    val inDbStart = prev.map(_.inDb).getOrElse(sorted.head.op != "insert")
+    val lastOp = sorted.last.op
+    val lastSeq = sorted.last.seq
+    val lastUpsert = sorted.filter(_.op != "delete").lastOption
+    val (rId, rK, rV) =
+      if (lastOp == "delete") (None, None, None)
+      else lastUpsert.map(e => (e.r_id, e.r_k, e.r_v))
+        .orElse(prev.map(p => (p.rId, p.rK, p.rV)))
+        .getOrElse((None, None, None))
+    val netOp =
+      if (lastOp == "delete") { if (inDbStart) Some("delete") else None }
+      else if (inDbStart) Some("update")
+      else Some("insert")
+    (KeyState(inDb = lastOp != "delete", lastSeq, rId, rK, rV),
+      netOp.map(op => NetRow(tbl, pk, op, lastSeq, rId, rK, rV)))
+  }
+
   def statefulCompact(flat: Dataset[FlatEvent],
       ttl: Option[java.time.Duration] = None): Dataset[NetRow] = {
     import flat.sparkSession.implicits._
@@ -183,24 +213,10 @@ object ChangeStream {
           state.remove()
           Iterator.empty
         case ((tbl, pk), events, state: GroupState[KeyState]) =>
-          val sorted = events.toSeq.sortBy(_.seq)
-          val prev = state.getOption
-          val inDbStart = prev.map(_.inDb).getOrElse(sorted.head.op != "insert")
-          val lastOp = sorted.last.op
-          val lastSeq = sorted.last.seq
-          val lastUpsert = sorted.filter(_.op != "delete").lastOption
-          val (rId, rK, rV) =
-            if (lastOp == "delete") (None, None, None)
-            else lastUpsert.map(e => (e.r_id, e.r_k, e.r_v))
-              .orElse(prev.map(p => (p.rId, p.rK, p.rV)))
-              .getOrElse((None, None, None))
-          val netOp =
-            if (lastOp == "delete") { if (inDbStart) Some("delete") else None }
-            else if (inDbStart) Some("update")
-            else Some("insert")
-          state.update(KeyState(inDb = lastOp != "delete", lastSeq, rId, rK, rV))
+          val (next, out) = foldGroup(tbl, pk, state.getOption, events.toSeq)
+          state.update(next)
           ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
-          netOp.map(op => NetRow(tbl, pk, op, lastSeq, rId, rK, rV)).iterator
+          out.iterator
       }
   }
 }

@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     assert(stagedCount() == n2)
   }
 
+  test("foldGroup: TTL-eviction semantics are deterministic (no manual clock needed)") {
+    import ChangeStream.{foldGroup, KeyState}
+    def ev(seq: Long, op: String, k: Int = 1): FlatEvent =
+      FlatEvent(seq, 7L, "t", op, Some(7L), Some(k), Some(1.0))
+    // fresh key, insert-first batch → net insert, inDb after
+    val (s1, o1) = foldGroup("t", 7L, None, Seq(ev(0, "insert"), ev(1, "update", 2)))
+    assert(o1.map(_.net_op) === Some("insert") && s1.inDb && s1.rK === Some(2))
+    // carried state: delete of an APPLIED key must emit delete (one-shot
+    // compaction would cancel; incremental delivery must not)
+    val (s2, o2) = foldGroup("t", 7L, Some(s1), Seq(ev(2, "delete")))
+    assert(o2.map(_.net_op) === Some("delete") && !s2.inDb)
+    // delete of a key NOT in the db nets to nothing
+    val (_, o3) = foldGroup("t", 7L, Some(s2), Seq(ev(3, "delete")))
+    assert(o3 === None)
+    // THE EVICTION CONTRACT: after TTL removed the state (prev = None),
+    // a returning key's prior existence re-infers from its first op —
+    // update-first ⇒ it was applied before eviction ⇒ net update, not
+    // insert; insert-first ⇒ genuinely fresh ⇒ net insert
+    val (_, oEvictedUpdate) = foldGroup("t", 7L, None, Seq(ev(10, "update", 9)))
+    assert(oEvictedUpdate.map(_.net_op) === Some("update"))
+    val (_, oEvictedInsert) = foldGroup("t", 7L, None, Seq(ev(10, "insert", 9)))
+    assert(oEvictedInsert.map(_.net_op) === Some("insert"))
+    // evicted + delete-first: inferred applied ⇒ delete still emits
+    val (_, oEvictedDelete) = foldGroup("t", 7L, None, Seq(ev(10, "delete")))
+    assert(oEvictedDelete.map(_.net_op) === Some("delete"))
+    // delete-then-reinsert within one batch after eviction: prior
+    // existence inferred ⇒ net update carrying the reinserted image
+    val (s4, o4) = foldGroup("t", 7L, None, Seq(ev(10, "delete"), ev(11, "insert", 5)))
+    assert(o4.map(_.net_op) === Some("update") && s4.inDb && s4.rK === Some(5))
+  }
+
   test("stateful compaction emits incremental net ops across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[FlatEvent]
