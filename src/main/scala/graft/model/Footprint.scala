@@ -23,30 +23,40 @@ object Footprint {
     * distinct — the distinction that bit in r12). A table whose footer
     * Spark cannot read at all (e.g. TIMESTAMP(NANOS) without the legacy
     * flag) records as `UNREADABLE(<error class>)` instead of crashing —
-    * the guard must SHOUT about a weird fixture, never die on one. */
+    * the guard must SHOUT about a weird fixture, never die on one. Only
+    * the exception CLASS is recorded: messages embed machine-specific
+    * absolute paths, which would read as perpetual false drift across
+    * machines. */
   def snapshot(spark: SparkSession, sfDir: String): Map[String, String] = {
     // the legacy-nanos fixture shape is readable only under this flag
-    // (normalizeTs's contract); set it here so the guard sees the same
-    // schema the engine will
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tables = Option(new java.io.File(sfDir).list()).getOrElse(Array.empty)
-      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
-    tables.map { t =>
-      val line = try {
-        spark.read.parquet(s"$sfDir/$t.parquet").schema
-          .fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
-      } catch {
-        case e: Exception =>
-          s"UNREADABLE(${e.getClass.getSimpleName}: ${Option(e.getMessage)
-            .getOrElse("").takeWhile(_ != '\n').take(120)})"
-      }
-      t -> line
-    }.toMap
+    // (normalizeTs's contract); set it for the probe and RESTORE after —
+    // a read-only guard must not flip session-wide state for later code
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val tables = Option(new java.io.File(sfDir).list()).getOrElse(Array.empty)
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+      tables.map { t =>
+        val line = try {
+          spark.read.parquet(s"$sfDir/$t.parquet").schema
+            .fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+        } catch {
+          case e: Exception => s"UNREADABLE(${e.getClass.getSimpleName})"
+        }
+        t -> line
+      }.toMap
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Compare current footers against `path`; returns (table, recorded,
     * current) triples — empty = no drift. A missing footprint or a table
-    * absent from it records without flagging (first sighting, not drift).
+    * absent from it is a first sighting, not drift — it is RECORDED only
+    * when `rebaseline` is on (pure-compare mode writes nothing, so first
+    * sightings persist only once a re-baselining caller — Verify — runs).
     *
     * `rebaseline = true` rewrites `path` with the current truth so the
     * NEXT run diffs against it; `false` is the pure compare (the spec's

@@ -161,15 +161,6 @@ object ChangeStream {
   type NetRow = graft.model.NetRow
   val NetRow: graft.model.NetRow.type = graft.model.NetRow
 
-  /** @param ttl evict a key's state after this much processing-time
-    * inactivity (None = keep forever). At unbounded key cardinality the
-    * state store grows without bound otherwise; after eviction a
-    * returning key's `inDb` is re-inferred from its first op — correct
-    * as long as the TTL exceeds the source's max replay window.
-    * CAVEAT: with a TTL set, run the query under an interval trigger
-    * (`Trigger.ProcessingTime(...)`) — pending timeouts make the default
-    * as-fast-as-possible trigger busy-loop empty batches, which also
-    * starves `processAllAvailable` in tests. */
   /** The per-(tbl, pk) batch fold, extracted PURE so its semantics — in
     * particular the TTL-eviction contract — are unit-testable without a
     * manual streaming clock (Spark's `StreamManualClock` lives in test
@@ -200,6 +191,15 @@ object ChangeStream {
       netOp.map(op => NetRow(tbl, pk, op, lastSeq, rId, rK, rV)))
   }
 
+  /** @param ttl evict a key's state after this much processing-time
+    * inactivity (None = keep forever). At unbounded key cardinality the
+    * state store grows without bound otherwise; after eviction a
+    * returning key's `inDb` is re-inferred from its first op — correct
+    * as long as the TTL exceeds the source's max replay window.
+    * CAVEAT: with a TTL set, run the query under an interval trigger
+    * (`Trigger.ProcessingTime(...)`) — pending timeouts make the default
+    * as-fast-as-possible trigger busy-loop empty batches, which also
+    * starves `processAllAvailable` in tests. */
   def statefulCompact(flat: Dataset[FlatEvent],
       ttl: Option[java.time.Duration] = None): Dataset[NetRow] = {
     import flat.sparkSession.implicits._

@@ -89,8 +89,13 @@ class FootprintSpec extends SparkSpec {
     // every run until the new truth is deliberately re-recorded (run
     // Verify, or Footprint.check with rebaseline) and committed — a
     // re-baselining spec would self-silence on its second run.
-    val drifts = Footprint.check(spark, sf, Footprint.defaultPath(),
-      rebaseline = false)
+    val path = Footprint.defaultPath()
+    // guard the guard: pure-compare against a MISSING baseline compares
+    // against nothing and would pass vacuously forever
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      s"committed footprint not found at $path — the drift guard is blind; " +
+        "run graft.Verify (or Footprint.check with rebaseline) and commit it")
+    val drifts = Footprint.check(spark, sf, path, rebaseline = false)
     assert(drifts.isEmpty,
       s"harness testdata drifted since last recorded footprint: $drifts")
   }
