@@ -77,6 +77,26 @@ object Bench {
     }
   } catch { case _: Exception => "unknown" }
 
+  /** Exact row count from parquet footer metadata (file or directory of
+    * part files) — footers carry it, so no scan and no session needed. */
+  private def parquetRowCount(path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val root = new java.io.File(path)
+    val parts =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else Array(root)
+    parts.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toURI),
+        new org.apache.hadoop.conf.Configuration())
+      val r = ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,9 +181,9 @@ object Bench {
     // throughput at this SF. baseline_ratio = our_time / baseline_time —
     // ≤1.0 beats the reference, the round gate is ≤2.0.
     val baselineJson = results.toMap.get("p8_compact").map { case (_, mn) =>
-      val s = newSession("4")
-      val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
-      s.stop()
+      // row count straight from the parquet footers — no SparkSession
+      // spin-up just to count (and no hardcoded core count to get wrong)
+      val nEvents = parquetRowCount(s"$sfDir/events.parquet")
       val eps = nEvents / math.max(mn, 1e-9)
       f""""p8_events":$nEvents,"p8_events_per_sec":${eps}%.1f,""" +
         f""""baseline_ratio":${mn * 130000.0 / nEvents}%.3f,"""

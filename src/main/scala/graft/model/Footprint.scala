@@ -57,27 +57,53 @@ object Footprint {
     * absent from it is a first sighting, not drift — it is RECORDED only
     * when `rebaseline` is on (pure-compare mode writes nothing, so first
     * sightings persist only once a re-baselining caller — Verify — runs).
+    * A table RECORDED for this dir but gone from disk IS drift — it
+    * reports as `(table, recorded, "MISSING")` (a harness that deletes or
+    * renames a fixture must trip the guard as loudly as one that retypes
+    * a column).
     *
-    * `rebaseline = true` rewrites `path` with the current truth so the
-    * NEXT run diffs against it; `false` is the pure compare (the spec's
-    * mode: a drifted committed footprint keeps failing `sbt test` until
-    * the new truth is deliberately re-recorded and committed, instead of
-    * self-silencing on the second run). Every detected drift is also
-    * APPENDED to `<path>.drift` — a persistent trace that survives the
-    * re-baseline even if the one stderr banner scrolls by unread. */
+    * Baseline lines are keyed `<sfDir-basename>/<table>` so runs against
+    * different testdata dirs (sf0.001 / sf0.01 / sf0.1 / a custom dir)
+    * each own their own section of the ONE committed file — two dirs with
+    * divergent schemas no longer flap the baseline on alternating runs.
+    * Legacy un-namespaced lines (`table = ...`) are still honored as a
+    * fallback baseline for any dir and migrated to the namespaced form on
+    * the first rebaseline.
+    *
+    * `rebaseline = true` rewrites THIS dir's section of `path` with the
+    * current truth (other dirs' lines untouched) so the NEXT run diffs
+    * against it; `false` is the pure compare (the spec's mode: a drifted
+    * committed footprint keeps failing `sbt test` until the new truth is
+    * deliberately re-recorded and committed, instead of self-silencing on
+    * the second run). Every detected drift is also APPENDED to
+    * `<path>.drift` — a persistent trace that survives the re-baseline
+    * even if the one stderr banner scrolls by unread. */
   def check(spark: SparkSession, sfDir: String, path: String,
       rebaseline: Boolean = true): Seq[(String, String, String)] = {
-    val recorded: Map[String, String] =
+    val base = new java.io.File(sfDir).getName
+    val all: Map[String, String] =
       if (Files.exists(Paths.get(path)))
         Files.readAllLines(Paths.get(path)).asScala
           .filter(_.contains(" = ")).map { l =>
             val Array(k, v) = l.split(" = ", 2); k -> v
           }.toMap
       else Map.empty
+    // this dir's baseline: namespaced keys win; bare legacy keys fall back
+    val recorded: Map[String, String] = {
+      val legacy = all.collect { case (k, v) if !k.contains("/") => k -> v }
+      val mine = all.collect {
+        case (k, v) if k.startsWith(base + "/") =>
+          k.stripPrefix(base + "/") -> v
+      }
+      legacy ++ mine
+    }
     val current = snapshot(spark, sfDir)
-    val drifts = current.toSeq.sorted.flatMap { case (t, cur) =>
+    val changed = current.toSeq.sorted.flatMap { case (t, cur) =>
       recorded.get(t).filter(_ != cur).map(old => (t, old, cur))
     }
+    val missing = (recorded.keySet -- current.keySet).toSeq.sorted
+      .map(t => (t, recorded(t), "MISSING"))
+    val drifts = changed ++ missing
     if (drifts.nonEmpty) {
       val log = drifts.map { case (t, old, cur) =>
         s"${java.time.Instant.now()} $sfDir $t: [$old] -> [$cur]"
@@ -87,8 +113,14 @@ object Footprint {
         java.nio.file.StandardOpenOption.APPEND)
     }
     if (rebaseline) {
+      // keep OTHER dirs' namespaced lines; drop this dir's old lines and
+      // all legacy bare lines (migrated to namespaced form right here)
+      val kept = all.filter { case (k, _) =>
+        k.contains("/") && !k.startsWith(base + "/")
+      }
+      val mine = current.map { case (t, v) => s"$base/$t" -> v }
       val tmp = Paths.get(path + ".tmp")
-      Files.write(tmp, current.toSeq.sorted
+      Files.write(tmp, (kept ++ mine).toSeq.sorted
         .map { case (k, v) => s"$k = $v" }.mkString("\n").getBytes("UTF-8"))
       Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
     }

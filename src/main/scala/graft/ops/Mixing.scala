@@ -151,8 +151,13 @@ object Mixing {
       fractions: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
       "fractions must be non-negative")
-    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
-      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    // tolerance matches the documented 1/65536 quantization: the cuts are
+    // rounded to 1/65536 slices anyway, so a sum within one slice of 1
+    // still assigns every slice deterministically — the old 1e-9 gate
+    // contradicted the scaladoc and punished callers whose fractions came
+    // from token-count ratios
+    require(math.abs(fractions.map(_._2).sum - 1.0) <= 1.0 / 65536,
+      s"fractions must sum to 1 (±1/65536), got ${fractions.map(_._2).sum}")
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(f => math.round(f * 65536).toLong)
     val u = hashSlice(col(idCol))

@@ -40,8 +40,15 @@ object Staging {
     // moving long→timestamp) must land in a fresh dir — the (size,mtime)
     // marker alone can't see it and would serve stale-typed slices.
     val schemaSig = readSchema.map(_.catalogString).getOrElse("inferred")
-    val drop = java.nio.file.Paths.get("/tmp/graft-stream",
-      Integer.toHexString(s"$srcFile#$slices#$sliceBy#$schemaSig".hashCode))
+    // full md5 of the identity key, not a 32-bit hashCode: at 2^16 staged
+    // dirs a 32-bit name has even-odds of a collision, and a colliding
+    // (src,slices,sliceBy,schema) tuple would reuse a stale-typed drop dir
+    // that the (size,mtime) marker cannot tell apart
+    val dirName = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$srcFile#$slices#$sliceBy#$schemaSig"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val drop = java.nio.file.Paths.get("/tmp/graft-stream", dirName)
     java.nio.file.Files.createDirectories(drop)
     val src = java.nio.file.Paths.get(srcFile)
     val srcSig = s"${java.nio.file.Files.size(src)}#${

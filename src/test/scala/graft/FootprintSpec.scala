@@ -17,8 +17,9 @@ class FootprintSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/t.parquet")
     assert(Footprint.check(spark, dir, fp).isEmpty)       // first sighting
     assert(Footprint.check(spark, dir, fp).isEmpty)       // stable re-check
+    val base = new java.io.File(dir).getName
     val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
-    assert(recorded.contains("t = id:BIGINT,s:STRING"))
+    assert(recorded.contains(s"$base/t = id:BIGINT,s:STRING"))
   }
 
   test("flags a type change on regeneration, then re-baselines") {
@@ -51,9 +52,10 @@ class FootprintSpec extends SparkSpec {
       "not parquet at all".getBytes("UTF-8"))
     val drifts = Footprint.check(spark, dir, fp) // must not throw
     assert(drifts.isEmpty) // first sighting records, no drift yet
+    val base = new java.io.File(dir).getName
     val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
-    assert(recorded.contains("ok = id:BIGINT,s:STRING"))
-    assert(recorded.contains("broken = UNREADABLE("))
+    assert(recorded.contains(s"$base/ok = id:BIGINT,s:STRING"))
+    assert(recorded.contains(s"$base/broken = UNREADABLE("))
   }
 
   test("drift leaves a persistent .drift trace; no-rebaseline mode keeps failing") {
@@ -73,6 +75,58 @@ class FootprintSpec extends SparkSpec {
     // re-baselining mode flags once, then the new truth is the baseline
     assert(Footprint.check(spark, dir, fp).size === 1)
     assert(Footprint.check(spark, dir, fp).isEmpty)
+  }
+
+  test("a recorded table deleted from disk reports MISSING drift") {
+    val dir = Files.createTempDirectory("graft-fp-gone").toString
+    val fp = Files.createTempDirectory("graft-fp-gone2").resolve("fp.txt").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(s"$dir/keep.parquet")
+    Seq((2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(s"$dir/gone.parquet")
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+    // harness deletes/renames a fixture between rounds
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/gone.parquet"))
+    val drifts = Footprint.check(spark, dir, fp, rebaseline = false)
+    assert(drifts === Seq(("gone", "id:BIGINT,s:STRING", "MISSING")))
+    // pure-compare keeps flagging; rebaseline flags once then drops it
+    assert(Footprint.check(spark, dir, fp, rebaseline = false).size === 1)
+    assert(Footprint.check(spark, dir, fp).size === 1)
+    assert(Footprint.check(spark, dir, fp).isEmpty)
+  }
+
+  test("two sf dirs with divergent schemas keep independent baselines") {
+    val dirA = Files.createTempDirectory("graft-fp-dirA").toString
+    val dirB = Files.createTempDirectory("graft-fp-dirB").toString
+    val fp = Files.createTempDirectory("graft-fp-dirs").resolve("fp.txt").toString
+    // same table name, DIFFERENT schema per dir — the flapping case
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(s"$dirA/t.parquet")
+    Seq((1L, 2.0)).toDF("id", "v").write.mode("overwrite").parquet(s"$dirB/t.parquet")
+    assert(Footprint.check(spark, dirA, fp).isEmpty)
+    assert(Footprint.check(spark, dirB, fp).isEmpty) // would have flapped pre-namespacing
+    // alternating runs stay quiet AND neither rebaseline clobbers the other
+    assert(Footprint.check(spark, dirA, fp).isEmpty)
+    assert(Footprint.check(spark, dirB, fp).isEmpty)
+    val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
+    assert(recorded.contains(s"${new java.io.File(dirA).getName}/t = id:BIGINT,s:STRING"))
+    assert(recorded.contains(s"${new java.io.File(dirB).getName}/t = id:BIGINT,v:DOUBLE"))
+  }
+
+  test("legacy un-namespaced baseline lines still compare, then migrate") {
+    val dir = Files.createTempDirectory("graft-fp-legacy").toString
+    val fp = Files.createTempDirectory("graft-fp-legacy2").resolve("fp.txt").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // a pre-namespacing committed baseline
+    Files.write(java.nio.file.Paths.get(fp), "t = id:BIGINT,s:STRING".getBytes("UTF-8"))
+    assert(Footprint.check(spark, dir, fp, rebaseline = false).isEmpty)
+    // legacy line with a DIFFERENT type must still trip the guard
+    Files.write(java.nio.file.Paths.get(fp), "t = id:INT,s:STRING".getBytes("UTF-8"))
+    assert(Footprint.check(spark, dir, fp).size === 1)
+    // ...and the rebaseline migrated it to the namespaced form
+    val recorded = new String(Files.readAllBytes(java.nio.file.Paths.get(fp)))
+    assert(recorded.contains(s"${new java.io.File(dir).getName}/t = id:BIGINT,s:STRING"))
+    assert(!recorded.contains("\nt = ") && !recorded.startsWith("t = "))
   }
 
   test("normalizeTs rejects an unsupported physical type loudly") {

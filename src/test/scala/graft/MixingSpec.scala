@@ -137,6 +137,10 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mixing.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // ...but quantization-level float error (< 1/65536) is accepted, per
+    // the documented contract — token-count-derived ratios land here
+    Mixing.assignSplits(docs, "doc_id",
+      Seq("a" -> 2.0 / 3, "b" -> (1.0 / 3 + 1e-6))).collect()
   }
 
   test("globalShuffle: dense permutation, reproducible, not id order") {
