@@ -64,6 +64,20 @@ object Pipeline {
     case "scan_tables" => Changelog.scanTables(spark, c.get("dir").asText(),
       c.get("pattern").asText())
     case "table" => Changelog.table(spark, c.get("dir").asText(), c.get("table").asText())
+    case "delta" =>
+      // read a DeltaStore as a batch source — current resolved state, or
+      // the state AS OF a batch id when `asOfBatch` is given (time
+      // travel; refuses below the store's recorded compaction horizon —
+      // see DeltaStore.readAt). Config-driven so an as-of audit is a
+      // task shape, not a library call: {"type":"delta","path":...,
+      // "asOfBatch":2}
+      val path = c.get("path").asText()
+      val read =
+        if (c.has("asOfBatch"))
+          graft.sink.DeltaStore.readAt(spark, path, c.get("asOfBatch").asLong())
+        else graft.sink.DeltaStore.read(spark, path)
+      read.getOrElse(throw new IllegalArgumentException(
+        s"delta source: no store at $path (empty manifest)"))
     case other => throw new IllegalArgumentException(s"unknown source: $other")
   }
 

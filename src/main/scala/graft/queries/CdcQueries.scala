@@ -364,6 +364,9 @@ object CdcQueries {
     // horizon), and DeltaStore records that floor and REFUSES travel
     // below it — DeltaStoreSpec pins the refusal; this query gates the
     // in-horizon resolve against the batch-2-truncated replay oracle.
+    // The read goes through the CONFIG front-end (a `delta` source with
+    // `asOfBatch`, examples/delta_read.json's task shape) so the gate
+    // witnesses the config path, not just the library call.
     "delta_timetravel" -> QueryDef(
       (s, dir) => {
         val log = Changelog.fromEvents(s, dir)
@@ -377,7 +380,9 @@ object CdcQueries {
             graft.sink.DeltaStore.append(Compactor.compact(slice), target,
               Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 16)
           }
-          val res = graft.sink.DeltaStore.readAt(s, target, asOfBatch = 2).get
+          val res = graft.pipeline.Pipeline.buildFrame(s,
+            s"""{"source": {"type": "delta", "path": "$target", "asOfBatch": 2},
+                 "processors": [], "sink": {"type": "noop"}}""")
             .select("tbl", "pk", "r_id", "r_k", "r_v", "last_seq")
             .orderBy("tbl", "pk")
           val rows = res.collect()

@@ -500,4 +500,48 @@ class DeltaStoreSpec extends SparkSpec {
     val d = DeltaStore.read(spark, default).get
     assert(b.count() > 0 && b.exceptAll(d).isEmpty && d.exceptAll(b).isEmpty)
   }
+
+  test("config front-end: delta source reads current and as-of state") {
+    val target = tmp("graft-delta-cfg")
+    val batches = Seq(
+      Seq(("a", 1L, "insert", 1L, 10, 0.5), ("a", 2L, "insert", 2L, 20, 0.25)),
+      Seq(("a", 1L, "update", 1L, 11, 0.75), ("b", 3L, "insert", 3L, 30, 1.5)),
+      Seq(("a", 2L, "delete", 0L, 0, 0.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DeltaStore.append(netOf(b: _*), target, pkCols,
+        nBuckets = 8, batchId = i, maxChain = 16)
+    }
+    // current state through the config front-end == library read
+    val cur = graft.pipeline.Pipeline.buildFrame(spark,
+      s"""{"source": {"type": "delta", "path": "$target"},
+           "processors": [], "sink": {"type": "noop"}}""")
+    assert(cur.collect().toSet === DeltaStore.read(spark, target).get.collect().toSet)
+    // as-of batch 1 through a FULL Run.dispatch (config → parquet sink)
+    val out = Files.createTempDirectory("graft-delta-cfg-out").toString + "/asof"
+    graft.Run.dispatch(spark, s"""{
+      "source": {"type": "delta", "path": "$target", "asOfBatch": 1},
+      "processors": [],
+      "sink": {"type": "parquet", "path": "$out"}}""")
+    val asOf = spark.read.parquet(out)
+    assert(asOf.collect().toSet ===
+      DeltaStore.readAt(spark, target, 1).get.collect().toSet)
+    // a2 was deleted in batch 2 — present as-of 1, absent now
+    assert(asOf.filter(col("tbl") === "a" && col("pk") === 2L).count() === 1)
+    assert(cur.filter(col("tbl") === "a" && col("pk") === 2L).count() === 0)
+    // the horizon refusal surfaces through the config path too
+    DeltaStore.snapshot(spark, target, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.buildFrame(spark,
+        s"""{"source": {"type": "delta", "path": "$target", "asOfBatch": 0},
+             "processors": [], "sink": {"type": "noop"}}""")
+    }
+    assert(e.getMessage.contains("time travel"))
+    // a missing store refuses loudly instead of yielding an empty frame
+    val miss = intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.buildFrame(spark,
+        """{"source": {"type": "delta", "path": "/tmp/graft-no-such-store"},
+            "processors": [], "sink": {"type": "noop"}}""")
+    }
+    assert(miss.getMessage.contains("no store"))
+  }
 }
