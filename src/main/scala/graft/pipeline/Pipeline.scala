@@ -278,7 +278,11 @@ object Pipeline {
             else Seq("r_id", "r_k", "r_v"),
           writers = if (snk.has("writers")) snk.get("writers").asInt() else 8,
           batchSize = if (snk.has("batchSize")) snk.get("batchSize").asInt() else 1000,
-          nullToDefault = snk.has("nullToDefault") && snk.get("nullToDefault").asBoolean())
+          nullToDefault = snk.has("nullToDefault") && snk.get("nullToDefault").asBoolean(),
+          // "dialect": "ansi" | "mysql" — absent = derive from url scheme
+          dialect = if (snk.has("dialect"))
+            Some(graft.sink.SqlDialect.byName(snk.get("dialect").asText()))
+          else None)
         graft.streaming.ChangeStream.compactedApply(transformed, ckpt) { (net, _) =>
           graft.PhaseClock.time("apply") { graft.sink.JdbcApply(net, jc) }
         }

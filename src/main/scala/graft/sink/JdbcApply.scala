@@ -66,15 +66,21 @@ object JdbcApply {
     *                  replacement; a raw JDBC connection needs it
     *                  explicit. Exhausted retries fail the task (Spark's
     *                  coarser task retry takes over).
-    * @param reconnectBackoffMs linear backoff between attempts */
+    * @param reconnectBackoffMs linear backoff between attempts
+    * @param dialect   SQL statement dialect ([[SqlDialect]]); None =
+    *                  derive from the url scheme (mysql/mariadb →
+    *                  MySQL statements per `pkg/utils/mysql.go:159-218`,
+    *                  else ANSI/Derby) — deploy-time is a config flip */
   case class Config(url: String, tableCol: String = "tbl",
       pkCols: Seq[String] = Seq("pk"),
       valueCols: Seq[String] = Seq("r_id", "r_k", "r_v"),
       batchSize: Int = 1000, writers: Int = 8,
       nullToDefault: Boolean = false,
-      maxReconnects: Int = 3, reconnectBackoffMs: Long = 100L) {
+      maxReconnects: Int = 3, reconnectBackoffMs: Long = 100L,
+      dialect: Option[SqlDialect] = None) {
     require(pkCols.nonEmpty && pkCols.length <= 5,
       s"1..5 primary-key columns (reference bound), got ${pkCols.length}")
+    def resolvedDialect: SqlDialect = dialect.getOrElse(SqlDialect.forUrl(url))
   }
 
   def apply(net: DataFrame, cfg: Config): Unit = {
@@ -157,7 +163,7 @@ object JdbcApply {
     def flushAll(): Unit =
       buffers.foreach { case (t, buf) => if (buf.nonEmpty) flushWithReconnect(t, buf) }
 
-    private def q(ident: String) = "\"" + ident.toUpperCase + "\""
+    private val dialect: SqlDialect = cfg.resolvedDialect
 
     /** Which value columns of this row write DEFAULT rather than a bound
       * parameter. Only UPDATE images carry the convention (and the
@@ -176,24 +182,12 @@ object JdbcApply {
       case other => st.setObject(i, other)
     }
 
-    private def pkWhere: String =
-      cfg.pkCols.map(c => s"${q(c)}=?").mkString(" AND ")
-
-    private def insSql(table: String, mask: Seq[Boolean]): String = {
-      val ph = cfg.pkCols.map(_ => "?") ++
-        cfg.valueCols.zip(mask).map { case (_, dflt) => if (dflt) "DEFAULT" else "?" }
-      s"INSERT INTO ${q(table)} (${(cfg.pkCols ++ cfg.valueCols).map(q).mkString(",")}) " +
-        s"VALUES (${ph.mkString(",")})"
-    }
-    private def updSql(table: String, mask: Seq[Boolean]): String = {
-      val sets = cfg.valueCols.zip(mask).map {
-        case (c, true) => s"${q(c)}=DEFAULT"
-        case (c, false) => s"${q(c)}=?"
-      }.mkString(",")
-      s"UPDATE ${q(table)} SET $sets WHERE $pkWhere"
-    }
+    private def insSql(table: String, mask: Seq[Boolean]): String =
+      dialect.insertSql(table, cfg.pkCols, cfg.valueCols, mask)
+    private def updSql(table: String, mask: Seq[Boolean]): String =
+      dialect.updateSql(table, cfg.pkCols, cfg.valueCols, mask)
     private def delSql(table: String): String =
-      s"DELETE FROM ${q(table)} WHERE $pkWhere"
+      dialect.deleteSql(table, cfg.pkCols)
 
     private def fillPks(st: PreparedStatement, r: Row, from: Int): Int = {
       cfg.pkCols.zipWithIndex.foreach { case (c, i) =>
@@ -276,7 +270,13 @@ object JdbcApply {
           val mask = maskOf(r)
           try {
             val ins = prepared(insSql(table, mask))
-            fillInsert(ins, r, mask); ins.executeUpdate()
+            fillInsert(ins, r, mask)
+            // an IGNORE-verb dialect reports a duplicate as count 0
+            // instead of raising — resolve the upsert by count there
+            if (ins.executeUpdate() == 0 && dialect.insertIgnoresDuplicates) {
+              val upd = prepared(updSql(table, mask))
+              fillUpdate(upd, r, mask); upd.executeUpdate()
+            }
           } catch {
             // SQLState class 23 = integrity-constraint violation: Derby
             // raises 23505, MySQL 23000 (ER_DUP_ENTRY) — match the class,
