@@ -21,6 +21,13 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_PROBES=name,name runs a subset — at k=100 a full sweep
+    // is an hour-class job; per-path runs keep iteration honest
+    val want: String => Boolean =
+      sys.env.get("SPARK_GRAFT_PROBES")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(s => (n: String) => s.contains(n))
+        .getOrElse(_ => true)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,11 +56,13 @@ object ScaleProbe {
         scaled(ev, Seq("user_id", "event_id"), n))
       time(graft.op.Compactor.compact(log).count())
     }
-    compactAt(1) // warm
-    val (c1, r1) = compactAt(1)
-    val (ck, rk) = compactAt(k)
-    println(s"""{"probe":"p8_compact","k":$k,"secs_1":$c1,"secs_k":$ck,""" +
-      s""""rows_1":$r1,"rows_k":$rk,"ratio":${ck / c1},"sf":"$sfDir"}""")
+    if (want("p8_compact")) {
+      compactAt(1) // warm
+      val (c1, r1) = compactAt(1)
+      val (ck, rk) = compactAt(k)
+      println(s"""{"probe":"p8_compact","k":$k,"secs_1":$c1,"secs_k":$ck,""" +
+        s""""rows_1":$r1,"rows_k":$rk,"ratio":${ck / c1},"sf":"$sfDir"}""")
+    }
 
     // MinHash+LSH dedup: documents ×k, shifted doc_id AND a per-copy
     // suffix appended to every WORD — verbatim copies would be genuine
@@ -83,11 +92,13 @@ object ScaleProbe {
         time(graft.ops.Dedup.lshCandidates(bands, "doc_id").count())
       } finally { toksDf.unpersist(); () }
     }
-    dedupAt(1) // warm
-    val (d1, p1) = dedupAt(1)
-    val (dk, pk) = dedupAt(k)
-    println(s"""{"probe":"dedup_minhash_lsh","k":$k,"secs_1":$d1,"secs_k":$dk,""" +
-      s""""pairs_1":$p1,"pairs_k":$pk,"ratio":${dk / d1},"sf":"$sfDir"}""")
+    if (want("dedup_minhash_lsh")) {
+      dedupAt(1) // warm
+      val (d1, p1) = dedupAt(1)
+      val (dk, pk) = dedupAt(k)
+      println(s"""{"probe":"dedup_minhash_lsh","k":$k,"secs_1":$d1,"secs_k":$dk,""" +
+        s""""pairs_1":$p1,"pairs_k":$pk,"ratio":${dk / d1},"sf":"$sfDir"}""")
+    }
 
     // Streaming corpus admission, STATEFUL: documents ×k (same
     // suffix-salted construction — cross-copy shingles disjoint, so
@@ -114,11 +125,13 @@ object ScaleProbe {
         }.sum
       }
     }
-    admitAt(1) // warm
-    val (a1, ad1) = admitAt(1)
-    val (ak, adk) = admitAt(k)
-    println(s"""{"probe":"admission_4batch","k":$k,"secs_1":$a1,"secs_k":$ak,""" +
-      s""""admitted_1":$ad1,"admitted_k":$adk,"ratio":${ak / a1},"sf":"$sfDir"}""")
+    if (want("admission_4batch")) {
+      admitAt(1) // warm
+      val (a1, ad1) = admitAt(1)
+      val (ak, adk) = admitAt(k)
+      println(s"""{"probe":"admission_4batch","k":$k,"secs_1":$a1,"secs_k":$ak,""" +
+        s""""admitted_1":$ad1,"admitted_k":$adk,"ratio":${ak / a1},"sf":"$sfDir"}""")
+    }
 
     // parquet_delta drain, STATEFUL: events ×k through the full
     // checkpointed 4-slice streaming lifecycle into a DeltaStore with
@@ -146,12 +159,14 @@ object ScaleProbe {
       }
       (secs, PhaseClock.snapshot().getOrElse("apply", 0.0))
     }
-    drainAt(1) // warm
-    val (t1, ap1) = drainAt(1)
-    val (tk, apk) = drainAt(k)
-    println(s"""{"probe":"delta_drain_4slice","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
-      s""""apply_1":$ap1,"apply_k":$apk,"ratio":${tk / t1},""" +
-      s""""apply_ratio":${apk / ap1},"sf":"$sfDir"}""")
+    if (want("delta_drain_4slice")) {
+      drainAt(1) // warm
+      val (t1, ap1) = drainAt(1)
+      val (tk, apk) = drainAt(k)
+      println(s"""{"probe":"delta_drain_4slice","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
+        s""""apply_1":$ap1,"apply_k":$apk,"ratio":${tk / t1},""" +
+        s""""apply_ratio":${apk / ap1},"sf":"$sfDir"}""")
+    }
 
     // IVF sampled k-means: the per-ITERATION cost must be independent of
     // corpus size (training touches only the bounded hash-ranked sample;
@@ -169,11 +184,13 @@ object ScaleProbe {
       time(graft.ops.Similarity.trainCentroids(d, cells = 16, iters = iters,
         trainSample = 256).count())._1
     }
-    trainAt(1, 1) // warm
-    val it1 = (trainAt(1, 3) - trainAt(1, 1)) / 2
-    val itk = (trainAt(k, 3) - trainAt(k, 1)) / 2
-    println(s"""{"probe":"ivf_train_iter","k":$k,"per_iter_1":$it1,""" +
-      s""""per_iter_k":$itk,"ratio":${itk / it1},"sf":"$sfDir"}""")
+    if (want("ivf_train_iter")) {
+      trainAt(1, 1) // warm
+      val it1 = (trainAt(1, 3) - trainAt(1, 1)) / 2
+      val itk = (trainAt(k, 3) - trainAt(k, 1)) / 2
+      println(s"""{"probe":"ivf_train_iter","k":$k,"per_iter_1":$it1,""" +
+        s""""per_iter_k":$itk,"ratio":${itk / it1},"sf":"$sfDir"}""")
+    }
 
     // Persisted-IVF serve: the FILE-pruning trade measured directly.
     // Build the index store at 1x and kx (3 increments, frozen batch-0
@@ -223,26 +240,28 @@ object ScaleProbe {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5).count()
     }._1
-    val idx1 = indexAt(1)
-    servePruned(idx1); serveFull(idx1) // warm both paths
-    val sv1 = servePruned(idx1)
-    val idxK = indexAt(k)
-    servePruned(idxK); serveFull(idxK) // warm at scale too
-    val svK = servePruned(idxK)
-    val svFullK = serveFull(idxK)
-    val filesFull = graft.sink.DeltaStore.readAppendOnly(spark, idxK, None)
-      .get.inputFiles.length
-    // probed-cell file count for THIS query set (recomputed as serve does)
-    val centK = graft.ops.IvfIndex.readCentroids(spark, idxK).get
-    val probedK = graft.ops.Similarity
-      .assignCells(embQ, centK, "qid", "qv", probes = 4, "vec_id", "v")
-      .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
-    val filesPruned = graft.sink.DeltaStore
-      .readAppendOnly(spark, idxK, Some(probedK)).get.inputFiles.length
-    println(s"""{"probe":"ivf_serve_pruned","k":$k,"serve_1":$sv1,""" +
-      s""""serve_k":$svK,"serve_full_k":$svFullK,""" +
-      s""""files_pruned":$filesPruned,"files_full":$filesFull,""" +
-      s""""ratio":${svK / sv1},"sf":"$sfDir"}""")
+    if (want("ivf_serve_pruned")) {
+      val idx1 = indexAt(1)
+      servePruned(idx1); serveFull(idx1) // warm both paths
+      val sv1 = servePruned(idx1)
+      val idxK = indexAt(k)
+      servePruned(idxK); serveFull(idxK) // warm at scale too
+      val svK = servePruned(idxK)
+      val svFullK = serveFull(idxK)
+      val filesFull = graft.sink.DeltaStore.readAppendOnly(spark, idxK, None)
+        .get.inputFiles.length
+      // probed-cell file count for THIS query set (recomputed as serve does)
+      val centK = graft.ops.IvfIndex.readCentroids(spark, idxK).get
+      val probedK = graft.ops.Similarity
+        .assignCells(embQ, centK, "qid", "qv", probes = 4, "vec_id", "v")
+        .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
+      val filesPruned = graft.sink.DeltaStore
+        .readAppendOnly(spark, idxK, Some(probedK)).get.inputFiles.length
+      println(s"""{"probe":"ivf_serve_pruned","k":$k,"serve_1":$sv1,""" +
+        s""""serve_k":$svK,"serve_full_k":$svFullK,""" +
+        s""""files_pruned":$filesPruned,"files_full":$filesFull,""" +
+        s""""ratio":${svK / sv1},"sf":"$sfDir"}""")
+    }
 
     // int8 IVF serving: the representation trade measured directly —
     // total shuffle WRITE bytes for the same topk query served from the
@@ -266,11 +285,13 @@ object ScaleProbe {
     val q32 = emb.filter(col("vec_id") < 32)
     def runNoop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)) // warm
-    val bytesD = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)))
-    val bytesQ = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopKQ8(emb, q32, 5)))
-    println(s"""{"probe":"ivf_q8_shuffle_bytes","double":$bytesD,""" +
-      s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
+    if (want("ivf_q8_shuffle_bytes")) {
+      runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)) // warm
+      val bytesD = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)))
+      val bytesQ = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopKQ8(emb, q32, 5)))
+      println(s"""{"probe":"ivf_q8_shuffle_bytes","double":$bytesD,""" +
+        s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
+    }
 
     // JDBC batch apply — the path behind the reference's headline number
     // (BASELINE.md's batch-mixed tps is exactly compact-then-execute).
@@ -282,6 +303,16 @@ object ScaleProbe {
     // costs (connections, statement shapes, JVM warmup), so wall comes
     // in UNDER k; a super-linear execute would flag a per-row
     // re-preparation or fallback storm.
+    //
+    // Measurement shape (r14 lesson): the scaled log is MATERIALIZED to
+    // parquet first, so the timed compact runs over a plain scan — the
+    // same plan at every k, and the same plan the p8 probe and the
+    // production path measure. The r14 variant compacted the k-way
+    // union straight into `.cache()`, so the "compact" number silently
+    // included a k×-sized cache materialization (memory-store writes +
+    // eviction churn at k=10): 13.8× apparent at 10× vs the p8 probe's
+    // 3.64× on identical work. Net rows land in parquet (untimed) so
+    // execute still reads a materialized input, not a recompute.
     def jdbcAt(n: Int): (Double, Double, Long) = {
       val url = s"jdbc:derby:memory:graftprobe$n;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
@@ -294,24 +325,30 @@ object ScaleProbe {
         }
         st.close()
       } finally conn.close()
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-jdbc$n")
+      scaled(ev, Seq("user_id", "event_id"), n)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val log = graft.source.Changelog.fromEventsDf(
-        scaled(ev, Seq("user_id", "event_id"), n))
-      val net = graft.op.Compactor.compact(log).cache()
-      try {
-        val (cSecs, rows) = time(net.count())
-        val (eSecs, _) = time(
-          graft.sink.JdbcApply(net, graft.sink.JdbcApply.Config(url)))
-        (cSecs, eSecs, rows)
-      } finally { net.unpersist(); () }
+        spark.read.parquet(s"$dir/events.parquet"))
+      val (cSecs, rows) = time(graft.op.Compactor.compact(log).count())
+      graft.op.Compactor.compact(log)
+        .write.mode("overwrite").parquet(s"$dir/net.parquet")
+      val net = spark.read.parquet(s"$dir/net.parquet")
+      val (eSecs, _) = time(
+        graft.sink.JdbcApply(net, graft.sink.JdbcApply.Config(url)))
+      (cSecs, eSecs, rows)
     }
-    jdbcAt(1) // warm (Derby boot + codegen)
-    val (jc1, je1, jr1) = jdbcAt(1)
-    val (jck, jek, jrk) = jdbcAt(k)
-    println(s"""{"probe":"jdbc_apply_10x","k":$k,"compact_1":$jc1,""" +
-      s""""execute_1":$je1,"compact_k":$jck,"execute_k":$jek,""" +
-      s""""rows_1":$jr1,"rows_k":$jrk,""" +
-      s""""execute_ratio":${jek / je1},""" +
-      s""""wall_ratio":${(jck + jek) / (jc1 + je1)},"sf":"$sfDir"}""")
+    if (want("jdbc_apply_10x")) {
+      jdbcAt(1) // warm (Derby boot + codegen)
+      val (jc1, je1, jr1) = jdbcAt(1)
+      val (jck, jek, jrk) = jdbcAt(k)
+      println(s"""{"probe":"jdbc_apply_10x","k":$k,"compact_1":$jc1,""" +
+        s""""execute_1":$je1,"compact_k":$jck,"execute_k":$jek,""" +
+        s""""rows_1":$jr1,"rows_k":$jrk,""" +
+        s""""compact_ratio":${jck / jc1},""" +
+        s""""execute_ratio":${jek / je1},""" +
+        s""""wall_ratio":${(jck + jek) / (jc1 + je1)},"sf":"$sfDir"}""")
+    }
 
     // Connected components: the near-dup cluster graph ×k with shifted
     // sig ids — k disjoint copies, so nodes AND edges grow ×k while
@@ -339,11 +376,13 @@ object ScaleProbe {
           .filter(col("id") =!= col("comp")).count())
       } finally { nodes.unpersist(); () }
     }
-    ccAt(1) // warm
-    val (cc1, ccR1) = ccAt(1)
-    val (cck, ccRk) = ccAt(k)
-    println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
-      s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},"sf":"$sfDir"}""")
+    if (want("cc_components")) {
+      ccAt(1) // warm
+      val (cc1, ccR1) = ccAt(1)
+      val (cck, ccRk) = ccAt(k)
+      println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
+        s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},"sf":"$sfDir"}""")
+    }
 
     // Global training-order shuffle: documents ×k through the range-sort
     // + zipWithIndex position assignment. ONE range exchange and a count
@@ -354,11 +393,13 @@ object ScaleProbe {
       val d = scaled(docs.select("doc_id"), Seq("doc_id"), n)
       time(graft.ops.Mixing.globalShuffle(d, "doc_id").count())
     }
-    shuffleAt(1) // warm
-    val (s1, sr1) = shuffleAt(1)
-    val (sk, srk) = shuffleAt(k)
-    println(s"""{"probe":"global_shuffle","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
-      s""""rows_1":$sr1,"rows_k":$srk,"ratio":${sk / s1},"sf":"$sfDir"}""")
+    if (want("global_shuffle")) {
+      shuffleAt(1) // warm
+      val (s1, sr1) = shuffleAt(1)
+      val (sk, srk) = shuffleAt(k)
+      println(s"""{"probe":"global_shuffle","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
+        s""""rows_1":$sr1,"rows_k":$srk,"ratio":${sk / s1},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
