@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: each round is one keyed equi-join (labels × edges)
   * and one min-agg — both shuffle on the node id, no broadcast of
   * anything corpus-sized, and the symmetrized edge set is cached once
-  * across rounds. Lineage is cut every round (`localCheckpoint`;
+  * across rounds. Lineage is cut every round (RDD `localCheckpoint`;
   * a deployment would checkpoint to the cluster FS) so round k does
-  * not replay rounds 1..k−1. Callers should contract
+  * not replay rounds 1..k−1 — and the PREVIOUS round's checkpoint is
+  * unpersisted explicitly as soon as the next is materialized, so the
+  * loop holds exactly ONE round of label blocks at any moment
+  * (Dataset.localCheckpoint leaves the superseded rounds to the async
+  * ContextCleaner, whose GC-driven timing made repeated runs churn the
+  * block store and read as bench noise). Callers should contract
   * identical-signature cliques BEFORE building edges (CC over distinct
   * signatures, labels joined back to docs) — a 10⁶-doc exact-dup
   * clique is one contracted node instead of 10¹² edges.
@@ -49,6 +54,10 @@ object Clusters {
     var pot = potential(labels)
     var converged = false
     var it = 0
+    val spark = nodes.sparkSession
+    // the live checkpoint RDD for the current `labels`; replaced (and
+    // the old one unpersisted) every round — see the scaladoc
+    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     while (!converged && it < maxIters) {
       val prop = sym
         .join(labels.select(col("v").as("src"), col("comp")), "src")
@@ -59,10 +68,17 @@ object Clusters {
       val jump = labels.as("x")
         .join(labels.select(col("v").as("comp"), col("comp").as("jcomp")), "comp")
         .select(col("v"), col("jcomp").as("comp"))
-      val next = labels.unionByName(prop).unionByName(jump)
+      val folded = labels.unionByName(prop).unionByName(jump)
         .groupBy("v").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val nextPot = potential(next)
+      // explicit RDD-level checkpoint: persist, truncate lineage, and
+      // keep the handle so the superseded round frees deterministically
+      val rdd = folded.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint()
+      val next = spark.createDataFrame(rdd, folded.schema)
+      val nextPot = potential(next) // materializes the checkpoint
+      if (liveRdd != null) liveRdd.unpersist(blocking = false)
+      liveRdd = rdd
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot
       labels = next
@@ -72,6 +88,9 @@ object Clusters {
     require(converged,
       s"components: no fixpoint after $maxIters rounds — component diameter " +
         "exceeds the bound (raise maxIters, or contract dense cliques first)")
+    // the final round's checkpoint stays persisted: the returned frame
+    // reads from it (it falls to the ContextCleaner once the caller
+    // drops the result — one round of blocks, not one per round)
     labels.select(col("v").as(idCol), col("comp"))
   }
 }
