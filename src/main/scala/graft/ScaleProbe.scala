@@ -47,21 +47,51 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    // Materialize a scaled input to parquet and read it back (untimed):
+    // the timed region then runs over a plain scan — the SAME plan shape
+    // at every k. A k-leg union plan grows its planning cost and scan
+    // fan-in with k, which at k=100 measurably pollutes the operator's
+    // own ratio (the r14 jdbc-probe lesson, applied to every probe that
+    // feeds a scaled input into a timed region).
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-$tag")
+        .resolve("d.parquet").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    // Named first-bottleneck: the largest recorded TIME phase at k —
+    // the thing that would hit the wall first on a further scale-up.
+    // PhaseClock mixes counters (batch/fold/round tallies) into the
+    // same map; they are not seconds and must not win the max.
+    val counterPhases = Set("delta.folds", "batches", "cc.rounds")
+    def topPhase(s: Map[String, Double], prefixes: String*): String =
+      s.filter { case (n, _) =>
+        !counterPhases(n) &&
+          (prefixes.isEmpty || prefixes.exists(n.startsWith)) }
+        .toSeq.sortBy(-_._2).headOption.map(_._1).getOrElse("none")
+
     // P8 compaction: events ×k, user_id AND event_id shifted — both key
-    // cardinality and log length grow ×k
+    // cardinality and log length grow ×k. Scan is timed separately so
+    // the bottleneck call (scan IO vs the pk hash-agg exchange) is
+    // measured, not asserted.
     val ev = graft.source.Changelog.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value", "props", "ts")
-    def compactAt(n: Int): (Double, Long) = {
-      val log = graft.source.Changelog.fromEventsDf(
-        scaled(ev, Seq("user_id", "event_id"), n))
-      time(graft.op.Compactor.compact(log).count())
+    def compactAt(n: Int): (Double, Double, Long) = {
+      val in = mat(scaled(ev, Seq("user_id", "event_id"), n), s"p8in$n")
+      val (scanSecs, _) = time(in.count())
+      val log = graft.source.Changelog.fromEventsDf(in)
+      val (secs, rows) = time(graft.op.Compactor.compact(log).count())
+      (scanSecs, secs, rows)
     }
     if (want("p8_compact")) {
       compactAt(1) // warm
-      val (c1, r1) = compactAt(1)
-      val (ck, rk) = compactAt(k)
+      val (sc1, c1, r1) = compactAt(1)
+      val (sck, ck, rk) = compactAt(k)
+      val bn = if (ck - sck > sck) "pk hash-agg exchange" else "input scan"
       println(s"""{"probe":"p8_compact","k":$k,"secs_1":$c1,"secs_k":$ck,""" +
-        s""""rows_1":$r1,"rows_k":$rk,"ratio":${ck / c1},"sf":"$sfDir"}""")
+        s""""scan_1":$sc1,"scan_k":$sck,""" +
+        s""""rows_1":$r1,"rows_k":$rk,"ratio":${ck / c1},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
     // MinHash+LSH dedup: documents ×k, shifted doc_id AND a per-copy
@@ -106,31 +136,39 @@ object ScaleProbe {
     // against a growing store. Cost model: O(batch signatures) +
     // O(collisions) + O(touched buckets) per batch — the store's growth
     // must not leak into per-batch cost beyond the candidate scan.
-    def admitAt(n: Int): (Double, Long) = {
+    def admitAt(n: Int): (Double, Long, Map[String, Double]) = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-admit$n")
       val cfg = graft.ops.Admission.Config(
         target = dir.resolve("store").toString,
         checkpoint = dir.resolve("ckpt").toString)
       val span = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val d = (0 until n).map { i =>
+      // materialized untimed: salting 100 copies with regexp_replace is
+      // fixture construction, not admission work
+      val d = mat((0 until n).map { i =>
         docs.withColumn("doc_id", col("doc_id") + i * span)
           .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _), s"admit$n")
       // batches cut by doc_id mod 4: every batch mixes all copies, so
       // batch size grows ×k while the store grows underneath the run
-      time {
+      PhaseClock.reset()
+      val (secs, admitted) = time {
         (0 until 4).map { b =>
           graft.ops.Admission.admitBatch(
             d.filter(pmod(col("doc_id"), lit(4)) === b), cfg, b.toLong)
         }.sum
       }
+      (secs, admitted, PhaseClock.snapshot())
     }
     if (want("admission_4batch")) {
       admitAt(1) // warm
-      val (a1, ad1) = admitAt(1)
-      val (ak, adk) = admitAt(k)
+      val (a1, ad1, _) = admitAt(1)
+      val (ak, adk, phk) = admitAt(k)
+      val ph = phk.toSeq.sortBy(-_._2).take(4)
+        .map { case (n2, v) => s""""$n2":$v""" }.mkString(",")
       println(s"""{"probe":"admission_4batch","k":$k,"secs_1":$a1,"secs_k":$ak,""" +
-        s""""admitted_1":$ad1,"admitted_k":$adk,"ratio":${ak / a1},"sf":"$sfDir"}""")
+        s""""admitted_1":$ad1,"admitted_k":$adk,"ratio":${ak / a1},""" +
+        s""""phases_k":{$ph},"bottleneck":"${topPhase(phk, "admit.", "delta.")}",""" +
+        s""""sf":"$sfDir"}""")
     }
 
     // parquet_delta drain, STATEFUL: events ×k through the full
@@ -142,7 +180,7 @@ object ScaleProbe {
     val evRaw = graft.source.Changelog.events(spark, sfDir)
       .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    def drainAt(n: Int): (Double, Double) = {
+    def drainAt(n: Int): (Double, Double, Map[String, Double]) = {
       val evDir = java.nio.file.Files.createTempDirectory(s"graft-probe-ev$n")
       scaled(evRaw, Seq("user_id", "event_id"), n)
         .write.mode("overwrite").parquet(s"$evDir/events.parquet")
@@ -157,15 +195,20 @@ object ScaleProbe {
                    "buckets": 16, "maxChain": 2}
         }""")
       }
-      (secs, PhaseClock.snapshot().getOrElse("apply", 0.0))
+      val ph = PhaseClock.snapshot()
+      (secs, ph.getOrElse("apply", 0.0), ph)
     }
     if (want("delta_drain_4slice")) {
       drainAt(1) // warm
-      val (t1, ap1) = drainAt(1)
-      val (tk, apk) = drainAt(k)
+      val (t1, ap1, _) = drainAt(1)
+      val (tk, apk, phk) = drainAt(k)
+      val ph = phk.toSeq.sortBy(-_._2).take(5)
+        .map { case (n2, v) => s""""$n2":$v""" }.mkString(",")
       println(s"""{"probe":"delta_drain_4slice","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
         s""""apply_1":$ap1,"apply_k":$apk,"ratio":${tk / t1},""" +
-        s""""apply_ratio":${apk / ap1},"sf":"$sfDir"}""")
+        s""""apply_ratio":${apk / ap1},"phases_k":{$ph},""" +
+        s""""bottleneck":"${topPhase(phk, "delta.", "stage", "start")}",""" +
+        s""""sf":"$sfDir"}""")
     }
 
     // IVF sampled k-means: the per-ITERATION cost must be independent of
@@ -342,12 +385,14 @@ object ScaleProbe {
       jdbcAt(1) // warm (Derby boot + codegen)
       val (jc1, je1, jr1) = jdbcAt(1)
       val (jck, jek, jrk) = jdbcAt(k)
+      val bn = if (jek > jck) "jdbc statement execute" else "compact fold"
       println(s"""{"probe":"jdbc_apply_10x","k":$k,"compact_1":$jc1,""" +
         s""""execute_1":$je1,"compact_k":$jck,"execute_k":$jek,""" +
         s""""rows_1":$jr1,"rows_k":$jrk,""" +
         s""""compact_ratio":${jck / jc1},""" +
         s""""execute_ratio":${jek / je1},""" +
-        s""""wall_ratio":${(jck + jek) / (jc1 + je1)},"sf":"$sfDir"}""")
+        s""""wall_ratio":${(jck + jek) / (jc1 + je1)},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
     // Connected components: the near-dup cluster graph ×k with shifted
@@ -360,7 +405,7 @@ object ScaleProbe {
       .withColumn("sim", graft.ops.Dedup.simhash16(col("toks")))
       .select(col("sim").as("id")).distinct().cache()
     sims.count()
-    def ccAt(n: Int): (Double, Long) = {
+    def ccAt(n: Int): (Double, Long, Map[String, Double]) = {
       // copy tag in the HIGH bits: the radius-2 masks flip low 16 bits
       // only, so ball probes collide within a copy and never across —
       // k exact disjoint copies of the original hamming graph
@@ -372,16 +417,25 @@ object ScaleProbe {
         val edges = graft.ops.Dedup.hammingBallPairs(
           nodes.select(col("id"), col("id").as("sim")), "sim", "id",
           radius = 2, bits = 16)
-        time(graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
-          .filter(col("id") =!= col("comp")).count())
+        PhaseClock.reset()
+        val (secs, merged) = time(
+          graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
+            .filter(col("id") =!= col("comp")).count())
+        (secs, merged, PhaseClock.snapshot())
       } finally { nodes.unpersist(); () }
     }
     if (want("cc_components")) {
       ccAt(1) // warm
-      val (cc1, ccR1) = ccAt(1)
-      val (cck, ccRk) = ccAt(k)
+      val (cc1, ccR1, ph1) = ccAt(1)
+      val (cck, ccRk, phk) = ccAt(k)
+      // rounds must NOT grow with k (disjoint copies keep the diameter);
+      // the per-round labels×edges join is the only volume-borne phase
       println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
-        s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},"sf":"$sfDir"}""")
+        s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},""" +
+        s""""rounds_1":${ph1.getOrElse("cc.rounds", 0.0)},""" +
+        s""""rounds_k":${phk.getOrElse("cc.rounds", 0.0)},""" +
+        s""""round_secs_k":${phk.getOrElse("cc.round", 0.0)},""" +
+        s""""bottleneck":"per-round labels-edges join","sf":"$sfDir"}""")
     }
 
     // Global training-order shuffle: documents ×k through the range-sort
@@ -390,7 +444,7 @@ object ScaleProbe {
     // single-partition sort's cliff; the md5 rank keys are uniform by
     // construction, so the range partitioner cannot skew).
     def shuffleAt(n: Int): (Double, Long) = {
-      val d = scaled(docs.select("doc_id"), Seq("doc_id"), n)
+      val d = mat(scaled(docs.select("doc_id"), Seq("doc_id"), n), s"shuf$n")
       time(graft.ops.Mixing.globalShuffle(d, "doc_id").count())
     }
     if (want("global_shuffle")) {

@@ -76,7 +76,9 @@ object Clusters {
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.localCheckpoint()
       val next = spark.createDataFrame(rdd, folded.schema)
-      val nextPot = potential(next) // materializes the checkpoint
+      graft.PhaseClock.count("cc.rounds")
+      // materializes the checkpoint — per-round cost lands under cc.round
+      val nextPot = graft.PhaseClock.time("cc.round") { potential(next) }
       if (liveRdd != null) liveRdd.unpersist(blocking = false)
       liveRdd = rdd
       converged = nextPot.compareTo(pot) == 0
