@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] hosts all 32 executor threads in ONE JVM: 8g gave each
+  // thread ~256 MB, so multi-GB shuffles (k=100 scale probes, the heavy
+  // bench queries) ran against constant memory-store eviction + GC churn
+  // — measured as a 2.5x run-to-run swing on an identical edge-build
+  // phase. 32g ≈ 1 GB/thread, in line with a real per-executor sizing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -408,19 +408,29 @@ object ScaleProbe {
     def ccAt(n: Int): (Double, Long, Map[String, Double]) = {
       // copy tag in the HIGH bits: the radius-2 masks flip low 16 bits
       // only, so ball probes collide within a copy and never across —
-      // k exact disjoint copies of the original hamming graph
-      val nodes = (0 until n).map { i =>
+      // k exact disjoint copies of the original hamming graph.
+      // Materialized via mat(): a cached k-leg union keeps the whole
+      // 5k-node union TREE inside the InMemoryRelation, and every
+      // downstream plan (edge join a-side, b-side, each CC round)
+      // re-embeds and re-analyzes it — at k=100 driver-side plan work
+      // dwarfed the actual distributed compute
+      val nodes = mat((0 until n).map { i =>
         sims.select((lit(i.toLong * 65536L) + col("id")).as("id"))
-      }.reduce(_ unionByName _).cache()
+      }.reduce(_ unionByName _), s"ccnodes$n").cache()
       nodes.count()
       try {
         val edges = graft.ops.Dedup.hammingBallPairs(
           nodes.select(col("id"), col("id").as("sim")), "sim", "id",
           radius = 2, bits = 16)
         PhaseClock.reset()
-        val (secs, merged) = time(
-          graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
-            .filter(col("id") =!= col("comp")).count())
+        val (secs, merged) = time {
+          val labels = PhaseClock.time("cc.call") {
+            graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
+          }
+          PhaseClock.time("cc.result") {
+            labels.filter(col("id") =!= col("comp")).count()
+          }
+        }
         (secs, merged, PhaseClock.snapshot())
       } finally { nodes.unpersist(); () }
     }
@@ -429,13 +439,16 @@ object ScaleProbe {
       val (cc1, ccR1, ph1) = ccAt(1)
       val (cck, ccRk, phk) = ccAt(k)
       // rounds must NOT grow with k (disjoint copies keep the diameter);
-      // the per-round labels×edges join is the only volume-borne phase
+      // phases split edge derivation (cc.edges — the hamming ball-probe
+      // join) from the propagation loop (cc.round) and the final read
+      val ph = phk.toSeq.sortBy(-_._2).take(5)
+        .map { case (n2, v) => s""""$n2":$v""" }.mkString(",")
       println(s"""{"probe":"cc_components","k":$k,"secs_1":$cc1,"secs_k":$cck,""" +
         s""""merged_1":$ccR1,"merged_k":$ccRk,"ratio":${cck / cc1},""" +
         s""""rounds_1":${ph1.getOrElse("cc.rounds", 0.0)},""" +
         s""""rounds_k":${phk.getOrElse("cc.rounds", 0.0)},""" +
-        s""""round_secs_k":${phk.getOrElse("cc.round", 0.0)},""" +
-        s""""bottleneck":"per-round labels-edges join","sf":"$sfDir"}""")
+        s""""phases_k":{$ph},""" +
+        s""""bottleneck":"${topPhase(phk, "cc.edges", "cc.round", "cc.result")}","sf":"$sfDir"}""")
     }
 
     // Global training-order shuffle: documents ×k through the range-sort

@@ -43,6 +43,12 @@ object Clusters {
     val sym = edges.select(col(aId).as("src"), col(bId).as("dst"))
       .unionByName(edges.select(col(bId).as("src"), col(aId).as("dst")))
       .distinct().cache()
+    // fill the edge cache eagerly as its own phase: edge DERIVATION
+    // (the caller's pair-gen plan — e.g. a hamming ball-probe join) is
+    // usually the single most expensive step of a components call, and
+    // letting it fill lazily inside round 1 both mis-charges it to the
+    // propagation loop and makes round-1 timing non-reproducible
+    graft.PhaseClock.time("cc.edges") { sym.count() }
     var labels = nodes
       .select(col(idCol).cast("long").as("v"), col(idCol).cast("long").as("comp"))
     // convergence probe: labels only ever DECREASE (min-fold), so the
@@ -72,13 +78,20 @@ object Clusters {
         .groupBy("v").agg(min("comp").as("comp"))
       // explicit RDD-level checkpoint: persist, truncate lineage, and
       // keep the handle so the superseded round frees deterministically
-      val rdd = folded.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.localCheckpoint()
-      val next = spark.createDataFrame(rdd, folded.schema)
       graft.PhaseClock.count("cc.rounds")
-      // materializes the checkpoint — per-round cost lands under cc.round
-      val nextPot = graft.PhaseClock.time("cc.round") { potential(next) }
+      // cc.round: the whole round's cost. NOTE the Dataset→RDD
+      // conversion is NOT a driver-only step — under AQE, `.rdd`
+      // materializes the plan's shuffle stages (join + jump + min-fold)
+      // to pick the final plan, so most of the round's distributed work
+      // runs inside the conversion and the potential agg only executes
+      // the final stage over the checkpoint.
+      val (rdd, next, nextPot) = graft.PhaseClock.time("cc.round") {
+        val r = folded.rdd
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.localCheckpoint()
+        val n = spark.createDataFrame(r, folded.schema)
+        (r, n, potential(n))
+      }
       if (liveRdd != null) liveRdd.unpersist(blocking = false)
       liveRdd = rdd
       converged = nextPot.compareTo(pot) == 0
