@@ -108,4 +108,28 @@ object Clusters {
     // drops the result — one round of blocks, not one per round)
     labels.select(col("v").as(idCol), col("comp"))
   }
+
+  /** Quality-aware canonical selection — the release-side keep/drop
+    * decision over near-dup clusters: per cluster keep the member with
+    * the HIGHEST score, ties broken toward the smallest id. Min-id
+    * canonical labels ([[components]]) answer "which cluster"; this
+    * answers "which DOC survives", the way production release pipelines
+    * decide (keep the longest / best-classifier-scored member rather
+    * than an arbitrary one). `scoreCol` is pluggable — any numeric
+    * column; exact-integer signals (content length, token count,
+    * quantized classifier scores) make the argmax bit-portable across
+    * engines.
+    *
+    * Scale shape: ONE hash aggregation — `max` over `(score, -id)`
+    * structs, map-side combinable — so the shuffle carries one struct
+    * per (cluster, upstream partition), never the cluster's member
+    * rows, and no window sort ranks whole clusters. Returns one row per
+    * cluster: (clusterCol, idCol = the kept id, scoreCol = its score).
+    */
+  def keepBest(labeled: DataFrame, idCol: String, clusterCol: String,
+      scoreCol: String): DataFrame =
+    labeled.groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("m"))
+      .select(col(clusterCol), (-col("m.nid")).as(idCol),
+        col("m.s").as(scoreCol))
 }

@@ -434,6 +434,76 @@ object DedupQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY rootsim) AS BIGINT) AS csize
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // Release keep/drop over those clusters: ONE member survives per
+    // near-dup cluster, chosen by score (here total token chars — an
+    // exact-integer content signal, so the argmax replays bit-identically
+    // in the oracle; production swaps in any classifier score column),
+    // ties to the smallest doc_id. The keep decision is
+    // [[Clusters.keepBest]] — one map-side-combinable struct-max hash
+    // agg, no per-cluster window sort — and the output is the per-doc
+    // decision table (cluster label + kept flag) a release anti-join
+    // consumes downstream.
+    "dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sigs = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("sim", Dedup.simhash16(col("toks")))
+          .select("doc_id", "sim").cache()
+        val sigNodes = sigs.select(col("sim").as("id")).distinct()
+        val sigEdges = Dedup.hammingBallPairs(
+          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
+          radius = 2, bits = 16)
+        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
+        val labeled = sigs
+          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
+          .join(TextAnalysis.quality(docs).select("doc_id", "sum_len"), "doc_id")
+        val kept = Clusters.keepBest(labeled, "doc_id", "rootsim", "sum_len")
+        val w = Window.partitionBy("rootsim")
+        labeled
+          .join(kept.select(col("rootsim"), col("doc_id").as("keep_id")), "rootsim")
+          .withColumn("cluster", min("doc_id").over(w))
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN list_sum(list_transform(toks,
+        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
+        |                       IN ('8','9','a','b','c','d','e','f')
+        |                  THEN 1 ELSE -1 END)) >= 0
+        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM t),
+        |n AS (SELECT DISTINCT sim FROM f),
+        |e AS (
+        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
+        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
+        |reach(v, r) AS (
+        |  SELECT sim, sim FROM n
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
+        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+        |  FROM t),
+        |j AS (
+        |  SELECT f.doc_id, c.rootsim, q.sum_len
+        |  FROM f JOIN c USING (sim) JOIN q USING (doc_id)),
+        |k AS (
+        |  SELECT rootsim, doc_id AS keep_id FROM j
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY rootsim ORDER BY sum_len DESC, doc_id) = 1)
+        |SELECT j.doc_id,
+        |  CAST(MIN(j.doc_id) OVER (PARTITION BY j.rootsim) AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN j.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM j JOIN k USING (rootsim) ORDER BY doc_id""".stripMargin)),
+
     "dedup_simhash" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")

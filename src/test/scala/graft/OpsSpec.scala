@@ -350,6 +350,23 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("keepBest: highest score survives per cluster, ties to smallest id") {
+    import graft.ops.Clusters
+    // cluster 1: clear winner (id 3); cluster 10: score tie between
+    // 10 and 12 -> smallest id wins; cluster 20: singleton survives
+    val labeled = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 12L),
+      (10L, 10L, 7L), (11L, 10L, 3L), (12L, 10L, 7L),
+      (20L, 20L, 0L)).toDF("doc_id", "cluster", "score")
+    val got = Clusters.keepBest(labeled, "doc_id", "cluster", "score")
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 12L), (10L, 10L, 7L), (20L, 20L, 0L)),
+      s"got ${got.toSeq}")
+    // exactly one survivor per cluster, always
+    assert(got.map(_._1).distinct.length === got.length)
+  }
+
   test("fused profile is bit-identical to the single-signal operators, in one scan") {
     val single = {
       val toksDf = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks")).cache()
