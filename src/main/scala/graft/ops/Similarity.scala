@@ -337,6 +337,142 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** Σ (a−b)² — squared L2 as a sequential left fold (zip_with the
+    * difference squares, then fold in array order), so the IEEE result
+    * is deterministic and a SQL oracle's list fold replays it exactly. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Product-quantization codebooks — the memory-side ANN compression
+    * layer (the PQ scheme of Jégou/Douze/Schmid, TPAMI 2011 — public
+    * literature): the D-dim space splits into `m` subspaces of D/m dims
+    * and each subspace trains its OWN `k`-centroid codebook, so a
+    * vector stores as m small codes (m·log₂k bits) instead of 8·D
+    * bytes — 32-64× compression at typical settings, which is what
+    * lets a 100 TB embedding corpus serve from executor memory.
+    *
+    * Training is the same bounded machinery as [[trainCentroids]]: the
+    * `trainSample` lowest hash-ranked vectors (portable multiply-mod
+    * ranking under `portableSeeding`), seeds = the first k sample rows'
+    * subvectors (the SAME rows seed every subspace), Lloyd refinement
+    * with squared-L2 assignment (ties to the lowest cell) and
+    * centroid means computed by the id-sorted sequential fold — every
+    * float op replays bit-identically in a SQL oracle. All m subspaces
+    * train in ONE DataFrame pass per iteration (grouped on (sub,cell)),
+    * not m sequential jobs. Empty cells drop out naturally.
+    *
+    * Returns (sub, cell, cv): ≤ m·k rows of bounded metadata,
+    * broadcast-wrapped. */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0) // 1 row
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val seedHash = seedHashFor(idCol, portableSeeding)
+    val sample = corpus.select(seedHash.as("_r"), col(idCol), col(vecCol))
+      .orderBy(col("_r"), col(idCol)).limit(trainSample).cache()
+    val subs = sample.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vecCol), s * d + 1, lit(d)))))
+      .toDF(idCol, "sub", "sv").cache()
+    try {
+      val seedRows = sample.orderBy(col("_r"), col(idCol)).limit(k)
+        .collect() // ≤k rows: bounded by construction
+      var cent = broadcast(seedRows.toSeq.zipWithIndex.flatMap { case (r, i) =>
+        val v = r.getSeq[Double](2)
+        (0 until m).map(s => (s, i.toLong, v.slice(s * d, s * d + d)))
+      }.toDF("sub", "cell", "cv"))
+      for (_ <- 0 until iters) {
+        val assigned = subs.join(cent, "sub")
+          .withColumn("_d", l2sq(col("sv"), col("cv")))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min_by(struct(col("cell"), col("sv")),
+            struct(col("_d"), col("cell"))).as("_b"))
+          .select(col(idCol), col("sub"), col("_b.cell").as("cell"),
+            col("_b.sv").as("sv"))
+        val next = assigned.groupBy(col("sub"), col("cell"))
+          .agg(array_sort(collect_list(struct(col(idCol), col("sv")))).as("ms"))
+          .select(col("sub"), col("cell"), transform(
+            sequence(lit(1), size(element_at(col("ms"), 1).getField("sv"))),
+            p => aggregate(col("ms"), lit(0.0),
+              (acc, mm) => acc + element_at(mm.getField("sv"), p))
+              / size(col("ms"))).as("cv"))
+        // ≤ m·k rows: materialize per iteration (see trainCentroids)
+        cent = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(next.collect(): _*), next.schema))
+      }
+      cent
+    } finally { sample.unpersist(); subs.unpersist(); () }
+  }
+
+  /** PQ-compressed top-k via ADC (asymmetric distance computation):
+    * candidates are scored WITHOUT decompression. Per query, an m×k
+    * lookup table holds the exact squared-L2 from each query subvector
+    * to every codebook entry; a candidate's approximate distance is the
+    * sum of the m table entries its codes select — a sequential fold
+    * over a bounded array, bit-replayable by a SQL oracle.
+    *
+    * Scale shape: the codebook (≤ m·k rows) and the per-query LUTs
+    * (|queries|·m·k entries — queries are the small side by contract,
+    * as in [[bruteTopK]]) broadcast; encoding is one map-side pass over
+    * the corpus (subvector explode → broadcast-join → min_by — the
+    * shuffle carries (id, sub, cell) triples, never vectors); scoring
+    * is map-only against the broadcast LUTs. The corpus vector itself
+    * appears in NO shuffle at all — only its m-byte code does, the
+    * whole point of PQ at 100 TB. Codes address LUT slots through the
+    * composite key sub·k+cell looked up by position (array_position),
+    * which stays correct when Lloyd drops an empty cell and the LUT
+    * isn't dense; at gate sizes that scan is ≤ m·k = 32 steps.
+    *
+    * Ranks can differ from exact search within quantization error —
+    * the oracle replays training+encoding+ADC, it does not assert
+    * PQ ≈ brute (recall is [[OpsSpec]]'s job on exactly-representable
+    * fixtures). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, m: Int = 4,
+      k: Int = 8, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    val cent = pqTrain(corpus, m, k, iters, idCol, vecCol, portableSeeding,
+      trainSample)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0) // 1 row
+    val d = dim / m
+    def subVecs(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            s => slice(col(vecCol), s * d + 1, lit(d)))))
+        .toDF(id, "sub", vec)
+    val codes = subVecs(corpus, "nid", "sv").join(cent, "sub")
+      .withColumn("_d", l2sq(col("sv"), col("cv")))
+      .groupBy(col("nid"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
+      .groupBy("nid")
+      .agg(array_sort(collect_list(
+        col("sub").cast("long") * k + col("cell"))).as("codes"))
+    val luts = subVecs(queries, "qid", "qv").join(cent, "sub")
+      .withColumn("_d", l2sq(col("qv"), col("cv")))
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(
+        (col("sub").cast("long") * k + col("cell")).as("cid"),
+        col("_d").as("dd")))).as("t"))
+      .select(col("qid"),
+        transform(col("t"), x => x.getField("cid")).as("lidx"),
+        transform(col("t"), x => x.getField("dd")).as("lut"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    codes.join(broadcast(luts), col("nid") =!= col("qid"))
+      .withColumn("dist", aggregate(col("codes"), lit(0.0), (acc, c) =>
+        acc + element_at(col("lut"),
+          array_position(col("lidx"), c).cast("int"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "dist")
+  }
+
   /** Sketch-bucketed near-dup pairs — the scale path: pairs are only
     * formed inside (table, bucket) LSH cells, so the shuffle fan-in is
     * bucket-sized; exact cosine then applies the threshold. OR-amplified

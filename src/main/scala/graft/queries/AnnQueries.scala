@@ -254,6 +254,76 @@ object AnnQueries {
         |       nid
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Product-quantization ADC top-k — the compression serving layer:
+    // 4 subspaces × 8-centroid codebooks (1 Lloyd pass, portable
+    // seeding), corpus encoded to 4 codes/vector, queries score via
+    // per-query lookup tables summed by a fixed-order fold. The oracle
+    // replays the ENTIRE pipeline — subspace k-means (sorted-fold
+    // means), encoding argmins, LUT construction, ADC sums, final
+    // ranks — so training, compression and serving are all
+    // value-verified, not just recall-checked.
+    "ann_pq" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 32), topK = 5,
+          m = 4, k = 8, iters = 1, portableSeeding = true, trainSample = 256)
+          .select("qid", "rank", "nid")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, v,
+        |         row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+        |  FROM e),
+        |ss AS (
+        |  SELECT vec_id, rn, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+        |  FROM r, (SELECT unnest(range(0, 4)) AS sub) s
+        |  WHERE rn <= 256),
+        |cent0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cell, sv AS cv
+        |          FROM ss WHERE rn <= 8),
+        |a0 AS (
+        |  SELECT vec_id, sub, sv, cell FROM (
+        |    SELECT ss.vec_id, ss.sub, ss.sv, c.cell,
+        |      list_sum(list_transform(range(1, 17),
+        |        i -> (ss.sv[i] - c.cv[i]) * (ss.sv[i] - c.cv[i]))) AS dd
+        |    FROM ss JOIN cent0 c USING (sub))
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
+        |cent1 AS (
+        |  SELECT sub, cell, list_transform(range(1, 17), p ->
+        |    list_sum(list_transform(ms, mm -> mm[p])) / len(ms)) AS cv
+        |  FROM (SELECT sub, cell, list(sv ORDER BY vec_id) AS ms
+        |        FROM a0 GROUP BY 1, 2)),
+        |cs AS (
+        |  SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+        |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s),
+        |csd AS (
+        |  SELECT cs.vec_id, cs.sub, c.cell,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (cs.sv[i] - c.cv[i]) * (cs.sv[i] - c.cv[i]))) AS dd
+        |  FROM cs JOIN cent1 c USING (sub)),
+        |enc AS (
+        |  SELECT vec_id, sub, cell FROM csd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
+        |codes AS (
+        |  SELECT vec_id AS nid, list(sub * 8 + cell ORDER BY sub) AS codes
+        |  FROM enc GROUP BY 1),
+        |lut AS (
+        |  SELECT vec_id AS qid,
+        |    list(dd ORDER BY sub, cell) AS lut,
+        |    list(sub * 8 + cell ORDER BY sub, cell) AS lidx
+        |  FROM csd WHERE vec_id < 32 GROUP BY 1),
+        |sc AS (
+        |  SELECT l.qid, c.nid,
+        |    list_sum(list_transform(range(1, 5),
+        |      s -> l.lut[list_position(l.lidx, c.codes[s])])) AS dist
+        |  FROM codes c CROSS JOIN lut l WHERE c.nid <> l.qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Incremental embedding admission — new (vec_id >= 400) vs corpus
     // (< 400) only, through the sketch-bucketed scale path: candidates
     // meet on the portable (tbl_id, bucket) key (so DuckDB replicates

@@ -350,6 +350,25 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("pqTopK: exact reconstruction when every vector is a codeword") {
+    import graft.ops.Similarity
+    // 4 vectors, dim 4, m=2 subspaces, k=4 codebook = the whole corpus,
+    // iters=0 -> the codebooks ARE the vectors' subvectors, so ADC
+    // distance equals the exact squared L2 (integer coordinates keep
+    // both engines' folds exact, no tolerance needed)
+    val vs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 2.0, 0.0, 0.0)),
+      (3L, Seq(3.0, 3.0, 3.0, 3.0))).toDF("vec_id", "v")
+    val got = Similarity.pqTopK(vs, vs.filter($"vec_id" === 0L), topK = 3,
+      m = 2, k = 4, iters = 0, portableSeeding = true, trainSample = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((0L, 1L, 1L, 1.0), (0L, 2L, 2L, 4.0),
+      (0L, 3L, 3L, 36.0)), s"got ${got.toSeq}")
+  }
+
   test("keepBest: highest score survives per cluster, ties to smallest id") {
     import graft.ops.Clusters
     // cluster 1: clear winner (id 3); cluster 10: score tie between
