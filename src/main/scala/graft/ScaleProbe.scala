@@ -336,6 +336,34 @@ object ScaleProbe {
         s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
     }
 
+    // PQ: the representation trade measured where it actually bites at
+    // 100 TB — the PERSISTED index. The serve-path shuffles are tiny on
+    // both sides (WindowGroupLimit prunes the top-k exchange map-side),
+    // so the claim is storage/scan width: parquet bytes of the raw
+    // double corpus vs its 4-code PQ encoding (built once, reused every
+    // serve), plus the one-time train+encode cost that buys it.
+    if (want("pq_bytes")) {
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-probe-pq")
+      emb.write.mode("overwrite").parquet(s"$dir/raw.parquet")
+      val (encSecs, _) = time {
+        val cent = graft.ops.Similarity.pqTrain(emb, m = 4, k = 8, iters = 1,
+          portableSeeding = true, trainSample = 256)
+        graft.ops.Similarity.pqEncode(emb, cent, m = 4, k = 8)
+          .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+      }
+      val rawB = dirBytes(java.nio.file.Paths.get(s"$dir/raw.parquet"))
+      val pqB = dirBytes(java.nio.file.Paths.get(s"$dir/codes.parquet"))
+      println(s"""{"probe":"pq_bytes","raw":$rawB,"pq":$pqB,""" +
+        s""""ratio":${rawB.toDouble / pqB},"encode_secs":$encSecs,""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // JDBC batch apply — the path behind the reference's headline number
     // (BASELINE.md's batch-mixed tps is exactly compact-then-execute).
     // Phases split: `compact` = the one-shot changelog fold (engine

@@ -410,6 +410,32 @@ object Similarity {
     } finally { sample.unpersist(); subs.unpersist(); () }
   }
 
+  /** Encode a corpus against trained PQ codebooks: one map-side
+    * broadcast pass (subvector explode → codebook join → argmin per
+    * subspace), then the m codes collect into one sub-ordered array per
+    * vector. Codes are composite keys `sub·k + cell`, so they address a
+    * non-dense codebook (Lloyd may drop empty cells) unambiguously.
+    * Returns (idCol, codes: array<long>) — the persisted form of a PQ
+    * index: ~m·8 bytes parquet-encoded per vector instead of dim·8,
+    * built ONCE and reused across every serve. The only shuffles carry
+    * (id, sub, cell) triples and partial code arrays — never vectors. */
+  def pqEncode(corpus: DataFrame, cent: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0) // 1 row
+    val d = dim / m
+    corpus.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vecCol), s * d + 1, lit(d)))))
+      .toDF(idCol, "sub", "sv")
+      .join(broadcast(cent), "sub")
+      .withColumn("_d", l2sq(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(
+        col("sub").cast("long") * k + col("cell"))).as("codes"))
+  }
+
   /** PQ-compressed top-k via ADC (asymmetric distance computation):
     * candidates are scored WITHOUT decompression. Per query, an m×k
     * lookup table holds the exact squared-L2 from each query subvector
@@ -440,6 +466,8 @@ object Similarity {
       trainSample: Int = defaultTrainSample): DataFrame = {
     val cent = pqTrain(corpus, m, k, iters, idCol, vecCol, portableSeeding,
       trainSample)
+    val codes = pqEncode(corpus, cent, m, k, idCol, vecCol)
+      .withColumnRenamed(idCol, "nid")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0) // 1 row
     val d = dim / m
     def subVecs(df: DataFrame, id: String, vec: String): DataFrame =
@@ -447,13 +475,6 @@ object Similarity {
           transform(sequence(lit(0), lit(m - 1)),
             s => slice(col(vecCol), s * d + 1, lit(d)))))
         .toDF(id, "sub", vec)
-    val codes = subVecs(corpus, "nid", "sv").join(cent, "sub")
-      .withColumn("_d", l2sq(col("sv"), col("cv")))
-      .groupBy(col("nid"), col("sub"))
-      .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
-      .groupBy("nid")
-      .agg(array_sort(collect_list(
-        col("sub").cast("long") * k + col("cell"))).as("codes"))
     val luts = subVecs(queries, "qid", "qv").join(cent, "sub")
       .withColumn("_d", l2sq(col("qv"), col("cv")))
       .groupBy("qid")
