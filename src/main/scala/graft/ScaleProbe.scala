@@ -336,6 +336,36 @@ object ScaleProbe {
         s""""int8":$bytesQ,"ratio":${bytesD.toDouble / bytesQ},"sf":"$sfDir"}""")
     }
 
+    // Composed IVF+PQ SERVING vs plain IVF: here shuffle bytes are the
+    // right axis — the candidate cell join is the ANN family's
+    // largest-volume exchange, and the served index sends (nid, codes)
+    // through it instead of the double vector (pq_bytes covers storage;
+    // this covers the wire). The index is materialized untimed — the
+    // deployment encodes ONCE and serves many; a first probe draft
+    // measured ivfPqTopK's per-call encode aggregations into the serve
+    // number and at 2k vectors they swamped the join savings.
+    if (want("ivf_pq_shuffle_bytes")) {
+      import graft.ops.Similarity
+      val coarse = Similarity.seedCentroids(emb, 16,
+        Similarity.seedHashFor("vec_id", portableSeeding = true), "vec_id", "v")
+      val pqCent = Similarity.pqTrain(emb, m = 4, k = 8, iters = 1,
+        portableSeeding = true, trainSample = 256)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-probe-ivfpq")
+      Similarity.assignCells(emb, coarse, "nid", "nv", probes = 1, "vec_id", "v")
+        .select("nid", "cell")
+        .join(Similarity.pqEncode(emb, pqCent, m = 4, k = 8)
+          .withColumnRenamed("vec_id", "nid"), "nid")
+        .write.mode("overwrite").parquet(s"$ixDir/index.parquet")
+      val index = spark.read.parquet(s"$ixDir/index.parquet")
+      def servePq(): Unit = runNoop(Similarity.ivfPqServe(index, q32,
+        coarse, pqCent, topK = 5))
+      servePq() // warm
+      val bytesD = shuffledBytes(runNoop(graft.ops.Similarity.ivfTopK(emb, q32, 5)))
+      val bytesP = shuffledBytes(servePq())
+      println(s"""{"probe":"ivf_pq_shuffle_bytes","double":$bytesD,""" +
+        s""""ivf_pq":$bytesP,"ratio":${bytesD.toDouble / bytesP},"sf":"$sfDir"}""")
+    }
+
     // PQ: the representation trade measured where it actually bites at
     // 100 TB — the PERSISTED index. The serve-path shuffles are tiny on
     // both sides (WindowGroupLimit prunes the top-k exchange map-side),

@@ -468,15 +468,30 @@ object Similarity {
       trainSample)
     val codes = pqEncode(corpus, cent, m, k, idCol, vecCol)
       .withColumnRenamed(idCol, "nid")
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0) // 1 row
+    val luts = pqLuts(queries, cent, m, k, idCol, vecCol)
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    codes.join(broadcast(luts), col("nid") =!= col("qid"))
+      .withColumn("dist", adcDist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "dist")
+  }
+
+  /** Per-query ADC lookup tables: for every (sub, cell) codebook entry,
+    * the exact squared-L2 from the query's subvector — flattened into
+    * parallel arrays sorted by composite key (`lidx` keys, `lut`
+    * distances), so a code addresses its slot by position even when the
+    * codebook is non-dense. ≤ |queries|·m·k entries; callers broadcast. */
+  private def pqLuts(queries: DataFrame, cent: DataFrame, m: Int, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val dim = queries.select(size(col(vecCol))).head().getInt(0) // 1 row
     val d = dim / m
-    def subVecs(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), posexplode(
-          transform(sequence(lit(0), lit(m - 1)),
-            s => slice(col(vecCol), s * d + 1, lit(d)))))
-        .toDF(id, "sub", vec)
-    val luts = subVecs(queries, "qid", "qv").join(cent, "sub")
-      .withColumn("_d", l2sq(col("qv"), col("cv")))
+    queries.select(col(idCol).as("qid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vecCol), s * d + 1, lit(d)))))
+      .toDF("qid", "sub", "qsv")
+      .join(cent, "sub")
+      .withColumn("_d", l2sq(col("qsv"), col("cv")))
       .groupBy("qid")
       .agg(array_sort(collect_list(struct(
         (col("sub").cast("long") * k + col("cell")).as("cid"),
@@ -484,11 +499,64 @@ object Similarity {
       .select(col("qid"),
         transform(col("t"), x => x.getField("cid")).as("lidx"),
         transform(col("t"), x => x.getField("dd")).as("lut"))
+  }
+
+  /** ADC distance: the sub-ordered fixed-order fold over the row's
+    * `codes`, each code fetching its LUT slot through the `lidx`
+    * position scan (≤ m·k steps — pack denser for big codebooks). */
+  private def adcDist: Column =
+    aggregate(col("codes"), lit(0.0), (acc, c) =>
+      acc + element_at(col("lut"), array_position(col("lidx"), c).cast("int")))
+
+  /** The composed serving shape — IVF coarse pruning + PQ/ADC scoring
+    * (IVFADC without residual encoding: codes quantize the RAW vector,
+    * keeping the codebook independent of the coarse quantizer and the
+    * oracle compositional; classic residual PQ is a drop-in
+    * refinement). This is the plan a 100-TB corpus actually serves:
+    * queries probe `nprobe` of `cells` inverted lists, and the
+    * candidate join's corpus side carries (nid, cell, codes[m]) — tens
+    * of bytes per row — instead of the dim×8-byte vector, with scoring
+    * by broadcast LUT lookups, no decompression. Recall compounds the
+    * two approximations; raise `nprobe`/`k` to trade cost back. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      cells: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 8,
+      pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    val coarse = seedCentroids(corpus, cells,
+      seedHashFor(idCol, portableSeeding), idCol, vecCol)
+    val pqCent = pqTrain(corpus, m, k, pqIters, idCol, vecCol,
+      portableSeeding, trainSample)
+    val index = assignCells(corpus, coarse, "nid", "nv", probes = 1,
+        idCol, vecCol)
+      .select("nid", "cell")
+      .join(pqEncode(corpus, pqCent, m, k, idCol, vecCol)
+        .withColumnRenamed(idCol, "nid"), "nid")
+    ivfPqServe(index, queries, coarse, pqCent, topK, nprobe, m, k,
+      idCol, vecCol)
+  }
+
+  /** Serve top-k from a PERSISTED IVF+PQ index — `index` is
+    * (nid, cell, codes) rows as [[ivfPqTopK]] builds them, typically a
+    * parquet table: the deployment shape, where the one-time
+    * assign+encode never re-runs and a serve touches only the index's
+    * code columns, the two (bounded) quantizer frames and the query
+    * set. */
+  def ivfPqServe(index: DataFrame, queries: DataFrame, coarse: DataFrame,
+      pqCent: DataFrame, topK: Int, nprobe: Int = 4, m: Int = 4, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val q = assignCells(queries, broadcast(coarse), "qid", "qv",
+      probes = nprobe, idCol, vecCol)
+    val luts = pqLuts(queries, pqCent, m, k, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
-    codes.join(broadcast(luts), col("nid") =!= col("qid"))
-      .withColumn("dist", aggregate(col("codes"), lit(0.0), (acc, c) =>
-        acc + element_at(col("lut"),
-          array_position(col("lidx"), c).cast("int"))))
+    index
+      .join(q.select("qid", "cell"), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      // full-row distinct, not dropDuplicates(subset): see lshTopK
+      .drop("cell").distinct()
+      .join(broadcast(luts), "qid")
+      .withColumn("dist", adcDist)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select("qid", "rank", "nid", "dist")
