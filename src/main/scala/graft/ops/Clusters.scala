@@ -120,16 +120,22 @@ object Clusters {
     * quantized classifier scores) make the argmax bit-portable across
     * engines.
     *
-    * Scale shape: ONE hash aggregation — `max` over `(score, -id)`
-    * structs, map-side combinable — so the shuffle carries one struct
-    * per (cluster, upstream partition), never the cluster's member
-    * rows, and no window sort ranks whole clusters. Returns one row per
-    * cluster: (clusterCol, idCol = the kept id, scoreCol = its score).
-    */
+    * Scale shape: a rank-1 window on (score desc, id asc) whose
+    * `WindowGroupLimit` prunes MAP-SIDE — at most one candidate per
+    * (cluster, upstream partition) crosses the exchange, never the
+    * cluster's member rows. (A `max(struct(score, -id))` hash
+    * aggregation reads nicer but struct-typed agg buffers are not
+    * hash-aggregable — Spark silently falls back to SortAggregate over
+    * the FULL input; PlanSpec pins the group-limit form.) Returns one
+    * row per cluster: (clusterCol, idCol = the kept id, scoreCol = its
+    * score). */
   def keepBest(labeled: DataFrame, idCol: String, clusterCol: String,
-      scoreCol: String): DataFrame =
-    labeled.groupBy(col(clusterCol))
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("m"))
-      .select(col(clusterCol), (-col("m.nid")).as(idCol),
-        col("m.s").as(scoreCol))
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.select(col(clusterCol), col(idCol), col(scoreCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
 }

@@ -439,10 +439,11 @@ object DedupQueries {
     // exact-integer content signal, so the argmax replays bit-identically
     // in the oracle; production swaps in any classifier score column),
     // ties to the smallest doc_id. The keep decision is
-    // [[Clusters.keepBest]] — one map-side-combinable struct-max hash
-    // agg, no per-cluster window sort — and the output is the per-doc
-    // decision table (cluster label + kept flag) a release anti-join
-    // consumes downstream.
+    // [[Clusters.keepBest]] — a rank-1 window whose WindowGroupLimit
+    // prunes map-side (PlanSpec-pinned), so the exchange never carries
+    // a cluster's member rows — and the output is the per-doc decision
+    // table (cluster label + kept flag) a release anti-join consumes
+    // downstream.
     "dedup_keep_best" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")

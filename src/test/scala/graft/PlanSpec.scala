@@ -126,6 +126,31 @@ class PlanSpec extends SparkSpec {
       "a shuffled n-gram join drags the whole exploded corpus through the wire")
   }
 
+  test("PQ serving: no all-pairs path, top-k pruned map-side") {
+    // the ADC scoring join is broadcast (per-query LUTs) and the IVF+PQ
+    // candidate join is a cell equi-join — nothing may degenerate to a
+    // non-broadcast cross product; WindowGroupLimit proves the top-k
+    // rank filter prunes BEFORE the per-query exchange (the property
+    // that keeps the final shuffle per-query-bounded at any corpus size)
+    for (q <- Seq("ann_pq", "ann_ivf_pq")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to a cross product")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the map-side top-k pushdown")
+    }
+  }
+
+  test("keepBest prunes its argmax map-side, never sort-aggregates") {
+    val p = plan("dedup_keep_best")
+    // rank-1 window with WindowGroupLimit: at most one candidate per
+    // (cluster, partition) reaches the exchange
+    assert(p.contains("WindowGroupLimit"),
+      "keepBest lost the map-side rank-1 pushdown")
+    assert(!p.contains("SortAggregate"),
+      "a struct-typed agg buffer fell back to SortAggregate")
+  }
+
   test("admission candidate scan prunes to (doc_id, bands) — never the arrays") {
     // the point of persisting the packed band column: candidate
     // generation must read fixed-width band structs WITHOUT dragging the
