@@ -40,7 +40,14 @@ object IvfIndex {
     *   oracle family; production keeps the default xxhash64) */
   final case class Config(target: String, checkpoint: String,
       cells: Int = 16, portableSeeding: Boolean = false,
-      maxChain: Int = DeltaStore.defaultMaxChain)
+      maxChain: Int = DeltaStore.defaultMaxChain,
+      // pqM > 0 adds the PQ leg: a codebook of pqM subspaces × pqK
+      // centroids is trained on the FIRST batch and frozen next to
+      // CENTROIDS (same drift contract as the coarse quantizer), and
+      // every posting carries its m codes so [[servePq]] can score
+      // candidates without ever reading the vector column
+      pqM: Int = 0, pqK: Int = 8, pqIters: Int = 1,
+      trainSample: Int = Similarity.defaultTrainSample)
 
   private def centroidsPath(target: String): java.nio.file.Path =
     java.nio.file.Paths.get(target, "CENTROIDS")
@@ -80,6 +87,53 @@ object IvfIndex {
     }
   }
 
+  private def pqCodebookPath(target: String): java.nio.file.Path =
+    java.nio.file.Paths.get(target, "PQCODEBOOK")
+
+  /** Frozen PQ codebook: a `#pq m k` header (the ENCODING-time
+    * dimensions — composite code keys are `sub·k + cell`, so the k that
+    * built the codes must travel with the codebook even when trailing
+    * cells dropped empty in training), then `sub\tcell\tv1,v2,...`
+    * lines (≤ m·k rows); written once, atomically — same freeze
+    * contract as CENTROIDS: postings reference codebook entries, so the
+    * codebook must not drift once any generation flipped. */
+  private def writePqCodebook(target: String, m: Int, k: Int,
+      rows: Seq[(Int, Long, Seq[Double])]): Unit = {
+    val p = pqCodebookPath(target)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val body = (s"#pq $m $k" +: rows.sortBy(r => (r._1, r._2))
+        .map { case (s, c, v) => s"$s\t$c\t${v.mkString(",")}" }).mkString("\n")
+      val tmp = p.resolveSibling(s"PQCODEBOOK.tmp-${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The frozen PQ codebook + its (m, k) (None before the first
+    * PQ-enabled batch). */
+  def readPqCodebook(spark: SparkSession,
+      target: String): Option[(DataFrame, Int, Int)] = {
+    val p = pqCodebookPath(target)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files
+        .readAllLines(p, java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty)
+      val Array(_, mS, kS) = lines.head.split(' ')
+      val rows = lines.tail.map { line =>
+        val Array(s, c, v) = line.split('\t')
+        (s.toInt, c.toLong, v.split(',').toSeq.map(_.toDouble))
+      }
+      import spark.implicits._
+      Some((broadcast(rows.toDF("sub", "cell", "cv")), mS.toInt, kS.toInt))
+    }
+  }
+
   /** Index one batch of (vec_id, v) rows: seed-and-freeze centroids when
     * this is the store's first batch, assign to the nearest frozen cell,
     * append postings. Returns rows indexed. Materialized (not lazy) for
@@ -102,8 +156,25 @@ object IvfIndex {
       writeCentroids(cfg.target, seeded)
       readCentroids(spark, cfg.target).get
     }
-    val postings = Similarity
+    val assigned = Similarity
       .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
+    val postings = (if (cfg.pqM > 0) {
+      val (codebook, m, k) = readPqCodebook(spark, cfg.target).getOrElse {
+        // first PQ batch freezes the codebook — trained on ITS vectors,
+        // the same bootstrap contract as the coarse quantizer above
+        val trained = phase("ivf.pqtrain") {
+          Similarity.pqTrain(batch, cfg.pqM, cfg.pqK, cfg.pqIters,
+            "vec_id", "v", cfg.portableSeeding, cfg.trainSample)
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+            .toSeq
+        }
+        writePqCodebook(cfg.target, cfg.pqM, cfg.pqK, trained)
+        readPqCodebook(spark, cfg.target).get
+      }
+      assigned.join(
+        Similarity.pqEncode(batch, codebook, m, k, "vec_id", "v"),
+        "vec_id")
+    } else assigned)
       .withColumn("net_op", lit("insert"))
       .cache()
     try {
@@ -156,5 +227,34 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
+  }
+
+  /** [[serve]] through the PQ codes — the compressed inverted-list scan:
+    * probed cells' files are read with a (vec_id, cell, codes)
+    * projection, so the vector column's pages are never touched (parquet
+    * column pruning on top of the bucket pruning), and ADC scores
+    * candidates from the frozen codebook's per-query lookup tables.
+    * Requires the store to have been built with `pqM > 0`; refuses
+    * loudly otherwise. Output (qid, rank, nid, dist — ascending
+    * approximate squared L2), ties broken by lowest nid. */
+  def servePq(spark: SparkSession, target: String, queries: DataFrame,
+      topK: Int, nprobe: Int = 4): DataFrame = {
+    val cent = readCentroids(spark, target).getOrElse(
+      throw new IllegalStateException(s"no CENTROIDS at $target — index empty"))
+    val (codebook, m, k) = readPqCodebook(spark, target).getOrElse(
+      throw new IllegalStateException(
+        s"no PQCODEBOOK at $target — store not built with pqM > 0"))
+    // bounded collect: |queries| × nprobe cell ids, then prune the scan
+    // to exactly those chains' files
+    val probed = Similarity
+      .assignCells(queries, cent, "qid", "qv", probes = nprobe, "vec_id", "v")
+      .select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
+    val stored = DeltaStore.readAppendOnly(spark, target, Some(probed)).getOrElse(
+      throw new IllegalStateException(s"index store empty at $target"))
+    if (!stored.columns.contains("codes"))
+      throw new IllegalStateException(
+        s"$target postings carry no codes column — rebuilt without pqM?")
+    val index = stored.select(col("vec_id").as("nid"), col("cell"), col("codes"))
+    Similarity.ivfPqServe(index, queries, cent, codebook, topK, nprobe, m, k)
   }
 }

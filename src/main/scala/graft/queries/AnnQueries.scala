@@ -14,6 +14,81 @@ object AnnQueries {
     table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  private val ivfPqOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |cscored AS (
+        |  SELECT e.vec_id, e.v, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, cell FROM cscored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM cscored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |r AS (
+        |  SELECT vec_id, v,
+        |         row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+        |  FROM e),
+        |ss AS (
+        |  SELECT vec_id, rn, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+        |  FROM r, (SELECT unnest(range(0, 4)) AS sub) s
+        |  WHERE rn <= 256),
+        |cent0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cell, sv AS cv
+        |          FROM ss WHERE rn <= 8),
+        |a0 AS (
+        |  SELECT vec_id, sub, sv, cell FROM (
+        |    SELECT ss.vec_id, ss.sub, ss.sv, c.cell,
+        |      list_sum(list_transform(range(1, 17),
+        |        i -> (ss.sv[i] - c.cv[i]) * (ss.sv[i] - c.cv[i]))) AS dd
+        |    FROM ss JOIN cent0 c USING (sub))
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
+        |cent1 AS (
+        |  SELECT sub, cell, list_transform(range(1, 17), p ->
+        |    list_sum(list_transform(ms, mm -> mm[p])) / len(ms)) AS cv
+        |  FROM (SELECT sub, cell, list(sv ORDER BY vec_id) AS ms
+        |        FROM a0 GROUP BY 1, 2)),
+        |cs AS (
+        |  SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+        |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s),
+        |csd AS (
+        |  SELECT cs.vec_id, cs.sub, c.cell,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (cs.sv[i] - c.cv[i]) * (cs.sv[i] - c.cv[i]))) AS dd
+        |  FROM cs JOIN cent1 c USING (sub)),
+        |enc AS (
+        |  SELECT vec_id, sub, cell FROM csd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
+        |codes AS (
+        |  SELECT vec_id AS nid, list(sub * 8 + cell ORDER BY sub) AS codes
+        |  FROM enc GROUP BY 1),
+        |lut AS (
+        |  SELECT vec_id AS qid,
+        |    list(dd ORDER BY sub, cell) AS lut,
+        |    list(sub * 8 + cell ORDER BY sub, cell) AS lidx
+        |  FROM csd WHERE vec_id < 32 GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT probes.qid, corpus.nid
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid),
+        |sc AS (
+        |  SELECT cand.qid, cand.nid,
+        |    list_sum(list_transform(range(1, 5),
+        |      s -> l.lut[list_position(l.lidx, c.codes[s])])) AS dist
+        |  FROM cand JOIN codes c USING (nid) JOIN lut l ON l.qid = cand.qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact brute-force cosine top-k (query set broadcast; corpus streams).
@@ -340,79 +415,40 @@ object AnnQueries {
           .select("qid", "rank", "nid")
           .orderBy("qid", "rank")
       },
-      Some("""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
-        |         v AS cv
-        |  FROM e
-        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
-        |cscored AS (
-        |  SELECT e.vec_id, e.v, cent.cell,
-        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
-        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
-        |  FROM e CROSS JOIN cent),
-        |corpus AS (
-        |  SELECT vec_id AS nid, cell FROM cscored
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cell FROM cscored WHERE vec_id < 32
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
-        |r AS (
-        |  SELECT vec_id, v,
-        |         row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
-        |  FROM e),
-        |ss AS (
-        |  SELECT vec_id, rn, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
-        |  FROM r, (SELECT unnest(range(0, 4)) AS sub) s
-        |  WHERE rn <= 256),
-        |cent0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cell, sv AS cv
-        |          FROM ss WHERE rn <= 8),
-        |a0 AS (
-        |  SELECT vec_id, sub, sv, cell FROM (
-        |    SELECT ss.vec_id, ss.sub, ss.sv, c.cell,
-        |      list_sum(list_transform(range(1, 17),
-        |        i -> (ss.sv[i] - c.cv[i]) * (ss.sv[i] - c.cv[i]))) AS dd
-        |    FROM ss JOIN cent0 c USING (sub))
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
-        |cent1 AS (
-        |  SELECT sub, cell, list_transform(range(1, 17), p ->
-        |    list_sum(list_transform(ms, mm -> mm[p])) / len(ms)) AS cv
-        |  FROM (SELECT sub, cell, list(sv ORDER BY vec_id) AS ms
-        |        FROM a0 GROUP BY 1, 2)),
-        |cs AS (
-        |  SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
-        |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s),
-        |csd AS (
-        |  SELECT cs.vec_id, cs.sub, c.cell,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (cs.sv[i] - c.cv[i]) * (cs.sv[i] - c.cv[i]))) AS dd
-        |  FROM cs JOIN cent1 c USING (sub)),
-        |enc AS (
-        |  SELECT vec_id, sub, cell FROM csd
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cell) = 1),
-        |codes AS (
-        |  SELECT vec_id AS nid, list(sub * 8 + cell ORDER BY sub) AS codes
-        |  FROM enc GROUP BY 1),
-        |lut AS (
-        |  SELECT vec_id AS qid,
-        |    list(dd ORDER BY sub, cell) AS lut,
-        |    list(sub * 8 + cell ORDER BY sub, cell) AS lidx
-        |  FROM csd WHERE vec_id < 32 GROUP BY 1),
-        |cand AS (
-        |  SELECT DISTINCT probes.qid, corpus.nid
-        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid),
-        |sc AS (
-        |  SELECT cand.qid, cand.nid,
-        |    list_sum(list_transform(range(1, 5),
-        |      s -> l.lut[list_position(l.lidx, c.codes[s])])) AS dist
-        |  FROM cand JOIN codes c USING (nid) JOIN lut l ON l.qid = cand.qid)
-        |SELECT qid,
-        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank,
-        |       nid
-        |FROM sc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+      Some(ivfPqOracle)),
+
+    // The SAME plan served from the PERSISTED index: one batch builds a
+    // PQ-enabled IvfIndex store (frozen coarse quantizer + frozen
+    // codebook + codes in the cell-bucketed postings), and servePq
+    // reads only the probed cells' files with a codes-only projection —
+    // the vector column's parquet pages are never touched. One batch =
+    // the whole corpus, so the frozen state coincides with what
+    // ivfPqTopK trains one-shot and the ORACLE IS SHARED VERBATIM:
+    // store layout, freezing and pruning must all be invisible to the
+    // result.
+    "ivf_index_pq" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-index-pq")
+        try {
+          val cfg = graft.ops.IvfIndex.Config(
+            target = tmp.resolve("index").toString,
+            checkpoint = tmp.resolve("ckpt").toString,
+            cells = 16, portableSeeding = true,
+            pqM = 4, pqK = 8, pqIters = 1, trainSample = 256)
+          graft.ops.IvfIndex.indexBatch(vecs(s, dir), cfg, 0L)
+          val res = graft.ops.IvfIndex.servePq(s, cfg.target,
+            vecs(s, dir).filter(col("vec_id") < 32), topK = 5, nprobe = 4)
+            .select("qid", "rank", "nid")
+            .orderBy("qid", "rank")
+          // materialize into a local relation so the temp index can be
+          // deleted here (a lazy read would pin the dir)
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some(ivfPqOracle)),
 
     // Incremental embedding admission — new (vec_id >= 400) vs corpus
     // (< 400) only, through the sketch-bucketed scale path: candidates

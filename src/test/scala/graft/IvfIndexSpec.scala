@@ -138,4 +138,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("BUCKETBY"),
       "snapshot must refuse: re-bucketing by pk hash would break pruning")
   }
+
+  test("PQ leg: one-batch servePq equals the one-shot IVF+PQ path") {
+    // one batch = the whole corpus, so the frozen quantizer AND frozen
+    // codebook coincide with what ivfPqTopK trains one-shot — serving
+    // from the store must reproduce its ranks exactly
+    val dir = Files.createTempDirectory("graft-ivf-pq").toString
+    val cfg = cfgAt(dir).copy(pqM = 2, pqK = 4, pqIters = 1,
+      trainSample = 64)
+    val corpus = vecsOf(0 until 60)
+    IvfIndex.indexBatch(corpus, cfg, 0L)
+    val queries = vecsOf(0 until 4)
+    val served = IvfIndex.servePq(spark, cfg.target, queries, topK = 3,
+        nprobe = 2)
+      .select("qid", "rank", "nid").orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oneShot = graft.ops.Similarity.ivfPqTopK(corpus, queries, topK = 3,
+        cells = cfg.cells, nprobe = 2, m = 2, k = 4, pqIters = 1,
+        portableSeeding = true, trainSample = 64)
+      .select("qid", "rank", "nid").orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.nonEmpty && served.toSeq === oneShot.toSeq,
+      s"served ${served.toSeq} vs one-shot ${oneShot.toSeq}")
+  }
+
+  test("PQ leg: codebook freezes at batch 0; a plain store refuses servePq") {
+    val dir = Files.createTempDirectory("graft-ivf-pqfreeze").toString
+    val cfg = cfgAt(dir).copy(pqM = 2, pqK = 4, trainSample = 64)
+    IvfIndex.indexBatch(vecsOf(0 until 40), cfg, 0L)
+    val frozen = Files.readAllBytes(
+      java.nio.file.Paths.get(cfg.target, "PQCODEBOOK"))
+    IvfIndex.indexBatch(vecsOf(40 until 80), cfg, 1L)
+    assert(java.util.Arrays.equals(frozen, Files.readAllBytes(
+      java.nio.file.Paths.get(cfg.target, "PQCODEBOOK"))),
+      "a second batch must not re-train the frozen codebook")
+    // postings of BOTH batches carry codes from the frozen codebook
+    val stored = DeltaStore.readAppendOnly(spark, cfg.target).get
+    assert(stored.columns.contains("codes"))
+    assert(stored.filter(size(col("codes")) =!= 2).count() === 0)
+    // a store built WITHOUT the PQ leg refuses loudly
+    val plain = Files.createTempDirectory("graft-ivf-plain").toString
+    val pcfg = cfgAt(plain)
+    IvfIndex.indexBatch(vecsOf(0 until 20), pcfg, 0L)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.servePq(spark, pcfg.target, vecsOf(0 until 2), topK = 2)
+    }
+    assert(e.getMessage.contains("PQCODEBOOK"))
+  }
 }
