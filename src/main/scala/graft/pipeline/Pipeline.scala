@@ -267,7 +267,14 @@ object Pipeline {
           portableSeeding =
             snk.has("portableSeeding") && snk.get("portableSeeding").asBoolean(),
           maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
-            else graft.sink.DeltaStore.defaultMaxChain)
+            else graft.sink.DeltaStore.defaultMaxChain,
+          // "pqM" > 0 adds the PQ leg: codebook frozen on the first
+          // batch, codes in every posting, compressed servePq reads
+          pqM = if (snk.has("pqM")) snk.get("pqM").asInt() else 0,
+          pqK = if (snk.has("pqK")) snk.get("pqK").asInt() else 8,
+          pqIters = if (snk.has("pqIters")) snk.get("pqIters").asInt() else 1,
+          trainSample = if (snk.has("trainSample")) snk.get("trainSample").asInt()
+            else graft.ops.Similarity.defaultTrainSample)
         graft.ops.IvfIndex.indexStream(transformed, icfg)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
