@@ -281,6 +281,72 @@ object Dedup {
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
   }
 
+  /** Sub-document exact SPAN dedup: cut every document into fixed
+    * `chunkTokens`-token chunks, keep each distinct chunk's first
+    * occurrence in corpus order (lowest (id, pos)), and rebuild each
+    * document from its surviving chunks — the chunk-granular
+    * approximation of exact-substring dedup (the reference point is
+    * suffix-array dedup à la "Deduplicating Training Data Makes
+    * Language Models Better"; fixed chunking trades boundary precision
+    * for a fully data-parallel plan). Doc-level exact/near dedup
+    * ([[exact]], LSH) misses this entirely: two documents sharing a
+    * boilerplate paragraph are not near-duplicates, but the paragraph
+    * still trains twice.
+    *
+    * Scale shape — three shuffles, all keyed and bounded:
+    *   1. first-occurrence per chunk hash is `min(struct(id, pos))`
+    *      grouped by the chunk's digest — map-side combinable, so the
+    *      exchange moves ≤ |distinct chunks| rows no matter how hot a
+    *      boilerplate chunk is;
+    *   2. the exploded chunks join the keeper table back on the digest
+    *      (AQE's skew split handles pathological chunks — the join key
+    *      is the hash, never the n² chunk cross product);
+    *   3. per-doc rebuild is a groupBy(id) with a collect_list bounded
+    *      by the document's own chunk count.
+    * The exploded+hashed frame is cached because pass 1 and pass 2 both
+    * consume it (at cluster scale: a checkpointed chunk table).
+    *
+    * Output: one row per input doc — idCol, `n_chunks`, `dup_chunks`
+    * (chunks whose first occurrence is elsewhere — intra- or cross-doc),
+    * `cross_dup_chunks` (first occurrence in a DIFFERENT doc),
+    * `dup_frac`, and `kept_text` (surviving chunks in position order,
+    * space-joined; empty when every chunk is a dup). Chunk text hashes
+    * with md5, so a SQL oracle replays the identical keep decisions. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val k = chunkTokens
+    // let-bind the token array through a 1-element transform (the
+    // groupSketchSim trap: an inlined tokens() re-runs the regex split
+    // per element_at)
+    val chunkArr = element_at(transform(array(TextAnalysis.tokens(col(textCol))),
+      t => when(size(t) >= 1,
+        transform(sequence(lit(0), ceil(size(t) / k.toDouble).cast("int") - 1),
+          i => concat_ws(" ", slice(t, i * k + 1, lit(k)))))
+        .otherwise(array())), 1)
+    val chunks = df
+      .select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .withColumn("_h", md5(col("chunk")))
+      .cache()
+    val keepers = chunks.groupBy("_h")
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val flagged = chunks.join(keepers, "_h")
+      .withColumn("_kept",
+        col(s"_first.$idCol") === col(idCol) && col("_first.pos") === col("pos"))
+      .withColumn("_cross", col(s"_first.$idCol") =!= col(idCol))
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_kept"), 0L).otherwise(1L)).as("dup_chunks"),
+        sum(when(col("_cross"), 1L).otherwise(0L)).as("cross_dup_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_kept"),
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+      .withColumn("dup_frac",
+        col("dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** Group-level MinHash union sketches + pairwise estimated Jaccard —
     * "how much does source A's corpus overlap source B's?" without ever
     * forming document pairs. The union-set sketch needs no per-document

@@ -91,6 +91,46 @@ object Mixing {
       .drop("_u", "_thr")
   }
 
+  /** Deterministic TEMPERATURE sampling: rebalance strata toward the
+    * uniform distribution by keeping stratum i at rate
+    * `(c_min / c_i)^(1 − α)` — the multilingual-pretraining `p^α`
+    * rebalancing (sample language i proportional to its natural share
+    * raised to α), expressed as pure downsampling so no stratum ever
+    * upsamples: α = 1 keeps everything (natural mixture), α = 0 cuts
+    * every stratum to ≈ the smallest stratum's count (uniform mixture),
+    * and values between interpolate. The smallest stratum always keeps
+    * rate 1.
+    *
+    * Same scale/determinism family as [[sampleByRate]]: the keep
+    * decision is the hash-threshold coin, so reruns and increments
+    * agree doc-by-doc, and RAISING α only ever adds docs per stratum
+    * (rate is monotone in α). The only addition is where the rates come
+    * from: one map-side-combinable count per stratum, a 1-row global
+    * min, and a broadcast join of the (stratum, rate) table back onto
+    * the corpus — the corpus itself never shuffles, and nothing is
+    * collected to the driver.
+    *
+    * α = 0.5 computes the rate with `sqrt` — IEEE-correctly-rounded in
+    * every engine, so an external oracle replays the exact threshold;
+    * other α use `pow`, whose last-ulp rounding is libm-specific (fine
+    * in production, where both sides of a rerun are Spark). */
+  def sampleByTemperature(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_c"))
+    val cmin = counts.agg(min(col("_c")).as("_cmin"))
+    val ratio = col("_cmin").cast("double") / col("_c")
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col(strataCol), rate.as("_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashSlice(col(idCol)) < col("_rate") * 65536.0)
+      .drop("_rate")
+  }
+
   /** Shard-parallel sequence packing, concat-offset form: within each
     * of `nShards` hash-shards, docs are laid out in id order and cut
     * into packs at fixed `ctxTokens` boundaries — a doc is assigned to
@@ -214,6 +254,36 @@ object Mixing {
     * arithmetic makes the assignment engine-portable. Balance degrades
     * only when a single key's count exceeds a group's share (then that
     * key IS its group, the best any whole-key layout can do). */
+  /** Z-ORDER (Morton) layout over two columns: bucket each column into
+    * 2^bitsPerDim count-balanced ranges ([[rangeLayout]] twice), then
+    * interleave the bucket bits into a single `zbucket` in
+    * [0, 4^bitsPerDim). Writing files clustered by `zbucket` gives
+    * every file a bounded min/max range on BOTH columns simultaneously
+    * — the multi-dimensional data-skipping layout: at 100 TB a scan
+    * filtered on EITHER column prunes ~(1 − 1/2^bitsPerDim) of the
+    * files from parquet footer stats alone, where a single-column sort
+    * only ever prunes on its leading column. (This is the same trick
+    * lakehouse OPTIMIZE ZORDER BY applies; here it composes with
+    * [[rangeLayout]]'s whole-key contiguity and bounded-histogram
+    * scale shape — the corpus itself never globally sorts.)
+    *
+    * Assignment is map-only against broadcast boundary literals (two
+    * bounded histogram folds derive them); the interleave is integer
+    * shift/mask arithmetic, codegen'd and engine-portable. */
+  def zorderLayout(df: DataFrame, colA: String, colB: String,
+      bitsPerDim: Int = 3, maxDistinct: Int = 1 << 20): DataFrame = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 12,
+      s"bitsPerDim must be in [1, 12], got $bitsPerDim")
+    val n = 1 << bitsPerDim
+    val withA = rangeLayout(df, colA, n, maxDistinct).withColumnRenamed("grp", "_ga")
+    val withB = rangeLayout(withA, colB, n, maxDistinct).withColumnRenamed("grp", "_gb")
+    val z = (0 until bitsPerDim).map { i =>
+      shiftright(col("_ga"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("_gb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    withB.withColumn("zbucket", z).drop("_ga", "_gb")
+  }
+
   def rangeLayout(df: DataFrame, keyCol: String, nGroups: Int,
       maxDistinct: Int = 1 << 20): DataFrame = {
     require(nGroups >= 1 && nGroups <= 4096,

@@ -621,6 +621,71 @@ object AnnQueries {
         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
         |       nid
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // Index-quality evaluation: recall@5 of the IVF serve against the
+    // exact brute-force ground truth, per query — the metric an ANN
+    // deployment tunes nprobe/cells against. Both legs run in ONE plan
+    // (the truth leg broadcasts the query set; the IVF leg prunes to
+    // probed cells), and the oracle recomputes both legs AND the
+    // intersection, so the reported recall itself is value-checked.
+    "ann_recall" -> QueryDef(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < 32)
+        val truth = Similarity.bruteTopK(e, q, k = 5).select("qid", "nid")
+        val approx = Similarity.ivfTopK(e, q, k = 5, cells = 16, nprobe = 4,
+          portableSeeding = true).select("qid", "nid")
+        val hits = truth.join(approx, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+          .withColumn("recall", col("hits").cast("double") / 5.0)
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 32),
+        |bp AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(v,  x -> x * x)))) AS cos
+        |  FROM q0 CROSS JOIN e WHERE e.vec_id <> qid),
+        |bt AS (
+        |  SELECT qid, nid FROM bp
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, v AS nv, cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid),
+        |iv AS (
+        |  SELECT qid, nid FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5),
+        |h AS (SELECT qid, COUNT(*) AS hits FROM bt JOIN iv USING (qid, nid) GROUP BY qid)
+        |SELECT q0.qid AS qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM q0 LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin))
   )
 }

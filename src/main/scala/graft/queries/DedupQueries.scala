@@ -50,6 +50,46 @@ object DedupQueries {
       Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // Sub-document exact span dedup: fixed 8-token chunks, the corpus's
+    // first occurrence of each distinct chunk wins, and every document
+    // is rebuilt from its surviving chunks. The keep decision AND the
+    // rebuilt text are value-checked (kept_md5), so the oracle verifies
+    // chunking, the first-occurrence tie-break, and the position-order
+    // reassembly — not just the dup counts.
+    "dedup_spans" -> QueryDef(
+      (s, dir) => {
+        Dedup.chunkDedup(table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 8)
+          .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            col("cross_dup_chunks"), col("dup_frac"),
+            md5(col("kept_text")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT)),
+        |      i -> struct_pack(pos := i,
+        |        chunk := array_to_string(toks[(i*8+1):(i*8+8)], ' ')))) AS u
+        |  FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.chunk AS chunk FROM c0),
+        |k AS (
+        |  SELECT chunk, min(doc_id * 1048576 + pos) AS firstk FROM c GROUP BY chunk),
+        |f AS (
+        |  SELECT c.doc_id, c.pos, c.chunk,
+        |    (c.doc_id * 1048576 + c.pos = k.firstk) AS kept,
+        |    (CAST(k.firstk // 1048576 AS BIGINT) <> c.doc_id) AS crossdup
+        |  FROM c JOIN k USING (chunk))
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+        |  md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // Bounded quadratic baseline: exact trigram-shingle Jaccard over
     // same-language pairs, doc_id < 500 (the spec for the LSH path).
     "dedup_ngram" -> QueryDef(

@@ -44,6 +44,28 @@ object MixQueries {
         |                    WHEN 'zh' THEN 49152 ELSE 65536 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature mixing: rebalance languages toward uniform with
+    // α = 0.5 (the multilingual p^α rule as pure downsampling — the
+    // smallest language keeps rate 1, the largest is cut hardest).
+    // Rates derive from per-stratum counts inside the plan (count agg →
+    // 1-row min → broadcast join); α = 0.5 uses sqrt so the oracle
+    // replays the exact IEEE threshold, making this a row-level value
+    // check of the keep decisions, not a count check.
+    "mix_temperature" -> QueryDef(
+      (s, dir) => {
+        Mixing.sampleByTemperature(table(s, dir, "documents"),
+          "lang", "doc_id", alpha = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte,
+        |cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        sqrt(CAST((SELECT MIN(c) FROM cnt) AS DOUBLE) / c) AS rate
+        |      FROM cnt)
+        |SELECT doc_id, u.lang AS lang FROM u JOIN r ON u.lang = r.lang
+        |WHERE u < rate * 65536.0 ORDER BY doc_id""".stripMargin)),
+
     // Token-budget mixing: cut en to 6000 tokens and de to 2000 (other
     // langs untouched) by the deterministic hash-slice threshold — the
     // "sample each language down to N training tokens" primitive.
@@ -182,6 +204,44 @@ object MixQueries {
         |  CAST(MAX(d.n_chars) AS BIGINT) AS hi_chars
         |FROM documents d JOIN g ON d.n_chars = g.k
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order release layout over (l_partkey, l_suppkey): 8×8
+    // count-balanced buckets per dimension, bucket bits interleaved
+    // into 64 z-buckets. The witness output is each z-bucket's min/max
+    // on BOTH columns — the per-file footer stats a 100-TB scan would
+    // prune against on either predicate; the oracle re-derives the
+    // histograms, boundaries, and bit interleave, so the whole layout
+    // assignment is value-checked.
+    "release_zorder" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        Mixing.zorderLayout(li, "l_partkey", "l_suppkey", bitsPerDim = 3)
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_partkey").cast("long").as("lo_part"),
+            max("l_partkey").cast("long").as("hi_part"),
+            min("l_suppkey").cast("long").as("lo_supp"),
+            max("l_suppkey").cast("long").as("hi_supp"))
+          .orderBy("zbucket")
+      },
+      Some("""WITH ca AS (SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |cuma AS (SELECT k, SUM(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS hi,
+        |                SUM(cnt) OVER () AS total FROM ca),
+        |ga AS (SELECT k, CAST((hi-1)*8 // total AS BIGINT) AS g FROM cuma),
+        |cb AS (SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |cumb AS (SELECT k, SUM(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS hi,
+        |                SUM(cnt) OVER () AS total FROM cb),
+        |gb AS (SELECT k, CAST((hi-1)*8 // total AS BIGINT) AS g FROM cumb),
+        |z AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    ((ga.g >> 0) & 1) * 1 + ((gb.g >> 0) & 1) * 2
+        |  + ((ga.g >> 1) & 1) * 4 + ((gb.g >> 1) & 1) * 8
+        |  + ((ga.g >> 2) & 1) * 16 + ((gb.g >> 2) & 1) * 32 AS zbucket
+        |  FROM lineitem l JOIN ga ON l.l_partkey = ga.k JOIN gb ON l.l_suppkey = gb.k)
+        |SELECT CAST(zbucket AS BIGINT) AS zbucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(l_partkey) AS BIGINT) AS lo_part, CAST(MAX(l_partkey) AS BIGINT) AS hi_part,
+        |  CAST(MIN(l_suppkey) AS BIGINT) AS lo_supp, CAST(MAX(l_suppkey) AS BIGINT) AS hi_supp
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Benchmark decontamination: docs sharing any verbatim 5-gram with
     // the "benchmark" split (doc_id < 50 plays the eval suite), with

@@ -196,4 +196,48 @@ class MixingSpec extends SparkSpec {
     assert(Decontaminate.contaminated(
       corpus.filter($"doc_id" > 10), bench, "doc_id", "text", n = 5).isEmpty)
   }
+
+  test("zorderLayout: balanced buckets with 2-D locality") {
+    val grid = spark.range(0, 1024).select(
+      (col("id") % 32).as("a"), floor(col("id") / 32).cast("long").as("b"))
+    val per = Mixing.zorderLayout(grid, "a", "b", bitsPerDim = 2)
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"), min("a").as("la"), max("a").as("ha"),
+        min("b").as("lb"), max("b").as("hb"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(per.length == 16)
+    // a uniform 32×32 grid splits into 16 exactly-balanced buckets...
+    assert(per.forall(_._2 == 64), per.mkString(","))
+    // ...each spanning 1/4 of EACH dimension — the 2-D locality a
+    // single-column sort cannot give its trailing column
+    assert(per.forall(r => r._4 - r._3 == 7 && r._6 - r._5 == 7),
+      per.mkString(","))
+  }
+
+  test("sampleByTemperature: alpha interpolates natural to uniform, monotone") {
+    def kept(alpha: Double): Map[String, Set[Long]] =
+      Mixing.sampleByTemperature(docs, "lang", "doc_id", alpha)
+        .select("lang", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val natural = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val cmin = natural.values.min
+    // α = 1: the natural mixture, untouched
+    assert(kept(1.0).map { case (l, s) => l -> s.size.toLong } == natural)
+    // the smallest stratum is never downsampled at any α
+    val smallest = natural.minBy(_._2)._1
+    val k0 = kept(0.0)
+    assert(k0(smallest).size.toLong == natural(smallest))
+    // α = 0: every stratum lands near c_min (hash-slice quantization
+    // scatter, ±20% at fixture counts)
+    k0.foreach { case (l, s) =>
+      assert(math.abs(s.size - cmin) <= cmin * 0.2 + 2,
+        s"$l kept ${s.size}, want ≈ $cmin") }
+    // raising α only ever ADDS docs, per stratum (re-mix is a delta)
+    val (k3, k7) = (kept(0.3), kept(0.7))
+    k3.foreach { case (l, s) => assert(s.subsetOf(k7(l)), s"non-monotone at $l") }
+    assert(intercept[IllegalArgumentException](
+      Mixing.sampleByTemperature(docs, "lang", "doc_id", 1.5))
+      .getMessage.contains("alpha"))
+  }
 }

@@ -579,4 +579,29 @@ class OpsSpec extends SparkSpec {
       Dedup.groupSketchSim(df, "source", "text", perms = 8, maxGroups = 2).collect())
     assert(causeMessages(e).exists(_.contains("caller-bounded")), s"got: $e")
   }
+
+  test("chunk dedup: first occurrence wins, intra/cross split, rebuilt text") {
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val a8 = words("a", 8); val b8 = words("b", 8); val c8 = words("c", 8)
+    val q8 = (1 to 8).map(_ => "q").mkString(" ")
+    val df = Seq(
+      (1L, s"$a8 $b8"),   // both chunks novel
+      (2L, s"$a8 $c8"),   // chunk 0 cross-dup of doc 1, chunk 1 novel
+      (3L, s"$b8 $b8"),   // both chunks cross-dups of doc 1 → rebuilt empty
+      (5L, s"$q8 $q8")    // chunk 1 intra-doc dup (first occurrence doc 5 pos 0)
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 8)
+      .select("doc_id", "n_chunks", "dup_chunks", "cross_dup_chunks", "kept_text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 2L, 0L, 0L, s"$a8 $b8")))
+    assert(r(1) == ((2L, 2L, 1L, 1L, c8)))
+    assert(r(2) == ((3L, 2L, 2L, 2L, "")))
+    assert(r(3) == ((5L, 2L, 1L, 0L, q8)))
+    // short tail chunk: 10 tokens → chunks of 8 and 2, reassembled intact
+    val tail = Seq((9L, words("t", 10))).toDF("doc_id", "text")
+    val t = Dedup.chunkDedup(tail, "doc_id", "text", chunkTokens = 8)
+      .select("n_chunks", "kept_text").as[(Long, String)].head()
+    assert(t == ((2L, words("t", 10))))
+  }
 }
