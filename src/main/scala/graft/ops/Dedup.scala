@@ -294,10 +294,16 @@ object Dedup {
     * still trains twice.
     *
     * Scale shape — three shuffles, all keyed and bounded:
-    *   1. first-occurrence per chunk hash is `min(struct(id, pos))`
-    *      grouped by the chunk's digest — map-side combinable, so the
+    *   1. first-occurrence per chunk hash is a `min` over the packed
+    *      `(id << 20) | pos` long, grouped by the chunk's digest —
+    *      map-side combinable AND a pure codegen'd HashAggregate (a
+    *      `min(struct(id, pos))` formulation is semantically identical
+    *      but its struct buffer forces SortAggregate, sorting the whole
+    *      exploded chunk stream on both sides of the exchange), so the
     *      exchange moves ≤ |distinct chunks| rows no matter how hot a
-    *      boilerplate chunk is;
+    *      boilerplate chunk is. The packing bounds are guarded loudly:
+    *      ≥ 2^20 chunks in one doc (8M+ tokens) or |id| ≥ 2^42 raise
+    *      instead of silently mis-ordering;
     *   2. the exploded chunks join the keeper table back on the digest
     *      (AQE's skew split handles pathological chunks — the join key
     *      is the hash, never the n² chunk cross product);
@@ -324,16 +330,27 @@ object Dedup {
         transform(sequence(lit(0), ceil(size(t) / k.toDouble).cast("int") - 1),
           i => concat_ws(" ", slice(t, i * k + 1, lit(k)))))
         .otherwise(array())), 1)
+    val posBits = 20
+    val idl = col(idCol).cast("long")
+    val enc = when(col("pos") >= (1L << posBits),
+      raise_error(concat(lit("chunkDedup: > 2^20 chunks in one document (id "),
+        idl.cast("string"), lit(") — the (id, pos) packing would mis-order")))
+        .cast("long"))
+      .otherwise(when(abs(idl) >= (1L << 42),
+        raise_error(concat(lit("chunkDedup: |id| "), idl.cast("string"),
+          lit(" >= 2^42 — the (id, pos) packing would overflow"))).cast("long"))
+        .otherwise(idl * (1L << posBits) + col("pos")))
     val chunks = df
       .select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
       .withColumn("_h", md5(col("chunk")))
+      .withColumn("_enc", enc)
       .cache()
-    val keepers = chunks.groupBy("_h")
-      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
     val flagged = chunks.join(keepers, "_h")
-      .withColumn("_kept",
-        col(s"_first.$idCol") === col(idCol) && col("_first.pos") === col("pos"))
-      .withColumn("_cross", col(s"_first.$idCol") =!= col(idCol))
+      .withColumn("_kept", col("_enc") === col("_first"))
+      .withColumn("_cross",
+        col("_first") < docBase || col("_first") >= docBase + (1L << posBits))
     flagged.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -151,6 +151,28 @@ class PlanSpec extends SparkSpec {
       "a struct-typed agg buffer fell back to SortAggregate")
   }
 
+  test("dedup_spans: keeper min is a pure hash agg on the packed long") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct"),
+      "span dedup must meet on the chunk-hash equi-join")
+    // the first-occurrence agg runs BEFORE the rebuild's collect_list
+    // aggs: it must be codegen'd HashAggregate (a struct-min buffer
+    // would sort the whole exploded chunk stream)
+    assert(!p.contains("SortAggregate"),
+      "keeper min fell back to SortAggregate — keep the (id,pos) packing")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("release_zorder: assignment is map-only — one exchange for the final agg") {
+    val p = plan("release_zorder")
+    // boundary folds happen at plan-build time (bounded collects);
+    // the executed plan is scan → project(z) → partial agg → exchange →
+    // final agg: exactly ONE keyed exchange, nothing else moves rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("admission candidate scan prunes to (doc_id, bands) — never the arrays") {
     // the point of persisting the packed band column: candidate
     // generation must read fixed-width band structs WITHOUT dragging the
