@@ -130,6 +130,30 @@ object ScaleProbe {
         s""""pairs_1":$p1,"pairs_k":$pk,"ratio":${dk / d1},"sf":"$sfDir"}""")
     }
 
+    // Sub-document span dedup: same suffix-salted ×k construction —
+    // cross-copy chunks are token-bijective to the originals, so
+    // distinct chunks and the keeper exchange grow ×k with identical
+    // per-copy dup structure. Honest expectation: ≈ ×k (keeper min is
+    // map-side combined; the hash join and per-doc rebuild are linear
+    // in exploded chunks).
+    def spansAt(n: Int): (Double, Long) = {
+      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val d = mat((0 until n).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + i * span)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+      }.reduce(_ unionByName _), s"spans$n")
+      try time(graft.ops.Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 8)
+        .agg(sum("dup_chunks")).head().getLong(0))
+      finally { spark.catalog.clearCache() }
+    }
+    if (want("dedup_spans")) {
+      spansAt(1) // warm
+      val (s1, d1) = spansAt(1)
+      val (sk, dk) = spansAt(k)
+      println(s"""{"probe":"dedup_spans","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
+        s""""dups_1":$d1,"dups_k":$dk,"ratio":${sk / s1},"sf":"$sfDir"}""")
+    }
+
     // Streaming corpus admission, STATEFUL: documents ×k (same
     // suffix-salted construction — cross-copy shingles disjoint, so
     // admissions grow ×k, not collisions²) fed as 4 sequential batches
