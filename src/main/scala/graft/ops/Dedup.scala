@@ -320,6 +320,25 @@ object Dedup {
     * with md5, so a SQL oracle replays the identical keep decisions. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 8): DataFrame = {
+    val chunks = chunkFrame(df, idCol, textCol, chunkTokens).cache()
+    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
+    val flagged = chunks.join(keepers, "_h")
+      .withColumn("_kept", col("_enc") === col("_first"))
+      .withColumn("_cross",
+        col("_first") < docBase || col("_first") >= docBase + (1L << chunkPosBits))
+    perDocRebuild(flagged, idCol)
+  }
+
+  private[ops] val chunkPosBits = 20
+
+  /** The exploded chunk frame both span-dedup forms share: one row per
+    * (doc, chunk position) carrying the chunk text, its md5 digest
+    * `_h`, and the packed corpus-order key `_enc` = (id << 20) | pos
+    * (both packing bounds raise loudly — see [[chunkDedup]]). UNCACHED:
+    * callers own materialization (every consumer reads it ≥ twice). */
+  private[ops] def chunkFrame(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
     val k = chunkTokens
     // let-bind the token array through a 1-element transform (the
@@ -330,27 +349,23 @@ object Dedup {
         transform(sequence(lit(0), ceil(size(t) / k.toDouble).cast("int") - 1),
           i => concat_ws(" ", slice(t, i * k + 1, lit(k)))))
         .otherwise(array())), 1)
-    val posBits = 20
     val idl = col(idCol).cast("long")
-    val enc = when(col("pos") >= (1L << posBits),
+    val enc = when(col("pos") >= (1L << chunkPosBits),
       raise_error(concat(lit("chunkDedup: > 2^20 chunks in one document (id "),
         idl.cast("string"), lit(") — the (id, pos) packing would mis-order")))
         .cast("long"))
       .otherwise(when(abs(idl) >= (1L << 42),
         raise_error(concat(lit("chunkDedup: |id| "), idl.cast("string"),
           lit(" >= 2^42 — the (id, pos) packing would overflow"))).cast("long"))
-        .otherwise(idl * (1L << posBits) + col("pos")))
-    val chunks = df
-      .select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
+        .otherwise(idl * (1L << chunkPosBits) + col("pos")))
+    df.select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
       .withColumn("_h", md5(col("chunk")))
       .withColumn("_enc", enc)
-      .cache()
-    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
-    val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
-    val flagged = chunks.join(keepers, "_h")
-      .withColumn("_kept", col("_enc") === col("_first"))
-      .withColumn("_cross",
-        col("_first") < docBase || col("_first") >= docBase + (1L << posBits))
+  }
+
+  /** Per-doc stats + surviving-chunk reassembly over a flagged chunk
+    * frame (`_kept`, `_cross` set by the caller's keep policy). */
+  private[ops] def perDocRebuild(flagged: DataFrame, idCol: String): DataFrame =
     flagged.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -362,6 +377,36 @@ object Dedup {
           x => x.getField("chunk")), " ").as("kept_text"))
       .withColumn("dup_frac",
         col("dup_chunks").cast("double") / col("n_chunks"))
+
+  /** INCREMENTAL span dedup: flag a new batch's chunks against a
+    * persisted corpus chunk-digest set (`corpusHashes`: one `_h`
+    * column) plus the batch's own first occurrences — the admission
+    * form of [[chunkDedup]] for a recurring crawl. A chunk is a dup if
+    * the corpus has ever seen it OR an earlier (id, pos) in THIS batch
+    * has it; `_cross` counts corpus hits and batch hits from other
+    * docs. Returns the flagged chunk frame (callers aggregate with
+    * [[perDocRebuild]] and derive the novel digests to append).
+    *
+    * Scale shape: batch-first keepers are the same map-side-combined
+    * hash agg as [[chunkDedup]]; the corpus probe is a left-semi-style
+    * join on the digest — the corpus side is a single narrow column
+    * (pruned to `_h` at the scan), it is never rewritten, and
+    * corpus×corpus pairs never form. Per-batch cost is
+    * O(batch chunks + corpus digest scan); at extreme store sizes the
+    * digest scan prunes further by bucketing the store on the digest
+    * and reading only buckets the batch touches. */
+  def chunkFlagsAgainst(chunks: DataFrame, corpusHashes: DataFrame,
+      idCol: String): DataFrame = {
+    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_bfirst"))
+    val hits = corpusHashes.select(col("_h")).distinct()
+      .withColumn("_in_corpus", lit(true))
+    val docBase = col("_enc") - col("pos")
+    chunks.join(keepers, "_h")
+      .join(hits, Seq("_h"), "left")
+      .withColumn("_hit", coalesce(col("_in_corpus"), lit(false)))
+      .withColumn("_kept", !col("_hit") && col("_enc") === col("_bfirst"))
+      .withColumn("_cross", col("_hit") ||
+        col("_bfirst") < docBase || col("_bfirst") >= docBase + (1L << chunkPosBits))
   }
 
   /** Group-level MinHash union sketches + pairwise estimated Jaccard —

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sink.DeltaStore
+
+/** Incremental sub-document span dedup against a persisted chunk-digest
+  * store — the admission form of [[Dedup.chunkDedup]] for a recurring
+  * crawl: each arriving batch of documents is span-deduped against
+  * everything admitted before it, and only its NOVEL chunk digests are
+  * appended to the store.
+  *
+  * Store shape: one row per distinct chunk digest ever admitted
+  * (`_h`, 32-hex md5) in a [[graft.sink.DeltaStore]] append-only
+  * layout — pk-bucketed generations, atomic MANIFEST flip, one
+  * generation per batch. The store is insert-only by construction (a
+  * digest, once seen, never changes), so appends are O(|novel|), reads
+  * are a plain chain-union scan with no LWW fold, and the chain cap
+  * folds buckets LSM-style. At 100 TB of corpus the store holds
+  * |distinct chunks| fixed-width rows — the digest column prunes at
+  * the parquet footer, so the per-batch probe scan moves 16-byte
+  * digests, never chunk text.
+  *
+  * Replay contract (same family as [[Admission]]): the append is
+  * generation-keyed by `batchId` — an at-least-once redelivery of an
+  * UNFLIPPED batch recomputes deterministically against the pre-batch
+  * store and overwrites its own partial output; a batch whose flip
+  * already happened is detected and skipped by the store layer. Note
+  * that RE-RUNNING an already-flipped batch recomputes stats against a
+  * store that now contains the batch's own chunks (everything reads as
+  * dup — conservative, and the store itself is unharmed); drive
+  * batches from a streaming checkpoint so committed batches are not
+  * re-presented.
+  */
+object SpanStore {
+
+  /** @param target      DeltaStore directory for the digest store
+    * @param chunkTokens fixed chunk width in tokens
+    * @param nBuckets    store bucket count (digest-hashed)
+    * @param maxChain    per-bucket delta-chain cap before a fold */
+  final case class Config(target: String, chunkTokens: Int = 8,
+      nBuckets: Int = 16, maxChain: Int = DeltaStore.defaultMaxChain)
+
+  /** The persisted digest set (None before the first flip). */
+  def readHashes(spark: SparkSession, target: String): Option[DataFrame] =
+    DeltaStore.readAppendOnly(spark, target).map(_.select("_h"))
+
+  /** Span-dedup one batch against the store and append its novel
+    * digests: returns the per-doc stats frame (same columns as
+    * [[Dedup.chunkDedup]]), MATERIALIZED before the store flip so the
+    * caller's read cannot race the manifest. */
+  def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
+    try {
+      val corpus = readHashes(spark, cfg.target)
+        .getOrElse(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_h",
+              org.apache.spark.sql.types.StringType)))))
+      val flagged = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id").cache()
+      try {
+        // materialize stats BEFORE the flip, distributed (eager
+        // localCheckpoint severs the lineage): a post-flip lazy
+        // evaluation of the corpus probe would see this batch's own
+        // digests; a driver collect would not scale past gate inputs
+        val stats = Dedup.perDocRebuild(flagged, "doc_id").localCheckpoint(true)
+        val novel = flagged.filter(col("_kept")).select(col("_h")).distinct()
+        DeltaStore.append(novel.withColumn("net_op", lit("insert")),
+          cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
+        stats
+      } finally { flagged.unpersist(); () }
+    } finally { chunks.unpersist(); () }
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.source.Changelog.table
-import graft.ops.{Clusters, Dedup, TextAnalysis}
+import graft.ops.{Clusters, Dedup, SpanStore, TextAnalysis}
 
 /** Deduplication queries over `documents`. The MinHash+LSH query is the
   * scale path (runs unbounded — candidate generation is a bucket join);
@@ -89,6 +89,53 @@ object DedupQueries {
         |  md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       bench = true),
+
+    // INCREMENTAL span dedup — the admission form: batch 1 (even ids)
+    // seeds a persisted chunk-digest DeltaStore, batch 2 (odd ids) is
+    // span-deduped against store + itself and appends only its novel
+    // digests. The gate checks batch 2's per-doc stats AND rebuilt
+    // text, so the store round trip (append → manifest flip → probe
+    // scan) is value-verified, not just counted.
+    "dedup_span_incr" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-span-incr")
+        try {
+          val docs = table(s, dir, "documents")
+          val cfg = SpanStore.Config(s"$tmp/store", chunkTokens = 8)
+          SpanStore.admitBatch(docs.filter(col("doc_id") % 2 === 0), cfg, 0L)
+          val stats = SpanStore.admitBatch(docs.filter(col("doc_id") % 2 === 1), cfg, 1L)
+          val res = stats.select(col("doc_id"), col("n_chunks"),
+            col("dup_chunks"), col("cross_dup_chunks"), col("dup_frac"),
+            md5(col("kept_text")).as("kept_md5"))
+            .orderBy("doc_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT)),
+        |    i -> struct_pack(pos := i, chunk := array_to_string(toks[(i*8+1):(i*8+8)], ' ')))) AS u
+        |  FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.chunk AS chunk FROM c0),
+        |b1 AS (SELECT DISTINCT chunk FROM c WHERE doc_id % 2 = 0),
+        |k2 AS (SELECT chunk, min(doc_id * 1048576 + pos) AS firstk
+        |       FROM c WHERE doc_id % 2 = 1 GROUP BY chunk),
+        |f AS (
+        |  SELECT c.doc_id, c.pos, c.chunk,
+        |    (b1.chunk IS NOT NULL) AS hit, k2.firstk AS firstk
+        |  FROM c JOIN k2 USING (chunk) LEFT JOIN b1 USING (chunk)
+        |  WHERE c.doc_id % 2 = 1),
+        |g AS (
+        |  SELECT doc_id, pos, chunk,
+        |    (NOT hit AND doc_id * 1048576 + pos = firstk) AS kept,
+        |    (hit OR CAST(firstk // 1048576 AS BIGINT) <> doc_id) AS crossdup
+        |  FROM f)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+        |  md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Bounded quadratic baseline: exact trigram-shingle Jaccard over
     // same-language pairs, doc_id < 500 (the spec for the LSH path).

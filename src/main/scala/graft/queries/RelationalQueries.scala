@@ -46,6 +46,30 @@ object RelationalQueries {
       Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ORC round-trip on `documents` — the third columnar format a
+    // lakehouse deployment meets (Spark's ORC support is native:
+    // vectorized reader, predicate pushdown, footer stats). ORC is
+    // binary-faithful for every type here, so the oracle is again the
+    // parquet original.
+    "fmt_orc" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt-orc")
+        try {
+          val docs = table(s, dir, "documents")
+          docs.write.mode("overwrite").orc(s"$tmp/docs")
+          val back = s.read.orc(s"$tmp/docs")
+          val res = back.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // CSV round-trip on `part` (quoted strings, ints, doubles — Spark's
     // writer quotes as needed and Double.toString round-trips exactly).
     "fmt_csv" -> QueryDef(
