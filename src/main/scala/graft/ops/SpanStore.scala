@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.sink.DeltaStore
 
 /** Incremental sub-document span dedup against a persisted chunk-digest
@@ -45,6 +46,13 @@ object SpanStore {
   def readHashes(spark: SparkSession, target: String): Option[DataFrame] =
     DeltaStore.readAppendOnly(spark, target).map(_.select("_h"))
 
+  private def emptyHashes(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_h",
+          org.apache.spark.sql.types.StringType))))
+
   /** Span-dedup one batch against the store and append its novel
     * digests: returns the per-doc stats frame (same columns as
     * [[Dedup.chunkDedup]]), MATERIALIZED before the store flip so the
@@ -53,12 +61,7 @@ object SpanStore {
     val spark = batch.sparkSession
     val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
     try {
-      val corpus = readHashes(spark, cfg.target)
-        .getOrElse(spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("_h",
-              org.apache.spark.sql.types.StringType)))))
+      val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
       val flagged = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id").cache()
       try {
         // materialize stats BEFORE the flip, distributed (eager
@@ -73,4 +76,38 @@ object SpanStore {
       } finally { flagged.unpersist(); () }
     } finally { chunks.unpersist(); () }
   }
+
+  /** [[admitBatch]] without the per-doc stats materialization — the
+    * streaming driver's form (stats are an audit output; the stream
+    * needs only the append). Returns the novel-digest count. */
+  def admitOnly(batch: DataFrame, cfg: Config, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
+    try {
+      val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
+      val novel = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id")
+        .filter(col("_kept")).select(col("_h")).distinct().cache()
+      try {
+        val n = novel.count() // materialize before the flip GCs old gens
+        DeltaStore.append(novel.withColumn("net_op", lit("insert")),
+          cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
+        n
+      } finally { novel.unpersist(); () }
+    } finally { chunks.unpersist(); () }
+  }
+
+  /** Drive [[admitOnly]] over an unbounded (doc_id, text) stream —
+    * checkpointed, replay-safe (the generation-keyed flip skips
+    * committed batches on redelivery). */
+  def admissionStream(newDocs: DataFrame, cfg: Config, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.PhaseClock.count("batches")
+        graft.PhaseClock.time("apply") { admitOnly(batch, cfg, id) }
+        ()
+      }
+      .start()
 }

@@ -256,6 +256,17 @@ object Pipeline {
           maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
             else graft.sink.DeltaStore.defaultMaxChain)
         graft.ops.Admission.admissionStream(transformed, acfg)
+      case "span_admit" =>
+        // streaming sub-document span dedup: each micro-batch is
+        // chunk-deduped against the persisted chunk-digest store and
+        // appends only its novel digests — graft.ops.SpanStore.admitOnly
+        val scfg = graft.ops.SpanStore.Config(
+          target = snk.get("path").asText(),
+          chunkTokens = if (snk.has("chunkTokens")) snk.get("chunkTokens").asInt() else 8,
+          nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 16,
+          maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
+            else graft.sink.DeltaStore.defaultMaxChain)
+        graft.ops.SpanStore.admissionStream(transformed, scfg, ckpt)
       case "ivf_append" =>
         // streaming IVF index maintenance: first batch seeds + freezes
         // the coarse quantizer, every batch appends cell-bucketed

@@ -45,4 +45,33 @@ class SpanStoreSpec extends SparkSpec {
     assert(s3 == Seq((5L, 2L, 1L, 1L, d8)))
     assert(SpanStore.readHashes(spark, cfg.target).get.count() == 4)
   }
+
+  test("config-driven streaming span admission drains; restart is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-cfg")
+    val cfg = s"""{
+      "source": {"type": "documents_stream", "dir": "$sf", "slices": 3},
+      "processors": [],
+      "sink": {"type": "span_admit", "path": "${dir.resolve("store")}",
+               "checkpoint": "${dir.resolve("ckpt")}", "chunkTokens": 8}
+    }"""
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    val store = SpanStore.readHashes(spark, dir.resolve("store").toString).get
+    val n = store.count()
+    assert(n > 0)
+    // the store holds exactly the corpus's distinct chunk set: slicing
+    // only changes which batch owns a digest, never the union
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // distinct chunks = the batch-mode keeper count (kept = first
+    // occurrence, exactly one per distinct chunk)
+    val want = graft.ops.Dedup.chunkDedup(docs, "doc_id", "text", 8)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_chunks") -
+          org.apache.spark.sql.functions.col("dup_chunks")))
+      .head().getLong(0)
+    assert(n == want, s"store has $n digests, corpus has $want distinct chunks")
+    // restart from the same checkpoint: no new batches, store unchanged
+    graft.pipeline.Pipeline.runStream(spark, cfg)
+    assert(SpanStore.readHashes(spark, dir.resolve("store").toString)
+      .get.count() == n)
+  }
 }
