@@ -319,8 +319,12 @@ object Dedup {
     * space-joined; empty when every chunk is a dup). Chunk text hashes
     * with md5, so a SQL oracle replays the identical keep decisions. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8): DataFrame = {
-    val chunks = chunkFrame(df, idCol, textCol, chunkTokens).cache()
+      chunkTokens: Int = 8): DataFrame =
+    dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens).cache(), idCol)
+
+  /** Keeper + flag + rebuild over any (idCol, pos, chunk, _h, _enc)
+    * chunk frame — shared by the fixed and content-defined chunkers. */
+  private def dedupChunkFrame(chunks: DataFrame, idCol: String): DataFrame = {
     val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
     val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
     val flagged = chunks.join(keepers, "_h")
@@ -349,8 +353,15 @@ object Dedup {
         transform(sequence(lit(0), ceil(size(t) / k.toDouble).cast("int") - 1),
           i => concat_ws(" ", slice(t, i * k + 1, lit(k)))))
         .otherwise(array())), 1)
+    df.select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .withColumn("_h", md5(col("chunk")))
+      .withColumn("_enc", packEnc(idCol))
+  }
+
+  /** The packed (id << 20) | pos corpus-order key, bounds guarded. */
+  private def packEnc(idCol: String): Column = {
     val idl = col(idCol).cast("long")
-    val enc = when(col("pos") >= (1L << chunkPosBits),
+    when(col("pos") >= (1L << chunkPosBits),
       raise_error(concat(lit("chunkDedup: > 2^20 chunks in one document (id "),
         idl.cast("string"), lit(") — the (id, pos) packing would mis-order")))
         .cast("long"))
@@ -358,10 +369,48 @@ object Dedup {
         raise_error(concat(lit("chunkDedup: |id| "), idl.cast("string"),
           lit(" >= 2^42 — the (id, pos) packing would overflow"))).cast("long"))
         .otherwise(idl * (1L << chunkPosBits) + col("pos")))
-    df.select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
-      .withColumn("_h", md5(col("chunk")))
-      .withColumn("_enc", enc)
   }
+
+  /** CONTENT-DEFINED chunk frame: instead of fixed k-token windows, a
+    * chunk boundary falls AFTER every token whose md5 digest starts
+    * with one of `cutNibbles` — the content-defined-chunking trick
+    * (LBFS/rsync lineage): boundaries depend only on local content, so
+    * inserting one token re-chunks ONE segment instead of shifting
+    * every downstream window the way fixed chunking does. Expected
+    * chunk length is 16/|cutNibbles| tokens. Same output shape as
+    * [[chunkFrame]] (`pos` is the segment index), so the keeper /
+    * store pipelines apply unchanged.
+    *
+    * Scale shape: tokens explode to rows and the segment index is a
+    * running sum over a PER-DOCUMENT window (keyed exchange on the id,
+    * sort bounded by the document's own token count — the sessionize
+    * shape, never a global window); reassembly into chunk rows is a
+    * per-(doc, segment) agg off the same exchange. */
+  def cdcChunkFrame(df: DataFrame, idCol: String, textCol: String,
+      cutNibbles: String = "01"): DataFrame = {
+    require(cutNibbles.nonEmpty && cutNibbles.matches("[0-9a-f]+"),
+      s"cutNibbles must be lowercase hex characters, got '$cutNibbles'")
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("tpos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("tpos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = substring(md5(col("tok")), 1, 1)
+      .isin(cutNibbles.split("").toSeq: _*).cast("long")
+    toks.withColumn("pos", coalesce(sum(cut).over(w), lit(0L)).cast("int"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ").as("chunk"))
+      .withColumn("_h", md5(col("chunk")))
+      .withColumn("_enc", packEnc(idCol))
+  }
+
+  /** [[chunkDedup]] with content-defined boundaries ([[cdcChunkFrame]])
+    * — the shift-robust span-dedup form. */
+  def chunkDedupCDC(df: DataFrame, idCol: String, textCol: String,
+      cutNibbles: String = "01"): DataFrame =
+    dedupChunkFrame(cdcChunkFrame(df, idCol, textCol, cutNibbles).cache(), idCol)
 
   /** Per-doc stats + surviving-chunk reassembly over a flagged chunk
     * frame (`_kept`, `_cross` set by the caller's keep policy). */

@@ -90,6 +90,46 @@ object DedupQueries {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // Span dedup with CONTENT-DEFINED boundaries: a chunk ends after
+    // every token whose md5 starts with nibble 0 or 1 (mean length 8
+    // tokens) — boundaries depend only on local content, so an
+    // insertion re-chunks one segment instead of shifting every
+    // downstream fixed window. Chunking, keep decisions, and the
+    // reassembled text are all value-checked.
+    "dedup_spans_cdc" -> QueryDef(
+      (s, dir) => {
+        Dedup.chunkDedupCDC(table(s, dir, "documents"), "doc_id", "text",
+          cutNibbles = "01")
+          .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            col("cross_dup_chunks"), col("dup_frac"),
+            md5(col("kept_text")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+        |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> struct_pack(tpos := i - 1, tok := toks[i]))) AS u
+        |  FROM t WHERE len(toks) >= 1),
+        |tok AS (SELECT doc_id, CAST(u.tpos AS BIGINT) AS tpos, u.tok AS tok FROM tok0),
+        |seg AS (SELECT doc_id, tpos, tok,
+        |  COALESCE(SUM(CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY tpos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, string_agg(tok, ' ' ORDER BY tpos) AS chunk
+        |      FROM seg GROUP BY 1, 2),
+        |k AS (SELECT chunk, min(doc_id * 1048576 + pos) AS firstk FROM c GROUP BY chunk),
+        |f AS (
+        |  SELECT c.doc_id, c.pos, c.chunk,
+        |    (c.doc_id * 1048576 + c.pos = k.firstk) AS kept,
+        |    (CAST(k.firstk // 1048576 AS BIGINT) <> c.doc_id) AS crossdup
+        |  FROM c JOIN k USING (chunk))
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+        |  md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // INCREMENTAL span dedup — the admission form: batch 1 (even ids)
     // seeds a persisted chunk-digest DeltaStore, batch 2 (odd ids) is
     // span-deduped against store + itself and appends only its novel

@@ -604,4 +604,29 @@ class OpsSpec extends SparkSpec {
       .select("n_chunks", "kept_text").as[(Long, String)].head()
     assert(t == ((2L, words("t", 10))))
   }
+
+  test("content-defined chunking is shift-robust where fixed chunking is not") {
+    // doc 2 = doc 1 with ONE token prepended: fixed windows all shift
+    // (zero chunk-level dups), CDC boundaries re-align after the first
+    // cut token, so most of doc 2 dedups against doc 1
+    val base = (1 to 400).map(i => s"w$i").mkString(" ") // all tokens distinct
+    val df = Seq((1L, base), (2L, s"zz $base")).toDF("doc_id", "text")
+    val fixed = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 8)
+      .filter($"doc_id" === 2L)
+      .select("n_chunks", "cross_dup_chunks").as[(Long, Long)].head()
+    val cdc = Dedup.chunkDedupCDC(df, "doc_id", "text", cutNibbles = "01")
+      .filter($"doc_id" === 2L)
+      .select("n_chunks", "cross_dup_chunks").as[(Long, Long)].head()
+    // the prepended token misaligns every fixed window
+    assert(fixed._2 == 0, s"fixed chunking unexpectedly re-aligned: $fixed")
+    // CDC recovers nearly everything (all but the first segment)
+    assert(cdc._2 >= cdc._1 - 2,
+      s"CDC should re-align after the first cut: $cdc")
+    // reassembly: a solo all-distinct doc survives CDC dedup VERBATIM
+    // (segment order restored by position, boundaries invisible)
+    val solo = Dedup.chunkDedupCDC(Seq((7L, base)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("kept_text").as[String].head()
+    assert(solo == base)
+  }
 }
