@@ -359,7 +359,7 @@ object Dedup {
   }
 
   /** The packed (id << 20) | pos corpus-order key, bounds guarded. */
-  private def packEnc(idCol: String): Column = {
+  private[ops] def packEnc(idCol: String): Column = {
     val idl = col(idCol).cast("long")
     when(col("pos") >= (1L << chunkPosBits),
       raise_error(concat(lit("chunkDedup: > 2^20 chunks in one document (id "),

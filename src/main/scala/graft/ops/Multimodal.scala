@@ -317,4 +317,42 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  /** Frame-level EXACT dedup across media: cut every payload into
+    * fixed `frameBytes` windows, keep each distinct frame's first
+    * occurrence in (media_id, frame index) order, report per-media
+    * dup counts — [[Dedup.chunkDedup]]'s keeper algebra applied to the
+    * opaque-bytes seam (shared intros/credits/silence across videos
+    * are exact byte-window dups long before perceptual hashing enters;
+    * at 100 TB this is the cheap first pass that shrinks the payload
+    * set the pHash clustering has to touch).
+    *
+    * Pure Column algebra end to end — the frame explode is
+    * `transform` + binary `substr` (codegen'd, no mapPartitions), the
+    * keeper min is the same map-side-combined hash agg on the packed
+    * (id, pos) long, and nothing but 16-byte digests shuffles. */
+  def frameDedup(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", frameBytes: Int = 32): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be positive, got $frameBytes")
+    val nFrames = ceil(length(col(bytesCol)) / frameBytes.toDouble).cast("int")
+    val frameArr = when(length(col(bytesCol)) >= 1,
+      transform(sequence(lit(0), nFrames - 1),
+        i => col(bytesCol).substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array())
+    val frames = media
+      .select(col(idCol), posexplode(frameArr).as(Seq("pos", "frame")))
+      .select(col(idCol), col("pos"), md5(col("frame")).as("_h"))
+      .withColumn("_enc", Dedup.packEnc(idCol))
+      .cache()
+    val keepers = frames.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    val docBase = col("_enc") - col("pos")
+    frames.join(keepers, "_h")
+      .withColumn("_kept", col("_enc") === col("_first"))
+      .withColumn("_cross", col("_first") < docBase ||
+        col("_first") >= docBase + (1L << 20))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("_kept"), 0L).otherwise(1L)).as("dup_frames"),
+        sum(when(col("_cross"), 1L).otherwise(0L)).as("cross_dup_frames"))
+  }
 }

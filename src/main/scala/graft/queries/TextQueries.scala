@@ -264,6 +264,32 @@ object TextQueries {
         |  CAST(LEAST(32, strlen(text) - frame_idx * 32) AS BIGINT) AS n_bytes
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // Frame-level exact dedup across media: 32-byte windows, corpus
+    // first occurrence wins — the cheap pre-pass before perceptual
+    // clustering (shared intros/credits are byte-exact dups). Keeper
+    // algebra shared with dedup_spans; pure Column plan, no UDF.
+    "mm_frame_dedup" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.attachBinary(table(s, dir, "documents"))
+        Multimodal.frameDedup(media, frameBytes = 32)
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents),
+        |f0 AS (SELECT media_id, unnest(list_transform(range(0, CAST(ceil(nb/32.0) AS BIGINT)),
+        |    i -> struct_pack(pos := i, fr := substr(text, CAST(i*32+1 AS INT), 32)))) AS u
+        |  FROM m WHERE nb >= 1),
+        |f AS (SELECT media_id, CAST(u.pos AS BIGINT) AS pos, md5(u.fr) AS h FROM f0),
+        |k AS (SELECT h, min(media_id*1048576+pos) AS firstk FROM f GROUP BY h),
+        |j AS (SELECT f.media_id, f.pos, (f.media_id*1048576+f.pos = k.firstk) AS kept,
+        |      (CAST(k.firstk // 1048576 AS BIGINT) <> f.media_id) AS crossdup
+        |      FROM f JOIN k USING (h))
+        |SELECT media_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS dup_frames,
+        |  CAST(SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_frames
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Resize stub (nearest-neighbor byte downsample to ≤64) — the
     // batched per-media kernel seam, digest-verified against the
     // oracle's character-sampling replica.

@@ -629,4 +629,18 @@ class OpsSpec extends SparkSpec {
       .select("kept_text").as[String].head()
     assert(solo == base)
   }
+
+  test("frame dedup: byte-window keeper algebra over opaque media") {
+    def blk(c: Char) = c.toString * 32
+    val media = Seq(
+      (1L, blk('a') + blk('b')),          // two novel frames
+      (2L, blk('a') + blk('c')),          // frame 0 cross-dup of media 1
+      (5L, blk('d') + blk('d') + "dd")    // frame 1 intra-dup; short tail novel
+    ).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("bytes"))
+    val r = Multimodal.frameDedup(media, frameBytes = 32)
+      .orderBy("media_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 0L, 0L), (2L, 2L, 1L, 1L), (5L, 3L, 1L, 0L)))
+  }
 }
