@@ -493,6 +493,35 @@ object RelationalQueries {
         |  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl
         |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Stream-stream interval join, batch form (the Structured Streaming
+    // leg — watermark-bounded join state — is StreamingSpec-pinned over
+    // the same ChangeStream.intervalJoin plan): every purchase within
+    // one hour of a click by the same user, exact epoch-µs lag.
+    "stream_join" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.source.Changelog.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            col("ts").as("buy_ts"))
+        graft.streaming.ChangeStream.intervalJoin(
+          clicks, buys, "user_id", "click_ts", "buy_ts", within = "1 HOUR")
+          .select(col("user_id"), col("click_id"), col("buy_id"),
+            expr("unix_micros(buy_ts) - unix_micros(click_ts)").as("lag_us"))
+          .orderBy("click_id", "buy_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, buy_id,
+        |  epoch_us(buy_ts) - epoch_us(click_ts) AS lag_us
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |  AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, buy_id""".stripMargin)),
+
     // Tumbling-window aggregation over the event stream (batch form of the
     // Structured Streaming query in graft.streaming; window start is the key).
     "stream_window" -> QueryDef(

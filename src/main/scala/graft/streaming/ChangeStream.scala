@@ -119,6 +119,28 @@ object ChangeStream {
   /** Tumbling-window aggregation with watermark — the streaming form of
     * the `stream_window` declared query. Late events beyond the watermark
     * are dropped; state is bounded by (watermark horizon / slide). */
+  /** Stream-STREAM interval join: rows of `right` joined to rows of
+    * `left` with the same `keyCol` and `rightTs` within
+    * [`leftTs`, `leftTs` + `within`] — the click→purchase attribution
+    * shape. The time bound lives IN the join condition (not a
+    * post-filter), which is what lets Structured Streaming evict join
+    * state once the watermark passes a row's reach: state is bounded
+    * by (watermark + within) per key, independent of stream length. On
+    * a batch frame the same plan runs with watermarks ignored, so the
+    * gate checks the identical join algebra the stream executes.
+    * Caller supplies disjoint column names apart from `keyCol` (the
+    * right key is dropped from the output). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, functions.expr(
+      s"l.$keyCol = r.$keyCol AND r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + INTERVAL $within"))
+      .drop(r.col(keyCol))
+  }
+
   def windowedCounts(events: DataFrame, watermark: String = "1 hour",
       window: String = "1 hour"): DataFrame =
     events

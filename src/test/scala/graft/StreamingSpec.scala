@@ -119,6 +119,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes within the bound, drops outside") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = ChangeStream.intervalJoin(
+      clicks.toDS().toDF("user_id", "click_id", "click_ts"),
+      buys.toDS().toDF("user_id", "buy_id", "buy_ts"),
+      "user_id", "click_ts", "buy_ts", within = "1 HOUR")
+      .select("user_id", "click_id", "buy_id")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((1L, 10L, t("2024-01-01 00:00:00")),
+        (2L, 11L, t("2024-01-01 00:00:00")))
+      buys.addData(
+        (1L, 20L, t("2024-01-01 00:30:00")),  // within the hour → joins
+        (1L, 21L, t("2024-01-01 02:00:00")),  // outside → dropped
+        (2L, 22L, t("2023-12-31 23:59:00")))  // before the click → dropped
+      q.processAllAvailable()
+      val got = spark.table("ssj").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 20L)))
+      // the time bound is in the JOIN CONDITION, so the run uses the
+      // symmetric hash join STATE operator (watermark-evictable) — an
+      // unconstrained stream-stream join would refuse to plan in
+      // append mode at all, but pin the state operator explicitly
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName.contains("symmetricHashJoin")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming session windows group by inactivity gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
