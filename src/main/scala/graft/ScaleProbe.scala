@@ -154,6 +154,44 @@ object ScaleProbe {
         s""""dups_1":$d1,"dups_k":$dk,"ratio":${sk / s1},"sf":"$sfDir"}""")
     }
 
+    // Incremental span admission, STATEFUL: the ×k corpus fed as 4
+    // sequential batches against a growing chunk-digest store. Cost
+    // model per batch: O(batch chunks) + O(store digest scan) — the
+    // probe scan reads one 16-byte column, the append writes only the
+    // batch's novel digests; store growth must not leak beyond the
+    // narrow scan.
+    def spanAdmitAt(n: Int): (Double, Long, Map[String, Double]) = {
+      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val d = mat((0 until n).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + i * span)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+      }.reduce(_ unionByName _), s"spanadm$n")
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-spanadm$n")
+      val cfg = graft.ops.SpanStore.Config(s"$tmp/store", chunkTokens = 8)
+      graft.PhaseClock.reset()
+      val quarter = span * n / 4 + 1
+      val (secs, _) = time {
+        (0 until 4).foreach { b =>
+          val batch = d.filter(col("doc_id") >= b * quarter &&
+            col("doc_id") < (b + 1) * quarter)
+          graft.ops.SpanStore.admitOnly(batch, cfg, b.toLong) // phases: span.probe / span.append
+        }
+      }
+      val stored = graft.ops.SpanStore.readHashes(spark, cfg.target)
+        .map(_.count()).getOrElse(0L)
+      val phases = graft.PhaseClock.snapshot()
+      spark.catalog.clearCache()
+      (secs, stored, phases)
+    }
+    if (want("span_admit")) {
+      spanAdmitAt(1) // warm
+      val (a1, st1, _) = spanAdmitAt(1)
+      val (ak, stk, phk) = spanAdmitAt(k)
+      println(s"""{"probe":"span_admit_4batch","k":$k,"secs_1":$a1,"secs_k":$ak,""" +
+        s""""stored_1":$st1,"stored_k":$stk,"ratio":${ak / a1},""" +
+        s""""bottleneck":"${topPhase(phk, "span.")}","sf":"$sfDir"}""")
+    }
+
     // Streaming corpus admission, STATEFUL: documents ×k (same
     // suffix-salted construction — cross-copy shingles disjoint, so
     // admissions grow ×k, not collisions²) fed as 4 sequential batches

@@ -81,6 +81,7 @@ object SpanStore {
     * streaming driver's form (stats are an audit output; the stream
     * needs only the append). Returns the novel-digest count. */
   def admitOnly(batch: DataFrame, cfg: Config, batchId: Long): Long = {
+    import graft.PhaseClock.{time => phase}
     val spark = batch.sparkSession
     val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
     try {
@@ -88,9 +89,13 @@ object SpanStore {
       val novel = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id")
         .filter(col("_kept")).select(col("_h")).distinct().cache()
       try {
-        val n = novel.count() // materialize before the flip GCs old gens
-        DeltaStore.append(novel.withColumn("net_op", lit("insert")),
-          cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
+        // materialize before the flip GCs old gens; this is also the
+        // store-probe phase (chunking + digest join run here)
+        val n = phase("span.probe") { novel.count() }
+        phase("span.append") {
+          DeltaStore.append(novel.withColumn("net_op", lit("insert")),
+            cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
+        }
         n
       } finally { novel.unpersist(); () }
     } finally { chunks.unpersist(); () }
