@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.source.Changelog.table
 
 /** The standard relational surface (SURVEY.md §2.4): aggregation, joins,
@@ -492,6 +493,75 @@ object RelationalQueries {
         |  p_size % 7 AS md,
         |  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl
         |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // RANGE-frame window: trailing-30-day revenue per customer — the
+    // interval frame ROWS frames can't express (all orders within the
+    // VALUE range join the frame regardless of tie order, so the sum
+    // is deterministic under ties; decimal accumulation keeps it
+    // bit-portable).
+    "w3_range" -> QueryDef(
+      (s, dir) => {
+        val dnum = datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy("dnum")
+          .rangeBetween(-30, 0)
+        table(s, dir, "orders")
+          .withColumn("dnum", dnum)
+          .withColumn("sum_30d",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+          .select("o_orderkey", "o_custkey", "dnum", "sum_30d")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // GROUPING SETS beyond rollup/cube: an explicit lattice of
+    // (flag, status), (flag), () with grouping_id disambiguating the
+    // aggregation level (a null-valued group vs the total line).
+    "gsets_agg" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+        s.sql("""SELECT
+          |  coalesce(l_returnflag, '*') AS rf,
+          |  coalesce(l_linestatus, '*') AS ls,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(1) AS cnt
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+      },
+      Some("""SELECT
+        |  coalesce(l_returnflag, '*') AS rf,
+        |  coalesce(l_linestatus, '*') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin)),
+
+    // Unpivot (stack): wide part metrics to long (metric, value) rows —
+    // the melt step feature tables need before a generic aggregator.
+    "unpivot_agg" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("stack(2, 'size', CAST(p_size AS DOUBLE), " +
+              "'retail', p_retailprice) AS (metric, value)"))
+          .orderBy("p_partkey", "metric")
+      },
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS metric, p_retailprice AS value
+        |FROM part
+        |ORDER BY p_partkey, metric""".stripMargin)),
 
     // Stream-stream interval join, batch form (the Structured Streaming
     // leg — watermark-bounded join state — is StreamingSpec-pinned over
