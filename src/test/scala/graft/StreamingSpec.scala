@@ -119,6 +119,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark bounds state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // the streaming form of exact dedup for at-least-once upstreams:
+    // duplicate keys within the watermark horizon collapse, and state
+    // evicts past it — unlike plain dropDuplicates, whose state grows
+    // with the whole stream's key space
+    val q = mem.toDS().toDF("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:10:00")),
+        (2L, t("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 00:20:00"))) // still within horizon → dup
+      q.processAllAvailable()
+      val got = spark.table("sdd").select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L), s"got $got")
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName.contains("dedupeWithinWatermark")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes within the bound, drops outside") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
