@@ -36,11 +36,59 @@ import graft.sink.DeltaStore
 object SpanStore {
 
   /** @param target      DeltaStore directory for the digest store
-    * @param chunkTokens fixed chunk width in tokens
+    * @param chunkTokens fixed chunk width in tokens (ignored when
+    *   `cdcCutNibbles` is set)
+    * @param cdcCutNibbles when non-empty, chunk with CONTENT-DEFINED
+    *   boundaries instead ([[Dedup.cdcChunkFrame]], mean length
+    *   16/|nibbles| tokens) — the shift-robust store form
     * @param nBuckets    store bucket count (digest-hashed)
     * @param maxChain    per-bucket delta-chain cap before a fold */
   final case class Config(target: String, chunkTokens: Int = 8,
-      nBuckets: Int = 16, maxChain: Int = DeltaStore.defaultMaxChain)
+      nBuckets: Int = 16, maxChain: Int = DeltaStore.defaultMaxChain,
+      cdcCutNibbles: String = "")
+
+  private[ops] def paramsLine(cfg: Config): String =
+    if (cfg.cdcCutNibbles.nonEmpty) s"chunker=cdc cuts=${cfg.cdcCutNibbles}"
+    else s"chunker=fixed tokens=${cfg.chunkTokens}"
+
+  private def paramsPath(target: String): java.nio.file.Path =
+    java.nio.file.Paths.get(target, "SPANPARAMS")
+
+  /** Refuse a batch whose chunking disagrees with the store's stamp: a
+    * mismatched chunk width (or chunker family) produces digests that
+    * NEVER collide with the stored ones, so every duplicate span would
+    * silently re-admit — the same failure mode Admission's LSHPARAMS
+    * stamp closes for band keys. Stamped after the first successful
+    * append; a pre-stamp crash re-stamps on the next batch. */
+  private def checkOrNoteParams(cfg: Config): Unit = {
+    val p = paramsPath(cfg.target)
+    if (java.nio.file.Files.exists(p)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(stored == paramsLine(cfg),
+        s"span store ${cfg.target} was built with [$stored] but this batch " +
+          s"runs [${paramsLine(cfg)}] — mismatched chunking would silently " +
+          "re-admit every duplicate span (digests never collide)")
+    }
+  }
+
+  private def stampParams(cfg: Config): Unit = {
+    val p = paramsPath(cfg.target)
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(s"SPANPARAMS.tmp-${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        paramsLine(cfg).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def chunksOf(batch: DataFrame, cfg: Config): DataFrame =
+    if (cfg.cdcCutNibbles.nonEmpty)
+      Dedup.cdcChunkFrame(batch, "doc_id", "text", cfg.cdcCutNibbles)
+    else Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens)
 
   /** The persisted digest set (None before the first flip). */
   def readHashes(spark: SparkSession, target: String): Option[DataFrame] =
@@ -59,7 +107,8 @@ object SpanStore {
     * caller's read cannot race the manifest. */
   def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
+    checkOrNoteParams(cfg)
+    val chunks = chunksOf(batch, cfg).cache()
     try {
       val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
       val flagged = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id").cache()
@@ -72,6 +121,7 @@ object SpanStore {
         val novel = flagged.filter(col("_kept")).select(col("_h")).distinct()
         DeltaStore.append(novel.withColumn("net_op", lit("insert")),
           cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
+        stampParams(cfg)
         stats
       } finally { flagged.unpersist(); () }
     } finally { chunks.unpersist(); () }
@@ -83,7 +133,8 @@ object SpanStore {
   def admitOnly(batch: DataFrame, cfg: Config, batchId: Long): Long = {
     import graft.PhaseClock.{time => phase}
     val spark = batch.sparkSession
-    val chunks = Dedup.chunkFrame(batch, "doc_id", "text", cfg.chunkTokens).cache()
+    checkOrNoteParams(cfg)
+    val chunks = chunksOf(batch, cfg).cache()
     try {
       val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
       val novel = Dedup.chunkFlagsAgainst(chunks, corpus, "doc_id")
@@ -96,6 +147,7 @@ object SpanStore {
           DeltaStore.append(novel.withColumn("net_op", lit("insert")),
             cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
         }
+        stampParams(cfg)
         n
       } finally { novel.unpersist(); () }
     } finally { chunks.unpersist(); () }

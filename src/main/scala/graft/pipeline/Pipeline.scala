@@ -265,7 +265,9 @@ object Pipeline {
           chunkTokens = if (snk.has("chunkTokens")) snk.get("chunkTokens").asInt() else 8,
           nBuckets = if (snk.has("buckets")) snk.get("buckets").asInt() else 16,
           maxChain = if (snk.has("maxChain")) snk.get("maxChain").asInt()
-            else graft.sink.DeltaStore.defaultMaxChain)
+            else graft.sink.DeltaStore.defaultMaxChain,
+          cdcCutNibbles =
+            if (snk.has("cdcCutNibbles")) snk.get("cdcCutNibbles").asText() else "")
         graft.ops.SpanStore.admissionStream(transformed, scfg, ckpt)
       case "ivf_append" =>
         // streaming IVF index maintenance: first batch seeds + freezes

@@ -46,6 +46,38 @@ class SpanStoreSpec extends SparkSpec {
     assert(SpanStore.readHashes(spark, cfg.target).get.count() == 4)
   }
 
+  test("a store refuses a batch whose chunking mismatches its stamp") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span-params")
+    val cfg = SpanStore.Config(s"$tmp/store", chunkTokens = 8)
+    SpanStore.admitBatch(Seq((1L, words("a", 16))).toDF("doc_id", "text"), cfg, 0L)
+    // different width: digests never collide — must die up front
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.admitBatch(Seq((2L, words("a", 16))).toDF("doc_id", "text"),
+        cfg.copy(chunkTokens = 4), 1L)
+    }
+    assert(e.getMessage.contains("chunker=fixed tokens=8"))
+    assert(e.getMessage.contains("chunker=fixed tokens=4"))
+    // different chunker family, same refusal
+    val e2 = intercept[IllegalArgumentException] {
+      SpanStore.admitBatch(Seq((2L, words("a", 16))).toDF("doc_id", "text"),
+        cfg.copy(cdcCutNibbles = "01"), 1L)
+    }
+    assert(e2.getMessage.contains("chunker=cdc"))
+  }
+
+  test("CDC-chunked store admits shift-robustly across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span-cdc")
+    val cfg = SpanStore.Config(s"$tmp/store", cdcCutNibbles = "01")
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    SpanStore.admitBatch(Seq((1L, base)).toDF("doc_id", "text"), cfg, 0L)
+    // batch 2: the same document with one token prepended — all CDC
+    // segments after the first boundary dedup against the store
+    val s2 = SpanStore.admitBatch(
+      Seq((2L, s"zz $base")).toDF("doc_id", "text"), cfg, 1L)
+      .select("n_chunks", "cross_dup_chunks").as[(Long, Long)].head()
+    assert(s2._2 >= s2._1 - 2, s"CDC store should re-align: $s2")
+  }
+
   test("config-driven streaming span admission drains; restart is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-span-cfg")
     val cfg = s"""{
