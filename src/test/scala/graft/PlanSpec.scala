@@ -173,6 +173,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("stream_join meets on the user-id equi-key with range residuals") {
+    val p = plan("stream_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to an unkeyed product — the time bounds " +
+        "must ride as residual conditions on the user_id equi-join")
+  }
+
   test("admission candidate scan prunes to (doc_id, bands) — never the arrays") {
     // the point of persisting the packed band column: candidate
     // generation must read fixed-width band structs WITHOUT dragging the
