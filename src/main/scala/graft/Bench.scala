@@ -142,6 +142,14 @@ object Bench {
       // (residual = total - stage - start - drain ≈ final store read).
       val timed = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        // clearCache() drops catalog-cached relations but NOT RDD-level
+        // persists — a prior rep's localCheckpoint blocks (the iterative
+        // clustering queries' lineage cuts) otherwise stay resident and
+        // later reps run under block-manager pressure: measured as the
+        // recurring dedup_clusters median ≈ 1.7x its own min. Every rep
+        // starts from an empty block store.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = true))
         PhaseClock.reset()
         val t0 = System.nanoTime()
         runOne()
