@@ -483,6 +483,24 @@ object DeltaStore {
           "verbatim file-merge would destroy last-writer-wins order; use " +
           "snapshot (maintenance type \"snapshot\") instead")
     }
+    // The insert-only probe alone is NOT sufficient: a key re-INSERTED
+    // in a later generation is still version-ordered by _seq, and the
+    // verbatim merge collapses both versions under one snap id — the
+    // resolve would then tie-break by VALUE comparison, silently serving
+    // whichever version compares larger. Append-only by contract means
+    // globally unique pks; enforce it (one agg over data this
+    // maintenance reads anyway — the short-circuit probe shape).
+    val pkCols =
+      if (Files.exists(pkColsPath(target))) inferPkCols(target) else Seq.empty
+    if (pkCols.nonEmpty && pkCols.forall(merged.columns.contains)) {
+      val dup = merged.groupBy(pkCols.map(col): _*)
+        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1).head(1).nonEmpty
+      require(!dup,
+        s"$target holds multiple live rows for one pk — re-inserted keys " +
+          "are version-ordered by generation, and a verbatim file-merge " +
+          "would collapse the versions under one id; use snapshot " +
+          "(maintenance type \"snapshot\") instead")
+    }
     merged.repartition(chains.size, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),

@@ -107,17 +107,22 @@ class DeltaLatticeSpec extends SparkSpec {
               "snapshot changed the resolved state")
           case Optimize if snaps.nonEmpty =>
             // refuse iff the LIVE files still carry update/delete rows
-            // (raw file scan — readAppendOnly would hide tombstones); a
-            // snapshot rewrites history as inserts, after which the
-            // verbatim merge is safe — expectation derived from the data
+            // (raw file scan — readAppendOnly would hide tombstones) OR
+            // a pk with multiple live versions (re-inserted keys are
+            // version-ordered by generation; a verbatim merge would
+            // collapse them). A snapshot rewrites history as unique
+            // inserts, after which the merge is safe — expectation
+            // derived from the data, exactly like the guard itself.
             val livePaths = DeltaStore.readManifest(target).toSeq
               .flatMap { case (b, gens) => gens.map(g => s"$target/$g/bucket=$b") }
             val liveLww = livePaths.nonEmpty && {
               val raw = spark.read.option("mergeSchema", "true")
                 .parquet(livePaths.distinct: _*)
-              raw.columns.contains("net_op") &&
+              (raw.columns.contains("net_op") &&
                 raw.filter(col("net_op").isNotNull && col("net_op") =!= "insert")
-                  .head(1).nonEmpty
+                  .head(1).nonEmpty) ||
+                raw.groupBy("tbl", "pk").count()
+                  .filter(col("count") > 1).head(1).nonEmpty
             }
             if (liveLww)
               intercept[IllegalArgumentException] {

@@ -150,6 +150,29 @@ class DeltaStoreSpec extends SparkSpec {
     assert(state(target) === Map(("t", 1L) -> ((1L, 11, 1.5))))
   }
 
+  test("optimize refuses a re-inserted key even when every net-op is insert") {
+    val target = tmp("graft-delta-optdup")
+    // batch 1 re-INSERTS pk 1 with a SMALLER value: recency is carried
+    // only by generation order, which the verbatim merge would collapse
+    // — the post-merge resolve would tie-break by value and silently
+    // serve the STALE row (9, 9, 0.5). The insert-only probe alone
+    // cannot see this; the pk-uniqueness probe must.
+    DeltaStore.append(netOf(("t", 1L, "insert", 10L, 10, 1.5)),
+      target, pkCols, nBuckets = 4, batchId = 0)
+    DeltaStore.append(netOf(("t", 1L, "insert", 9L, 9, 0.5)),
+      target, pkCols, nBuckets = 4, batchId = 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaStore.optimizeAppendOnly(spark, target)
+    }
+    assert(e.getMessage.contains("multiple live rows"))
+    // the refused merge changed nothing; resolve still serves batch 1
+    assert(state(target) === Map(("t", 1L) -> ((9L, 9, 0.5))))
+    // snapshot folds to unique keys, after which optimize is safe
+    DeltaStore.snapshot(spark, target, nBuckets = 4)
+    DeltaStore.optimizeAppendOnly(spark, target)
+    assert(state(target) === Map(("t", 1L) -> ((9L, 9, 0.5))))
+  }
+
   test("a crash mid-optimize leaves append-only readers intact") {
     val target = tmp("graft-delta-optcrash")
     (0 until 3).foreach { b =>
