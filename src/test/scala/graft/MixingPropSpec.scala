@@ -105,6 +105,43 @@ class MixingPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("zorderLayout invariants hold for random skewed distributions") {
+    // keys drawn from a skewed pool — buckets stay whole-key contiguous
+    // per dimension and the z decode recovers exactly the (ga, gb) cell
+    val rowsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(20, 200)
+      as <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.choose(0L, 9L), 1 -> Gen.choose(10L, 99L)))
+      bs <- Gen.listOfN(n, Gen.choose(0L, 49L))
+    } yield as.zip(bs)
+    val prop = Prop.forAll(rowsGen, Gen.choose(1, 3)) { (rows, bits) =>
+      val df = rows.toDF("a", "b")
+      val got = Mixing.zorderLayout(df, "a", "b", bitsPerDim = bits)
+        .select("a", "b", "zbucket").as[(Long, Long, Long)].collect()
+      val n = 1 << bits
+      // decode: even bits → a-group, odd bits → b-group
+      def de(z: Long, off: Int) =
+        (0 until bits).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
+      // every row's z decodes within range
+      val inRange = got.forall { case (_, _, z) =>
+        de(z, 0) < n && de(z, 1) < n && z < (1L << (2 * bits)) }
+      // per-dimension groups are contiguous whole-key ranges: the max key
+      // of group g is below the min key of group g+1
+      def contiguous(grp: Array[(Long, Long)]): Boolean = {
+        val byG = grp.groupBy(_._2).view.mapValues(v => (v.map(_._1).min, v.map(_._1).max))
+        byG.keys.toSeq.sorted.sliding(2).forall {
+          case Seq(g1, g2) => byG(g1)._2 < byG(g2)._1
+          case _ => true
+        }
+      }
+      inRange &&
+        contiguous(got.map(r => (r._1, de(r._3, 0)))) &&
+        contiguous(got.map(r => (r._2, de(r._3, 1))))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

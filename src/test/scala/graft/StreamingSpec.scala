@@ -176,6 +176,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin batch algebra matches the naive model (seeded random)") {
+    val rnd = new scala.util.Random(1405)
+    (1 to 5).foreach { _ =>
+      def evts(n: Int) = (0 until n).map { i =>
+        (rnd.nextInt(4).toLong, i.toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L))
+      }
+      val ls = evts(40); val rs = evts(40)
+      val got = ChangeStream.intervalJoin(
+        ls.toDF("user_id", "l_id", "l_ts"), rs.toDF("user_id", "r_id", "r_ts"),
+        "user_id", "l_ts", "r_ts", within = "30 MINUTES")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lu, li, lt) <- ls; (ru, ri, rt) <- rs
+        if lu == ru && rt.getTime >= lt.getTime &&
+          rt.getTime <= lt.getTime + 30 * 60 * 1000L
+      } yield (li, ri)).toSet
+      assert(got == want)
+    }
+  }
+
   test("streaming session windows group by inactivity gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
