@@ -319,8 +319,25 @@ object Dedup {
     * space-joined; empty when every chunk is a dup). Chunk text hashes
     * with md5, so a SQL oracle replays the identical keep decisions. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8): DataFrame =
-    dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens).cache(), idCol)
+      chunkTokens: Int = 8): DataFrame = {
+    val chunks = chunkFrame(df, idCol, textCol, chunkTokens).cache()
+    // eager localCheckpoint severs the result's lineage from the cached
+    // chunk frame so it can be unpersisted HERE — a lazily-dependent
+    // cache leaked block-store pressure across every call in a
+    // long-lived session (the SpanStore pattern, applied to the batch
+    // form); the checkpoint blocks live exactly as long as the result
+    val stats = dedupChunkFrame(chunks, idCol).localCheckpoint(true)
+    chunks.unpersist()
+    stats
+  }
+
+  /** The LAZY single-tree form of [[chunkDedup]] (uncached, never
+    * checkpointed) — what the physical-plan pins inspect: the public
+    * API's eager checkpoint hides the keeper aggregation behind an RDD
+    * scan, but the plan underneath is exactly this one. */
+  private[graft] def chunkDedupPlan(df: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 8): DataFrame =
+    dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens), idCol)
 
   /** Keeper + flag + rebuild over any (idCol, pos, chunk, _h, _enc)
     * chunk frame — shared by the fixed and content-defined chunkers. */
@@ -409,8 +426,12 @@ object Dedup {
   /** [[chunkDedup]] with content-defined boundaries ([[cdcChunkFrame]])
     * — the shift-robust span-dedup form. */
   def chunkDedupCDC(df: DataFrame, idCol: String, textCol: String,
-      cutNibbles: String = "01"): DataFrame =
-    dedupChunkFrame(cdcChunkFrame(df, idCol, textCol, cutNibbles).cache(), idCol)
+      cutNibbles: String = "01"): DataFrame = {
+    val chunks = cdcChunkFrame(df, idCol, textCol, cutNibbles).cache()
+    val stats = dedupChunkFrame(chunks, idCol).localCheckpoint(true)
+    chunks.unpersist()
+    stats
+  }
 
   /** Per-doc stats + surviving-chunk reassembly over a flagged chunk
     * frame (`_kept`, `_cross` set by the caller's keep policy). */

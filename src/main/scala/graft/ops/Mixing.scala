@@ -117,7 +117,7 @@ object Mixing {
   def sampleByTemperature(df: DataFrame, strataCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_c"))
+    val counts = df.groupBy(col(strataCol).as("_s")).agg(count(lit(1)).as("_c"))
     val cmin = counts.agg(min(col("_c")).as("_cmin"))
     val ratio = col("_cmin").cast("double") / col("_c")
     val rate =
@@ -125,10 +125,14 @@ object Mixing {
       else if (alpha == 0.5) sqrt(ratio)
       else pow(ratio, lit(1.0 - alpha))
     val rates = counts.crossJoin(broadcast(cmin))
-      .select(col(strataCol), rate.as("_rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+      .select(col("_s"), rate.as("_rate"))
+    // null-safe equi-join: groupBy already folded NULL strata into their
+    // own group, so `<=>` lets them meet their rate row instead of being
+    // silently dropped by a plain equi-join — consistent with
+    // sampleByRate, which keeps null-stratum rows at the default rate
+    df.join(broadcast(rates), col(strataCol) <=> col("_s"))
       .filter(hashSlice(col(idCol)) < col("_rate") * 65536.0)
-      .drop("_rate")
+      .drop("_s", "_rate")
   }
 
   /** Shard-parallel sequence packing, concat-offset form: within each
@@ -295,6 +299,12 @@ object Mixing {
         "layout key first (the boundary fold is driver-side and bounded)")
     val ordered = hist.orderBy("_k").collect()
     val total = ordered.iterator.map(_.getLong(1)).sum
+    // zorderLayout drives nGroups up to 2^12: a small input must fail
+    // loudly here, not as an opaque NoSuchElementException in the
+    // boundary fold below (every group needs at least one row)
+    require(total >= nGroups,
+      s"rangeLayout: $total row(s) of $keyCol cannot fill $nGroups groups — " +
+        "lower nGroups (or bitsPerDim for zorderLayout) to at most the row count")
     var cum = 0L
     val grpOfKey = ordered.map { r =>
       cum += r.getLong(1)

@@ -58,8 +58,11 @@ object SpanStore {
     * mismatched chunk width (or chunker family) produces digests that
     * NEVER collide with the stored ones, so every duplicate span would
     * silently re-admit — the same failure mode Admission's LSHPARAMS
-    * stamp closes for band keys. Stamped after the first successful
-    * append; a pre-stamp crash re-stamps on the next batch. */
+    * stamp closes for band keys. Stamped BEFORE the first append: a
+    * crash between the store flip and a post-append stamp would leave a
+    * non-empty, unstamped store that a restart under different params
+    * would silently mix digest families into; a stamp over an empty
+    * store is harmless and still guards the retry. */
   private def checkOrNoteParams(cfg: Config): Unit = {
     val p = paramsPath(cfg.target)
     if (java.nio.file.Files.exists(p)) {
@@ -108,6 +111,7 @@ object SpanStore {
   def admitBatch(batch: DataFrame, cfg: Config, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     checkOrNoteParams(cfg)
+    stampParams(cfg)
     val chunks = chunksOf(batch, cfg).cache()
     try {
       val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
@@ -121,7 +125,6 @@ object SpanStore {
         val novel = flagged.filter(col("_kept")).select(col("_h")).distinct()
         DeltaStore.append(novel.withColumn("net_op", lit("insert")),
           cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
-        stampParams(cfg)
         stats
       } finally { flagged.unpersist(); () }
     } finally { chunks.unpersist(); () }
@@ -134,6 +137,7 @@ object SpanStore {
     import graft.PhaseClock.{time => phase}
     val spark = batch.sparkSession
     checkOrNoteParams(cfg)
+    stampParams(cfg)
     val chunks = chunksOf(batch, cfg).cache()
     try {
       val corpus = readHashes(spark, cfg.target).getOrElse(emptyHashes(spark))
@@ -147,7 +151,6 @@ object SpanStore {
           DeltaStore.append(novel.withColumn("net_op", lit("insert")),
             cfg.target, Seq("_h"), cfg.nBuckets, batchId, cfg.maxChain)
         }
-        stampParams(cfg)
         n
       } finally { novel.unpersist(); () }
     } finally { chunks.unpersist(); () }

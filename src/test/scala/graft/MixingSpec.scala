@@ -240,4 +240,38 @@ class MixingSpec extends SparkSpec {
       Mixing.sampleByTemperature(docs, "lang", "doc_id", 1.5))
       .getMessage.contains("alpha"))
   }
+
+  test("sampleByTemperature: NULL strata form their own stratum, never dropped") {
+    // consistent with sampleByRate (null keeps the default rate) and
+    // with groupBy (null is a group): the null-safe join must not
+    // silently drop unlabeled docs from the corpus
+    val mixed = docs.withColumn("lang",
+      when($"doc_id" % 3 === 0, lit(null: String)).otherwise($"lang"))
+    val total = mixed.count()
+    val nulls = mixed.filter($"lang".isNull).count()
+    assert(nulls > 0, "fixture must exercise the null stratum")
+    // α = 1 keeps EVERY row, labeled or not
+    assert(Mixing.sampleByTemperature(mixed, "lang", "doc_id", 1.0)
+      .count() == total)
+    // at α = 0 the null stratum rebalances like any other: kept count
+    // lands near c_min, and the kept docs are a subset of the null docs
+    val counts = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val cmin = counts.values.min
+    val keptNull = Mixing.sampleByTemperature(mixed, "lang", "doc_id", 0.0)
+      .filter($"lang".isNull).count()
+    assert(math.abs(keptNull - cmin) <= cmin * 0.2 + 2,
+      s"null stratum kept $keptNull, want ≈ $cmin")
+  }
+
+  test("rangeLayout refuses inputs with fewer rows than groups, loudly") {
+    // zorderLayout drives nGroups to 2^bitsPerDim — a small input must
+    // name the column and counts instead of NoSuchElementException
+    val tiny = Seq(1L, 2L, 3L).toDF("k")
+    val e = intercept[IllegalArgumentException](Mixing.rangeLayout(tiny, "k", 8))
+    assert(e.getMessage.contains("k") && e.getMessage.contains("8"),
+      e.getMessage)
+    val ez = intercept[IllegalArgumentException](
+      Mixing.zorderLayout(tiny.withColumn("j", $"k"), "k", "j", bitsPerDim = 3))
+    assert(ez.getMessage.contains("bitsPerDim"), ez.getMessage)
+  }
 }

@@ -65,6 +65,27 @@ class SpanStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("chunker=cdc"))
   }
 
+  test("params are stamped BEFORE the first append — a crashed append still guards") {
+    // the ADVICE-flagged window: a crash between the store flip and a
+    // post-append stamp left a non-empty UNSTAMPED store that a restart
+    // under different params would silently mix digest families into.
+    // Stamping first closes it: even a batch whose append never flips
+    // (empty batch — zero generations) pins the chunking params.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span-prestamp")
+    val cfg = SpanStore.Config(s"$tmp/store", chunkTokens = 8)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    SpanStore.admitBatch(empty, cfg, 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cfg.target, "SPANPARAMS")))
+    // the store itself may not exist yet, but the retry under different
+    // params is already refused
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.admitOnly(Seq((1L, words("a", 16))).toDF("doc_id", "text"),
+        cfg.copy(chunkTokens = 4), 1L)
+    }
+    assert(e.getMessage.contains("chunker=fixed tokens=8"))
+  }
+
   test("CDC-chunked store admits shift-robustly across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-span-cdc")
     val cfg = SpanStore.Config(s"$tmp/store", cdcCutNibbles = "01")
