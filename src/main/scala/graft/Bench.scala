@@ -196,6 +196,21 @@ object Bench {
       f""""p8_events":$nEvents,"p8_events_per_sec":${eps}%.1f,""" +
         f""""baseline_ratio":${mn * 130000.0 / nEvents}%.3f,"""
     }.getOrElse("")
+    // Anchor-normalized ratios: query_min / anchor_min is a machine-speed-
+    // independent work unit, so ROUND-OVER-ROUND comparisons read these,
+    // not raw seconds — r15's headline moved −9.3% while the anchor
+    // itself drifted +28%, and nothing in the artifact said which effect
+    // was code. The smaller of the two anchor runs is the run's best
+    // estimate of the machine's floor (ambient load only ever inflates).
+    val anchorRef =
+      if (anchorStart > 0 && anchorEnd > 0) math.min(anchorStart, anchorEnd)
+      else -1.0
+    val normJson = if (anchorRef > 0) {
+      val qn = results.map { case (k, (_, mn)) =>
+        "\"" + k + "\":" + f"${mn / anchorRef}%.3f" }.mkString("{", ",", "}")
+      s""""anchor_min":$anchorRef,"queries_norm":$qn,""" +
+        f""""total_min_norm":${totalMin / anchorRef}%.2f,"""
+    } else ""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val phasesJson = phases.toSeq.sortBy(_._1).map { case (q, ps) =>
@@ -206,7 +221,7 @@ object Bench {
       s""""queries_min":$qsMin,"total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
       s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
-      baselineJson +
+      normJson + baselineJson +
       s""""failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -126,7 +126,8 @@ object Admission {
     * a batch run with a DIFFERENT config against an existing store would
     * produce keys that never collide with stored ones — near-duplicates
     * silently admitted instead of an error. [[admitBatch]] stamps the
-    * store on first merge and refuses a mismatched config thereafter
+    * store BEFORE its first batch runs (a crash can then never leave a
+    * non-empty unstamped store) and refuses a mismatched config thereafter
     * (threshold included: a drifting threshold makes admission decisions
     * inconsistent across batches even though the keys still collide). */
   private[graft] def paramsLine(cfg: Config): String =
@@ -198,13 +199,37 @@ object Admission {
     import graft.PhaseClock.{time => phase}
     val spark = batch.sparkSession
     checkOrNoteParams(cfg) // refuse a config mismatched with the store
+    // stamp BEFORE the batch runs (same fix as SpanStore's SPANPARAMS):
+    // a crash between the merge and a post-merge stamp left a non-empty
+    // unstamped store that a restart under a different config would
+    // silently mix band families into; stamping an empty store is
+    // harmless and still guards the retry. Pre-stamp-era stores are
+    // stamped with the current config on first contact, as before.
+    stampParams(cfg)
     val sig = signatures(batch, cfg.perms, cfg.portableHash).cache()
     try {
       // attribution seam: the sig cache would otherwise fill lazily inside
       // whichever downstream phase touches it first, mis-charging the
       // (expensive, portable-family) hash pass to that phase
       phase("admit.sig") { sig.count() }
-      val bands = Dedup.lshBands(sig, "sig", cfg.bands, cfg.rows, "doc_id")
+      // EXACT-clique contraction — the hot-band skew guard. Docs with an
+      // IDENTICAL shingle set are pairwise Jaccard-1: under the edge
+      // keep-first policy every non-min id dies whatever else happens,
+      // yet banding all of them would drop m same-signature rows into
+      // the same (band, key) buckets and the within-batch self-join
+      // would emit C(m,2) candidate pairs — the one quadratic form on
+      // this path (a boilerplate page crawled 10^6 times in one batch is
+      // m = 10^6 → 5·10^11 pairs). Contract each identical-sh group to
+      // its min id BEFORE banding, auto-reject the rest: candidates stay
+      // O(collisions among DISTINCT docs) and every admission decision
+      // is provably unchanged (group members share bands and shingles,
+      // so any pair evidence a non-rep provided, its rep provides with
+      // the same Jaccard and a lower id).
+      val withShd = sig.withColumn("_shd", md5(concat_ws("\u0000", col("sh"))))
+      val repIds = withShd.groupBy("_shd").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val repSig = sig.join(repIds, Seq("doc_id"), "left_semi").cache()
+      val bands = Dedup.lshBands(repSig, "sig", cfg.bands, cfg.rows, "doc_id")
 
       // 1+2 in ONE pass. Within-batch keep-first is EDGE-based: the
       // higher id of any verified pair is rejected even if the lower id
@@ -245,7 +270,7 @@ object Admission {
               .select(col("new_id").as("doc_id"), col("corpus_id").as("other_id"),
                 lit("corpus").as("src")))
       }
-      val rejected = rejectedIds(cand, sig,
+      val rejected = rejectedIds(cand, repSig,
         storeOpt.map(_.select("doc_id", "sh")), cfg.threshold).cache()
       phase("admit.verify") { rejected.count() }
 
@@ -254,14 +279,18 @@ object Admission {
       // written (replay-safe by the generation key / #applied header).
       // On a legacy store this batch instead RESET-writes the WHOLE
       // corpus re-asserted with the packed column as its single
-      // generation (the one-pass migration).
-      val admitted = sig
+      // generation (the one-pass migration). Survivors come from the
+      // contracted rep set — contracted-away clique members are
+      // rejected by construction (identical sh ⟹ a verified pair with
+      // their lower-id rep), so they never reach the store.
+      val admitted = repSig
         .join(rejected, Seq("doc_id"), "left_anti")
         .withColumn("bands", Dedup.lshBandArray(col("sig"), cfg.bands, cfg.rows))
         .cache()
       try {
         val n = phase("admit.merge") { admitted.count() } // materialize before the flip GCs old gens
         rejected.unpersist()
+        repSig.unpersist()
         phase("admit.write") {
           if (legacy) {
             val upgraded =
@@ -275,10 +304,6 @@ object Admission {
             DeltaStore.append(admitted.withColumn("net_op", lit("insert")),
               cfg.target, Seq("doc_id"), cfg.nBuckets, batchId, cfg.maxChain)
         }
-        // stamp AFTER the first successful merge: a store that exists
-        // without a stamp (pre-stamp layout, or a crash before this line)
-        // is stamped with the current config on its next batch
-        stampParams(cfg)
         // the legacy layout's sibling band dir is orphaned once the store
         // carries packed bands; the existence check (not `legacy`) also
         // covers a replay after a crash between the upgrade flip and this

@@ -94,6 +94,44 @@ class AdmissionSpec extends SparkSpec {
     assert(bandRows(cfg) == wantBands(cfg))
   }
 
+  test("exact-clique contraction: identical-text floods admit one rep, decisions unchanged") {
+    // the hot-band skew guard: m docs with an identical shingle set
+    // would otherwise form C(m,2) within-batch candidate pairs; after
+    // contraction only the min id is banded, the rest are rejected by
+    // construction — and every admission decision must equal the
+    // uncontracted edge policy's
+    val cfg = cfgIn("graft-adm-clique")
+    val flood = (10L to 60L).map(i => (i, base)) ++
+      Seq((5L, other), (99L, base + " tail variation making it a near dup"))
+    Admission.admitBatch(flood.toDF("doc_id", "text"), cfg, 0L)
+    // min-id rep (10) survives the flood; 5 is unrelated; 99 is a
+    // near-dup of the flood's rep and dies against it (id 99 > 10)
+    assert(storedIds(cfg) == Set(5L, 10L))
+    assert(bandRows(cfg) == wantBands(cfg))
+    // a later batch still dedupes against the contracted store: another
+    // copy of the flood text is rejected by the ONE stored rep
+    Admission.admitBatch(Seq((200L, base), (201L, third)).toDF("doc_id", "text"),
+      cfg, 1L)
+    assert(storedIds(cfg) == Set(5L, 10L, 201L))
+  }
+
+  test("params are stamped before the first batch — a crashed merge still guards") {
+    // same window as SpanStore's SPANPARAMS: stamping must not wait for
+    // a successful merge, or a crash in between leaves a store a
+    // restart under different params would silently mix band families
+    // into. An all-filtered batch never merges — the stamp still lands.
+    val cfg = cfgIn("graft-adm-prestamp")
+    Admission.admitBatch(Seq((1L, "too short")).toDF("doc_id", "text"), cfg, 0L)
+    assert(readStore(spark, cfg.target).isEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cfg.target, "LSHPARAMS")))
+    val e = intercept[IllegalArgumentException] {
+      Admission.admitBatch(Seq((2L, base)).toDF("doc_id", "text"),
+        cfg.copy(bands = 2, rows = 4), 1L)
+    }
+    assert(e.getMessage.contains("bands=4"))
+  }
+
   test("config-driven streaming admission drains, then restarts as a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-adm-cfg")
     val cfg = s"""{
