@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: ADVERSARIAL-SKEW scale evidence for the flagship paths.
+  *
+  * [[ScaleProbe]] scales volume with uniform shifted keys — the
+  * realistic growth mode, but not the scale-killer mode. The class of
+  * failure that kills plans at 100 TB is a HOT KEY: one pk receiving a
+  * third of the changelog, one boilerplate chunk in a third of all
+  * documents, one near-dup cluster spanning a third of the graph, one
+  * batch flooded with copies of the same page. Each probe here builds
+  * that hostile distribution explicitly, measures the operator at k=1
+  * vs k=K UNDER skew (does the plan still scale?), and at equal volume
+  * skewed-vs-uniform (what does the hot key itself cost — the "skew
+  * tax"). A plan that survives only uniform keys shows up as a
+  * super-linear skew ratio or a multi-x tax.
+  *
+  * Why each path is expected to hold:
+  *   - compact: the pk fold is a map-side-combined HashAggregate —
+  *     every partition collapses its share of the hot key to ONE
+  *     buffer before the exchange, so the hot group moves ≤ |parts|
+  *     rows regardless of its row share.
+  *   - span dedup: keeper min is the same map-side-combined agg on the
+  *     chunk digest; the dup-flag join sends the hot digest's m chunk
+  *     rows to one partition — AQE's skew-join split is the mitigation.
+  *   - connected components: a giant component concentrates one LABEL
+  *     on a third of all nodes; rounds must stay O(log diameter) and
+  *     the per-round joins lean on AQE for the hot label partition.
+  *   - admission: a flooded batch used to emit C(m,2) within-batch
+  *     candidate pairs (the one true quadratic); the exact-clique
+  *     contraction in [[ops.Admission.admitBatch]] reduces the flood
+  *     to its min-id rep BEFORE banding, so candidates stay
+  *     O(collisions among distinct docs). This probe measures the
+  *     mitigated path and prints the pair count the uncontracted
+  *     self-join would have produced.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SkewProbe 10"
+  */
+object SkewProbe {
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** The hot share every probe uses: ~30% of rows / docs / nodes pile
+    * onto one key — past any "mild skew" regime, below the degenerate
+    * all-one-key case that has no distributed answer at all. */
+  private val HotPct = 30
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val want: String => Boolean =
+      sys.env.get("SPARK_GRAFT_PROBES")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(s => (n: String) => s.contains(n))
+        .getOrElse(_ => true)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
+      val spans = idCols.map(c =>
+        c -> (base.agg(max(col(c))).head().getLong(0) + 1)).toMap
+      (0 until n).map { i =>
+        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * spans(c)))
+      }.reduce(_ unionByName _)
+    }
+    // materialize untimed → the timed region runs one plain scan at
+    // every k (the ScaleProbe measurement contract)
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-skew-$tag")
+        .resolve("d.parquet").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    def sweepBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+    }
+
+    // ── compact under a hot pk ──────────────────────────────────────
+    // events ×k, then ~30% of rows redirected onto ONE user: the pk
+    // fold's hot group holds 30% of the whole changelog at every k.
+    // The uniform comparator is the same volume with untouched keys.
+    val ev = graft.source.Changelog.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts")
+    def hotUser(df: DataFrame): DataFrame =
+      df.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(100)) < HotPct, lit(0L))
+          .otherwise(col("user_id")))
+    def compactAt(n: Int, hot: Boolean): (Double, Double, Long) = {
+      val base = scaled(ev, Seq("user_id", "event_id"), n)
+      val in = mat(if (hot) hotUser(base) else base, s"cz$n$hot")
+      val (scanSecs, _) = time(in.count())
+      val log = graft.source.Changelog.fromEventsDf(in)
+      val (secs, rows) = time(graft.op.Compactor.compact(log).count())
+      (scanSecs, secs, rows)
+    }
+    if (want("skew_compact_hotpk")) {
+      compactAt(1, hot = true) // warm
+      val (_, c1, r1) = compactAt(1, hot = true)
+      val (sck, ck, rk) = compactAt(k, hot = true)
+      val (_, cu, ru) = compactAt(k, hot = false)
+      val bn = if (ck - sck > sck) "pk hash-agg exchange" else "input scan"
+      println(s"""{"probe":"skew_compact_hotpk","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$c1,"secs_k":$ck,"secs_k_uniform":$cu,""" +
+        s""""rows_1":$r1,"rows_k":$rk,"rows_k_uniform":$ru,""" +
+        s""""ratio":${ck / c1},"skew_tax":${ck / cu},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
+    // ── span dedup under a hot chunk ────────────────────────────────
+    // docs ×k suffix-salted (cross-copy chunks disjoint, the ScaleProbe
+    // construction), then an 8-token boilerplate PREFIX on ~30% of
+    // docs: with chunkTokens=8 the first chunk of every flagged doc is
+    // the SAME digest — one chunk at 30% corpus frequency at every k.
+    // The uniform comparator prefixes the same 30% with a per-doc
+    // UNIQUE 8 tokens: identical volume, no hot digest.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val boiler = (1 to 8).map(i => s"boilerplate$i").mkString(" ")
+    def saltedDocs(n: Int): DataFrame = {
+      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until n).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + i * span)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+      }.reduce(_ unionByName _)
+    }
+    def prefixed(d: DataFrame, hot: Boolean): DataFrame = {
+      val flagged = pmod(xxhash64(col("doc_id")), lit(100)) < HotPct
+      val uniq = (1 to 8).map(i =>
+        concat(lit(s"u$i"), col("doc_id").cast("string"))).toSeq
+      val prefix = if (hot) lit(boiler)
+        else concat_ws(" ", uniq: _*)
+      d.withColumn("text",
+        when(flagged, concat(prefix, lit(" "), col("text")))
+          .otherwise(col("text")))
+    }
+    def spansAt(n: Int, hot: Boolean): (Double, Long) = {
+      val d = mat(prefixed(saltedDocs(n), hot), s"sz$n$hot")
+      try time(graft.ops.Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 8)
+        .agg(sum("dup_chunks")).head().getLong(0))
+      finally sweepBlocks()
+    }
+    if (want("skew_spans_hotchunk")) {
+      spansAt(1, hot = true) // warm
+      val (s1, d1) = spansAt(1, hot = true)
+      val (sk, dk) = spansAt(k, hot = true)
+      val (su, du) = spansAt(k, hot = false)
+      println(s"""{"probe":"skew_spans_hotchunk","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$s1,"secs_k":$sk,"secs_k_uniform":$su,""" +
+        s""""dups_1":$d1,"dups_k":$dk,"dups_k_uniform":$du,""" +
+        s""""ratio":${sk / s1},"skew_tax":${sk / su},""" +
+        s""""bottleneck":"hot-digest flag join (AQE skew split)","sf":"$sfDir"}""")
+    }
+
+    // ── connected components with a giant component ─────────────────
+    // N×k nodes; 30% of them star-linked to node 0 (ONE component whose
+    // size — and hub degree — grows with the corpus; its min label ends
+    // on 30% of all nodes), the rest in 2-chains. Uniform comparator:
+    // same node and edge count, all 2-chains. Rounds must stay constant
+    // (star diameter 2); the hot-label join leans on AQE.
+    val n0 = 100000L
+    def giantAt(n: Int, giant: Boolean): (Double, Long, Map[String, Double]) = {
+      val nN = n0 * n
+      val hub = (nN * HotPct) / 100
+      val nodes = mat(spark.range(nN).select(col("id")), s"gn$n$giant").cache()
+      nodes.count()
+      val star =
+        if (giant) spark.range(1L, hub).select(lit(0L).as("a_id"), col("id").as("b_id"))
+        else spark.range(1L, hub).filter(pmod(col("id"), lit(2)) === 1)
+          .select((col("id") - 1).as("a_id"), col("id").as("b_id"))
+      val chains = spark.range(hub, nN - 1, 2)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val edges = mat(star.unionByName(chains), s"ge$n$giant")
+      try {
+        PhaseClock.reset()
+        val (secs, merged) = time {
+          graft.ops.Clusters.components(nodes, "id", edges, "a_id", "b_id")
+            .filter(col("id") =!= col("comp")).count()
+        }
+        (secs, merged, PhaseClock.snapshot())
+      } finally { nodes.unpersist(); sweepBlocks() }
+    }
+    if (want("skew_cc_giant")) {
+      giantAt(1, giant = true) // warm
+      val (c1, m1, p1) = giantAt(1, giant = true)
+      val (ckk, mk, pk) = giantAt(k, giant = true)
+      val (cu, mu, _) = giantAt(k, giant = false)
+      println(s"""{"probe":"skew_cc_giant","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$c1,"secs_k":$ckk,"secs_k_uniform":$cu,""" +
+        s""""merged_1":$m1,"merged_k":$mk,"merged_k_uniform":$mu,""" +
+        s""""rounds_1":${p1.getOrElse("cc.rounds", 0.0)},""" +
+        s""""rounds_k":${pk.getOrElse("cc.rounds", 0.0)},""" +
+        s""""ratio":${ckk / c1},"skew_tax":${ckk / cu},""" +
+        s""""bottleneck":"hot-label propagate join (AQE skew split)","sf":"$sfDir"}""")
+    }
+
+    // ── admission under a per-batch flood ───────────────────────────
+    // docs ×k; ~30% of every batch is the SAME 40-token page (the
+    // boilerplate flood — the distribution that used to cost C(m,2)
+    // within-batch pairs). Uniform comparator: the same 30% carry
+    // per-doc UNIQUE 40-token texts. 4 sequential batches against a
+    // growing store, the ScaleProbe stateful shape.
+    val flood40 = (1 to 40).map(i => s"flood$i").mkString(" ")
+    def floodDocs(n: Int, hot: Boolean): DataFrame = {
+      val flagged = pmod(xxhash64(col("doc_id")), lit(100)) < HotPct
+      val uniq = (1 to 40).map(i =>
+        concat(lit(s"f$i"), col("doc_id").cast("string"))).toSeq
+      val text = if (hot) lit(flood40) else concat_ws(" ", uniq: _*)
+      saltedDocs(n).withColumn("text",
+        when(flagged, text).otherwise(col("text")))
+    }
+    def admitAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-skew-adm$n$hot")
+      val cfg = graft.ops.Admission.Config(
+        target = dir.resolve("store").toString,
+        checkpoint = dir.resolve("ckpt").toString)
+      val d = mat(floodDocs(n, hot), s"az$n$hot")
+      PhaseClock.reset()
+      val (secs, admitted) = time {
+        (0 until 4).map { b =>
+          graft.ops.Admission.admitBatch(
+            d.filter(pmod(col("doc_id"), lit(4)) === b), cfg, b.toLong)
+        }.sum
+      }
+      val ph = PhaseClock.snapshot()
+      sweepBlocks()
+      (secs, admitted, ph)
+    }
+    if (want("skew_admit_flood")) {
+      admitAt(1, hot = true) // warm
+      val (a1, ad1, _) = admitAt(1, hot = true)
+      val (ak, adk, phk) = admitAt(k, hot = true)
+      val (au, adu, _) = admitAt(k, hot = false)
+      // what the uncontracted self-join would have emitted per batch at
+      // k (4 bands × C(m,2) pre-distinct): the cost the contraction
+      // removed, stated from the construction
+      val mPerBatch = (5000L * k * HotPct) / 100 / 4
+      val uncontracted = 4L * mPerBatch * (mPerBatch - 1) / 2
+      val ph = phk.toSeq.sortBy(-_._2).take(4)
+        .map { case (n2, v) => s""""$n2":$v""" }.mkString(",")
+      val counterPhases = Set("batches")
+      val bn = phk.filter(p => !counterPhases(p._1))
+        .toSeq.sortBy(-_._2).headOption.map(_._1).getOrElse("none")
+      println(s"""{"probe":"skew_admit_flood","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$a1,"secs_k":$ak,"secs_k_uniform":$au,""" +
+        s""""admitted_1":$ad1,"admitted_k":$adk,"admitted_k_uniform":$adu,""" +
+        s""""ratio":${ak / a1},"skew_tax":${ak / au},""" +
+        s""""uncontracted_pairs_per_band_k":$uncontracted,""" +
+        s""""phases_k":{$ph},"bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
+    spark.stop()
+  }
+}

@@ -54,7 +54,58 @@ object Pipeline {
       if (c.has("out")) c.get("out").asText() else "json")),
     "compact" -> (_ => Compactor.compact),
     "route" -> (c => Processors.route(c.get("n").asInt(),
-      strs(c.get("keys"))))
+      strs(c.get("keys")))),
+
+    // ── corpus-release stages: the training-data layer in task form.
+    // The reference's ethos is config-driven assembly (componentbuilder
+    // .go:170-234); these make the release chain — scrub → mix →
+    // (pack | z-order | shuffle) — a JSON task instead of a library
+    // call, and because stages compose as plain DataFrame functions the
+    // whole assembled chain is still ONE Catalyst plan.
+    "decontaminate" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val id = c.get("idCol").asText()
+      val below = c.get("benchBelowId").asLong()
+      graft.ops.Decontaminate.scrub(
+        df.filter(col(id) >= below), df.filter(col(id) < below),
+        id, c.get("textCol").asText(),
+        n = if (c.has("n")) c.get("n").asInt() else 5)
+    }),
+    "mix_rate" -> (c => df => graft.ops.Mixing.sampleByRate(df,
+      c.get("strataCol").asText(), c.get("idCol").asText(),
+      strMap(c.get("rates")).map { case (k, v) => k -> v.toDouble },
+      if (c.has("default")) c.get("default").asDouble() else 1.0)),
+    "mix_temperature" -> (c => df => graft.ops.Mixing.sampleByTemperature(df,
+      c.get("strataCol").asText(), c.get("idCol").asText(),
+      if (c.has("alpha")) c.get("alpha").asDouble() else 0.5)),
+    "split" -> (c => df => graft.ops.Mixing.assignSplits(df,
+      c.get("idCol").asText(),
+      c.get("fractions").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toSeq)),
+    "pack" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, size, xxhash64}
+      val id = c.get("idCol").asText()
+      val withToks = df.select(col(id),
+        size(graft.ops.TextAnalysis.tokens(col(c.get("textCol").asText())))
+          .cast("long").as("toks"))
+      graft.ops.Mixing.packByOffset(withToks, id, "toks",
+        ctxTokens = c.get("ctxTokens").asInt(),
+        nShards = if (c.has("shards")) c.get("shards").asInt() else 32,
+        shardHash = if (c.has("portableHash") && c.get("portableHash").asBoolean())
+          graft.ops.Mixing.hashSlice else xxhash64(_))
+    }),
+    "pack_audit" -> (c => df => {
+      import org.apache.spark.sql.functions._
+      val id = c.get("idCol").asText()
+      df.groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_toks"),
+          min(col(id)).as("min_doc"), max(col(id)).as("max_doc"))
+    }),
+    "zorder" -> (c => df => graft.ops.Mixing.zorderLayout(df,
+      c.get("colA").asText(), c.get("colB").asText(),
+      bitsPerDim = if (c.has("bitsPerDim")) c.get("bitsPerDim").asInt() else 3)),
+    "global_shuffle" -> (c => df => graft.ops.Mixing.globalShuffle(df,
+      c.get("idCol").asText()))
   )
 
   def source(spark: SparkSession, c: JsonNode): DataFrame = c.get("type").asText() match {

@@ -305,56 +305,89 @@ object MixQueries {
     // above, and the whole chain is ONE Catalyst plan (scrub's broadcast
     // join → map-only mix filter → per-shard pack window → final agg).
     "pipeline_release" -> QueryDef(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val clean = Decontaminate.scrub(
-          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
-          "doc_id", "text", n = 5)
-        val mixed = Mixing.sampleByRate(clean, "lang", "doc_id",
-          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75))
-        val withToks = mixed.select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
-        Mixing.packByOffset(withToks, "doc_id", "toks",
-          ctxTokens = 512, nShards = 8, shardHash = Mixing.hashSlice)
-          .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
-          .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_toks"),
-            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-          .orderBy("pack_id")
-      },
-      Some("""WITH u AS (
-        |  SELECT *,
-        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u,
-        |    regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(toks) - 3),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-        |         toks[i+3] || ' ' || toks[i+4]))) AS ng
-        |  FROM u WHERE len(toks) >= 5),
-        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50),
-        |contaminated AS (
-        |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
-        |  WHERE g.doc_id >= 50),
-        |released AS (
-        |  SELECT doc_id, u % 8 AS shard, CAST(len(toks) AS BIGINT) AS toks
-        |  FROM u
-        |  WHERE doc_id >= 50
-        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |    AND u < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
-        |                      WHEN 'zh' THEN 49152 ELSE 65536 END),
-        |laid AS (
-        |  SELECT doc_id, toks, shard,
-        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
-        |  FROM released)
-        |SELECT shard,
-        |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_toks,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM laid GROUP BY 1, 2 ORDER BY pack_id""".stripMargin))
+      (s, dir) => releaseChain(s, dir), Some(releaseOracle)),
+
+    // The SAME release chain assembled from JSON through the config
+    // front-end (Pipeline.stages' processor registry — the reference's
+    // componentbuilder ethos: a release run is a task config, not a
+    // program). Must produce byte-identical results to the code-built
+    // chain above; gated against the same oracle. examples/release.json
+    // carries the standalone-runnable form for graft.Run.
+    "pipeline_release_cfg" -> QueryDef(
+      (s, dir) => graft.pipeline.Pipeline.buildFrame(s, s"""{
+          "source": {"type": "table", "dir": "$dir", "table": "documents"},
+          "processors": [
+            {"type": "decontaminate", "idCol": "doc_id", "textCol": "text",
+             "benchBelowId": 50, "n": 5},
+            {"type": "mix_rate", "strataCol": "lang", "idCol": "doc_id",
+             "rates": {"en": 0.5, "de": 0.25, "zh": 0.75}},
+            {"type": "pack", "idCol": "doc_id", "textCol": "text",
+             "ctxTokens": 512, "shards": 8, "portableHash": true},
+            {"type": "pack_audit", "idCol": "doc_id"}
+          ],
+          "sink": {"type": "noop"}
+        }""").orderBy("pack_id"),
+      Some(releaseOracle)),
+
   )
+
+  /** The code-built release chain `pipeline_release` gates (and the
+    * result `pipeline_release_cfg`'s JSON assembly must reproduce
+    * exactly). */
+  private def releaseChain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val clean = Decontaminate.scrub(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", n = 5)
+    val mixed = Mixing.sampleByRate(clean, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75))
+    val withToks = mixed.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    Mixing.packByOffset(withToks, "doc_id", "toks",
+      ctxTokens = 512, nShards = 8, shardHash = Mixing.hashSlice)
+      .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_toks"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("pack_id")
+  }
+
+  // lazy: `defs` above initializes first and captures this value —
+  // a plain val would still be null at that point (declaration order)
+  private lazy val releaseOracle =
+    """WITH u AS (
+      |  SELECT *,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u,
+      |    regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |         toks[i+3] || ' ' || toks[i+4]))) AS ng
+      |  FROM u WHERE len(toks) >= 5),
+      |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 50),
+      |contaminated AS (
+      |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
+      |  WHERE g.doc_id >= 50),
+      |released AS (
+      |  SELECT doc_id, u % 8 AS shard, CAST(len(toks) AS BIGINT) AS toks
+      |  FROM u
+      |  WHERE doc_id >= 50
+      |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |    AND u < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
+      |                      WHEN 'zh' THEN 49152 ELSE 65536 END),
+      |laid AS (
+      |  SELECT doc_id, toks, shard,
+      |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_off
+      |  FROM released)
+      |SELECT shard,
+      |  shard * 4398046511104 + CAST(floor(start_off / 512.0) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_toks,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM laid GROUP BY 1, 2 ORDER BY pack_id""".stripMargin
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Decontaminate, Mixing, TextAnalysis}
+
+/** Config round-tripping for the release-chain processors: a pipeline
+  * assembled from JSON through `Pipeline.stages` must produce the
+  * byte-identical result of the equivalent code composition — for
+  * RANDOM parameterizations, not just the gated example. A divergence
+  * here means the config front-end silently reinterprets a knob (rate,
+  * ctx, shard count, n-gram width), which a fixed-example test can't
+  * see. */
+class PipelineCfgSpec extends SparkSpec {
+
+  private val langs = Seq("en", "de", "zh", "fr")
+
+  private case class Cfg(rates: Map[String, Double], default: Double,
+      ctx: Int, shards: Int, benchBelow: Long, n: Int)
+
+  private val cfgGen: Gen[Cfg] = for {
+    nRates <- Gen.choose(0, 3)
+    ls <- Gen.pick(nRates, langs)
+    rs <- Gen.listOfN(nRates, Gen.choose(0.0, 1.0))
+    default <- Gen.oneOf(1.0, 0.5, 0.75)
+    ctx <- Gen.choose(64, 1024)
+    shards <- Gen.choose(1, 16)
+    benchBelow <- Gen.choose(10L, 80L)
+    n <- Gen.choose(3, 7)
+  } yield Cfg(ls.toList.zip(rs).toMap, default, ctx, shards, benchBelow, n)
+
+  private def ratesJson(rates: Map[String, Double]): String =
+    rates.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+
+  test("JSON-assembled release chain equals code composition for random configs") {
+    val prop = Prop.forAll(cfgGen) { c =>
+      val json = s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "decontaminate", "idCol": "doc_id", "textCol": "text",
+           "benchBelowId": ${c.benchBelow}, "n": ${c.n}},
+          {"type": "mix_rate", "strataCol": "lang", "idCol": "doc_id",
+           "rates": ${ratesJson(c.rates)}, "default": ${c.default}},
+          {"type": "pack", "idCol": "doc_id", "textCol": "text",
+           "ctxTokens": ${c.ctx}, "shards": ${c.shards}, "portableHash": true},
+          {"type": "pack_audit", "idCol": "doc_id"}
+        ],
+        "sink": {"type": "noop"}
+      }"""
+      val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, json)
+        .orderBy("pack_id").collect().toSeq
+
+      val docs = graft.source.Changelog.table(spark, sf, "documents")
+      val clean = Decontaminate.scrub(
+        docs.filter(col("doc_id") >= c.benchBelow),
+        docs.filter(col("doc_id") < c.benchBelow),
+        "doc_id", "text", n = c.n)
+      val mixed = Mixing.sampleByRate(clean, "lang", "doc_id",
+        c.rates, c.default)
+      val withToks = mixed.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+      val viaCode = Mixing.packByOffset(withToks, "doc_id", "toks",
+        ctxTokens = c.ctx, nShards = c.shards, shardHash = Mixing.hashSlice)
+        .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_toks"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("pack_id").collect().toSeq
+
+      viaCfg == viaCode
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("zorder and global_shuffle stages round-trip through the registry") {
+    val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "documents"},
+      "processors": [
+        {"type": "zorder", "colA": "doc_id", "colB": "n_chars", "bitsPerDim": 2},
+        {"type": "global_shuffle", "idCol": "doc_id"}
+      ],
+      "sink": {"type": "noop"}
+    }""").select("doc_id", "zbucket", "ord").orderBy("doc_id").collect().toSeq
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val viaCode = Mixing.globalShuffle(
+      Mixing.zorderLayout(docs, "doc_id", "n_chars", bitsPerDim = 2), "doc_id")
+      .select("doc_id", "zbucket", "ord").orderBy("doc_id").collect().toSeq
+    assert(viaCfg == viaCode)
+  }
+
+  test("unknown processor type fails loudly with its name") {
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [{"type": "mix_rat"}],
+        "sink": {"type": "noop"}
+      }""")
+    }
+    assert(e.getMessage.contains("mix_rat"))
+  }
+}
