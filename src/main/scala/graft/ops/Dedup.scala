@@ -340,12 +340,18 @@ object Dedup {
     dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens), idCol)
 
   /** Keeper + flag + rebuild over any (idCol, pos, chunk, _h, _enc)
-    * chunk frame — shared by the fixed and content-defined chunkers. */
-  private def dedupChunkFrame(chunks: DataFrame, idCol: String): DataFrame = {
+    * chunk frame — shared by the fixed and content-defined chunkers.
+    * A dup chunk shorter than `minRemoveTokens` is kept (the CDC
+    * short-segment guard; 1 = remove any dup). */
+  private def dedupChunkFrame(chunks: DataFrame, idCol: String,
+      minRemoveTokens: Int = 1): DataFrame = {
     val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
     val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
+    val shortGuard =
+      if (minRemoveTokens <= 1) lit(false)
+      else size(split(col("chunk"), " ")) < minRemoveTokens
     val flagged = chunks.join(keepers, "_h")
-      .withColumn("_kept", col("_enc") === col("_first"))
+      .withColumn("_kept", col("_enc") === col("_first") || shortGuard)
       .withColumn("_cross",
         col("_first") < docBase || col("_first") >= docBase + (1L << chunkPosBits))
     perDocRebuild(flagged, idCol)
@@ -424,11 +430,23 @@ object Dedup {
   }
 
   /** [[chunkDedup]] with content-defined boundaries ([[cdcChunkFrame]])
-    * — the shift-robust span-dedup form. */
+    * — the shift-robust span-dedup form.
+    *
+    * `minRemoveTokens` is the short-segment guard: CDC segments are
+    * VARIABLE length (geometric, mean 16/|nibbles|), so without a floor
+    * a 1-2-token segment that recurs anywhere ("of the", a lone
+    * stopword between two cut tokens) is removed even though it sits in
+    * no ≥L-token duplicated span — measured against
+    * [[exactSpanCover]] on the sf fixture, 62% of the default chunker's
+    * removed tokens are such sub-span fragments (graft.SpanPrecision).
+    * With the guard at 4, over-removal drops to 0.4% at a recall cost
+    * of 0.92 → 0.77. Default 1 keeps the historical behavior (and the
+    * oracle-pinned gate semantics). */
   def chunkDedupCDC(df: DataFrame, idCol: String, textCol: String,
-      cutNibbles: String = "01"): DataFrame = {
+      cutNibbles: String = "01", minRemoveTokens: Int = 1): DataFrame = {
     val chunks = cdcChunkFrame(df, idCol, textCol, cutNibbles).cache()
-    val stats = dedupChunkFrame(chunks, idCol).localCheckpoint(true)
+    val stats = dedupChunkFrame(chunks, idCol, minRemoveTokens)
+      .localCheckpoint(true)
     chunks.unpersist()
     stats
   }
@@ -477,6 +495,135 @@ object Dedup {
       .withColumn("_kept", !col("_hit") && col("_enc") === col("_bfirst"))
       .withColumn("_cross", col("_hit") ||
         col("_bfirst") < docBase || col("_bfirst") >= docBase + (1L << chunkPosBits))
+  }
+
+  /** EXACT sub-document substring dedup at token granularity — the
+    * reference point [[chunkDedup]] and [[chunkDedupCDC]] approximate
+    * (suffix-array dedup à la "Deduplicating Training Data Makes
+    * Language Models Better", restated as a dataflow): a token is
+    * DUPLICATED iff it sits inside some ≥ `minTokens`-token window
+    * whose content appeared earlier in corpus order. Every such token
+    * is removed; the first occurrence survives. Unlike the chunkers
+    * there is NO boundary quantization — a shared passage is covered
+    * exactly, wherever it starts.
+    *
+    * Algebra: slide an L-token window at STRIDE 1 (one gram per token
+    * position, built map-only from the token array — the chunkers'
+    * stride-L loop with the stride turned down), take the first
+    * occurrence per gram content (the same packed-long min HashAggregate
+    * as [[chunkDedup]] — map-side combined, hot boilerplate grams
+    * collapse before the exchange), and mark every non-first gram
+    * occurrence as covering positions [pos, pos+L). Token-level
+    * coverage then resolves per document with ONE keyed window: union
+    * the token events with the dup-gram start events, order by
+    * position, and carry the running max start — a token is covered iff
+    * the latest start within L positions reaches it. No interval
+    * explosion, no L× fan-out on the cover side.
+    *
+    * Cost vs the chunkers: L× the gram rows (stride 1 vs stride L) and
+    * one per-doc window — the known price of exactness; fixed/CDC
+    * chunking are the cheap approximations and
+    * `graft.SpanPrecision` measures their recall/over-removal against
+    * this operator.
+    *
+    * Output per doc: `n_toks`, `dup_cover` (tokens covered), `dup_frac`,
+    * `kept_md5` (md5 of the surviving tokens space-joined in order —
+    * value-checks the rebuild). All hashing is md5 so a SQL oracle
+    * replays the identical cover. */
+  def exactSpanCover(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame =
+    exactTokenCover(df, idCol, textCol, minTokens)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("_covered").cast("long")).as("dup_cover"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("_covered"),
+            struct(col("_p"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+      .withColumn("dup_frac",
+        col("dup_cover").cast("double") / col("n_toks"))
+
+  /** The per-token form [[exactSpanCover]] aggregates: one row per
+    * (doc, token position) with `_covered` = the token sits inside a
+    * ≥L-token window seen earlier in corpus order. `graft.SpanPrecision`
+    * reads this as the ground-truth removal set when scoring the
+    * chunkers' recall/over-removal. */
+  private[graft] def exactTokenCover(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
+    val L = minTokens
+    // one gram per position, map-only off the let-bound token array
+    // (the documented re-tokenization trap applies at stride 1 with
+    // full force: an inlined tokens() would re-split once per gram)
+    val gramArr = element_at(transform(array(TextAnalysis.tokens(col(textCol))),
+      t => when(size(t) >= L,
+        transform(sequence(lit(0), size(t) - L),
+          i => md5(concat_ws(" ", slice(t, i + 1, lit(L))))))
+        .otherwise(array().cast("array<string>"))), 1)
+    val grams = df.select(col(idCol), posexplode(gramArr).as(Seq("pos", "_h")))
+      .withColumn("_enc", packEnc(idCol))
+    val keepers = grams.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    val dupStarts = grams.join(keepers, "_h")
+      .filter(col("_enc") =!= col("_first"))
+      .select(col(idCol), col("pos").as("_p"), lit(0).as("_istok"),
+        lit(null).cast("string").as("tok"), col("pos").as("_start"))
+    val tokEvents = df
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("_p", "tok")))
+      .select(col(idCol), col("_p"), lit(1).as("_istok"), col("tok"),
+        lit(null).cast("int").as("_start"))
+    // per-doc running max of dup-window starts: start events sort before
+    // the token at the same position, so a window beginning AT a token
+    // covers it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_p", "_istok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokEvents.unionByName(dupStarts)
+      .withColumn("_runstart", max(col("_start")).over(w))
+      .filter(col("_istok") === 1)
+      .withColumn("_covered",
+        col("_runstart").isNotNull && col("_runstart") + L > col("_p"))
+      .select(col(idCol), col("_p"), col("tok"), col("_covered"))
+  }
+
+  /** Token positions the FIXED chunker removes: every token of every
+    * non-first-occurrence chunk. (id, _p) rows — the comparison frame
+    * `graft.SpanPrecision` scores against [[exactTokenCover]]. */
+  private[graft] def chunkTokenRemoved(df: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int): DataFrame = {
+    val chunks = chunkFrame(df, idCol, textCol, chunkTokens)
+    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    chunks.join(keepers, "_h")
+      .filter(col("_enc") =!= col("_first"))
+      .select(col(idCol), col("pos"),
+        posexplode(split(col("chunk"), " ")).as(Seq("_i", "_t")))
+      .select(col(idCol),
+        (col("pos") * chunkTokens + col("_i")).cast("long").as("_p"))
+  }
+
+  /** Token positions the CDC chunker removes — segment token offsets
+    * derived from a running sum of segment sizes in segment order.
+    * `minRemoveTokens` > 1 applies the short-segment guard of
+    * [[chunkDedupCDC]]'s `minRemoveTokens` knob: dup segments shorter
+    * than the bound are kept. */
+  private[graft] def cdcTokenRemoved(df: DataFrame, idCol: String,
+      textCol: String, cutNibbles: String,
+      minRemoveTokens: Int = 1): DataFrame = {
+    val chunks = cdcChunkFrame(df, idCol, textCol, cutNibbles)
+      .withColumn("_sz", size(split(col("chunk"), " ")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withStart = chunks
+      .withColumn("_startoff", coalesce(sum(col("_sz")).over(w), lit(0L)))
+    val keepers = withStart.groupBy("_h").agg(min(col("_enc")).as("_first"))
+    withStart.join(keepers, "_h")
+      .filter(col("_enc") =!= col("_first") &&
+        col("_sz") >= minRemoveTokens)
+      .select(col(idCol), col("_startoff"),
+        posexplode(split(col("chunk"), " ")).as(Seq("_i", "_t")))
+      .select(col(idCol), (col("_startoff") + col("_i")).cast("long").as("_p"))
   }
 
   /** Group-level MinHash union sketches + pairwise estimated Jaccard —

@@ -130,6 +130,49 @@ object DedupQueries {
         |  md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // EXACT substring dedup at token granularity — the operator the
+    // two chunkers above approximate (suffix-array dedup restated as a
+    // stride-1 gram dataflow): a token dies iff it sits inside some
+    // ≥8-token window whose content appeared earlier in corpus order,
+    // with NO boundary quantization. Coverage, counts, and the rebuilt
+    // surviving text are all value-checked; graft.SpanPrecision
+    // measures fixed/CDC recall and over-removal against this.
+    "dedup_span_exact" -> QueryDef(
+      (s, dir) => {
+        Dedup.exactSpanCover(table(s, dir, "documents"), "doc_id", "text",
+          minTokens = 8)
+          .select(col("doc_id"), col("n_toks"), col("dup_cover"),
+            col("dup_frac"), col("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+        |    i -> struct_pack(pos := i,
+        |      h := md5(array_to_string(toks[(i+1):(i+8)], ' '))))) AS u
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.h AS h FROM g0),
+        |k AS (SELECT h, min(doc_id * 1048576 + pos) AS firstk FROM g GROUP BY h),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN k USING (h)
+        |      WHERE g.doc_id * 1048576 + g.pos <> firstk),
+        |tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+        |  FROM t WHERE len(toks) >= 1),
+        |tok AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM tok0),
+        |ev AS (
+        |  SELECT doc_id, pos, 1 AS istok, tok, CAST(NULL AS BIGINT) AS st FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, pos, 0 AS istok, CAST(NULL AS VARCHAR) AS tok, pos AS st FROM d),
+        |run AS (SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY pos, istok
+        |  ROWS UNBOUNDED PRECEDING) AS runst FROM ev),
+        |tc AS (SELECT doc_id, pos, tok,
+        |  (runst IS NOT NULL AND runst + 8 > pos) AS covered
+        |  FROM run WHERE istok = 1)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS dup_cover,
+        |  CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+        |  md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered), '')) AS kept_md5
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // INCREMENTAL span dedup — the admission form: batch 1 (even ids)
     // seeds a persisted chunk-digest DeltaStore, batch 2 (odd ids) is
     // span-deduped against store + itself and appends only its novel

@@ -630,6 +630,63 @@ class OpsSpec extends SparkSpec {
     assert(solo == base)
   }
 
+  test("exact span cover removes misaligned shared passages the chunkers miss") {
+    // docs share a 24-token passage at offsets 3 and 6 — misaligned for
+    // any fixed-8 frame. The exact cover marks all 24 tokens of the
+    // SECOND occurrence (and only them); the rebuilt text drops exactly
+    // the passage.
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p24 = (1 to 24).map(i => s"p$i").mkString(" ")
+    val pre1 = (1 to 3).map(i => s"a$i").mkString(" ")
+    val suf1 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val pre2 = (1 to 6).map(i => s"c$i").mkString(" ")
+    val suf2 = (1 to 20).map(i => s"d$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$pre1 $p24 $suf1"),
+      (2L, s"$pre2 $p24 $suf2")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSpanCover(df, "doc_id", "text", minTokens = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "dup_cover", "kept_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 47L, 0L, md5Hex(s"$pre1 $p24 $suf1"))))
+    assert(r(1) == ((2L, 50L, 24L, md5Hex(s"$pre2 $suf2"))))
+    // the fixed chunker sees NOTHING here (no 8-aligned frame matches)
+    val fx = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 8)
+      .agg(sum("dup_chunks")).as[Long].head()
+    assert(fx == 0L, s"misaligned passage should defeat fixed chunking, got $fx")
+    // overlapping windows merge into ONE cover interval (no L-times
+    // double counting), and a sub-L shared fragment is NOT covered
+    val short = Seq((11L, words("s", 6) + " x y"), (12L, words("s", 6) + " z w"))
+      .toDF("doc_id", "text")
+    val s = Dedup.exactSpanCover(short, "doc_id", "text", minTokens = 8)
+      .agg(sum("dup_cover")).as[Long].head()
+    assert(s == 0L, "a 6-token shared fragment is below the span floor")
+  }
+
+  test("CDC short-segment guard keeps sub-span dup fragments") {
+    // "of the" recurs in both docs as a 2-token CDC segment candidate;
+    // with the guard at 4 a dup segment that short is kept, so doc 2
+    // only loses genuinely long shared spans
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, s"zz $base")).toDF("doc_id", "text")
+    val noGuard = Dedup.chunkDedupCDC(df, "doc_id", "text", "01")
+      .filter($"doc_id" === 2L).select("dup_chunks").as[Long].head()
+    val guarded = Dedup.chunkDedupCDC(df, "doc_id", "text", "01",
+      minRemoveTokens = 4)
+      .filter($"doc_id" === 2L).select("dup_chunks").as[Long].head()
+    // the guard can only ever keep MORE (dup count monotone down), and
+    // the default (1) preserves historical behavior
+    assert(guarded <= noGuard)
+    val default1 = Dedup.chunkDedupCDC(df, "doc_id", "text", "01",
+      minRemoveTokens = 1)
+      .filter($"doc_id" === 2L).select("dup_chunks").as[Long].head()
+    assert(default1 == noGuard)
+  }
+
   test("frame dedup: byte-window keeper algebra over opaque media") {
     def blk(c: Char) = c.toString * 32
     val media = Seq(
