@@ -74,7 +74,14 @@ object AnnCurve {
       "pq_m4" -> (np => Similarity.ivfPqTopK(emb, q32, topK, cells = 16,
         nprobe = np, m = 4, k = 8)),
       "pq_m8" -> (np => Similarity.ivfPqTopK(emb, q32, topK, cells = 16,
-        nprobe = np, m = 8, k = 8)))
+        nprobe = np, m = 8, k = 8)),
+      // larger code budgets (8 bits/subspace, then 16 subspaces):
+      // the synthetic fixture's embeddings are high-entropy, the worst
+      // case for PQ — these points price how much budget buys back
+      "pq_m8k64" -> (np => Similarity.ivfPqTopK(emb, q32, topK, cells = 16,
+        nprobe = np, m = 8, k = 64, pqIters = 3)),
+      "pq_m16k16" -> (np => Similarity.ivfPqTopK(emb, q32, topK, cells = 16,
+        nprobe = np, m = 16, k = 16, pqIters = 3)))
 
     variants.foreach { case (name, mk) =>
       mk(4).write.mode("overwrite").format("noop").save() // warm per variant

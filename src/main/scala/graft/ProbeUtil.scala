@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared measurement helpers for the dev probes ([[ScaleProbe]],
+  * [[SkewProbe]]) — ONE implementation of the probe measurement
+  * contract, so a fix to it (e.g. the materialize-before-timing rule)
+  * cannot silently diverge between probes and break cross-round
+  * comparability. */
+private[graft] object ProbeUtil {
+
+  def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Union `base` k× with each id column shifted by ITS OWN span —
+    * key cardinality grows ×k (the realistic growth mode); a shared
+    * span would leave wider columns' copies overlapping. */
+  def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
+    val spans = idCols.map(c =>
+      c -> (base.agg(max(col(c))).head().getLong(0) + 1)).toMap
+    (0 until n).map { i =>
+      idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * spans(c)))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Materialize to parquet and read back (untimed): the timed region
+    * then runs over a plain scan — the SAME plan shape at every k. A
+    * k-leg union plan grows its planning cost and scan fan-in with k,
+    * which at k=100 measurably pollutes the operator's own ratio (the
+    * r14 jdbc-probe lesson). */
+  def mat(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-$tag")
+      .resolve("d.parquet").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** documents ×k, suffix-salted: every WORD of copy i gets a `zi`
+    * suffix, so each copy is token-bijective to the original (identical
+    * internal dup structure) while sharing zero tokens across copies —
+    * scaling grows the corpus without inventing cross-copy duplicates. */
+  def saltedDocs(docs: DataFrame, n: Int): DataFrame = {
+    val span = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until n).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + i * span)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Empty the block store: `clearCache()` drops catalog-cached
+    * relations but NOT RDD-level persists (localCheckpoint blocks) —
+    * the r15 bench lesson. Every probe rep must start from zero. */
+  def sweepBlocks(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+  }
+}

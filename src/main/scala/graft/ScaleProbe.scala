@@ -13,9 +13,7 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe 10"
   */
 object ScaleProbe {
-  private def time[A](f: => A): (Double, A) = {
-    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
-  }
+  import ProbeUtil.{time, scaled}
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
@@ -36,29 +34,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
-      // one span PER COLUMN: shifting every id column by a shared span
-      // (the first column's) would leave the wider column's copies
-      // overlapping — its cardinality would not actually grow ×k
-      val spans = idCols.map(c =>
-        c -> (base.agg(max(col(c))).head().getLong(0) + 1)).toMap
-      (0 until n).map { i =>
-        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * spans(c)))
-      }.reduce(_ unionByName _)
-    }
-
-    // Materialize a scaled input to parquet and read it back (untimed):
-    // the timed region then runs over a plain scan — the SAME plan shape
-    // at every k. A k-leg union plan grows its planning cost and scan
-    // fan-in with k, which at k=100 measurably pollutes the operator's
-    // own ratio (the r14 jdbc-probe lesson, applied to every probe that
-    // feeds a scaled input into a timed region).
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-$tag")
-        .resolve("d.parquet").toString
-      df.write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      ProbeUtil.mat(spark, df, tag)
     // Named first-bottleneck: the largest recorded TIME phase at k —
     // the thing that would hit the wall first on a further scale-up.
     // PhaseClock mixes counters (batch/fold/round tallies) into the
@@ -105,11 +82,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     def dedupAt(n: Int): (Double, Long) = {
-      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val d = (0 until n).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + i * span)
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _)
+      val d = ProbeUtil.saltedDocs(docs, n)
       val toksDf = d.select(col("doc_id"),
         graft.ops.TextAnalysis.tokens(col("text")).as("toks")).cache()
       try {
@@ -137,11 +110,7 @@ object ScaleProbe {
     // map-side combined; the hash join and per-doc rebuild are linear
     // in exploded chunks).
     def spansAt(n: Int): (Double, Long) = {
-      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val d = mat((0 until n).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + i * span)
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _), s"spans$n")
+      val d = mat(ProbeUtil.saltedDocs(docs, n), s"spans$n")
       try time(graft.ops.Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 8)
         .agg(sum("dup_chunks")).head().getLong(0))
       finally { spark.catalog.clearCache() }
@@ -162,10 +131,7 @@ object ScaleProbe {
     // narrow scan.
     def spanAdmitAt(n: Int): (Double, Long, Map[String, Double]) = {
       val span = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val d = mat((0 until n).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + i * span)
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _), s"spanadm$n")
+      val d = mat(ProbeUtil.saltedDocs(docs, n), s"spanadm$n")
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-spanadm$n")
       val cfg = graft.ops.SpanStore.Config(s"$tmp/store", chunkTokens = 8)
       graft.PhaseClock.reset()
@@ -203,13 +169,9 @@ object ScaleProbe {
       val cfg = graft.ops.Admission.Config(
         target = dir.resolve("store").toString,
         checkpoint = dir.resolve("ckpt").toString)
-      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
       // materialized untimed: salting 100 copies with regexp_replace is
       // fixture construction, not admission work
-      val d = mat((0 until n).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + i * span)
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _), s"admit$n")
+      val d = mat(ProbeUtil.saltedDocs(docs, n), s"admit$n")
       // batches cut by doc_id mod 4: every batch mixes all copies, so
       // batch size grows ×k while the store grows underneath the run
       PhaseClock.reset()

@@ -39,9 +39,7 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SkewProbe 10"
   */
 object SkewProbe {
-  private def time[A](f: => A): (Double, A) = {
-    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
-  }
+  import ProbeUtil.{time, scaled}
 
   /** The hot share every probe uses: ~30% of rows / docs / nodes pile
     * onto one key — past any "mild skew" regime, below the degenerate
@@ -65,26 +63,9 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def scaled(base: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
-      val spans = idCols.map(c =>
-        c -> (base.agg(max(col(c))).head().getLong(0) + 1)).toMap
-      (0 until n).map { i =>
-        idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + i * spans(c)))
-      }.reduce(_ unionByName _)
-    }
-    // materialize untimed → the timed region runs one plain scan at
-    // every k (the ScaleProbe measurement contract)
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-skew-$tag")
-        .resolve("d.parquet").toString
-      df.write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
-    }
-    def sweepBlocks(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      ProbeUtil.mat(spark, df, tag)
+    def sweepBlocks(): Unit = ProbeUtil.sweepBlocks(spark)
 
     // ── compact under a hot pk ──────────────────────────────────────
     // events ×k, then ~30% of rows redirected onto ONE user: the pk
@@ -127,13 +108,7 @@ object SkewProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val boiler = (1 to 8).map(i => s"boilerplate$i").mkString(" ")
-    def saltedDocs(n: Int): DataFrame = {
-      val span = docs.agg(max("doc_id")).head().getLong(0) + 1
-      (0 until n).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + i * span)
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _)
-    }
+    def saltedDocs(n: Int): DataFrame = ProbeUtil.saltedDocs(docs, n)
     def prefixed(d: DataFrame, hot: Boolean): DataFrame = {
       val flagged = pmod(xxhash64(col("doc_id")), lit(100)) < HotPct
       val uniq = (1 to 8).map(i =>
@@ -166,7 +141,8 @@ object SkewProbe {
     // N×k nodes; 30% of them star-linked to node 0 (ONE component whose
     // size — and hub degree — grows with the corpus; its min label ends
     // on 30% of all nodes), the rest in 2-chains. Uniform comparator:
-    // same node and edge count, all 2-chains. Rounds must stay constant
+    // same node count and edge count (64 mini-stars, diameter 2) — only
+    // the hot hub and hot min-label are gone. Rounds must stay constant
     // (star diameter 2); the hot-label join leans on AQE.
     val n0 = 100000L
     def giantAt(n: Int, giant: Boolean): (Double, Long, Map[String, Double]) = {
@@ -176,8 +152,17 @@ object SkewProbe {
       nodes.count()
       val star =
         if (giant) spark.range(1L, hub).select(lit(0L).as("a_id"), col("id").as("b_id"))
-        else spark.range(1L, hub).filter(pmod(col("id"), lit(2)) === 1)
-          .select((col("id") - 1).as("a_id"), col("id").as("b_id"))
+        else {
+          // equal-volume comparator: 64 mini-stars over the SAME node
+          // range with hub-64 edges (vs the giant star's hub-1 — within
+          // 0.05%) and the same diameter-2 shape; only the hot hub and
+          // the hot min-label are gone. A naive 2-matching here had
+          // HALF the edges and inflated the reported skew tax.
+          val g = math.max(hub / 64, 2)
+          spark.range(1L, hub).filter(pmod(col("id"), lit(g)) =!= 0)
+            .select(((col("id") / g).cast("long") * g).as("a_id"),
+              col("id").as("b_id"))
+        }
       val chains = spark.range(hub, nN - 1, 2)
         .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
       val edges = mat(star.unionByName(chains), s"ge$n$giant")
@@ -241,11 +226,15 @@ object SkewProbe {
       val (a1, ad1, _) = admitAt(1, hot = true)
       val (ak, adk, phk) = admitAt(k, hot = true)
       val (au, adu, _) = admitAt(k, hot = false)
-      // what the uncontracted self-join would have emitted per batch at
-      // k (4 bands × C(m,2) pre-distinct): the cost the contraction
-      // removed, stated from the construction
-      val mPerBatch = (5000L * k * HotPct) / 100 / 4
-      val uncontracted = 4L * mPerBatch * (mPerBatch - 1) / 2
+      // what the uncontracted self-join would have emitted at k — the
+      // pre-distinct join output rows the contraction removed: per
+      // batch, every band bucket holding the m flood docs yields
+      // C(m,2) ordered pairs, across 4 bands. m counted from the data,
+      // not assumed from the fixture size.
+      val dK = mat(floodDocs(k, hot = true), "azcount")
+      val uncontracted = dK.filter(col("text") === flood40)
+        .groupBy(pmod(col("doc_id"), lit(4)).as("b")).count()
+        .collect().map(_.getLong(1)).map(m => 4L * m * (m - 1) / 2).sum
       val ph = phk.toSeq.sortBy(-_._2).take(4)
         .map { case (n2, v) => s""""$n2":$v""" }.mkString(",")
       val counterPhases = Set("batches")
@@ -255,7 +244,7 @@ object SkewProbe {
         s""""secs_1":$a1,"secs_k":$ak,"secs_k_uniform":$au,""" +
         s""""admitted_1":$ad1,"admitted_k":$adk,"admitted_k_uniform":$adu,""" +
         s""""ratio":${ak / a1},"skew_tax":${ak / au},""" +
-        s""""uncontracted_pairs_per_band_k":$uncontracted,""" +
+        s""""uncontracted_selfjoin_rows_k":$uncontracted,""" +
         s""""phases_k":{$ph},"bottleneck":"$bn","sf":"$sfDir"}""")
     }
 

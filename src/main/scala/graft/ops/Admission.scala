@@ -207,6 +207,7 @@ object Admission {
     // stamped with the current config on first contact, as before.
     stampParams(cfg)
     val sig = signatures(batch, cfg.perms, cfg.portableHash).cache()
+    var repSigRef: DataFrame = null // for the failure-path unpersist
     try {
       // attribution seam: the sig cache would otherwise fill lazily inside
       // whichever downstream phase touches it first, mis-charging the
@@ -229,6 +230,16 @@ object Admission {
       val repIds = withShd.groupBy("_shd").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       val repSig = sig.join(repIds, Seq("doc_id"), "left_semi").cache()
+      repSigRef = repSig
+      // materialize the contraction as its own phase, then DROP the sig
+      // cache: every later consumer (bands, verify's shingle lookups,
+      // the admitted anti-join) reads repSig, so keeping both pinned
+      // would hold two near-identical copies of the batch's largest
+      // column for the call's lifetime — and an unseamed lazy fill
+      // would mis-charge the contraction's md5-over-shingles pass to
+      // admit.verify
+      phase("admit.contract") { repSig.count() }
+      sig.unpersist()
       val bands = Dedup.lshBands(repSig, "sig", cfg.bands, cfg.rows, "doc_id")
 
       // 1+2 in ONE pass. Within-batch keep-first is EDGE-based: the
@@ -317,8 +328,13 @@ object Admission {
         }
         n
       } finally admitted.unpersist()
-    } finally sig.unpersist() // also on failure: a retrying stream must
-                              // not accumulate orphaned cached batches
+    } finally {
+      // also on failure: a retrying stream must not accumulate orphaned
+      // cached batches (both unpersists are no-ops on the success path,
+      // where the caches are dropped as soon as their last consumer ran)
+      sig.unpersist()
+      if (repSigRef != null) { repSigRef.unpersist(); () }
+    }
   }
 
   /** Drive [[admitBatch]] over an unbounded (doc_id, text) stream. */

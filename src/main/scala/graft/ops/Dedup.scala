@@ -309,8 +309,9 @@ object Dedup {
     *      is the hash, never the n² chunk cross product);
     *   3. per-doc rebuild is a groupBy(id) with a collect_list bounded
     *      by the document's own chunk count.
-    * The exploded+hashed frame is cached because pass 1 and pass 2 both
-    * consume it (at cluster scale: a checkpointed chunk table).
+    * The exploded+hashed frame feeds pass 1 and pass 2 from one lazy
+    * tree (at cluster scale: materialize a chunk table once and feed
+    * both passes from it — the SpanStore form).
     *
     * Output: one row per input doc — idCol, `n_chunks`, `dup_chunks`
     * (chunks whose first occurrence is elsewhere — intra- or cross-doc),
@@ -319,24 +320,19 @@ object Dedup {
     * space-joined; empty when every chunk is a dup). Chunk text hashes
     * with md5, so a SQL oracle replays the identical keep decisions. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8): DataFrame = {
-    val chunks = chunkFrame(df, idCol, textCol, chunkTokens).cache()
-    // eager localCheckpoint severs the result's lineage from the cached
-    // chunk frame so it can be unpersisted HERE — a lazily-dependent
-    // cache leaked block-store pressure across every call in a
-    // long-lived session (the SpanStore pattern, applied to the batch
-    // form); the checkpoint blocks live exactly as long as the result
-    val stats = dedupChunkFrame(chunks, idCol).localCheckpoint(true)
-    chunks.unpersist()
-    stats
-  }
-
-  /** The LAZY single-tree form of [[chunkDedup]] (uncached, never
-    * checkpointed) — what the physical-plan pins inspect: the public
-    * API's eager checkpoint hides the keeper aggregation behind an RDD
-    * scan, but the plan underneath is exactly this one. */
-  private[graft] def chunkDedupPlan(df: DataFrame, idCol: String,
-      textCol: String, chunkTokens: Int = 8): DataFrame =
+      chunkTokens: Int = 8): DataFrame =
+    // ONE lazy tree, deliberately uncached: the chunk frame is consumed
+    // twice (keeper agg + flag join), so the tokenize/md5 map phase runs
+    // twice — but the plan stays declarative, so Catalyst prunes unused
+    // output (a caller aggregating dup counts never computes the
+    // collect_list rebuild) and nothing pins the block store. The two
+    // rejected alternatives both cost more than the double map pass:
+    // a cache leaks blocks for the session's lifetime (the r15 bench
+    // noise), an eager localCheckpoint materializes every document's
+    // rebuilt text even for count-only callers. Callers that reuse the
+    // RESULT repeatedly should persist it themselves; the incremental
+    // form ([[graft.ops.SpanStore]]) caches its per-batch chunk frame
+    // explicitly and unpersists inside the call.
     dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens), idCol)
 
   /** Keeper + flag + rebuild over any (idCol, pos, chunk, _h, _enc)
@@ -352,8 +348,12 @@ object Dedup {
       else size(split(col("chunk"), " ")) < minRemoveTokens
     val flagged = chunks.join(keepers, "_h")
       .withColumn("_kept", col("_enc") === col("_first") || shortGuard)
-      .withColumn("_cross",
-        col("_first") < docBase || col("_first") >= docBase + (1L << chunkPosBits))
+      // _cross only on REMOVED chunks: with the guard off this is
+      // unchanged (a kept first occurrence is never cross), with the
+      // guard on a kept-short dup must not inflate the removed-with-
+      // cross-doc-keeper audit count
+      .withColumn("_cross", !col("_kept") &&
+        (col("_first") < docBase || col("_first") >= docBase + (1L << chunkPosBits)))
     perDocRebuild(flagged, idCol)
   }
 
@@ -443,13 +443,10 @@ object Dedup {
     * of 0.92 → 0.77. Default 1 keeps the historical behavior (and the
     * oracle-pinned gate semantics). */
   def chunkDedupCDC(df: DataFrame, idCol: String, textCol: String,
-      cutNibbles: String = "01", minRemoveTokens: Int = 1): DataFrame = {
-    val chunks = cdcChunkFrame(df, idCol, textCol, cutNibbles).cache()
-    val stats = dedupChunkFrame(chunks, idCol, minRemoveTokens)
-      .localCheckpoint(true)
-    chunks.unpersist()
-    stats
-  }
+      cutNibbles: String = "01", minRemoveTokens: Int = 1): DataFrame =
+    // lazy and uncached for the same reasons as [[chunkDedup]]
+    dedupChunkFrame(cdcChunkFrame(df, idCol, textCol, cutNibbles), idCol,
+      minRemoveTokens)
 
   /** Per-doc stats + surviving-chunk reassembly over a flagged chunk
     * frame (`_kept`, `_cross` set by the caller's keep policy). */

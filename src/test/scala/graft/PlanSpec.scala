@@ -152,12 +152,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_spans: keeper min is a pure hash agg on the packed long") {
-    // inspect the lazy single-tree form: the public chunkDedup eagerly
-    // checkpoints (so its cached chunk frame can be unpersisted), which
-    // hides this plan behind an RDD scan in the registry query
-    val docs = graft.source.Changelog.table(spark, sf, "documents")
-    val p = graft.ops.Dedup.chunkDedupPlan(docs, "doc_id", "text", 8)
-      .queryExecution.executedPlan.toString
+    val p = plan("dedup_spans")
     assert(!p.contains("CartesianProduct"),
       "span dedup must meet on the chunk-hash equi-join")
     // the first-occurrence agg runs BEFORE the rebuild's collect_list
