@@ -138,6 +138,18 @@ object Pipeline {
     case "kafka" => df => Sinks.noop(Sinks.kafkaProjection(df,
       c.get("keyCol").asText(), c.get("topicCol").asText()))
     case "parquet" => df => df.write.mode("overwrite").parquet(c.get("path").asText())
+    case "parquet_partitioned" =>
+      // the layout-write sink: cluster rows so each partition dir holds
+      // one file whose footer min/max bounds are tight on the layout
+      // key's dimensions (pairs with the zorder/layout processors —
+      // repartitioning by the column keeps one writer per value, so the
+      // skipping property the layout computed actually lands on disk)
+      df => {
+        import org.apache.spark.sql.functions.col
+        val by = c.get("by").asText()
+        df.repartition(col(by)).write.partitionBy(by)
+          .mode("overwrite").parquet(c.get("path").asText())
+      }
     case other => throw new IllegalArgumentException(s"unknown sink: $other")
   }
 

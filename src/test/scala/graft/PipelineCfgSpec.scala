@@ -88,6 +88,26 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg == viaCode)
   }
 
+  test("parquet_partitioned sink lands one dir per layout bucket") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cfg-zw")
+      .resolve("z.parquet").toString
+    graft.Run.dispatch(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "documents"},
+      "processors": [
+        {"type": "zorder", "colA": "doc_id", "colB": "n_chars", "bitsPerDim": 2}
+      ],
+      "sink": {"type": "parquet_partitioned", "path": "$out", "by": "zbucket"}
+    }""")
+    val dirs = Option(new java.io.File(out).list()).getOrElse(Array.empty)
+      .count(_.startsWith("zbucket="))
+    assert(dirs == 16, s"expected 16 zbucket dirs, got $dirs")
+    // nothing lost through the layout write, zbucket restored on read
+    val back = spark.read.parquet(out)
+    assert(back.count() ==
+      graft.source.Changelog.table(spark, sf, "documents").count())
+    assert(back.columns.contains("zbucket"))
+  }
+
   test("unknown processor type fails loudly with its name") {
     val e = intercept[IllegalArgumentException] {
       graft.pipeline.Pipeline.buildFrame(spark, s"""{
