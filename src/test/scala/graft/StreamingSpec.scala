@@ -64,6 +64,54 @@ class StreamingSpec extends SparkSpec {
     assert(o4.map(_.net_op) === Some("update") && s4.inDb && s4.rK === Some(5))
   }
 
+  test("processing-time TTL fires for real: state evicted, returning key re-inferred") {
+    // closes the "needs StreamManualClock" residual with the REAL
+    // clock: eviction is observable because a re-sent insert nets as
+    // "insert" when state was evicted (inDb re-inferred from the first
+    // op) but "update" when it survived. A dummy-key batch after the
+    // deadline forces the timed-out group to be processed, so the test
+    // does not depend on no-data micro-batch timing.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[FlatEvent]
+    val q = ChangeStream.statefulCompact(mem.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(5000)))
+      .writeStream.format("memory").queryName("ttlrows").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    // NOT processAllAvailable: with a pending processing-time timer the
+    // engine keeps planning no-data batches (that is HOW the timeout
+    // fires), so availability never quiesces — poll the sink instead
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("ttlrows").count() < n) {
+        assert(System.nanoTime() < deadline, s"sink never reached $n rows")
+        assert(q.exception.isEmpty, q.exception.toString)
+        Thread.sleep(200)
+      }
+    }
+    try {
+      mem.addData(FlatEvent(0, 1, "t", "insert", Some(1), Some(10), Some(1.0)))
+      awaitRows(1)
+      // control: key 2 re-inserted well WITHIN its TTL — surviving
+      // state makes the second insert net "update"
+      mem.addData(FlatEvent(1, 2, "t", "insert", Some(2), Some(20), Some(2.0)))
+      awaitRows(2)
+      mem.addData(FlatEvent(2, 2, "t", "insert", Some(2), Some(21), Some(2.1)))
+      awaitRows(3)
+      // let key 1's (and by now key 2's) timer expire — the engine's
+      // no-data batches run the hasTimedOut branch and remove the state
+      Thread.sleep(7000)
+      // key 1 returns as an INSERT — evicted; surviving state would
+      // have netted "update"
+      mem.addData(FlatEvent(3, 1, "t", "insert", Some(1), Some(12), Some(1.2)))
+      awaitRows(4)
+      val rows = spark.table("ttlrows").as[NetRow].collect().sortBy(_.last_seq)
+      assert(rows.map(r => (r.pk, r.net_op)).toSeq == Seq(
+        (1L, "insert"), (2L, "insert"), (2L, "update"),
+        (1L, "insert")), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("stateful compaction emits incremental net ops across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[FlatEvent]
