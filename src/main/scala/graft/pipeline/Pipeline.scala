@@ -105,7 +105,46 @@ object Pipeline {
       c.get("colA").asText(), c.get("colB").asText(),
       bitsPerDim = if (c.has("bitsPerDim")) c.get("bitsPerDim").asInt() else 3)),
     "global_shuffle" -> (c => df => graft.ops.Mixing.globalShuffle(df,
-      c.get("idCol").asText()))
+      c.get("idCol").asText())),
+    // quality gating — the filter stages a crawl runs before release.
+    // Both are map-only (single-scan packed-lane folds per doc, then a
+    // codegen'd filter): no shuffle enters the plan.
+    "quality_filter" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val scored = graft.ops.TextAnalysis.quality(df,
+        if (c.has("textCol")) c.get("textCol").asText() else "text")
+      val minToks =
+        if (c.has("minTokens")) col("n_tokens") >= c.get("minTokens").asLong()
+        else org.apache.spark.sql.functions.lit(true)
+      val maxStop =
+        if (c.has("maxStopRatio")) col("stop_ratio") <= c.get("maxStopRatio").asDouble()
+        else org.apache.spark.sql.functions.lit(true)
+      scored.filter(minToks && maxStop)
+        .drop("n_tokens", "stop_cnt", "sum_len", "stop_ratio", "avg_tok_len")
+    }),
+    "langid_filter" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val keep = strs(c.get("keep"))
+      graft.ops.TextAnalysis.langId(df,
+        if (c.has("textCol")) c.get("textCol").asText() else "text")
+        .filter(col("pred_lang").isin(keep.map(x => x: Any): _*))
+        .drop(graft.ops.TextAnalysis.langMarkers.map(m => s"s_${m._1}") :+
+          "pred_lang": _*)
+    }),
+    // exact dedup as a task stage: fingerprint each doc (sorted distinct
+    // token set, md5), keep the min id per fingerprint, carry the group
+    // size as `dup_count`. One map-side-combinable hash agg + one join
+    // keyed on the fingerprint — never a pairwise form.
+    "exact_dedup" -> (c => df => {
+      import org.apache.spark.sql.functions._
+      val id = c.get("idCol").asText()
+      val fp = graft.ops.TextAnalysis.fingerprint(df,
+        if (c.has("textCol")) c.get("textCol").asText() else "text")
+      val grps = fp.groupBy(col("fp").as("_gfp"))
+        .agg(min(col(id)).as("_keep"), count(lit(1)).as("dup_count"))
+      fp.join(grps, col("fp") === col("_gfp") && col(id) === col("_keep"))
+        .drop("_gfp", "_keep", "fp")
+    })
   )
 
   def source(spark: SparkSession, c: JsonNode): DataFrame = c.get("type").asText() match {

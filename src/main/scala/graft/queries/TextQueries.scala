@@ -225,6 +225,34 @@ object TextQueries {
         |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin),
       bench = true),
 
+    // The SAME clean chain assembled from JSON through the config
+    // front-end's quality_filter + exact_dedup stages — crawl-side
+    // quality gating as a task, value-checked against the identical
+    // oracle as the code-built chain above.
+    "pipeline_clean_cfg" -> QueryDef(
+      (s, dir) => graft.pipeline.Pipeline.buildFrame(s, s"""{
+          "source": {"type": "table", "dir": "$dir", "table": "documents"},
+          "processors": [
+            {"type": "quality_filter", "minTokens": 12, "maxStopRatio": 0.5},
+            {"type": "exact_dedup", "idCol": "doc_id", "textCol": "text"}
+          ],
+          "sink": {"type": "noop"}
+        }""")
+        .select(col("doc_id").as("keep_id"), col("dup_count").as("grp"))
+        .orderBy("keep_id"),
+      Some(s"""$tokCte,
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS stop_cnt
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM c WHERE n_tokens >= 12 AND stop_cnt / n_tokens <= 0.5)
+        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS grp
+        |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin)),
+
     // Multimodal stub: binary column + metadata + frame-sampled digests.
     // The bytes are the UTF-8 text (ASCII), so byte slices == char slices
     // and the oracle can mirror them with plain string functions.

@@ -108,6 +108,23 @@ class PipelineCfgSpec extends SparkSpec {
     assert(back.columns.contains("zbucket"))
   }
 
+  test("langid_filter stage equals the code form and drops the score columns") {
+    val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "documents"},
+      "processors": [{"type": "langid_filter", "keep": ["en", "de"]}],
+      "sink": {"type": "noop"}
+    }""")
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val viaCode = graft.ops.TextAnalysis.langId(docs)
+      .filter(col("pred_lang").isin("en", "de"))
+    assert(viaCfg.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      viaCode.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(viaCfg.count() > 0)
+    // the gate stage is a FILTER, not a projection change: score
+    // columns must not leak into downstream stages
+    assert(viaCfg.columns.toSet == docs.columns.toSet, viaCfg.columns.mkString(","))
+  }
+
   test("unknown processor type fails loudly with its name") {
     val e = intercept[IllegalArgumentException] {
       graft.pipeline.Pipeline.buildFrame(spark, s"""{
