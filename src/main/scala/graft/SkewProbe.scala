@@ -248,6 +248,48 @@ object SkewProbe {
         s""""phases_k":{$ph},"bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
+    // ── skewed fact⋈dim join: the AQE split switch, measured ────────
+    // The raw two-sided shuffle join under the same 30%-hot key — the
+    // one path above that only *leans on* AQE. Here the mitigation
+    // switch itself is measured: identical data and plan, adaptive
+    // skew split OFF (hot partition sorts+joins 30% of the fact on ONE
+    // task) vs ON (split into advisory-size chunks, dim side
+    // replicated), with the ON leg's executed plan checked for the
+    // actual `skew=true` marker. Thresholds scale with the probe data
+    // (the defaults target 256 MB partitions).
+    if (want("skew_join_aqe")) {
+      def joinLeg(fact: DataFrame, split: Boolean): (Double, Long, Boolean) = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        val dim = fact.select("user_id").distinct()
+          .withColumn("w", pmod(xxhash64(col("user_id")), lit(97)))
+        val j = fact.join(dim, "user_id")
+          .groupBy("event_type")
+          .agg(sum(col("value") * col("w")).as("s"), count(lit(1)).as("c"))
+        val qe = j.queryExecution
+        val (secs, _) = time(qe.executedPlan.execute().count())
+        (secs, j.count(), qe.executedPlan.toString.contains("skew=true"))
+      }
+      val f1 = mat(hotUser(scaled(ev, Seq("user_id", "event_id"), 1)), "jz1")
+      joinLeg(f1, split = true) // warm
+      val (s1, _, _) = joinLeg(f1, split = true)
+      val fk = mat(hotUser(scaled(ev, Seq("user_id", "event_id"), k)), s"jz$k")
+      val (sOff, rOff, mOff) = joinLeg(fk, split = false)
+      val (sOn, rOn, mOn) = joinLeg(fk, split = true)
+      require(rOn == rOff, s"split changed the answer: $rOn vs $rOff")
+      println(s"""{"probe":"skew_join_aqe","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$s1,"secs_k_split":$sOn,"secs_k_nosplit":$sOff,""" +
+        s""""split_seen":$mOn,"nosplit_marker":$mOff,""" +
+        s""""ratio":${sOn / s1},"mitigation_gain":${sOff / sOn},""" +
+        s""""bottleneck":"hot user_id join partition","sf":"$sfDir"}""")
+      sweepBlocks()
+    }
+
     spark.stop()
   }
 }

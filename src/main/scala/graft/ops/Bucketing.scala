@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed-layout writes: the pre-shuffle that repeated joins amortize.
+  *
+  * A fact⋈fact join (orders ⋈ lineitem class) shuffles BOTH sides on
+  * the key every time it runs. Writing each table bucketed by the join
+  * key pays that shuffle once at write time; every subsequent join
+  * co-locates on the bucket id with ZERO exchanges — at 100 TB that is
+  * the difference between re-moving the dataset per query and reading
+  * it in place. `sortBy` inside each bucket additionally removes the
+  * join's sort: with `spark.sql.legacy.bucketedTableScan.outputOrdering`
+  * on, the scan reports per-bucket ordering and SortMergeJoin needs no
+  * Sort at all (Spark only honors the report for single-file buckets,
+  * which the writer guarantees); with it off the sorted files still pay
+  * via row-group locality and tighter page min/max stats.
+  *
+  * Spark only preserves the per-bucket sorted property when each bucket
+  * holds ONE file, so the writer repartitions by the key into exactly
+  * `buckets` partitions first (also what a 1000-executor writer wants:
+  * one task per bucket file).
+  */
+object Bucketing {
+
+  /** Write `df` as an external bucketed+sorted parquet table at `path`,
+    * registered in the session catalog as `name` (replacing any prior
+    * registration — the data lives at `path`, not the warehouse). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, name: String,
+      path: String, key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(buckets, col(key))
+      .write.format("parquet").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(name)
+  }
+
+  /** Co-located equi-join of two bucketed tables (each bucketed by its
+    * own join key, same bucket count). The plan this produces — and
+    * ScaleSpec pins — has no Exchange feeding the join (and no Sort
+    * either when the sorted-scan report is enabled; see class doc). */
+  def cojoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+}

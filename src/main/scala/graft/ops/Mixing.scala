@@ -231,6 +231,39 @@ object Mixing {
       Seq("_rank", idCol), out)
       .drop("_rank")
 
+  /** Frequency capping: keep at most `n` rows per key, best-first by
+    * `ordCol` descending (ties broken by `idCol` ascending, so the
+    * selection is total and rerun-stable). The curation primitive
+    * behind "at most N documents per domain / per near-dup cluster /
+    * per source" — the long-tail survives untouched while the hot
+    * keys are cut to their best n.
+    *
+    * Scale shape: the naive form is one window over
+    * partitionBy(key), which lands EVERY row of a hot key on one
+    * task — the exact skewed-shuffle failure mode. This runs two
+    * phases: (1) a per-(key, salt) local top-n — same single corpus
+    * shuffle, but a hot key spreads over `salts` partitions and the
+    * frame leaving phase 1 is ≤ n·salts rows per key; (2) the true
+    * per-key top-n over that bounded frame. Selection identity:
+    * every global top-n row is in its salt's top-n (removing other
+    * rows only improves a row's local rank), so phase 1 never drops
+    * a survivor — MixingPropSpec pins equality with the naive window.
+    *
+    * Output keeps all input columns plus `rk` (1-based rank within
+    * the key, ≤ n). */
+  def capPerKey(df: DataFrame, keyCol: String, ordCol: String,
+      idCol: String, n: Int, salts: Int = 16): DataFrame = {
+    require(n >= 1 && salts >= 1, s"capPerKey needs n>=1, salts>=1 (got $n, $salts)")
+    val order = Seq(col(ordCol).desc, col(idCol).asc)
+    val local = Window.partitionBy(col(keyCol),
+      pmod(xxhash64(col(idCol)), lit(salts))).orderBy(order: _*)
+    val global = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= n).drop("_lrk")
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
   /** Count-balanced contiguous range layout: assign every row a group
     * in [0, nGroups) such that groups are contiguous ranges of
     * `keyCol` and hold ~|rows|/nGroups rows each. This is the release

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators: distinct counting and quantiles that an
+  * incremental 100-TB pipeline can afford.
+  *
+  * The scale problem these solve: `COUNT(DISTINCT x)` over a growing
+  * corpus re-shuffles every ingested row on every refresh, and a
+  * quantile needs a global sort. Sketches replace both with a bounded
+  * per-partition state (a few KB) that merges associatively — per-batch
+  * sketches persist to a store the size of (groups × batches) rows, and
+  * a refresh reads ONLY the sketch store, never the corpus. Spark ships
+  * the Apache DataSketches HLL family as codegen'd aggregates
+  * (`hll_sketch_agg` / `hll_union_agg`), so the whole path stays inside
+  * whole-stage codegen with no UDFs.
+  *
+  * Estimates are approximate, so gated queries verify them IN-ENGINE
+  * against the exact aggregate on the same data (the `ann_recall`
+  * pattern): the oracle-checked columns are the exact counts, and the
+  * sketch legs must land within `relTol` of them to emit `true` flags.
+  */
+object Sketches {
+
+  /** Per-group distinct-count profile: exact and HLL(lgK) in one plan.
+    * The exact leg exists to VERIFY the estimate (and for the gate); a
+    * production profile at 100 TB drops it and keeps only the sketch,
+    * which aggregates map-side into 2^lgK registers per group instead
+    * of shuffling every distinct value.
+    *
+    * Output: grp, n_rows, exact_distinct, est_ok (estimate within
+    * relTol of exact — lgK=12 has ~1.6% relative standard error, so
+    * the default 5% gate is ~3 sigma).
+    */
+  def distinctProfile(df: DataFrame, grpCol: String, idCol: String,
+      lgK: Int = 12, relTol: Double = 0.05): DataFrame =
+    df.groupBy(grpCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(idCol)).cast("long").as("exact_distinct"),
+        hll_sketch_estimate(hll_sketch_agg(col(idCol), lgK)).as("_est"))
+      .withColumn("est_ok",
+        abs(col("_est") - col("exact_distinct")) <=
+          col("exact_distinct") * relTol)
+      .drop("_est")
+
+  /** One batch's per-group sketch state: (grp, batch_id, n_rows,
+    * sketch). A few KB per group regardless of batch size — this is
+    * the row an incremental pipeline persists instead of the corpus. */
+  def sketchBatch(df: DataFrame, grpCol: String, idCol: String,
+      batchId: Long, lgK: Int = 12): DataFrame =
+    df.groupBy(grpCol)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        hll_sketch_agg(col(idCol), lgK).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Append one batch's sketches to a parquet sketch store. The store
+    * grows by |groups| rows per batch — merge cost is independent of
+    * corpus size, which is the whole point. */
+  def appendSketches(store: String, batch: DataFrame): Unit =
+    batch.write.mode("append").parquet(store)
+
+  /** Merged distinct estimate across every persisted batch sketch.
+    * HLL union is a per-register max — associative, commutative, and
+    * idempotent, so overlapping or re-delivered batches cannot
+    * double-count (the property exact per-batch counts lack). Reads
+    * the sketch store only; the corpus is never touched. */
+  def mergedDistinct(spark: SparkSession, store: String,
+      grpCol: String): DataFrame =
+    spark.read.parquet(store)
+      .groupBy(grpCol)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("merged_est"),
+        countDistinct(col("batch_id")).cast("long").as("n_batches"))
+
+  /** Per-group quantile profile: exact interpolated percentiles (the
+    * oracle-checked values) plus the GK-sketch approximation's error
+    * flag. At 100 TB only the approx leg survives: percentile_approx
+    * keeps an accuracy-bounded summary per partition and merges, where
+    * exact percentile sorts every value of the group. */
+  def quantileProfile(df: DataFrame, grpCol: String, valCol: String,
+      accuracy: Int = 10000, relTol: Double = 0.05): DataFrame = {
+    val v = col(valCol)
+    df.groupBy(grpCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        expr(s"percentile($valCol, array(0.25D, 0.5D, 0.75D))").as("_ex"),
+        percentile_approx(v, array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(accuracy)).as("_ap"))
+      .select(col(grpCol), col("n_rows"),
+        col("_ex").getItem(0).as("q25"),
+        col("_ex").getItem(1).as("q50"),
+        col("_ex").getItem(2).as("q75"),
+        // approx returns an actual element; exact interpolates — compare
+        // against a tolerance scaled by the inter-quartile spread (+1 so
+        // a zero-width distribution still admits the element it contains)
+        (abs(col("_ap").getItem(1).cast("double") - col("_ex").getItem(1)) <=
+          (col("_ex").getItem(2) - col("_ex").getItem(0) + lit(1.0)) * relTol)
+          .as("approx_ok"))
+  }
+}

@@ -78,6 +78,13 @@ object Pipeline {
     "mix_temperature" -> (c => df => graft.ops.Mixing.sampleByTemperature(df,
       c.get("strataCol").asText(), c.get("idCol").asText(),
       if (c.has("alpha")) c.get("alpha").asDouble() else 0.5)),
+    "cap_per_key" -> (c => df => graft.ops.Mixing.capPerKey(df,
+      c.get("keyCol").asText(), c.get("ordCol").asText(),
+      c.get("idCol").asText(), n = c.get("n").asInt(),
+      salts = if (c.has("salts")) c.get("salts").asInt() else 16)),
+    "sketch_distinct" -> (c => df => graft.ops.Sketches.distinctProfile(df,
+      c.get("grpCol").asText(), c.get("idCol").asText(),
+      lgK = if (c.has("lgK")) c.get("lgK").asInt() else 12)),
     "split" -> (c => df => graft.ops.Mixing.assignSplits(df,
       c.get("idCol").asText(),
       c.get("fractions").fields().asScala

@@ -99,6 +99,27 @@ object MixQueries {
         |WHERE t IS NULL OR u <= t
         |ORDER BY doc_id""".stripMargin)),
 
+    // Frequency capping: at most 5 docs per language, best-first by
+    // length (tie: doc_id) — the "cap documents per domain" curation
+    // primitive. Runs the salted two-phase top-n (a hot key spreads
+    // over 16 salt partitions; the global per-key window sees ≤ 80
+    // rows per key however hot the key is); MixingPropSpec pins
+    // equality with the naive single-window form.
+    "mix_cap" -> QueryDef(
+      (s, dir) => {
+        Mixing.capPerKey(
+          table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", "doc_id", n = 5)
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rk FROM r
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
     // Sequence packing, concat-offset form: hash-shard the corpus, lay
     // each shard out in doc_id order, cut packs at 512-token
     // boundaries; a doc belongs to the pack where its first token

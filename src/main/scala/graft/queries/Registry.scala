@@ -17,14 +17,15 @@ final case class QueryDef(
 object Registry {
   lazy val all: Map[String, QueryDef] =
     CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ AnnQueries.defs ++ MixQueries.defs
+      DedupQueries.defs ++ AnnQueries.defs ++ MixQueries.defs ++
+      SketchQueries.defs
 
   lazy val benchSet: Seq[String] = all.collect { case (n, d) if d.bench => n }.toSeq.sorted
 
   /** Recursive delete for the gated queries' temp stores/drops (pair
     * with the collect-into-local-relation idiom: materialize the result
     * BEFORE deleting, since a lazy read would pin the dir). */
-  private[queries] def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 }

@@ -468,6 +468,45 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // Bucketed co-located fact⋈fact join: both tables are written
+    // bucketed (+sorted) by their join key, so the join plan has ZERO
+    // exchanges and ZERO sorts — the write-once shuffle that repeated
+    // 100-TB joins amortize (PlanSpec pins the exchange-free plan;
+    // broadcast is disabled here so the pin proves co-location, not a
+    // small-side cheat). Values are checked against the plain join.
+    "bucket_join" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bucket")
+        val prevBroadcast =
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          graft.ops.Bucketing.writeBucketed(s, table(s, dir, "orders"),
+            "graft_bkt_orders", s"$tmp/orders", "o_orderkey", 8)
+          graft.ops.Bucketing.writeBucketed(s, table(s, dir, "lineitem"),
+            "graft_bkt_lineitem", s"$tmp/lineitem", "l_orderkey", 8)
+          val j = graft.ops.Bucketing.cojoin(s,
+            "graft_bkt_lineitem", "graft_bkt_orders",
+            "l_orderkey", "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_items"),
+              sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+                .as("sum_qty"))
+            .orderBy("o_orderstatus")
+          val rows = j.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+          s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+          s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Scalar function battery (string/math; IEEE-exact ops only).
     "scalar_funcs" -> QueryDef(
       (s, dir) => {

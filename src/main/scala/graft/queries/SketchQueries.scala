@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.source.Changelog.table
+import graft.ops.Sketches
+
+/** Mergeable-sketch queries: approximate distinct counts and quantiles
+  * whose estimates are verified IN-ENGINE against the exact aggregate
+  * on the same data (the `ann_recall` pattern — the oracle-checked
+  * columns are the exact values, the sketch legs gate as boolean
+  * flags that must come back true). */
+object SketchQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Per-language distinct-document profile: exact COUNT(DISTINCT fp)
+    // (the oracle-checked value) next to the HLL(12) estimate's 5%
+    // error flag. At 100 TB the exact leg is the one that gets
+    // dropped: the sketch aggregates into 4 KB of registers per group
+    // map-side, where COUNT DISTINCT shuffles every distinct value.
+    "sketch_distinct" -> QueryDef(
+      (s, dir) => {
+        Sketches.distinctProfile(
+          table(s, dir, "documents").withColumn("fp", md5(col("text"))),
+          "lang", "fp")
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+        |  TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Incremental distinct over OVERLAPPING batches through a persisted
+    // sketch store: slices doc_id%m=0 for m in 2..5 re-deliver shared
+    // docs on purpose — HLL union is idempotent (per-register max), so
+    // re-delivered rows cannot double-count, which is exactly what
+    // summing per-batch exact counts gets wrong. The refresh reads the
+    // sketch store only (groups × batches rows), never the corpus.
+    "sketch_incr" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sketch-store")
+        try {
+          val docs = table(s, dir, "documents")
+            .withColumn("fp", md5(col("text")))
+          (2 to 5).foreach { m =>
+            Sketches.appendSketches(s"$tmp/store",
+              Sketches.sketchBatch(
+                docs.filter(col("doc_id") % m === 0), "lang", "fp", m - 2L))
+          }
+          val merged = Sketches.mergedDistinct(s, s"$tmp/store", "lang")
+          // exact over the union of slices (%4=0 is subsumed by %2=0)
+          val exact = docs
+            .filter(col("doc_id") % 2 === 0 || col("doc_id") % 3 === 0 ||
+              col("doc_id") % 5 === 0)
+            .groupBy("lang")
+            .agg(countDistinct(col("fp")).cast("long").as("exact_distinct"))
+          val res = exact.join(merged, "lang")
+            .select(col("lang"), col("exact_distinct"), col("n_batches"),
+              (abs(col("merged_est") - col("exact_distinct")) <=
+                col("exact_distinct") * 0.05).as("merged_ok"))
+            .orderBy("lang")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
+      },
+      Some("""WITH sl AS (
+        |  SELECT lang, m FROM documents, (VALUES (2),(3),(4),(5)) AS v(m)
+        |  WHERE doc_id % m = 0)
+        |SELECT d.lang,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+        |  (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) FROM sl
+        |   WHERE sl.lang = d.lang) AS n_batches,
+        |  TRUE AS merged_ok
+        |FROM documents d
+        |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // Per-language length quantiles: exact interpolated percentiles
+    // (oracle: quantile_cont) plus the GK-sketch approximation's error
+    // flag. The approx leg is the 100-TB survivor: an accuracy-bounded
+    // per-partition summary merges where exact percentile sorts the
+    // whole group.
+    "sketch_quantile" -> QueryDef(
+      (s, dir) => {
+        Sketches.quantileProfile(table(s, dir, "documents"), "lang", "n_chars")
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  quantile_cont(n_chars, 0.25) AS q25,
+        |  quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75,
+        |  TRUE AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -142,6 +142,32 @@ class MixingPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("capPerKey equals the naive single-window top-n for random corpora") {
+    // the salted two-phase form must be a pure optimization: same rows,
+    // same ranks, for any n/salts — including salts=1 (degenerate) and
+    // heavy ties in the order column
+    val rowsGen = for {
+      n <- Gen.choose(1, 120)
+      ids <- Gen.pick(n, 0L until 300L)
+      keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "hot"))
+      ord <- Gen.listOfN(n, Gen.choose(0L, 5L)) // small range → many ties
+    } yield ids.toList.lazyZip(keys).lazyZip(ord).toList
+    val prop = Prop.forAll(rowsGen, Gen.choose(1, 6), Gen.choose(1, 8)) {
+      (rows, n, salts) =>
+        val df = rows.toDF("doc_id", "key", "ord")
+        val got = Mixing.capPerKey(df, "key", "ord", "doc_id", n, salts)
+          .select("key", "doc_id", "rk").as[(String, Long, Long)]
+          .collect().sortBy(r => (r._1, r._3))
+        val model = rows.groupBy(_._2).toSeq.flatMap { case (k, grp) =>
+          grp.sortBy(r => (-r._3, r._1)).take(n).zipWithIndex
+            .map { case ((id, _, _), i) => (k, id, i + 1L) }
+        }.sortBy(r => (r._1, r._3))
+        got.toSeq == model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -108,6 +108,26 @@ class PipelineCfgSpec extends SparkSpec {
     assert(back.columns.contains("zbucket"))
   }
 
+  test("cap_per_key and sketch_distinct stages round-trip through the registry") {
+    val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "cap_per_key", "keyCol": "lang", "ordCol": "n_chars",
+           "idCol": "doc_id", "n": 3, "salts": 4},
+          {"type": "sketch_distinct", "grpCol": "lang", "idCol": "doc_id"}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("lang").collect().toSeq
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val viaCode = graft.ops.Sketches.distinctProfile(
+      Mixing.capPerKey(docs, "lang", "n_chars", "doc_id", n = 3, salts = 4),
+      "lang", "doc_id")
+      .orderBy("lang").collect().toSeq
+    assert(viaCfg == viaCode)
+    // capped: every language keeps exactly min(3, count) docs
+    assert(viaCfg.forall(r => r.getAs[Long]("n_rows") <= 3))
+  }
+
   test("langid_filter stage equals the code form and drops the score columns") {
     val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
       "source": {"type": "table", "dir": "$sf", "table": "documents"},

@@ -40,20 +40,81 @@ class ScaleSpec extends SparkSpec {
     assert(seqd.map(_._1).toSeq == (1L to 5000L)) // seq follows k order
   }
 
-  test("bucketed tables join without an exchange on the bucket key") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.read.parquet(s"$sf/orders.parquet")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
-    spark.read.parquet(s"$sf/lineitem.parquet")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
-    val joined = spark.table("b_lineitem")
-      .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    // co-located: no shuffle exchange feeds the join
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"expected exchange-free bucketed join, got:\n$plan")
-    assert(joined.count() > 0)
+  test("bucketed tables join without an exchange OR a sort on the bucket key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-spec")
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    val prevOrdering =
+      spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // report per-bucket ordering to the planner — sound here because
+      // writeBucketed guarantees ONE sorted file per bucket (Spark only
+      // honors the report for single-file buckets even with this on)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      graft.ops.Bucketing.writeBucketed(spark,
+        spark.read.parquet(s"$sf/orders.parquet"),
+        "b_orders", s"$tmp/orders", "o_orderkey", 4)
+      graft.ops.Bucketing.writeBucketed(spark,
+        spark.read.parquet(s"$sf/lineitem.parquet"),
+        "b_lineitem", s"$tmp/lineitem", "l_orderkey", 4)
+      val joined = graft.ops.Bucketing.cojoin(spark,
+        "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: no shuffle exchange feeds the join
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free bucketed join, got:\n$plan")
+      // one sorted file per bucket: the merge join needs no Sort either
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Sort ["),
+        s"expected sort-free merge join over sorted buckets, got:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrdering)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      graft.queries.Registry.rmTree(tmp.toFile)
+    }
+  }
+
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    // one key carries ~99% of the left side — the hash-shuffle failure
+    // mode the brief names. With thresholds scaled to fixture size, the
+    // executed adaptive plan must mark the merge join skew-handled
+    // (hot partition split across tasks) and still produce exact counts.
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      val left = spark.range(200000)
+        .select((col("id") % 50).as("k"),
+          concat(lit("pad-pad-pad-pad-pad-pad-"), col("id")).as("payload"))
+        .withColumn("k", org.apache.spark.sql.functions
+          .when(col("k") < 49, lit(0L)).otherwise(col("k")))
+      val right = spark.range(50).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val j = left.join(right, "k")
+      // run THIS dataframe's own adaptive plan to finality (count()
+      // would build a separate QueryExecution and leave this one
+      // unoptimized — the r14 AQE-inspection trap)
+      val qe = j.queryExecution
+      assert(qe.executedPlan.execute().count() == 200000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("metrics listener reports qps and batch progress") {
