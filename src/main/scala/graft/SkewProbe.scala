@@ -258,30 +258,50 @@ object SkewProbe {
     // actual `skew=true` marker. Thresholds scale with the probe data
     // (the defaults target 256 MB partitions).
     if (want("skew_join_aqe")) {
-      def joinLeg(fact: DataFrame, split: Boolean): (Double, Long, Boolean) = {
+      // The dim side must be MATERIALIZED, not derived in-plan: a
+      // distinct() built over the fact arrives at the join already
+      // partitioned on user_id (its agg exchange satisfies the join's
+      // requirement), and OptimizeSkewedJoin only applies when BOTH
+      // children are raw shuffle reads it can split/replicate — an
+      // in-plan dim silently disables the mitigation (measured here:
+      // the ON leg's plan carried no skew=true until the dim was
+      // staged to parquet). At 100 TB the lesson is the same: derive
+      // skew-facing dimension tables into storage first.
+      def joinLeg(fact: DataFrame, dim: DataFrame, split: Boolean)
+          : (Double, Long, Boolean) = {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split.toString)
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         spark.conf.set(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
-        val dim = fact.select("user_id").distinct()
-          .withColumn("w", pmod(xxhash64(col("user_id")), lit(97)))
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
         val j = fact.join(dim, "user_id")
           .groupBy("event_type")
           .agg(sum(col("value") * col("w")).as("s"), count(lit(1)).as("c"))
         val qe = j.queryExecution
         val (secs, _) = time(qe.executedPlan.execute().count())
-        (secs, j.count(), qe.executedPlan.toString.contains("skew=true"))
+        val plan = qe.executedPlan.toString
+        if (sys.env.contains("SPARK_GRAFT_DEBUG_PLAN")) println(plan)
+        (secs, j.count(), plan.contains("skew=true"))
       }
+      def dimOf(fact: DataFrame, tag: String): DataFrame =
+        mat(fact.select("user_id").distinct()
+          .withColumn("w", pmod(xxhash64(col("user_id")), lit(97))), tag)
       val f1 = mat(hotUser(scaled(ev, Seq("user_id", "event_id"), 1)), "jz1")
-      joinLeg(f1, split = true) // warm
-      val (s1, _, _) = joinLeg(f1, split = true)
+      val d1 = dimOf(f1, "jd1")
+      joinLeg(f1, d1, split = true) // warm
+      val (s1, _, _) = joinLeg(f1, d1, split = true)
       val fk = mat(hotUser(scaled(ev, Seq("user_id", "event_id"), k)), s"jz$k")
-      val (sOff, rOff, mOff) = joinLeg(fk, split = false)
-      val (sOn, rOn, mOn) = joinLeg(fk, split = true)
+      val dk = dimOf(fk, s"jd$k")
+      // warm BOTH k legs before timing either — the measured pair must
+      // differ only by the switch, not by who paid the page-cache fill
+      joinLeg(fk, dk, split = false); joinLeg(fk, dk, split = true)
+      val (sOff, rOff, mOff) = joinLeg(fk, dk, split = false)
+      val (sOn, rOn, mOn) = joinLeg(fk, dk, split = true)
       require(rOn == rOff, s"split changed the answer: $rOn vs $rOff")
+      require(mOn, "ON leg's executed plan carries no skew=true marker — " +
+        "the probe would be timing two identical plans")
       println(s"""{"probe":"skew_join_aqe","k":$k,"hot_pct":$HotPct,""" +
         s""""secs_1":$s1,"secs_k_split":$sOn,"secs_k_nosplit":$sOff,""" +
         s""""split_seen":$mOn,"nosplit_marker":$mOff,""" +

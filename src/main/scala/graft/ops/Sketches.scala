@@ -75,6 +75,32 @@ object Sketches {
           .as("merged_est"),
         countDistinct(col("batch_id")).cast("long").as("n_batches"))
 
+  /** Cross-corpus overlap estimate WITHOUT a join: |A∩B| by
+    * inclusion-exclusion over three HLL legs — est(A) + est(B) −
+    * est(A∪B), where the union leg is the scalar `hll_union` of the two
+    * sides' sketches. Each corpus collapses map-side to ONE sketch row;
+    * no row of either corpus ever moves, which at 100 TB replaces the
+    * join-based overlap (two full shuffles) with two scans and a
+    * constant-size merge. Error grows with |A∪B| (each leg carries
+    * lgK's relative standard error of its own cardinality), so the
+    * caller-facing tolerance is a fraction of the UNION estimate — the
+    * honest bound — not of the overlap itself.
+    *
+    * Output (1 row): est_a, est_b, est_union, est_overlap (doubles). */
+  def overlapEstimate(a: DataFrame, b: DataFrame, idCol: String,
+      lgK: Int = 14): DataFrame = {
+    def one(df: DataFrame, n: String) =
+      df.agg(hll_sketch_agg(col(idCol), lgK).as(s"sk_$n"))
+    one(a, "a").crossJoin(one(b, "b"))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Per-group quantile profile: exact interpolated percentiles (the
     * oracle-checked values) plus the GK-sketch approximation's error
     * flag. At 100 TB only the approx leg survives: percentile_approx

@@ -196,6 +196,14 @@ object Pipeline {
         df.repartition(col(by)).write.partitionBy(by)
           .mode("overwrite").parquet(c.get("path").asText())
       }
+    case "parquet_bucketed" =>
+      // the co-location write sink: pay the shuffle once at write time
+      // so every later equi-join on `key` reads the table in place
+      // (ops/Bucketing — one sorted file per bucket, external path)
+      df => graft.ops.Bucketing.writeBucketed(df.sparkSession, df,
+        c.get("table").asText(), c.get("path").asText(),
+        c.get("key").asText(),
+        if (c.has("buckets")) c.get("buckets").asInt() else 32)
     case other => throw new IllegalArgumentException(s"unknown sink: $other")
   }
 

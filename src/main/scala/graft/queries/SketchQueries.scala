@@ -75,6 +75,85 @@ object SketchQueries {
         |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // Cross-corpus overlap WITHOUT a join: |A∩B| by inclusion-exclusion
+    // over three HLL legs (A = even docs, B = doc_id%3, sharing every
+    // 6th doc plus cross-copy text dups). Each corpus collapses
+    // map-side to ONE sketch row — at 100 TB this replaces the
+    // join-based overlap entirely. The oracle checks the EXACT legs
+    // (DuckDB computes the true intersection with a join); the sketch
+    // overlap must land within 5% of the union + 1 to flag true.
+    "sketch_overlap" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").withColumn("fp", md5(col("text")))
+        val inA = col("doc_id") % 2 === 0
+        val inB = col("doc_id") % 3 === 0
+        val est = Sketches.overlapEstimate(
+          docs.filter(inA), docs.filter(inB), "fp")
+        val exact = docs.agg(
+          countDistinct(when(inA, col("fp"))).cast("long").as("exact_a"),
+          countDistinct(when(inB, col("fp"))).cast("long").as("exact_b"),
+          countDistinct(when(inA || inB, col("fp"))).cast("long").as("exact_u"))
+        exact.crossJoin(est)
+          .select(col("exact_a"), col("exact_b"),
+            (col("exact_a") + col("exact_b") - col("exact_u"))
+              .as("exact_overlap"),
+            (abs(col("est_overlap") -
+              (col("exact_a") + col("exact_b") - col("exact_u"))) <=
+              col("exact_u") * 0.05 + lit(1.0)).as("overlap_ok"))
+      },
+      Some("""WITH fa AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |            WHERE doc_id % 2 = 0),
+        |fb AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |       WHERE doc_id % 3 = 0)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fa) AS exact_a,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS exact_b,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM fa JOIN fb USING (fp))
+        |         AS exact_overlap,
+        |       TRUE AS overlap_ok""".stripMargin)),
+
+    // The STREAMING profile: per-micro-batch sketches appended to the
+    // store from inside foreachBatch while the 4-slice event stream
+    // drains, then one merge across batches — distinct users per event
+    // type maintained incrementally, the corpus read exactly once as
+    // it streamed past. The oracle is the whole-corpus exact count.
+    "stream_profile" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-prof")
+        try {
+          val (drop, schema) = graft.streaming.ChangeStream.stageEvents(
+            s, dir, slices = 4, sliceBy = "event_id")
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop)
+          val ev = graft.source.Changelog.normalizeTs(raw)
+            .select("user_id", "event_type")
+          val q = ev.writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                Sketches.appendSketches(s"$tmp/st",
+                  Sketches.sketchBatch(b, "event_type", "user_id", id))
+                ()
+            }.start()
+          q.processAllAvailable(); q.stop()
+          val merged = Sketches.mergedDistinct(s, s"$tmp/st", "event_type")
+          val exact = graft.source.Changelog.events(s, dir)
+            .groupBy("event_type")
+            .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+          val res = exact.join(merged, "event_type")
+            .select(col("event_type"), col("exact_users"),
+              (abs(col("merged_est") - col("exact_users")) <=
+                col("exact_users") * 0.05 + lit(1.0)).as("merged_ok"))
+            .orderBy("event_type")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
+      },
+      Some("""SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merged_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Per-language length quantiles: exact interpolated percentiles
     // (oracle: quantile_cont) plus the GK-sketch approximation's error
     // flag. The approx leg is the 100-TB survivor: an accuracy-bounded

@@ -128,6 +128,40 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg.forall(r => r.getAs[Long]("n_rows") <= 3))
   }
 
+  test("parquet_bucketed sink lands a co-located table (exchange-free re-join)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-sink")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.pipeline.Pipeline.run(spark, s"""{
+          "source": {"type": "table", "dir": "$sf", "table": "documents"},
+          "processors": [
+            {"type": "cap_per_key", "keyCol": "lang", "ordCol": "n_chars",
+             "idCol": "doc_id", "n": 50}
+          ],
+          "sink": {"type": "parquet_bucketed", "table": "graft_docs_bkt_spec",
+                   "path": "$tmp/docs", "key": "doc_id", "buckets": 4}
+        }""")
+      graft.ops.Bucketing.writeBucketed(spark,
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "graft_emb_bkt_spec", s"$tmp/emb", "vec_id", 4)
+      val j = graft.ops.Bucketing.cojoin(spark,
+        "graft_docs_bkt_spec", "graft_emb_bkt_spec", "doc_id", "vec_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"config-written bucketed table re-joined with a shuffle:\n$plan")
+      // and the sink really applied the cap stage before writing
+      val capped = spark.table("graft_docs_bkt_spec")
+        .groupBy("lang").count().collect()
+      assert(capped.nonEmpty && capped.forall(_.getLong(1) <= 50))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.sql("DROP TABLE IF EXISTS graft_docs_bkt_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_bkt_spec")
+      graft.queries.Registry.rmTree(tmp.toFile)
+    }
+  }
+
   test("langid_filter stage equals the code form and drops the score columns") {
     val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
       "source": {"type": "table", "dir": "$sf", "table": "documents"},

@@ -71,6 +71,23 @@ class SketchSpec extends SparkSpec {
     assert(q.toSeq == Seq(("x", 26.0, 51.0, 76.0, true)), q.mkString(","))
   }
 
+  test("overlapEstimate: inclusion-exclusion lands near the exact intersection") {
+    // A = v in [0, 600), B = v in [400, 1000) → exact overlap 200 of
+    // union 1000; tolerance is a fraction of the UNION (each HLL leg's
+    // error scales with its own cardinality, not the overlap's)
+    val all = (0L until 1000L).toDF("v").select(md5(col("v").cast("string")).as("id"),
+      col("v"))
+    val est = Sketches.overlapEstimate(
+      all.filter(col("v") < 600), all.filter(col("v") >= 400), "id")
+      .select("est_a", "est_b", "est_union", "est_overlap")
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(est._1 - 600) <= 600 * 0.05)
+    assert(math.abs(est._2 - 600) <= 600 * 0.05)
+    assert(math.abs(est._3 - 1000) <= 1000 * 0.05)
+    assert(math.abs(est._4 - 200) <= 1000 * 0.05 + 1,
+      s"overlap estimate ${est._4} vs exact 200")
+  }
+
   test("sketchBatch aggregates map-side (partial objecthash agg, no sort agg)") {
     val plan = Sketches.sketchBatch(corpus, "grp", "v", 0L)
       .queryExecution.executedPlan.toString
