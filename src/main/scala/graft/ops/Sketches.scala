@@ -101,6 +101,44 @@ object Sketches {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
+  /** Heavy-hitter profile via count-min sketch: the hot-key DETECTOR.
+    * Every skew mitigation in this engine (salted aggs, AQE split,
+    * capPerKey) presumes you know which keys are hot; at 100 TB the
+    * exact answer (a full groupBy) is itself a corpus shuffle. The CMS
+    * leg here is ONE scan with NO shuffle: each partition folds into a
+    * depth×width counter grid (~160 KB at the defaults), grids merge
+    * by cell-wise add into a single binary on the driver, and any
+    * candidate key's count reads off the grid with a one-sided error
+    * bound — est ≥ exact always, est ≤ exact + ⌈eps·N⌉ with prob.
+    * `confidence`. Candidates here are the exact top-K (the
+    * verification leg the gate checks); a production pass feeds the
+    * grid last round's hitters or a per-partition candidate heap.
+    *
+    * Output (topK rows, hottest first): key, exact_cnt, cms_ok. */
+  def heavyHitters(df: DataFrame, keyCol: String, topK: Int,
+      eps: Double = 0.0005, confidence: Double = 0.99, seed: Int = 42)
+      : DataFrame = {
+    val bin = df.agg(count_min_sketch(col(keyCol), lit(eps),
+      lit(confidence), lit(seed)).as("cms")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bin))
+    val cap = math.ceil(eps * cms.totalCount()).toLong
+    val exact = df.groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(keyCol))
+      .limit(topK)
+    val rows = exact.collect().map { r =>
+      val est = cms.estimateCount(r.get(0))
+      val cnt = r.getLong(1)
+      org.apache.spark.sql.Row(r.get(0), cnt, est >= cnt && est <= cnt + cap)
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(exact.schema.fields :+
+        org.apache.spark.sql.types.StructField("cms_ok",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+  }
+
   /** Per-group quantile profile: exact interpolated percentiles (the
     * oracle-checked values) plus the GK-sketch approximation's error
     * flag. At 100 TB only the approx leg survives: percentile_approx

@@ -154,6 +154,19 @@ object SketchQueries {
         |  TRUE AS merged_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Heavy hitters: the top-10 event users, exact counts
+    // oracle-checked, with the count-min-sketch estimate's one-sided
+    // error flag — the no-shuffle hot-key detector that tells the skew
+    // mitigations (salting, AQE split, capPerKey) WHERE to aim.
+    "sketch_topk" -> QueryDef(
+      (s, dir) => Sketches.heavyHitters(
+        graft.source.Changelog.events(s, dir).select("user_id"),
+        "user_id", topK = 10),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS cms_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_cnt DESC, user_id LIMIT 10""".stripMargin)),
+
     // Per-language length quantiles: exact interpolated percentiles
     // (oracle: quantile_cont) plus the GK-sketch approximation's error
     // flag. The approx leg is the 100-TB survivor: an accuracy-bounded

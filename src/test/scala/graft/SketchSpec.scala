@@ -88,6 +88,22 @@ class SketchSpec extends SparkSpec {
       s"overlap estimate ${est._4} vs exact 200")
   }
 
+  test("heavyHitters surfaces the hot key first with a sound one-sided bound") {
+    // 30% of 10k rows on key 7, the rest spread over 1k keys
+    val skewed = (0L until 10000L).toDF("id")
+      .select(when(col("id") % 10 < 3, lit(7L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000)) + 100).as("k"))
+    val hh = Sketches.heavyHitters(skewed, "k", topK = 5)
+      .select("k", "exact_cnt", "cms_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(hh.length == 5)
+    assert(hh.head._1 == 7L && hh.head._2 == 3000L,
+      s"hot key not first: ${hh.toSeq}")
+    assert(hh.forall(_._3), s"CMS bound violated: ${hh.toSeq}")
+    // hottest first, ordered
+    assert(hh.map(_._2).toSeq == hh.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("sketchBatch aggregates map-side (partial objecthash agg, no sort agg)") {
     val plan = Sketches.sketchBatch(corpus, "grp", "v", 0L)
       .queryExecution.executedPlan.toString
