@@ -48,6 +48,32 @@ object Mixing {
     df.filter(hashSlice(col(idCol)) < rate * 65536.0)
   }
 
+  /** Probability-proportional-to-size (Poisson) sampling: keep each row
+    * with inclusion probability min(1, n·wᵢ/Σw) for integer weights —
+    * the importance-sampling primitive ("sample ~n docs, preferring
+    * high quality/length"). E[kept] ≈ n; every weight-zero row drops;
+    * any row with wᵢ ≥ Σw/n always survives.
+    *
+    * The keep decision is `uᵢ·Σw < n·wᵢ·65536` in EXACT decimal(38)
+    * integer arithmetic (uᵢ = the md5 hash slice; decimal so the
+    * product cannot overflow at 100-TB-scale Σw), so every engine,
+    * rerun, and backfill agrees bit-wise — the DuckDB oracle replays
+    * the identical inequality in HUGEINT. Same incremental algebra as
+    * [[sampleByRate]]: raising n (or a row's weight) only ever ADDS
+    * rows. Σw comes from ONE 1-row aggregate broadcast back; the
+    * corpus itself never shuffles — the whole op is map-only plus a
+    * scalar. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+      n: Long): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0 (got $n)")
+    val dec = "decimal(38,0)"
+    val total = df.agg(sum(col(weightCol).cast(dec)).as("_tw"))
+    df.crossJoin(broadcast(total))
+      .filter(hashSlice(col(idCol)).cast(dec) * col("_tw") <
+        lit(n).cast(dec) * col(weightCol).cast(dec) * lit(65536).cast(dec))
+      .drop("_tw")
+  }
+
   /** Deterministic TOKEN-BUDGET sampling: cut each stratum down to (at
     * least) `budgets(stratum)` tokens by keeping the docs whose hash
     * slice falls at or below the smallest threshold meeting the budget.

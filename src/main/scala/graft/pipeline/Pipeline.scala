@@ -78,6 +78,9 @@ object Pipeline {
     "mix_temperature" -> (c => df => graft.ops.Mixing.sampleByTemperature(df,
       c.get("strataCol").asText(), c.get("idCol").asText(),
       if (c.has("alpha")) c.get("alpha").asDouble() else 0.5)),
+    "mix_weight" -> (c => df => graft.ops.Mixing.sampleByWeight(df,
+      c.get("idCol").asText(), c.get("weightCol").asText(),
+      c.get("n").asLong())),
     "cap_per_key" -> (c => df => graft.ops.Mixing.capPerKey(df,
       c.get("keyCol").asText(), c.get("ordCol").asText(),
       c.get("idCol").asText(), n = c.get("n").asInt(),

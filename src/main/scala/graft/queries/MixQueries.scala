@@ -99,6 +99,27 @@ object MixQueries {
         |WHERE t IS NULL OR u <= t
         |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted (probability-proportional-to-size) sampling: ~100 docs
+    // with inclusion probability ∝ n_chars — importance sampling by
+    // length/quality. The keep inequality is exact integer arithmetic
+    // (decimal(38) vs the oracle's HUGEINT), so this is a row-level
+    // value check of every keep decision; map-only + one broadcast
+    // scalar, the corpus never shuffles.
+    "mix_weighted" -> QueryDef(
+      (s, dir) => {
+        Mixing.sampleByWeight(
+          table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", n = 100)
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte,
+        |t AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS tw FROM documents)
+        |SELECT doc_id, lang, n_chars FROM u, t
+        |WHERE CAST(u AS HUGEINT) * tw
+        |    < CAST(100 AS HUGEINT) * CAST(n_chars AS HUGEINT)
+        |      * CAST(65536 AS HUGEINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Frequency capping: at most 5 docs per language, best-first by
     // length (tie: doc_id) — the "cap documents per domain" curation
     // primitive. Runs the salted two-phase top-n (a hot key spreads

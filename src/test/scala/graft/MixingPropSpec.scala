@@ -168,6 +168,33 @@ class MixingPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sampleByWeight matches the exact integer model and is monotone in n") {
+    val docs = (0L until 400L).map(i => (i, 1L + (i * 7919) % 500))
+    val df = docs.toDF("doc_id", "w")
+    val tw = docs.map(_._2).map(BigInt(_)).sum
+    def u(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      BigInt(Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16))
+    }
+    val prop = Prop.forAll(Gen.oneOf(0L, 1L, 17L, 100L, 400L, 100000L)) { n =>
+      val got = Mixing.sampleByWeight(df, "doc_id", "w", n)
+        .select("doc_id").as[Long].collect().toSet
+      val model = docs.filter { case (id, w) =>
+        u(id) * tw < BigInt(n) * BigInt(w) * 65536
+      }.map(_._1).toSet
+      got == model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+    // monotone: kept(n) ⊆ kept(n')
+    def kept(n: Long) = Mixing.sampleByWeight(df, "doc_id", "w", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(50L).subsetOf(kept(200L)))
+    // n past saturation keeps everything; zero keeps nothing
+    assert(kept(1000000L).size == 400 && kept(0L).isEmpty)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -108,10 +108,12 @@ class PipelineCfgSpec extends SparkSpec {
     assert(back.columns.contains("zbucket"))
   }
 
-  test("cap_per_key and sketch_distinct stages round-trip through the registry") {
+  test("mix_weight, cap_per_key, sketch_distinct stages round-trip through the registry") {
     val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
         "source": {"type": "table", "dir": "$sf", "table": "documents"},
         "processors": [
+          {"type": "mix_weight", "idCol": "doc_id", "weightCol": "n_chars",
+           "n": 300},
           {"type": "cap_per_key", "keyCol": "lang", "ordCol": "n_chars",
            "idCol": "doc_id", "n": 3, "salts": 4},
           {"type": "sketch_distinct", "grpCol": "lang", "idCol": "doc_id"}
@@ -120,7 +122,9 @@ class PipelineCfgSpec extends SparkSpec {
       }""").orderBy("lang").collect().toSeq
     val docs = graft.source.Changelog.table(spark, sf, "documents")
     val viaCode = graft.ops.Sketches.distinctProfile(
-      Mixing.capPerKey(docs, "lang", "n_chars", "doc_id", n = 3, salts = 4),
+      Mixing.capPerKey(
+        Mixing.sampleByWeight(docs, "doc_id", "n_chars", n = 300),
+        "lang", "n_chars", "doc_id", n = 3, salts = 4),
       "lang", "doc_id")
       .orderBy("lang").collect().toSeq
     assert(viaCfg == viaCode)
