@@ -268,7 +268,7 @@ object SkewProbe {
       // staged to parquet). At 100 TB the lesson is the same: derive
       // skew-facing dimension tables into storage first.
       def joinLeg(fact: DataFrame, dim: DataFrame, split: Boolean)
-          : (Double, Long, Boolean) = {
+          : (Double, Seq[Seq[Any]], Boolean) = {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split.toString)
@@ -276,14 +276,22 @@ object SkewProbe {
         spark.conf.set(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        // decimal accumulation: the split changes which partial sums
+        // meet, and an IEEE double sum would differ between legs by
+        // rounding alone — exact decimal makes answer equality a real
+        // check instead of a flaky one
         val j = fact.join(dim, "user_id")
           .groupBy("event_type")
-          .agg(sum(col("value") * col("w")).as("s"), count(lit(1)).as("c"))
+          .agg(sum((col("value") * col("w")).cast("decimal(28,6)")).as("s"),
+            count(lit(1)).as("c"))
         val qe = j.queryExecution
         val (secs, _) = time(qe.executedPlan.execute().count())
         val plan = qe.executedPlan.toString
         if (sys.env.contains("SPARK_GRAFT_DEBUG_PLAN")) println(plan)
-        (secs, j.count(), plan.contains("skew=true"))
+        // the VALUES, not the group count — a split that dropped or
+        // duplicated fact rows must fail the equality require below
+        val res = j.orderBy("event_type").collect().map(_.toSeq).toSeq
+        (secs, res, plan.contains("skew=true"))
       }
       def dimOf(fact: DataFrame, tag: String): DataFrame =
         mat(fact.select("user_id").distinct()

@@ -39,9 +39,15 @@ object Bucketing {
   /** Co-located equi-join of two bucketed tables (each bucketed by its
     * own join key, same bucket count). The plan this produces — and
     * ScaleSpec pins — has no Exchange feeding the join (and no Sort
-    * either when the sorted-scan report is enabled; see class doc). */
+    * either when the sorted-scan report is enabled; see class doc).
+    * When both sides name the key identically (the fact⋈fact shape the
+    * class doc advertises) the join uses the USING form — a raw
+    * `col(k) === col(k)` condition would be ambiguous against the
+    * joined plan and throw. */
   def cojoin(spark: SparkSession, leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      col(leftKey) === col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val (l, r) = (spark.table(leftTable), spark.table(rightTable))
+    if (leftKey == rightKey) l.join(r, leftKey)
+    else l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -58,9 +58,11 @@ object Mixing {
     * integer arithmetic (uᵢ = the md5 hash slice; decimal so the
     * product cannot overflow at 100-TB-scale Σw), so every engine,
     * rerun, and backfill agrees bit-wise — the DuckDB oracle replays
-    * the identical inequality in HUGEINT. Same incremental algebra as
-    * [[sampleByRate]]: raising n (or a row's weight) only ever ADDS
-    * rows. Σw comes from ONE 1-row aggregate broadcast back; the
+    * the identical inequality in HUGEINT. Raising n only ever ADDS
+    * rows (the [[sampleByRate]] incremental algebra). Weight EDITS do
+    * NOT share that property: changing any weight moves Σw and
+    * re-decides every row — treat a weight change as a re-mix, not an
+    * increment. Σw comes from ONE 1-row aggregate broadcast back; the
     * corpus itself never shuffles — the whole op is map-only plus a
     * scalar. */
   def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,

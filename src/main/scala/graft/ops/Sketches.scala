@@ -113,11 +113,15 @@ object Sketches {
     * `confidence`. Candidates here are the exact top-K (the
     * verification leg the gate checks); a production pass feeds the
     * grid last round's hitters or a per-partition candidate heap.
+    * NULL keys are excluded up front: the SQL count_min_sketch
+    * aggregate skips them, so counting them on the exact leg (or
+    * probing the grid with null) would be wrong by construction.
     *
     * Output (topK rows, hottest first): key, exact_cnt, cms_ok. */
-  def heavyHitters(df: DataFrame, keyCol: String, topK: Int,
+  def heavyHitters(in: DataFrame, keyCol: String, topK: Int,
       eps: Double = 0.0005, confidence: Double = 0.99, seed: Int = 42)
       : DataFrame = {
+    val df = in.filter(col(keyCol).isNotNull)
     val bin = df.agg(count_min_sketch(col(keyCol), lit(eps),
       lit(confidence), lit(seed)).as("cms")).head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
@@ -150,7 +154,7 @@ object Sketches {
     df.groupBy(grpCol)
       .agg(
         count(lit(1)).cast("long").as("n_rows"),
-        expr(s"percentile($valCol, array(0.25D, 0.5D, 0.75D))").as("_ex"),
+        percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("_ex"),
         percentile_approx(v, array(lit(0.25), lit(0.5), lit(0.75)),
           lit(accuracy)).as("_ap"))
       .select(col(grpCol), col("n_rows"),

@@ -78,6 +78,28 @@ object Pipeline {
     "mix_temperature" -> (c => df => graft.ops.Mixing.sampleByTemperature(df,
       c.get("strataCol").asText(), c.get("idCol").asText(),
       if (c.has("alpha")) c.get("alpha").asDouble() else 0.5)),
+    // fail-loud corpus gate: release configs put this between scrub
+    // and write so a malformed corpus can never reach the sink (note:
+    // this stage is EAGER — it runs one validation scan when built)
+    "expect" -> (c => df => {
+      import graft.ops.Validate._
+      val rules = c.get("rules").elements().asScala.map { r =>
+        r.get("kind").asText() match {
+          case "not_null" => NotNull(r.get("col").asText())
+          case "unique" => Unique(r.get("col").asText())
+          case "in_range" => InRange(r.get("col").asText(),
+            r.get("lo").asLong(), r.get("hi").asLong())
+          case "min_rows" => MinRows(r.get("n").asLong())
+          case "distinct_at_least" => DistinctAtLeast(r.get("col").asText(),
+            r.get("n").asLong())
+          case "matches" => Matches(r.get("col").asText(),
+            r.get("regex").asText())
+          case other =>
+            throw new IllegalArgumentException(s"unknown expectation: $other")
+        }
+      }.toSeq
+      graft.ops.Validate.expect(df, rules)
+    }),
     "mix_weight" -> (c => df => graft.ops.Mixing.sampleByWeight(df,
       c.get("idCol").asText(), c.get("weightCol").asText(),
       c.get("n").asLong())),

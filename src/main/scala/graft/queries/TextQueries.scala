@@ -253,6 +253,50 @@ object TextQueries {
         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS grp
         |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin)),
 
+    // One-pass corpus validation: declared expectations → constraint
+    // report (the release gate run before publishing). Every counter
+    // is a when()-lane in ONE aggregate over a column-pruned scan;
+    // the report is |constraints| rows at any corpus size.
+    "quality_report" -> QueryDef(
+      (s, dir) => {
+        import graft.ops.Validate
+        Validate.report(table(s, dir, "documents"), Seq(
+          Validate.NotNull("text"), Validate.Unique("doc_id"),
+          Validate.InRange("n_chars", 1, 1000000), Validate.MinRows(100),
+          Validate.DistinctAtLeast("lang", 3),
+          Validate.Matches("lang", "^[a-z]{2}$")))
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'distinct_at_least(lang,3)' AS "constraint",
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS observed,
+        |    CAST(3 AS BIGINT) AS bound,
+        |    COUNT(DISTINCT lang) >= 3 AS ok FROM documents
+        |  UNION ALL SELECT 'in_range(n_chars,1,1000000)',
+        |    CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT), 0,
+        |    SUM(CASE WHEN n_chars < 1 OR n_chars > 1000000
+        |      THEN 1 ELSE 0 END) <= 0 FROM documents
+        |  UNION ALL SELECT 'matches(lang)',
+        |    CAST(SUM(CASE WHEN lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 ELSE 0 END) AS BIGINT), 0,
+        |    SUM(CASE WHEN lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 ELSE 0 END) <= 0 FROM documents
+        |  UNION ALL SELECT 'min_rows(100)',
+        |    CAST(COUNT(*) AS BIGINT), 100, COUNT(*) >= 100 FROM documents
+        |  UNION ALL SELECT 'not_null(text)',
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    0, SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) <= 0
+        |    FROM documents
+        |  UNION ALL SELECT 'unique(doc_id)',
+        |    CAST(COUNT(*) - COUNT(DISTINCT doc_id)
+        |      - SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    0, COUNT(*) - COUNT(DISTINCT doc_id)
+        |      - SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) <= 0
+        |    FROM documents
+        |) ORDER BY "constraint"""".stripMargin)),
+
     // Multimodal stub: binary column + metadata + frame-sampled digests.
     // The bytes are the UTF-8 text (ASCII), so byte slices == char slices
     // and the oracle can mirror them with plain string functions.

@@ -154,6 +154,14 @@ class PipelineCfgSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"config-written bucketed table re-joined with a shuffle:\n$plan")
+      // the SAME-name key shape (fact⋈fact on doc_id) must take the
+      // USING form — a raw col===col condition is ambiguous and threw
+      // before the cojoin fix; still exchange-free
+      val selfJ = graft.ops.Bucketing.cojoin(spark,
+        "graft_docs_bkt_spec", "graft_docs_bkt_spec", "doc_id", "doc_id")
+      assert(!selfJ.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(selfJ.count() > 0)
       // and the sink really applied the cap stage before writing
       val capped = spark.table("graft_docs_bkt_spec")
         .groupBy("lang").count().collect()
@@ -164,6 +172,24 @@ class PipelineCfgSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_emb_bkt_spec")
       graft.queries.Registry.rmTree(tmp.toFile)
     }
+  }
+
+  test("expect stage passes a sound corpus through and fails loud on violation") {
+    val base = s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [{"type": "expect", "rules": [RULES]}],
+        "sink": {"type": "noop"}
+      }"""
+    val ok = graft.pipeline.Pipeline.buildFrame(spark, base.replace("RULES",
+      """{"kind": "unique", "col": "doc_id"},
+         {"kind": "not_null", "col": "text"},
+         {"kind": "min_rows", "n": 10}"""))
+    assert(ok.count() > 10)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.buildFrame(spark, base.replace("RULES",
+        """{"kind": "min_rows", "n": 1000000}"""))
+    }
+    assert(e.getMessage.contains("min_rows(1000000)"))
   }
 
   test("langid_filter stage equals the code form and drops the score columns") {
