@@ -46,19 +46,7 @@ object AnnCurve {
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def shuffledBytes(f: => Unit): Long = {
-      val acc = new java.util.concurrent.atomic.AtomicLong(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(1500) }
-      finally spark.sparkContext.removeSparkListener(l)
-      acc.get
-    }
+    def shuffledBytes(f: => Unit): Long = ProbeUtil.shuffledBytes(spark)(f)
 
     def recallOf(res: DataFrame): Double = {
       val got = res.select("qid", "nid").collect()

@@ -49,6 +49,24 @@ private[graft] object ProbeUtil {
     }.reduce(_ unionByName _)
   }
 
+  /** Total shuffle WRITE bytes across an action (task-end listener;
+    * the 2 s sleep drains the async listener bus before reading — the
+    * convention the byte-probes established). One implementation so
+    * ScaleProbe/AnnCurve/SkewProbe numbers stay comparable. */
+  def shuffledBytes(spark: SparkSession)(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(2000) }
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
   /** Empty the block store: `clearCache()` drops catalog-cached
     * relations but NOT RDD-level persists (localCheckpoint blocks) —
     * the r15 bench lesson. Every probe rep must start from zero. */

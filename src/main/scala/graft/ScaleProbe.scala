@@ -336,19 +336,7 @@ object ScaleProbe {
     // listener is async; the sleep lets the bus drain before reading
     // (dev probe — a stray straggler event under-counts both sides
     // alike, the RATIO is the evidence).
-    def shuffledBytes(f: => Unit): Long = {
-      val acc = new java.util.concurrent.atomic.AtomicLong(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(2000) }
-      finally spark.sparkContext.removeSparkListener(l)
-      acc.get
-    }
+    def shuffledBytes(f: => Unit): Long = ProbeUtil.shuffledBytes(spark)(f)
     val q32 = emb.filter(col("vec_id") < 32)
     def runNoop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -548,6 +536,46 @@ object ScaleProbe {
       val (sk, srk) = shuffleAt(k)
       println(s"""{"probe":"global_shuffle","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
         s""""rows_1":$sr1,"rows_k":$srk,"ratio":${sk / s1},"sf":"$sfDir"}""")
+    }
+
+    // ── sketch vs exact distinct: the refresh-cost trade, measured ──
+    // Per-lang distinct-fingerprint counts over docs ×k (salted, so
+    // distinct values grow ×k): the EXACT leg's exchange moves every
+    // distinct (lang, fp) pair — bytes must grow ~×k — while the HLL
+    // leg ships 2^lgK registers per group at ANY corpus size. The wall
+    // ratio follows the same split once the scan cost (shared by both)
+    // stops dominating. This is the measured form of the Sketches
+    // scaladoc's refresh-cost claim.
+    if (want("sketch_distinct")) {
+      def legs(n: Int): (Double, Long, Double, Long) = {
+        val full = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "lang", "text")
+        val d = mat(ProbeUtil.saltedDocs(full, n)
+          .select(col("lang"), md5(col("text")).as("fp")), s"skd$n")
+        d.count() // page in, outside both measured legs
+        def runAgg(aggd: DataFrame): Unit =
+          aggd.write.mode("overwrite").format("noop").save()
+        val exactDf = d.groupBy("lang")
+          .agg(countDistinct(col("fp")).as("d"))
+        val hllDf = d.groupBy("lang")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("fp"), 12)).as("d"))
+        runAgg(exactDf); runAgg(hllDf) // warm both
+        val bE = shuffledBytes(runAgg(exactDf))
+        val (tE, _) = time(runAgg(exactDf))
+        val bH = shuffledBytes(runAgg(hllDf))
+        val (tH, _) = time(runAgg(hllDf))
+        (tE, bE, tH, bH)
+      }
+      val (te1, be1, th1, bh1) = legs(1)
+      val (tek, bek, thk, bhk) = legs(k)
+      println(s"""{"probe":"sketch_distinct","k":$k,""" +
+        s""""exact_secs_1":$te1,"exact_secs_k":$tek,""" +
+        s""""hll_secs_1":$th1,"hll_secs_k":$thk,""" +
+        s""""exact_bytes_1":$be1,"exact_bytes_k":$bek,""" +
+        s""""hll_bytes_1":$bh1,"hll_bytes_k":$bhk,""" +
+        s""""exact_bytes_ratio":${bek.toDouble / be1},""" +
+        s""""hll_bytes_ratio":${bhk.toDouble / bh1},""" +
+        s""""bytes_saving_k":${bek.toDouble / bhk},"sf":"$sfDir"}""")
     }
     spark.stop()
   }

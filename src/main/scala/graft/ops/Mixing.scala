@@ -275,16 +275,39 @@ object Mixing {
     * per-key top-n over that bounded frame. Selection identity:
     * every global top-n row is in its salt's top-n (removing other
     * rows only improves a row's local rank), so phase 1 never drops
-    * a survivor — MixingPropSpec pins equality with the naive window.
+    * a survivor — MixingPropSpec pins equality with the naive window
+    * for every `hotKeys` choice.
+    *
+    * `hotKeys` is the measured refinement (SkewProbe `skew_cap`):
+    * salting EVERY key keeps phase 1 from pruning the long tail (a
+    * key with ~n rows per salt passes everything through), so the
+    * blanket form pays a near-full second pass — measured ~1.8× the
+    * naive window at moderate skew. Passing the known hot keys (from
+    * [[graft.ops.Sketches.heavyHitters]], the no-shuffle detector)
+    * salts ONLY those: tail keys keep salt 0, where the phase-1 rank
+    * IS their true per-key rank and prunes them to n rows, so phase 2
+    * reads ≈ n·|keys| + n·salts·|hot| rows — negligible — while the
+    * hot keys still spread over the salt partitions.
+    *
+    * When to salt at all (measured, not presumed — skew_cap probe): a
+    * single-task Tungsten sort absorbs hot partitions up to ~20M rows
+    * faster than any two-phase form pays for its second exchange, so
+    * below the spill regime the naive window (or salts=1, whose
+    * phase 1 IS the per-key rank) wins; salting is insurance for hot
+    * keys past one task's memory, aimed with `hotKeys`, not blanket.
     *
     * Output keeps all input columns plus `rk` (1-based rank within
     * the key, ≤ n). */
   def capPerKey(df: DataFrame, keyCol: String, ordCol: String,
-      idCol: String, n: Int, salts: Int = 16): DataFrame = {
+      idCol: String, n: Int, salts: Int = 16,
+      hotKeys: Seq[Any] = Nil): DataFrame = {
     require(n >= 1 && salts >= 1, s"capPerKey needs n>=1, salts>=1 (got $n, $salts)")
     val order = Seq(col(ordCol).desc, col(idCol).asc)
-    val local = Window.partitionBy(col(keyCol),
-      pmod(xxhash64(col(idCol)), lit(salts))).orderBy(order: _*)
+    val salt =
+      if (hotKeys.isEmpty) pmod(xxhash64(col(idCol)), lit(salts))
+      else when(col(keyCol).isInCollection(hotKeys),
+        pmod(xxhash64(col(idCol)), lit(salts))).otherwise(lit(0L))
+    val local = Window.partitionBy(col(keyCol), salt).orderBy(order: _*)
     val global = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     df.withColumn("_lrk", row_number().over(local))
       .filter(col("_lrk") <= n).drop("_lrk")

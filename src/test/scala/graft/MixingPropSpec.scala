@@ -152,10 +152,12 @@ class MixingPropSpec extends SparkSpec {
       keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "hot"))
       ord <- Gen.listOfN(n, Gen.choose(0L, 5L)) // small range → many ties
     } yield ids.toList.lazyZip(keys).lazyZip(ord).toList
-    val prop = Prop.forAll(rowsGen, Gen.choose(1, 6), Gen.choose(1, 8)) {
-      (rows, n, salts) =>
+    val hotGen = Gen.someOf(Seq("a", "b", "c", "hot")).map(_.toSeq)
+    val prop = Prop.forAll(rowsGen, Gen.choose(1, 6), Gen.choose(1, 8), hotGen) {
+      (rows, n, salts, hot) =>
         val df = rows.toDF("doc_id", "key", "ord")
-        val got = Mixing.capPerKey(df, "key", "ord", "doc_id", n, salts)
+        val got = Mixing.capPerKey(df, "key", "ord", "doc_id", n, salts,
+          hotKeys = hot)
           .select("key", "doc_id", "rk").as[(String, Long, Long)]
           .collect().sortBy(r => (r._1, r._3))
         val model = rows.groupBy(_._2).toSeq.flatMap { case (k, grp) =>
