@@ -106,7 +106,11 @@ object Pipeline {
     "cap_per_key" -> (c => df => graft.ops.Mixing.capPerKey(df,
       c.get("keyCol").asText(), c.get("ordCol").asText(),
       c.get("idCol").asText(), n = c.get("n").asInt(),
-      salts = if (c.has("salts")) c.get("salts").asInt() else 16)),
+      salts = if (c.has("salts")) c.get("salts").asInt() else 16,
+      hotKeys = if (c.has("hotKeys"))
+        c.get("hotKeys").elements().asScala.map(v =>
+          if (v.isNumber) v.asLong(): Any else v.asText(): Any).toSeq
+      else Nil)),
     "sketch_distinct" -> (c => df => graft.ops.Sketches.distinctProfile(df,
       c.get("grpCol").asText(), c.get("idCol").asText(),
       lgK = if (c.has("lgK")) c.get("lgK").asInt() else 12)),

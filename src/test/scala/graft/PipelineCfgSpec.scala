@@ -115,7 +115,7 @@ class PipelineCfgSpec extends SparkSpec {
           {"type": "mix_weight", "idCol": "doc_id", "weightCol": "n_chars",
            "n": 300},
           {"type": "cap_per_key", "keyCol": "lang", "ordCol": "n_chars",
-           "idCol": "doc_id", "n": 3, "salts": 4},
+           "idCol": "doc_id", "n": 3, "salts": 4, "hotKeys": ["en"]},
           {"type": "sketch_distinct", "grpCol": "lang", "idCol": "doc_id"}
         ],
         "sink": {"type": "noop"}
@@ -124,7 +124,7 @@ class PipelineCfgSpec extends SparkSpec {
     val viaCode = graft.ops.Sketches.distinctProfile(
       Mixing.capPerKey(
         Mixing.sampleByWeight(docs, "doc_id", "n_chars", n = 300),
-        "lang", "n_chars", "doc_id", n = 3, salts = 4),
+        "lang", "n_chars", "doc_id", n = 3, salts = 4, hotKeys = Seq("en")),
       "lang", "doc_id")
       .orderBy("lang").collect().toSeq
     assert(viaCfg == viaCode)
