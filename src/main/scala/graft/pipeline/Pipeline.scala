@@ -197,9 +197,18 @@ object Pipeline {
       // see DeltaStore.readAt). Config-driven so an as-of audit is a
       // task shape, not a library call: {"type":"delta","path":...,
       // "asOfBatch":2}
+      // ... or the row-level change feed between two committed batch ids
+      // when `changesFrom`/`changesTo` are given (CDC-out:
+      // {"type":"delta","path":...,"changesFrom":1,"changesTo":3})
       val path = c.get("path").asText()
       val read =
-        if (c.has("asOfBatch"))
+        if (c.has("changesFrom") || c.has("changesTo")) {
+          require(c.has("changesFrom") && c.has("changesTo"),
+            "delta source: changesFrom and changesTo must be given together")
+          graft.sink.DeltaStore.changesBetween(spark, path,
+            c.get("changesFrom").asLong(), c.get("changesTo").asLong())
+        }
+        else if (c.has("asOfBatch"))
           graft.sink.DeltaStore.readAt(spark, path, c.get("asOfBatch").asLong())
         else graft.sink.DeltaStore.read(spark, path)
       read.getOrElse(throw new IllegalArgumentException(

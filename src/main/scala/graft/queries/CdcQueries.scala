@@ -421,6 +421,90 @@ object CdcQueries {
         |WHERE net_op <> 'delete'
         |ORDER BY tbl, pk""".stripMargin)),
 
+    // CDC-OUT: the store's row-level change feed between two committed
+    // cuts — everything a downstream consumer applies to move from the
+    // state AS OF batch 1 to AS OF batch 3 (insert/update/delete per pk,
+    // post-image values, pre-image for deletes). Derived from the log
+    // structure in ONE scan + ONE hash agg over only the buckets whose
+    // chains changed inside the window (DeltaStoreSpec pins the file
+    // pruning) — never two resolves + a full outer join. The oracle IS
+    // the two-resolve diff: both time-travel replays full-outer-joined
+    // and classified, which is exactly what the feed must equal. Runs
+    // through the config front-end (`changesFrom`/`changesTo` on a
+    // `delta` source).
+    "delta_changes" -> QueryDef(
+      (s, dir) => {
+        val log = Changelog.fromEvents(s, dir)
+        val nB = 4
+        val maxSeq = log.agg(max("seq")).head().getLong(0) // 1-row metadata
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-feed-q")
+        try {
+          val target = s"$tmp/state"
+          (0 until nB).foreach { b =>
+            val slice = log.filter(expr(s"seq * $nB div ${maxSeq + 1}") === b)
+            graft.sink.DeltaStore.append(Compactor.compact(slice), target,
+              Seq("tbl", "pk"), nBuckets = 16, batchId = b, maxChain = 16)
+          }
+          val res = graft.pipeline.Pipeline.buildFrame(s,
+            s"""{"source": {"type": "delta", "path": "$target",
+                            "changesFrom": 1, "changesTo": 3},
+                 "processors": [], "sink": {"type": "noop"}}""")
+            .select("tbl", "pk", "change", "r_id", "r_k", "r_v", "last_seq")
+            .orderBy("tbl", "pk")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally Registry.rmTree(tmp.toFile)
+      },
+      Some(s"""$cte,
+        |batched AS (
+        |  SELECT *, seq * 4 // ((SELECT max(seq) FROM changelog) + 1) AS batch
+        |  FROM changelog),
+        |net AS (
+        |  SELECT batch, tbl, pk, min_by(op, seq) AS first_op,
+        |         max_by(op, seq) AS last_op, max(seq) AS last_seq
+        |  FROM batched GROUP BY batch, tbl, pk),
+        |lastrow AS (
+        |  SELECT batch, tbl, pk, max_by(r_id, seq) AS u_id,
+        |         max_by(r_k, seq) AS u_k, max_by(r_v, seq) AS u_v
+        |  FROM batched WHERE op <> 'delete' GROUP BY batch, tbl, pk),
+        |compacted AS (
+        |  SELECT n.batch AS batch, n.tbl AS tbl, n.pk AS pk,
+        |         CASE WHEN n.last_op = 'delete' THEN 'delete'
+        |              WHEN n.first_op = 'insert' THEN 'insert'
+        |              ELSE 'update' END AS net_op,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_id END AS r_id,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_k END AS r_k,
+        |         CASE WHEN n.last_op = 'delete' THEN NULL ELSE l.u_v END AS r_v,
+        |         n.last_seq AS last_seq
+        |  FROM net n LEFT JOIN lastrow l
+        |    ON n.batch = l.batch AND n.tbl = l.tbl AND n.pk = l.pk
+        |  WHERE NOT (n.last_op = 'delete' AND n.first_op = 'insert')),
+        |a AS (
+        |  SELECT * FROM compacted WHERE batch <= 1
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1),
+        |b AS (
+        |  SELECT * FROM compacted WHERE batch <= 3
+        |  QUALIFY row_number() OVER (PARTITION BY tbl, pk ORDER BY batch DESC) = 1),
+        |al AS (SELECT * FROM a WHERE net_op <> 'delete'),
+        |bl AS (SELECT * FROM b WHERE net_op <> 'delete'),
+        |diff AS (
+        |  SELECT coalesce(bl.tbl, al.tbl) AS tbl, coalesce(bl.pk, al.pk) AS pk,
+        |         CASE WHEN al.tbl IS NULL THEN 'insert'
+        |              WHEN bl.tbl IS NULL THEN 'delete'
+        |              WHEN al.r_id IS DISTINCT FROM bl.r_id
+        |                OR al.r_k  IS DISTINCT FROM bl.r_k
+        |                OR al.r_v  IS DISTINCT FROM bl.r_v
+        |                OR al.last_seq IS DISTINCT FROM bl.last_seq
+        |                THEN 'update' END AS change,
+        |         CASE WHEN bl.tbl IS NULL THEN al.r_id ELSE bl.r_id END AS r_id,
+        |         CASE WHEN bl.tbl IS NULL THEN al.r_k  ELSE bl.r_k  END AS r_k,
+        |         CASE WHEN bl.tbl IS NULL THEN al.r_v  ELSE bl.r_v  END AS r_v,
+        |         CASE WHEN bl.tbl IS NULL THEN al.last_seq ELSE bl.last_seq END AS last_seq
+        |  FROM al FULL OUTER JOIN bl ON al.tbl = bl.tbl AND al.pk = bl.pk)
+        |SELECT tbl, pk, change, r_id, r_k, r_v, last_seq FROM diff
+        |WHERE change IS NOT NULL
+        |ORDER BY tbl, pk""".stripMargin)),
+
     // The DSv2 MicroBatchStream (S1's custom source) driving the delta
     // sink end to end — the one S1 form that had specs but no oracle
     // gate: spooled seq-ordered segments, index offsets, admission-

@@ -178,6 +178,81 @@ object DeltaStore {
     }
   }
 
+  /** Row-level change feed: everything a downstream consumer must apply
+    * to move from the resolved state AS OF `fromBatch` to the state AS OF
+    * `toBatch` — `change` ∈ insert/update/delete per pk, value columns
+    * carrying the post-image (the pre-image for deletes, so the feed rows
+    * are directly applyable/auditable). The CDC-out counterpart of the
+    * CDC-in sync path: the reference consumes a binlog; a store this
+    * engine maintains can EMIT one (the reference's check/recheck sink,
+    * `pkg/output/check`, diffs full states — this derives the same
+    * difference from the log structure instead).
+    *
+    * Scale shape — no snapshot diff, no join:
+    *   - The manifest prunes the scan to buckets whose chain holds a
+    *     generation in `(fromBatch, toBatch]`. A bucket without one is
+    *     bit-identical at both cuts (appends are the only mutation inside
+    *     an accepted window — see the floor guard), so feed cost follows
+    *     the CHANGED key footprint, not store size: touched buckets ×
+    *     chain depth, file-level pruning like the IVF probed-cell read.
+    *   - Within touched buckets, ONE scan + ONE hash aggregation computes
+    *     both images per pk: each leg is [[resolve]]'s per-column argmax
+    *     with the `_seq` ordering null-masked above its cut (`max_by`
+    *     skips null orderings), so pre and post come out of the same
+    *     map-side-combined group — never two resolves + a full outer join.
+    *     Untouched pks co-resident in touched buckets classify as
+    *     no-change and drop in the same pass.
+    *
+    * History guard: pre-images need every generation ≤ `fromBatch` intact,
+    * so `fromBatch` below the fold horizon is REFUSED exactly like
+    * [[readAt]] (and therefore no fold/snapshot id lies past `fromBatch`
+    * either — folds raise the floor, so an accepted window contains only
+    * plain appends, which is what makes the bucket pruning sound).
+    * Returns None when the store is empty or no bucket changed. */
+  def changesBetween(spark: SparkSession, target: String,
+      fromBatch: Long, toBatch: Long): Option[DataFrame] = {
+    require(toBatch >= fromBatch,
+      s"change feed needs fromBatch <= toBatch (got $fromBatch > $toBatch)")
+    val floor = readHistoryFloor(target)
+    require(fromBatch >= floor,
+      s"change feed from batch $fromBatch impossible: a fold/snapshot " +
+        s"collapsed history up to batch $floor (pre-images below the fold " +
+        "horizon are unrecoverable, as after any LSM compaction)")
+    val chains = readManifest(target)
+    def segId(g: String): Long = g.dropWhile(!_.isDigit).toLong
+    val touched = chains.view.filter { case (_, gens) =>
+      gens.exists { g => val id = segId(g); id > fromBatch && id <= toBatch }
+    }.toMap
+    chainFrames(spark, target, touched).map { all0 =>
+      val pkCols = inferPkCols(target)
+      val all = all0.filter(col("_seq") <= toBatch)
+        .withColumn("_del", when(col("net_op") === "delete", 1).otherwise(0))
+      val valueCols = all.columns.filterNot(c =>
+        pkCols.contains(c) || c == "net_op" || c == "_seq" || c == "_del")
+      // per-column argmax is row-consistent for the same reason as in
+      // [[resolve]]: _seq is unique within a pk group
+      def cut(c: Long): Column = when(col("_seq") <= c, col("_seq"))
+      def leg(pfx: String, c: Long): Seq[Column] =
+        Seq(max(when(col("_seq") <= c, 1).otherwise(0)).as(s"${pfx}_has"),
+          max_by(col("_del"), cut(c)).as(s"${pfx}_del")) ++
+          valueCols.map(v => max_by(col(v), cut(c)).as(s"${pfx}_$v"))
+      val aggs = leg("a", fromBatch) ++ leg("b", toBatch)
+      val g = all.groupBy(pkCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val aLive = col("a_has") === 1 && col("a_del") === 0
+      val bLive = col("b_has") === 1 && col("b_del") === 0
+      val differs = valueCols.map(v => !(col(s"a_$v") <=> col(s"b_$v")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      g.withColumn("change",
+          when(!aLive && bLive, lit("insert"))
+            .when(aLive && !bLive, lit("delete"))
+            .when(aLive && bLive && differs, lit("update")))
+        .filter(col("change").isNotNull)
+        .select(pkCols.map(col) ++ (col("change") +: valueCols.map(v =>
+          when(col("change") === "delete", col(s"a_$v"))
+            .otherwise(col(s"b_$v")).as(v))): _*)
+    }
+  }
+
   private def historyPath(target: String): Path = Paths.get(target, "HISTORY")
 
   /** Oldest batch id still exactly reconstructable by [[readAt]]

@@ -567,4 +567,98 @@ class DeltaStoreSpec extends SparkSpec {
     }
     assert(miss.getMessage.contains("no store"))
   }
+
+  // --- changesBetween: the CDC-out change feed ---
+
+  private def feedOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+        (r.getAs[String]("change"),
+          (r.getAs[Long]("r_id"), r.getAs[Int]("r_k"), r.getAs[Double]("r_v")))
+    }.toMap
+
+  private def modelDiff(
+      a: Map[(String, Long), (Long, Int, Double)],
+      b: Map[(String, Long), (Long, Int, Double)])
+      : Map[(String, Long), (String, (Long, Int, Double))] =
+    (a.keySet ++ b.keySet).flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(v))              => Some(k -> ("insert", v))
+        case (Some(v), None)              => Some(k -> ("delete", v)) // pre-image
+        case (Some(u), Some(v)) if u != v => Some(k -> ("update", v))
+        case _                            => None
+      }
+    }.toMap
+
+  test("changesBetween equals the model diff over every (from, to) cut pair") {
+    val target = tmp("graft-delta-feed")
+    val rnd = new scala.util.Random(20260814L)
+    val model = scala.collection.mutable.Map[(String, Long), (Long, Int, Double)]()
+    val snaps = scala.collection.mutable.ArrayBuffer[Map[(String, Long), (Long, Int, Double)]]()
+    val ops = Seq("insert", "update", "delete")
+    (0 until 6).foreach { b =>
+      val keys = rnd.shuffle((0 until 30).map(i =>
+        (s"t${i % 4}", rnd.nextInt(12).toLong))).distinct.take(15)
+      val batch = keys.map { case (t, pk) =>
+        (t, pk, ops(rnd.nextInt(3)), pk * 10, rnd.nextInt(1000), rnd.nextDouble())
+      }
+      batch.foreach { case (t, pk, op, rid, rk, rv) =>
+        if (op == "delete") model.remove((t, pk)) else model((t, pk)) = (rid, rk, rv)
+      }
+      snaps += model.toMap
+      DeltaStore.append(batch.toDF("tbl", "pk", "net_op", "r_id", "r_k", "r_v"),
+        target, pkCols, nBuckets = 8, batchId = b, maxChain = 100)
+    }
+    var sawAllThree = Set[String]()
+    for (i <- 0 until 6; j <- i until 6) {
+      val got = DeltaStore.changesBetween(spark, target, i, j)
+        .map(feedOf).getOrElse(Map.empty)
+      val want = modelDiff(snaps(i), snaps(j))
+      assert(got === want, s"feed ($i -> $j) diverges from the model diff")
+      sawAllThree ++= want.values.map(_._1)
+    }
+    assert(sawAllThree === Set("insert", "update", "delete"),
+      "fixture must exercise every change kind")
+    // an empty window over a non-empty store is None, not an empty frame
+    assert(DeltaStore.changesBetween(spark, target, 5, 5).isEmpty)
+  }
+
+  test("changesBetween prunes the scan to buckets touched inside the window") {
+    val target = tmp("graft-delta-feedprune")
+    // batch 0 spreads keys across (very likely) many buckets
+    DeltaStore.append(netOf((0 until 16).map(i =>
+      (s"t$i", i.toLong, "insert", i.toLong, i, i.toDouble)): _*),
+      target, pkCols, nBuckets = 8, batchId = 0, maxChain = 100)
+    // batch 1 touches exactly one key — one bucket changed
+    DeltaStore.append(netOf(("t3", 3L, "update", 3L, 99, 9.9)),
+      target, pkCols, nBuckets = 8, batchId = 1, maxChain = 100)
+    val feed = DeltaStore.changesBetween(spark, target, 0, 1).get
+    // only the touched bucket's chain is read: its gen-0 + gen-1 files,
+    // never the other 7 buckets' gen-0 files
+    assert(feed.inputFiles.length <= 2,
+      s"expected <=2 files (one bucket's chain), read ${feed.inputFiles.length}")
+    assert(feedOf(feed) === Map(("t3", 3L) -> ("update", (3L, 99, 9.9))))
+  }
+
+  test("changesBetween refuses a fromBatch below the fold horizon") {
+    val target = tmp("graft-delta-feedfold")
+    (0 until 3).foreach { b =>
+      DeltaStore.append(netOf(("a", 1L, if (b == 0) "insert" else "update",
+        1L, 10 + b, b.toDouble)), target, pkCols,
+        nBuckets = 4, batchId = b, maxChain = 1)
+    }
+    val floor = DeltaStore.readHistoryFloor(target)
+    assert(floor >= 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaStore.changesBetween(spark, target, floor - 1, 2)
+    }
+    assert(e.getMessage.contains("change feed"))
+    intercept[IllegalArgumentException] {
+      DeltaStore.changesBetween(spark, target, 2, 1) // from > to
+    }
+    // at the horizon the feed still serves: the folded state IS batch-
+    // `floor`'s state, so (floor -> latest) has exact pre-images
+    val ok = DeltaStore.changesBetween(spark, target, floor, 2)
+    if (floor < 2) assert(ok.isDefined && feedOf(ok.get).nonEmpty)
+  }
 }
