@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis over an edge list — the authority-scoring
+  * step a crawl-scale curation pipeline runs BEFORE sampling: rank
+  * domains/pages by the link graph, then weight admission or mixing by
+  * the score (CommonCrawl-style harmonic/PageRank centrality feeding
+  * seed selection; compose with [[Mixing.sampleByWeight]] for
+  * rank-proportional draws). Complements [[Clusters.components]]
+  * (reachability) with a quantitative importance measure on the same
+  * edge-list representation.
+  *
+  * EXACT integer arithmetic, by design: ranks live in fixed-point
+  * units of 1/`scale` (default 1e-9), every per-edge contribution is
+  * an integral division, and the damping multiply-divide is integral
+  * too. Long addition is associative — the per-node message sum is
+  * bit-identical under ANY partitioning or AQE re-plan, so scores are
+  * reproducible run-to-run and engine-to-engine (the DuckDB oracle
+  * replays the identical recurrence), unlike a double-typed PageRank
+  * whose sums drift with partition order. The quantization error is
+  * bounded (< outdeg ulps per node per round, each ulp = 1/scale) and
+  * identical everywhere.
+  *
+  * Recurrence (the classic simplified form; dangling mass leaks, not
+  * redistributed — a node with no out-edges absorbs):
+  *   rank⁰(n)   = scale                         (i.e. 1.0)
+  *   rankⁱ⁺¹(n) = base + (dampNum · Σ_{(m,n)∈E} ⌊rankⁱ(m)/outdeg(m)⌋) div dampDen
+  * with base = (scale · (dampDen − dampNum)) div dampDen  (0.15 · scale).
+  *
+  * Scale shape: the loop body is one equi-join (ranks × edges on src —
+  * |V| rows joined to |E|, shuffled on the node key) and one long-sum
+  * hash aggregation to dst (map-side combined: a hot page's in-edges
+  * partial-sum before the exchange, so a 10⁸-in-link node receives one
+  * long per upstream partition, not 10⁸ rows). The edge set with its
+  * out-degrees attached is computed ONCE and cached across rounds;
+  * lineage is cut every round with the same explicit RDD
+  * localCheckpoint + previous-round unpersist discipline as
+  * [[Clusters.components]] (round k must not replay rounds 1..k−1, and
+  * the loop holds exactly one round of rank blocks at any moment). On
+  * a cluster the checkpoint goes to the cluster FS; iterations are a
+  * fixed budget — rank deltas shrink geometrically (damping), so a
+  * deployment picks iterations ≈ log(tolerance)/log(damp), not a
+  * convergence probe per round.
+  */
+object Graphs {
+
+  /** (node, rank_units) for every node appearing as src or dst in
+    * `edges`. Duplicate edges are collapsed (link multiplicity does not
+    * multiply influence — the standard web-graph convention); self-loops
+    * kept if present in the distinct set (callers usually filter them
+    * when deriving edges). Fails loudly if |V| · scale · dampNum could
+    * overflow a long (the message-sum bound). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"pageRank needs iterations >= 1 (got $iterations)")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen (got $dampNum/$dampDen)")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().cache()
+    // edge set with out-degree attached — the loop-invariant operand,
+    // built and cached once (out-degree joins inside the loop would
+    // re-shuffle |E| every round)
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src").cache()
+    val nNodes = graft.PhaseClock.time("pr.edges") { eod.count(); nodes.count() }
+    // total mass never exceeds |V|·scale (contributions are floors of a
+    // conserved quantity), so the damping multiply is the overflow edge
+    require(nNodes <= Long.MaxValue / dampNum / scale,
+      s"pageRank overflow bound: $nNodes nodes x scale $scale x damp " +
+        s"$dampNum exceeds long range — lower scale")
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.select(col("n"), lit(scale).as("rank"))
+    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    (1 to iterations).foreach { _ =>
+      val msgs = eod
+        .join(ranks.select(col("n").as("src"), col("rank")), "src")
+        .select(col("dst").as("n"), expr("rank div outd").as("c"))
+        .groupBy("n").agg(sum("c").as("m"))
+      val next = nodes.join(msgs, Seq("n"), "left")
+        .select(col("n"),
+          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank"))
+      graft.PhaseClock.count("pr.rounds")
+      val rdd = graft.PhaseClock.time("pr.round") {
+        val r = next.rdd
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.localCheckpoint()
+        r.count() // materialize before dropping the previous round
+        r
+      }
+      ranks = spark.createDataFrame(rdd, next.schema)
+      if (liveRdd != null) liveRdd.unpersist(blocking = false)
+      liveRdd = rdd
+    }
+    nodes.unpersist()
+    eod.unpersist()
+    // the final round's checkpoint stays persisted for the caller, as
+    // in Clusters.components
+    ranks.select(col("n").as("node"), col("rank").as("rank_units"))
+  }
+}

@@ -18,7 +18,7 @@ object Registry {
   lazy val all: Map[String, QueryDef] =
     CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ AnnQueries.defs ++ MixQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++ GraphQueries.defs
 
   lazy val benchSet: Seq[String] = all.collect { case (n, d) if d.bench => n }.toSeq.sorted
 

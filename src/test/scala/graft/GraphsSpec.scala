@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graphs
+
+/** [[graft.ops.Graphs.pageRank]] — exact integer link analysis. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000L // default scale (1.0 in rank units)
+  private val B = 150000000L  // base = S * 15 / 100
+
+  test("pageRank: one round on a hand-computed triangle + sink") {
+    // 1→2, 1→3, 2→3; 3 is a sink (dangling mass absorbs — leaks by design)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val r = Graphs.pageRank(e, "s", "d", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // rank⁰ = S everywhere; contributions: 1 sends S/2 to each of 2,3;
+    // 2 sends S to 3; 3 sends nothing.
+    assert(r(1L) == B)
+    assert(r(2L) == B + 85L * (S / 2) / 100)
+    assert(r(3L) == B + 85L * (S / 2 + S) / 100)
+  }
+
+  test("pageRank: duplicate and null edges collapse/drop; ranks deterministic under repartition") {
+    val e = Seq(
+      Some(1L) -> Some(2L), Some(1L) -> Some(2L), // duplicate: no double influence
+      Some(2L) -> Some(1L), Some(1L) -> None,     // null dst dropped
+      None -> Some(2L)
+    ).toDF("s", "d").select(col("s"), col("d"))
+    val a = Graphs.pageRank(e, "s", "d", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.pageRank(e.repartition(7), "s", "d", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // pure 2-cycle conserves mass exactly at every round: rank stays S
+    assert(a == Map(1L -> S, 2L -> S))
+  }
+
+  test("pageRank: hub accumulates; more iterations move rank toward the cycle's stationary split") {
+    // star into a 2-cycle: 10,11,12 → 1; 1 ⇄ 2
+    val star = (10L to 12L).map(_ -> 1L)
+    val e = (star ++ Seq(1L -> 2L, 2L -> 1L)).toDF("s", "d")
+    val r = Graphs.pageRank(e, "s", "d", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 5)
+    // leaves keep only base mass after round 1
+    assert(r(10L) == B && r(11L) == B && r(12L) == B)
+    // hand-replay of the exact integer recurrence: mass oscillates
+    // between the cycle's two nodes (even rounds favor 2), leaves feed
+    // a constant 3·(dampNum·B/dampDen) into 1 from round 2 on
+    def round(r1: Long, r2: Long, leaf: Long): (Long, Long) =
+      (B + 85L * (3L * leaf + r2) / 100, B + 85L * r1 / 100)
+    var (c1, c2, leaf) = (S, S, S)
+    (1 to 4).foreach { _ =>
+      val n = round(c1, c2, leaf); c1 = n._1; c2 = n._2; leaf = B
+    }
+    assert(r(1L) == c1 && r(2L) == c2)
+    assert(r(2L) > r(1L) && r(1L) > r(10L))
+  }
+
+  test("pageRank: refuses overflow-range scale loudly") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, "s", "d", iterations = 1, scale = Long.MaxValue / 10)
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
+}
