@@ -385,6 +385,57 @@ object SkewProbe {
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
+    // ── PageRank under a hot in-link node ───────────────────────────
+    // The lineitem-derived edge list ×k (disjoint copies), then ~30%
+    // of ALL edges re-pointed at ONE node — the 30%-of-the-web-links-
+    // to-one-page distribution. The claim under test is the scaladoc's
+    // ([[ops.Graphs.pageRank]]): the per-round message sum to dst is a
+    // map-side-combined long HashAggregate, so the hot node receives
+    // one partial per upstream partition and the skew tax stays ~1;
+    // the loop's shuffled JOIN key is src (out-edges untouched —
+    // uniform), so no hot join partition exists to split. Uniform
+    // comparator: identical volume, dsts untouched.
+    if (want("skew_pagerank_hotdst")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .select(col("l_partkey").cast("long").as("src"),
+          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      def prAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
+        val e0 = scaled(eBase, Seq("src", "dst"), n)
+        // per-edge redirect (not per-dst relabel): collapse of same-src
+        // redirected duplicates is rare at avg out-degree, so hot and
+        // uniform legs carry ~identical |E|
+        val e = if (hot) e0.withColumn("dst",
+            when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
+              lit(0L)).otherwise(col("dst")))
+          else e0
+        val in = mat(e, s"pr$n$hot")
+        PhaseClock.reset()
+        val (secs, nodes) = time(
+          graft.ops.Graphs.pageRank(in, "src", "dst", iterations = 3).count())
+        val ph = PhaseClock.snapshot()
+        sweepBlocks()
+        (secs, nodes, ph)
+      }
+      prAt(1, hot = true) // warm
+      val (p1, n1, _) = prAt(1, hot = true)
+      val (pk, nk, phk) = prAt(k, hot = true)
+      val (pu, nu, _) = prAt(k, hot = false)
+      val loopS = phk.getOrElse("pr.round", 0.0)
+      val prepS = phk.getOrElse("pr.edges", 0.0)
+      val bn = if (loopS > prepS) "per-round msg join+sum (pr.round)"
+        else "edge/out-degree prep (pr.edges)"
+      println(s"""{"probe":"skew_pagerank_hotdst","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$p1,"secs_k":$pk,"secs_k_uniform":$pu,""" +
+        s""""nodes_1":$n1,"nodes_k":$nk,"nodes_k_uniform":$nu,""" +
+        s""""prep_k":$prepS,"loop_k":$loopS,""" +
+        s""""ratio":${pk / p1},"skew_tax":${pk / pu},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
     spark.stop()
   }
 }
