@@ -54,7 +54,30 @@ object Graphs {
     * overflow a long (the message-sum bound). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    run(edges, srcCol, dstCol, None, null, iterations, scale, dampNum, dampDen)
+
+  /** Personalized (seed-restart) PageRank: the restart mass — both the
+    * initial rank AND the per-round base term — goes ONLY to the seed
+    * nodes, so rank measures proximity-weighted reachability FROM the
+    * seed set rather than global authority. This is the crawl
+    * seed-EXPANSION form: start from a vetted domain list, rank the
+    * whole graph by seeded score, admit/weight the frontier by it
+    * (compose with [[Mixing.sampleByWeight]]). Same exact integer
+    * recurrence with base(n) = base · 1_seed(n) and rank⁰(n) =
+    * scale · 1_seed(n); seeds not present in the graph are ignored
+    * (they have no edges to carry mass anyway). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    run(edges, srcCol, dstCol, Some(seeds), seedCol, iterations, scale,
+      dampNum, dampDen)
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame], seedCol: String,
+      iterations: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
     require(iterations >= 1, s"pageRank needs iterations >= 1 (got $iterations)")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen (got $dampNum/$dampDen)")
@@ -63,8 +86,21 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("n"))
-      .unionByName(e.select(col("dst").as("n"))).distinct().cache()
+    // nodes carry their seed flag (everyone is a "seed" in the global
+    // form) — the flag rides the cached frame so the per-round base
+    // term needs no extra join
+    val nodes0 = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    val nodes = seeds match {
+      case None => nodes0.withColumn("is_seed", lit(true)).cache()
+      case Some(sd) =>
+        val sl = sd.select(col(seedCol).cast("long").as("n"))
+          .filter(col("n").isNotNull).distinct()
+          .withColumn("_s", lit(true))
+        nodes0.join(sl, Seq("n"), "left")
+          .select(col("n"), coalesce(col("_s"), lit(false)).as("is_seed"))
+          .cache()
+    }
     // edge set with out-degree attached — the loop-invariant operand,
     // built and cached once (out-degree joins inside the loop would
     // re-shuffle |E| every round)
@@ -76,7 +112,9 @@ object Graphs {
       s"pageRank overflow bound: $nNodes nodes x scale $scale x damp " +
         s"$dampNum exceeds long range — lower scale")
     val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.select(col("n"), lit(scale).as("rank"))
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var ranks = nodes.select(col("n"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     (1 to iterations).foreach { _ =>
       val msgs = eod
@@ -85,7 +123,7 @@ object Graphs {
         .groupBy("n").agg(sum("c").as("m"))
       val next = nodes.join(msgs, Seq("n"), "left")
         .select(col("n"),
-          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank"))
+          (seedBase + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank"))
       graft.PhaseClock.count("pr.rounds")
       val rdd = graft.PhaseClock.time("pr.round") {
         val r = next.rdd

@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.source.Changelog.table
-import graft.ops.Graphs
+import graft.ops.{Graphs, Mixing}
 
 /** Link-analysis queries. The graph is derived from lineitem: within
   * each order, part at line k links to the part at line k+1 (the
@@ -11,58 +12,117 @@ import graft.ops.Graphs
   * over). PageRank runs in EXACT fixed-point integer arithmetic
   * ([[Graphs.pageRank]]), so the DuckDB oracle replays the identical
   * recurrence and the gate hash-compares every rank unit — an
-  * approximate float PageRank could only gate on rows. */
+  * approximate float PageRank could only gate on rows.
+  *
+  * The window order tie-breaks on l_partkey: (l_orderkey, l_linenumber)
+  * is NOT unique in the fixture (11785 tie groups at sf0.01), and
+  * lead() over a tied order is engine-dependent — with the partkey
+  * tie-break the edge multiset is deterministic (equal-partkey ties
+  * yield the same edges in either order), so Spark and DuckDB derive
+  * the identical graph. */
 object GraphQueries {
+
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    table(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+  }
+
+  /** The oracle's replay of [[Graphs.pageRank]]'s exact recurrence,
+    * unrolled to 3 rounds. `seedPred(expr)` is the seed predicate over
+    * a node expression — `_ => "TRUE"` is global PageRank; restricting
+    * it reproduces [[Graphs.personalizedPageRank]] (restart mass only
+    * at seeds). */
+  private def prCte(seedPred: String => String): String = {
+    def rank(m: String, n: String) =
+      s"CAST(CASE WHEN ${seedPred(n)} THEN 150000000 ELSE 0 END + " +
+        s"(85 * coalesce($m, 0)) // 100 AS BIGINT)"
+    s"""WITH raw AS (
+       |  SELECT l_partkey AS src,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+       |od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT n FROM
+       |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT n, CAST(CASE WHEN ${seedPred("n")}
+       |    THEN 1000000000 ELSE 0 END AS BIGINT) AS rank FROM nodes),
+       |m1 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
+       |  FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.n = e.src
+       |  GROUP BY e.dst),
+       |r1 AS (SELECT nodes.n, ${rank("m1.m", "nodes.n")} AS rank
+       |  FROM nodes LEFT JOIN m1 ON m1.n = nodes.n),
+       |m2 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
+       |  FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.n = e.src
+       |  GROUP BY e.dst),
+       |r2 AS (SELECT nodes.n, ${rank("m2.m", "nodes.n")} AS rank
+       |  FROM nodes LEFT JOIN m2 ON m2.n = nodes.n),
+       |m3 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
+       |  FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.n = e.src
+       |  GROUP BY e.dst),
+       |r3 AS (SELECT nodes.n, ${rank("m3.m", "nodes.n")} AS rank
+       |  FROM nodes LEFT JOIN m3 ON m3.n = nodes.n)""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
     // 3 damped rounds over the part→next-part graph. Each round is one
     // equi-join on src plus one map-side-combined long-sum to dst; the
     // edge set (with out-degrees) is computed once and reused. Ranks
-    // are units of 1e-9. The window order tie-breaks on l_partkey:
-    // (l_orderkey, l_linenumber) is NOT unique in the fixture (11785
-    // tie groups at sf0.01), and lead() over a tied order is
-    // engine-dependent — with the partkey tie-break the edge multiset
-    // is deterministic (equal-partkey ties yield the same edges in
-    // either order), so Spark and DuckDB derive the identical graph.
+    // are units of 1e-9.
     "graph_pagerank" -> QueryDef(
+      (s, dir) => Graphs.pageRank(edges(s, dir), "src", "dst",
+        iterations = 3).orderBy("node"),
+      Some(s"""${prCte(_ => "TRUE")}
+        |SELECT n AS node, rank AS rank_units FROM r3 ORDER BY node
+        |""".stripMargin)),
+
+    // Seed-restart (personalized) PageRank: restart mass only at the
+    // ~1/7 of parts in the "vetted seed list" — rank becomes
+    // proximity-weighted reachability from the seeds, the crawl
+    // seed-expansion score. Same plan shape; the seed flag rides the
+    // cached node frame, no extra per-round join.
+    "graph_pagerank_seeded" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("l_orderkey")
-          .orderBy("l_linenumber", "l_partkey")
-        val edges = table(s, dir, "lineitem")
-          .select(col("l_partkey").as("src"),
-            lead(col("l_partkey"), 1).over(w).as("dst"))
-        Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        val seeds = table(s, dir, "lineitem")
+          .select(col("l_partkey").as("seed"))
+          .filter(col("seed") % 7 === 0)
+        Graphs.personalizedPageRank(edges(s, dir), "src", "dst",
+          seeds, "seed", iterations = 3).orderBy("node")
+      },
+      Some(s"""${prCte(n => s"$n % 7 = 0")}
+        |SELECT n AS node, rank AS rank_units FROM r3 ORDER BY node
+        |""".stripMargin)),
+
+    // Rank-weighted seed selection: PageRank composed with
+    // probability-proportional-to-size sampling — draw ~50 nodes with
+    // inclusion probability ∝ authority score. Both legs are exact
+    // integer arithmetic (fixed-point ranks, decimal(38)/HUGEINT keep
+    // inequality), so the oracle value-checks every sampling DECISION,
+    // not just the count.
+    "graph_rank_weight" -> QueryDef(
+      (s, dir) => {
+        val ranks = Graphs.pageRank(edges(s, dir), "src", "dst",
+          iterations = 3)
+        Mixing.sampleByWeight(ranks, "node", "rank_units", n = 50)
           .orderBy("node")
       },
-      Some("""WITH raw AS (
-        |  SELECT l_partkey AS src,
-        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
-        |  FROM lineitem),
-        |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
-        |od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
-        |nodes AS (SELECT DISTINCT n FROM
-        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
-        |r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
-        |m1 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-        |  FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.n = e.src
-        |  GROUP BY e.dst),
-        |r1 AS (SELECT nodes.n,
-        |    CAST(150000000 + (85 * coalesce(m1.m, 0)) // 100 AS BIGINT) AS rank
-        |  FROM nodes LEFT JOIN m1 ON m1.n = nodes.n),
-        |m2 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-        |  FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.n = e.src
-        |  GROUP BY e.dst),
-        |r2 AS (SELECT nodes.n,
-        |    CAST(150000000 + (85 * coalesce(m2.m, 0)) // 100 AS BIGINT) AS rank
-        |  FROM nodes LEFT JOIN m2 ON m2.n = nodes.n),
-        |m3 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-        |  FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.n = e.src
-        |  GROUP BY e.dst),
-        |r3 AS (SELECT nodes.n,
-        |    CAST(150000000 + (85 * coalesce(m3.m, 0)) // 100 AS BIGINT) AS rank
-        |  FROM nodes LEFT JOIN m3 ON m3.n = nodes.n)
-        |SELECT n AS node, rank AS rank_units FROM r3 ORDER BY node
+      Some(s"""${prCte(_ => "TRUE")},
+        |rf AS (SELECT n AS node, rank AS rank_units FROM r3),
+        |t AS (SELECT CAST(SUM(rank_units) AS HUGEINT) AS tw FROM rf),
+        |uu AS (SELECT *,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 4, 1)) - 1) AS u
+        |  FROM rf)
+        |SELECT node, rank_units FROM uu, t
+        |WHERE CAST(u AS HUGEINT) * tw
+        |    < CAST(50 AS HUGEINT) * CAST(rank_units AS HUGEINT)
+        |      * CAST(65536 AS HUGEINT)
+        |ORDER BY node
         |""".stripMargin))
   )
 }

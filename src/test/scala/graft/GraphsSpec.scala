@@ -59,6 +59,29 @@ class GraphsSpec extends SparkSpec {
     assert(r(2L) > r(1L) && r(1L) > r(10L))
   }
 
+  test("personalizedPageRank: restart mass only at seeds; off-graph seeds ignored") {
+    // triangle 1→2, 1→3, 2→3; seeds {1, 99} — 99 has no edges
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("seed")
+    val r = Graphs.personalizedPageRank(e, "s", "d", seeds, "seed",
+      iterations = 1).as[(Long, Long)].collect().toMap
+    // rank⁰ = S only at 1; non-seeds get NO base term
+    assert(r.size == 3 && !r.contains(99L))
+    assert(r(1L) == B)
+    assert(r(2L) == 85L * (S / 2) / 100)
+    assert(r(3L) == 85L * (S / 2) / 100)
+  }
+
+  test("personalizedPageRank: all-nodes seed set reproduces global pageRank") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val seeds = (1L to 3L).toDF("seed")
+    val g = Graphs.pageRank(e, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val p = Graphs.personalizedPageRank(e, "s", "d", seeds, "seed",
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(g == p)
+  }
+
   test("pageRank: refuses overflow-range scale loudly") {
     val e = Seq((1L, 2L)).toDF("s", "d")
     val ex = intercept[IllegalArgumentException] {
