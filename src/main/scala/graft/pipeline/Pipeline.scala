@@ -171,6 +171,23 @@ object Pipeline {
     // token set, md5), keep the min id per fingerprint, carry the group
     // size as `dup_count`. One map-side-combinable hash agg + one join
     // keyed on the fingerprint — never a pairwise form.
+    // link-analysis stages: derive within-group next-value edges, then
+    // rank — the config form of the graph_rank_weight chain (compose
+    // with mix_weight for rank-proportional seed selection)
+    "edges_lead" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, lead}
+      val v = c.get("valueCol").asText()
+      // tie-break the order on the value column — a tied window order
+      // would make the derived edge multiset engine/run-dependent
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(c.get("partitionCol").asText())
+        .orderBy(c.get("orderCol").asText(), v)
+      df.select(col(v).as("src"), lead(col(v), 1).over(w).as("dst"))
+    }),
+    "page_rank" -> (c => df => graft.ops.Graphs.pageRank(df,
+      c.get("srcCol").asText(), c.get("dstCol").asText(),
+      iterations = c.get("iterations").asInt(),
+      scale = if (c.has("scale")) c.get("scale").asLong() else 1000000000L)),
     "exact_dedup" -> (c => df => {
       import org.apache.spark.sql.functions._
       val id = c.get("idCol").asText()

@@ -109,20 +109,44 @@ object GraphQueries {
         Mixing.sampleByWeight(ranks, "node", "rank_units", n = 50)
           .orderBy("node")
       },
-      Some(s"""${prCte(_ => "TRUE")},
-        |rf AS (SELECT n AS node, rank AS rank_units FROM r3),
-        |t AS (SELECT CAST(SUM(rank_units) AS HUGEINT) AS tw FROM rf),
-        |uu AS (SELECT *,
-        |    (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 4096
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 2, 1)) - 1) * 256
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 3, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 4, 1)) - 1) AS u
-        |  FROM rf)
-        |SELECT node, rank_units FROM uu, t
-        |WHERE CAST(u AS HUGEINT) * tw
-        |    < CAST(50 AS HUGEINT) * CAST(rank_units AS HUGEINT)
-        |      * CAST(65536 AS HUGEINT)
-        |ORDER BY node
-        |""".stripMargin))
+      Some(rankWeightOracle)),
+
+    // The same chain assembled from JSON through the config front-end
+    // (table → edges_lead → page_rank → mix_weight); must reproduce
+    // graph_rank_weight byte-identically — same oracle. examples/
+    // rank.json carries the standalone-runnable form for graft.Run.
+    "pipeline_rank_cfg" -> QueryDef(
+      (s, dir) => graft.pipeline.Pipeline.buildFrame(s, s"""{
+          "source": {"type": "table", "dir": "$dir", "table": "lineitem"},
+          "processors": [
+            {"type": "edges_lead", "partitionCol": "l_orderkey",
+             "orderCol": "l_linenumber", "valueCol": "l_partkey"},
+            {"type": "page_rank", "srcCol": "src", "dstCol": "dst",
+             "iterations": 3},
+            {"type": "mix_weight", "idCol": "node",
+             "weightCol": "rank_units", "n": 50}
+          ],
+          "sink": {"type": "noop"}
+        }""").orderBy("node"),
+      Some(rankWeightOracle))
   )
+
+  // lazy: `defs` above initializes first and captures this value — a
+  // plain val would still be null at that point (declaration order)
+  private lazy val rankWeightOracle =
+    s"""${prCte(_ => "TRUE")},
+      |rf AS (SELECT n AS node, rank AS rank_units FROM r3),
+      |t AS (SELECT CAST(SUM(rank_units) AS HUGEINT) AS tw FROM rf),
+      |uu AS (SELECT *,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 4, 1)) - 1) AS u
+      |  FROM rf)
+      |SELECT node, rank_units FROM uu, t
+      |WHERE CAST(u AS HUGEINT) * tw
+      |    < CAST(50 AS HUGEINT) * CAST(rank_units AS HUGEINT)
+      |      * CAST(65536 AS HUGEINT)
+      |ORDER BY node
+      |""".stripMargin
 }

@@ -132,6 +132,29 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg.forall(r => r.getAs[Long]("n_rows") <= 3))
   }
 
+  test("edges_lead + page_rank stages round-trip through the registry") {
+    val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "lineitem"},
+        "processors": [
+          {"type": "edges_lead", "partitionCol": "l_orderkey",
+           "orderCol": "l_linenumber", "valueCol": "l_partkey"},
+          {"type": "page_rank", "srcCol": "src", "dstCol": "dst",
+           "iterations": 2}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("node").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = graft.source.Changelog.table(spark, sf, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+    val viaCode = graft.ops.Graphs.pageRank(e, "src", "dst", iterations = 2)
+      .orderBy("node").collect().toSeq
+    assert(viaCfg == viaCode)
+    assert(viaCfg.nonEmpty &&
+      viaCfg.forall(_.getAs[Long]("rank_units") >= 150000000L))
+  }
+
   test("parquet_bucketed sink lands a co-located table (exchange-free re-join)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-sink")
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
