@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative link-analysis over an edge list — the authority-scoring
@@ -117,13 +117,7 @@ object Graphs {
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     (1 to iterations).foreach { _ =>
-      val msgs = eod
-        .join(ranks.select(col("n").as("src"), col("rank")), "src")
-        .select(col("dst").as("n"), expr("rank div outd").as("c"))
-        .groupBy("n").agg(sum("c").as("m"))
-      val next = nodes.join(msgs, Seq("n"), "left")
-        .select(col("n"),
-          (seedBase + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank"))
+      val next = roundFrame(eod, ranks, nodes, seedBase, dampNum, dampDen)
       graft.PhaseClock.count("pr.rounds")
       val rdd = graft.PhaseClock.time("pr.round") {
         val r = next.rdd
@@ -141,5 +135,20 @@ object Graphs {
     // the final round's checkpoint stays persisted for the caller, as
     // in Clusters.components
     ranks.select(col("n").as("node"), col("rank").as("rank_units"))
+  }
+
+  /** One rank round as a frame — the loop body, exposed so the plan
+    * shape (map-side-combined message HashAggregate, equi-keyed joins
+    * only) can be pinned by tests without re-deriving the dataflow. */
+  private[graft] def roundFrame(eod: DataFrame, ranks: DataFrame,
+      nodes: DataFrame, seedBase: Column,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    val msgs = eod
+      .join(ranks.select(col("n").as("src"), col("rank")), "src")
+      .select(col("dst").as("n"), expr("rank div outd").as("c"))
+      .groupBy("n").agg(sum("c").as("m"))
+    nodes.join(msgs, Seq("n"), "left")
+      .select(col("n"),
+        (seedBase + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank"))
   }
 }

@@ -173,6 +173,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("pageRank round: message sum is a partial (map-side) hash agg, joins equi-keyed") {
+    import org.apache.spark.sql.functions._
+    // the loop-body plan a hot in-link node meets: the dst sum must
+    // carry a partial_sum phase (the hot node then receives one
+    // partial per upstream partition, not its row share), stay out of
+    // sort-agg fallback, and never go cartesian
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = graft.source.Changelog.table(spark, sf, "lineitem")
+      .select(col("l_partkey").cast("long").as("src"),
+        lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+      .filter(col("dst").isNotNull).distinct()
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+      .withColumn("is_seed", lit(true))
+    val ranks = nodes.select(col("n"), lit(1000000000L).as("rank"))
+    val p = graft.ops.Graphs.roundFrame(eod, ranks, nodes,
+        when(col("is_seed"), lit(150000000L)).otherwise(lit(0L)), 85L, 100L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"message sum lost map-side combine:\n$p")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("stream_join meets on the user-id equi-key with range residuals") {
     val p = plan("stream_join")
     assert(!p.contains("CartesianProduct") &&
