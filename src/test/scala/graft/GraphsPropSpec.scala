@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions.col
+
+/** Model check of [[graft.ops.Graphs]]: the distributed fixed-point
+  * recurrence against a driver-side exact replay, for RANDOM graphs ×
+  * damping × iteration budgets × seed sets. The integer arithmetic is
+  * the whole point of the design — bit-equality with a sequential
+  * model is the strongest statement the op can make, and the property
+  * covers shapes the hand-computed examples can't (self-loops,
+  * multi-edges, disconnected nodes, empty seed sets). */
+class GraphsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Case(edges: List[(Long, Long)], iters: Int,
+      dampNum: Long, seeds: Option[Set[Long]])
+
+  private val caseGen: Gen[Case] = for {
+    nEdges <- Gen.choose(1, 14)
+    edges <- Gen.listOfN(nEdges,
+      Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)))
+    iters <- Gen.choose(1, 4)
+    dampNum <- Gen.choose(1L, 99L)
+    seeded <- Gen.oneOf(true, false)
+    seedSet <- Gen.someOf(0L to 6L)
+  } yield Case(edges, iters, dampNum, if (seeded) Some(seedSet.toSet) else None)
+
+  /** Sequential replay of the exact recurrence (duplicate edges
+    * collapsed, dangling mass absorbed, seed-gated base). All values
+    * are non-negative, so `/` matches Spark's `div` and DuckDB's
+    * `//`. */
+  private def model(c: Case, scale: Long, dampDen: Long): Map[Long, Long] = {
+    val e = c.edges.toSet
+    val nodes = e.flatMap { case (s, d) => Seq(s, d) }
+    val outd = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val isSeed: Long => Boolean = n => c.seeds.forall(_.contains(n))
+    val base = scale * (dampDen - c.dampNum) / dampDen
+    var rank = nodes.map(n => n -> (if (isSeed(n)) scale else 0L)).toMap
+    (1 to c.iters).foreach { _ =>
+      val msgs = e.toSeq
+        .map { case (s, d) => d -> rank(s) / outd(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map { n =>
+        n -> ((if (isSeed(n)) base else 0L) +
+          c.dampNum * msgs.getOrElse(n, 0L) / dampDen)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pageRank/personalizedPageRank equal the sequential exact model") {
+    val prop = Prop.forAll(caseGen) { c =>
+      val e = c.edges.toDF("s", "d")
+      val got = (c.seeds match {
+        case None => graft.ops.Graphs.pageRank(e, "s", "d", c.iters,
+          dampNum = c.dampNum)
+        case Some(sd) =>
+          // empty seed frame: give toDF a typed empty list
+          val seedDf = sd.toList.toDF("seed")
+          graft.ops.Graphs.personalizedPageRank(e, "s", "d", seedDf, "seed",
+            c.iters, dampNum = c.dampNum)
+      }).as[(Long, Long)].collect().toMap
+      val want = model(c, 1000000000L, 100L)
+      if (got != want)
+        println(s"MISMATCH case=$c\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rank mass is conserved exactly on out-degree-complete graphs with full seeds") {
+    // every node has at least one out-edge and dampNum=dampDen-? …
+    // conservation holds up to floor loss: Σrank ≤ |V|·scale and
+    // Σrank ≥ |V|·base. A cycle (permutation graph) with outd=1 loses
+    // nothing to floors: Σrank stays EXACTLY |V|·scale every round.
+    val cyc = (0L to 5L).map(i => (i, (i + 1) % 6)).toDF("s", "d")
+    val r = graft.ops.Graphs.pageRank(cyc, "s", "d", iterations = 5)
+      .agg(org.apache.spark.sql.functions.sum(col("rank_units")))
+      .head().getLong(0)
+    assert(r == 6L * 1000000000L)
+  }
+}
