@@ -403,8 +403,21 @@ object SkewProbe {
         .select(col("l_partkey").cast("long").as("src"),
           lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
         .filter(col("dst").isNotNull)
+      // src and dst are the SAME node-id space, so both columns must
+      // shift by one SHARED span — ProbeUtil.scaled's per-column spans
+      // would desynchronize the sides whenever max(src) != max(dst)
+      // (the global max partkey need not appear as a lead value),
+      // breaking the disjoint-isomorphic-copies premise
+      def scaledEdges(n: Int): DataFrame = {
+        val span = eBase.agg(greatest(max(col("src")), max(col("dst"))))
+          .head().getLong(0) + 1
+        (0 until n).map { i =>
+          eBase.select((col("src") + i * span).as("src"),
+            (col("dst") + i * span).as("dst"))
+        }.reduce(_ unionByName _)
+      }
       def prAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
-        val e0 = scaled(eBase, Seq("src", "dst"), n)
+        val e0 = scaledEdges(n)
         // per-edge redirect (not per-dst relabel): collapse of same-src
         // redirected duplicates is rare at avg out-degree, so hot and
         // uniform legs carry ~identical |E|

@@ -81,11 +81,21 @@ object Graphs {
     require(iterations >= 1, s"pageRank needs iterations >= 1 (got $iterations)")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen (got $dampNum/$dampDen)")
+    require(scale > 0, s"scale must be positive (got $scale)")
+    // the base term multiplies scale by (dampDen - dampNum) < dampDen
+    // BEFORE dividing — bound it here, not just the message sum below
+    require(scale <= Long.MaxValue / dampDen,
+      s"pageRank overflow bound: scale $scale x dampDen $dampDen exceeds " +
+        "long range — lower scale")
     val spark = edges.sparkSession
+    // cached: nodes0 reads e twice (src and dst legs) and eod twice
+    // (edge side + out-degree agg) — uncached, the upstream edge
+    // derivation would run ~4x during prep (the probe's measured
+    // bottleneck); released below once eod/nodes are materialized
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().cache()
     // nodes carry their seed flag (everyone is a "seed" in the global
     // form) — the flag rides the cached frame so the per-round base
     // term needs no extra join
@@ -105,7 +115,11 @@ object Graphs {
     // built and cached once (out-degree joins inside the loop would
     // re-shuffle |E| every round)
     val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src").cache()
-    val nNodes = graft.PhaseClock.time("pr.edges") { eod.count(); nodes.count() }
+    val nNodes = graft.PhaseClock.time("pr.edges") {
+      eod.count(); val n = nodes.count()
+      e.unpersist(blocking = false) // eod/nodes now hold the operands
+      n
+    }
     // total mass never exceeds |V|·scale (contributions are floors of a
     // conserved quantity), so the damping multiply is the overflow edge
     require(nNodes <= Long.MaxValue / dampNum / scale,

@@ -167,10 +167,6 @@ object Pipeline {
         .drop(graft.ops.TextAnalysis.langMarkers.map(m => s"s_${m._1}") :+
           "pred_lang": _*)
     }),
-    // exact dedup as a task stage: fingerprint each doc (sorted distinct
-    // token set, md5), keep the min id per fingerprint, carry the group
-    // size as `dup_count`. One map-side-combinable hash agg + one join
-    // keyed on the fingerprint — never a pairwise form.
     // link-analysis stages: derive within-group next-value edges, then
     // rank — the config form of the graph_rank_weight chain (compose
     // with mix_weight for rank-proportional seed selection)
@@ -188,6 +184,10 @@ object Pipeline {
       c.get("srcCol").asText(), c.get("dstCol").asText(),
       iterations = c.get("iterations").asInt(),
       scale = if (c.has("scale")) c.get("scale").asLong() else 1000000000L)),
+    // exact dedup as a task stage: fingerprint each doc (sorted distinct
+    // token set, md5), keep the min id per fingerprint, carry the group
+    // size as `dup_count`. One map-side-combinable hash agg + one join
+    // keyed on the fingerprint — never a pairwise form.
     "exact_dedup" -> (c => df => {
       import org.apache.spark.sql.functions._
       val id = c.get("idCol").asText()

@@ -138,10 +138,7 @@ object GraphQueries {
       |rf AS (SELECT n AS node, rank AS rank_units FROM r3),
       |t AS (SELECT CAST(SUM(rank_units) AS HUGEINT) AS tw FROM rf),
       |uu AS (SELECT *,
-      |    (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 4096
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 2, 1)) - 1) * 256
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 3, 1)) - 1) * 16
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(node AS VARCHAR)), 4, 1)) - 1) AS u
+      |${Registry.md5Slice("node")} AS u
       |  FROM rf)
       |SELECT node, rank_units FROM uu, t
       |WHERE CAST(u AS HUGEINT) * tw

@@ -15,12 +15,9 @@ object MixQueries {
   /** DuckDB spelling of [[Mixing.hashSlice]]: decode the first 4 hex
     * chars of md5(id) to an int in [0, 65536). */
   private val uCte =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT *,
-      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u
+      |${Registry.md5Slice("doc_id")} AS u
       |  FROM documents)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -397,12 +394,9 @@ object MixQueries {
   // lazy: `defs` above initializes first and captures this value —
   // a plain val would still be null at that point (declaration order)
   private lazy val releaseOracle =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT *,
-      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u,
+      |${Registry.md5Slice("doc_id")} AS u,
       |    regexp_split_to_array(trim(text), ' +') AS toks
       |  FROM documents),
       |g AS (
