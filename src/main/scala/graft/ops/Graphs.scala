@@ -74,10 +74,28 @@ object Graphs {
     run(edges, srcCol, dstCol, Some(seeds), seedCol, iterations, scale,
       dampNum, dampDen)
 
+  /** Weighted PageRank: a source's rank splits across its out-edges
+    * PROPORTIONAL to edge weight — ⌊rank·w / Σw⌋ per edge — instead of
+    * evenly. Duplicate (src, dst) rows SUM their weights (so a raw
+    * pre-aggregated edge list with weight 1 per occurrence ranks by
+    * co-occurrence multiplicity — the form the unweighted op
+    * deliberately collapses); non-positive/null weights drop. Same
+    * exact-integer contract: with w ≡ 1 this IS pageRank (the
+    * unweighted loop runs this expression with w=1, wsum=outdeg).
+    * Extra overflow edge: the per-edge multiply rank·w — bounded
+    * loudly by |V|·scale·max(w) (rank ≤ total mass ≤ |V|·scale). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    run(edges, srcCol, dstCol, None, null, iterations, scale,
+      dampNum, dampDen, weight = Some(weightCol))
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Option[DataFrame], seedCol: String,
       iterations: Int, scale: Long,
-      dampNum: Long, dampDen: Long): DataFrame = {
+      dampNum: Long, dampDen: Long,
+      weight: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"pageRank needs iterations >= 1 (got $iterations)")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen (got $dampNum/$dampDen)")
@@ -92,10 +110,20 @@ object Graphs {
     // (edge side + out-degree agg) — uncached, the upstream edge
     // derivation would run ~4x during prep (the probe's measured
     // bottleneck); released below once eod/nodes are materialized
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().cache()
+    val e = (weight match {
+      case None => edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct().withColumn("w", lit(1L))
+      case Some(wc) => edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"),
+          col(wc).cast("long").as("w"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("w").isNotNull && col("w") > 0)
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+    }).cache()
     // nodes carry their seed flag (everyone is a "seed" in the global
     // form) — the flag rides the cached frame so the per-round base
     // term needs no extra join
@@ -111,20 +139,35 @@ object Graphs {
           .select(col("n"), coalesce(col("_s"), lit(false)).as("is_seed"))
           .cache()
     }
-    // edge set with out-degree attached — the loop-invariant operand,
-    // built and cached once (out-degree joins inside the loop would
-    // re-shuffle |E| every round)
-    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src").cache()
-    val nNodes = graft.PhaseClock.time("pr.edges") {
-      eod.count(); val n = nodes.count()
+    // edge set with per-src weight total attached — the loop-invariant
+    // operand, built and cached once (re-deriving inside the loop would
+    // re-shuffle |E| every round); wsum summed as decimal so an
+    // overflowing weight total fails the require instead of wrapping
+    val eod = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src").cache()
+    val (nNodes, wMax) = graft.PhaseClock.time("pr.edges") {
+      eod.count()
+      val wm = if (weight.isEmpty) 1L else {
+        val r = e.agg(max("w"), sum(col("w").cast("decimal(38,0)"))).head()
+        require(r.getDecimal(1).compareTo(
+          new java.math.BigDecimal(Long.MaxValue)) <= 0,
+          "pageRank overflow bound: total edge weight exceeds long range")
+        r.getLong(0)
+      }
+      val n = nodes.count()
       e.unpersist(blocking = false) // eod/nodes now hold the operands
-      n
+      (n, wm)
     }
     // total mass never exceeds |V|·scale (contributions are floors of a
     // conserved quantity), so the damping multiply is the overflow edge
     require(nNodes <= Long.MaxValue / dampNum / scale,
       s"pageRank overflow bound: $nNodes nodes x scale $scale x damp " +
         s"$dampNum exceeds long range — lower scale")
+    // weighted per-edge multiply: rank·w with rank ≤ |V|·scale
+    // (nNodes·scale cannot itself overflow — the require above bounds
+    // it through dampNum ≥ 1)
+    require(wMax <= Long.MaxValue / (math.max(nNodes, 1L) * scale),
+      s"pageRank overflow bound: max edge weight $wMax x $nNodes nodes " +
+        s"x scale $scale exceeds long range — lower scale or weights")
     val base = scale * (dampDen - dampNum) / dampDen
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = nodes.select(col("n"),
@@ -159,7 +202,7 @@ object Graphs {
       dampNum: Long, dampDen: Long): DataFrame = {
     val msgs = eod
       .join(ranks.select(col("n").as("src"), col("rank")), "src")
-      .select(col("dst").as("n"), expr("rank div outd").as("c"))
+      .select(col("dst").as("n"), expr("(rank * w) div wsum").as("c"))
       .groupBy("n").agg(sum("c").as("m"))
     nodes.join(msgs, Seq("n"), "left")
       .select(col("n"),

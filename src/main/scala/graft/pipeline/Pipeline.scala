@@ -180,10 +180,16 @@ object Pipeline {
         .orderBy(c.get("orderCol").asText(), v)
       df.select(col(v).as("src"), lead(col(v), 1).over(w).as("dst"))
     }),
-    "page_rank" -> (c => df => graft.ops.Graphs.pageRank(df,
-      c.get("srcCol").asText(), c.get("dstCol").asText(),
-      iterations = c.get("iterations").asInt(),
-      scale = if (c.has("scale")) c.get("scale").asLong() else 1000000000L)),
+    "page_rank" -> (c => df => {
+      val scale = if (c.has("scale")) c.get("scale").asLong() else 1000000000L
+      if (c.has("weightCol"))
+        graft.ops.Graphs.pageRankWeighted(df, c.get("srcCol").asText(),
+          c.get("dstCol").asText(), c.get("weightCol").asText(),
+          iterations = c.get("iterations").asInt(), scale = scale)
+      else graft.ops.Graphs.pageRank(df, c.get("srcCol").asText(),
+        c.get("dstCol").asText(),
+        iterations = c.get("iterations").asInt(), scale = scale)
+    }),
     // exact dedup as a task stage: fingerprint each doc (sorted distinct
     // token set, md5), keep the min id per fingerprint, carry the group
     // size as `dup_count`. One map-side-combinable hash agg + one join

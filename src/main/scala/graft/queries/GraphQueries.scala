@@ -34,34 +34,43 @@ object GraphQueries {
     * unrolled to 3 rounds. `seedPred(expr)` is the seed predicate over
     * a node expression — `_ => "TRUE"` is global PageRank; restricting
     * it reproduces [[Graphs.personalizedPageRank]] (restart mass only
-    * at seeds). */
-  private def prCte(seedPred: String => String): String = {
+    * at seeds). `weighted` replays [[Graphs.pageRankWeighted]] with
+    * per-(src,dst) multiplicity as the weight: contributions become
+    * ⌊rank·w / Σw⌋ instead of ⌊rank/outdeg⌋. */
+  private def prCte(seedPred: String => String,
+      weighted: Boolean = false): String = {
     def rank(m: String, n: String) =
       s"CAST(CASE WHEN ${seedPred(n)} THEN 150000000 ELSE 0 END + " +
         s"(85 * coalesce($m, 0)) // 100 AS BIGINT)"
+    val eCte = if (weighted)
+      """e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM raw WHERE dst IS NOT NULL GROUP BY src, dst),
+        |od AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),""".stripMargin
+    else
+      """e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+        |od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),""".stripMargin
+    val contrib = if (weighted) "(r.rank * e.w) // od.wsum"
+      else "r.rank // od.outd"
+    def msgs(i: Int, prev: String) =
+      s"""m$i AS (SELECT e.dst AS n, sum($contrib) AS m
+         |  FROM e JOIN od ON od.src = e.src JOIN $prev r ON r.n = e.src
+         |  GROUP BY e.dst)""".stripMargin
     s"""WITH raw AS (
        |  SELECT l_partkey AS src,
        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
        |  FROM lineitem),
-       |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
-       |od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+       |$eCte
        |nodes AS (SELECT DISTINCT n FROM
        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
        |r0 AS (SELECT n, CAST(CASE WHEN ${seedPred("n")}
        |    THEN 1000000000 ELSE 0 END AS BIGINT) AS rank FROM nodes),
-       |m1 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-       |  FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.n = e.src
-       |  GROUP BY e.dst),
+       |${msgs(1, "r0")},
        |r1 AS (SELECT nodes.n, ${rank("m1.m", "nodes.n")} AS rank
        |  FROM nodes LEFT JOIN m1 ON m1.n = nodes.n),
-       |m2 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-       |  FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.n = e.src
-       |  GROUP BY e.dst),
+       |${msgs(2, "r1")},
        |r2 AS (SELECT nodes.n, ${rank("m2.m", "nodes.n")} AS rank
        |  FROM nodes LEFT JOIN m2 ON m2.n = nodes.n),
-       |m3 AS (SELECT e.dst AS n, sum(r.rank // od.outd) AS m
-       |  FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.n = e.src
-       |  GROUP BY e.dst),
+       |${msgs(3, "r2")},
        |r3 AS (SELECT nodes.n, ${rank("m3.m", "nodes.n")} AS rank
        |  FROM nodes LEFT JOIN m3 ON m3.n = nodes.n)""".stripMargin
   }
@@ -76,6 +85,20 @@ object GraphQueries {
       (s, dir) => Graphs.pageRank(edges(s, dir), "src", "dst",
         iterations = 3).orderBy("node"),
       Some(s"""${prCte(_ => "TRUE")}
+        |SELECT n AS node, rank AS rank_units FROM r3 ORDER BY node
+        |""".stripMargin)),
+
+    // Weighted PageRank: the raw (pre-distinct) edge stream carries
+    // weight 1 per occurrence, so rank splits across out-edges by
+    // co-occurrence MULTIPLICITY — the pairs-count signal the
+    // unweighted form deliberately collapses. Same plan shape; the
+    // per-edge multiply is the one extra overflow edge (bounded
+    // loudly in the op).
+    "graph_pagerank_weighted" -> QueryDef(
+      (s, dir) => Graphs.pageRankWeighted(
+        edges(s, dir).withColumn("w", lit(1L)), "src", "dst", "w",
+        iterations = 3).orderBy("node"),
+      Some(s"""${prCte(_ => "TRUE", weighted = true)}
         |SELECT n AS node, rank AS rank_units FROM r3 ORDER BY node
         |""".stripMargin)),
 

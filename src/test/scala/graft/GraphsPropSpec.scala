@@ -71,6 +71,53 @@ class GraphsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Weighted model: duplicate (s,d) rows sum weights; contribution is
+    * ⌊rank·w / Σw⌋ per collapsed edge. */
+  private def weightedModel(edges: List[(Long, Long, Long)], iters: Int,
+      dampNum: Long): Map[Long, Long] = {
+    val kept = edges.filter(_._3 > 0)
+    val e = kept.groupBy(t => (t._1, t._2))
+      .map { case ((s, d), ts) => (s, d, ts.map(_._3).sum) }.toSeq
+    val nodes = e.flatMap { case (s, d, _) => Seq(s, d) }.toSet
+    val wsum = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val scale = 1000000000L; val dampDen = 100L
+    val base = scale * (dampDen - dampNum) / dampDen
+    var rank = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val msgs = e.map { case (s, d, w) => d -> rank(s) * w / wsum(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map(n =>
+        n -> (base + dampNum * msgs.getOrElse(n, 0L) / dampDen)).toMap
+    }
+    rank
+  }
+
+  test("pageRankWeighted equals the sequential weighted model") {
+    val wCaseGen = for {
+      nEdges <- Gen.choose(1, 12)
+      edges <- Gen.listOfN(nEdges, Gen.zip(Gen.choose(0L, 5L),
+        Gen.choose(0L, 5L), Gen.choose(-1L, 4L)))
+      iters <- Gen.choose(1, 3)
+      dampNum <- Gen.choose(1L, 99L)
+    } yield (edges, iters, dampNum)
+    val prop = Prop.forAll(wCaseGen) { case (edges, iters, dampNum) =>
+      if (edges.forall(_._3 <= 0)) true // nothing survives the w>0 filter
+      else {
+        val got = graft.ops.Graphs.pageRankWeighted(
+          edges.toDF("s", "d", "w"), "s", "d", "w", iters,
+          dampNum = dampNum).as[(Long, Long)].collect().toMap
+        val want = weightedModel(edges, iters, dampNum)
+        if (got != want)
+          println(s"MISMATCH edges=$edges iters=$iters damp=$dampNum\n" +
+            s" got=$got\n want=$want")
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rank mass is conserved exactly on out-degree-complete graphs with full seeds") {
     // every node has at least one out-edge and dampNum=dampDen-? …
     // conservation holds up to floor loss: Σrank ≤ |V|·scale and

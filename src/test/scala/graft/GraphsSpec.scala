@@ -59,6 +59,39 @@ class GraphsSpec extends SparkSpec {
     assert(r(2L) > r(1L) && r(1L) > r(10L))
   }
 
+  test("pageRankWeighted: rank splits by weight; duplicates sum; w=1 equals pageRank") {
+    // 1→2 (w 2 via duplicate rows), 1→3 (w 1): 1's mass splits 2:1
+    val e = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("s", "d", "w")
+    val r = Graphs.pageRankWeighted(e, "s", "d", "w", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == B)
+    assert(r(2L) == B + 85L * (S * 2 / 3) / 100)
+    assert(r(3L) == B + 85L * (S / 3) / 100)
+    // uniform weights reproduce the unweighted op exactly
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val g = Graphs.pageRank(e2, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val w1 = Graphs.pageRankWeighted(e2.withColumn("w", lit(1L)),
+      "s", "d", "w", iterations = 3).as[(Long, Long)].collect().toMap
+    assert(g == w1)
+  }
+
+  test("pageRankWeighted: refuses oversized weights loudly; drops non-positive") {
+    val e = Seq((1L, 2L, Long.MaxValue / 2), (2L, 1L, 1L)).toDF("s", "d", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pageRankWeighted(e, "s", "d", "w", iterations = 1)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // zero/negative weights drop — 1→3 (w 0) and 3→1 (w −2) vanish, so
+    // both survivors point at 2, which receives BOTH full masses
+    val e2 = Seq((1L, 2L, 5L), (1L, 3L, 0L), (3L, 1L, -2L), (3L, 2L, 4L))
+      .toDF("s", "d", "w")
+    val r = Graphs.pageRankWeighted(e2, "s", "d", "w", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(2L) == B + 85L * (S + S) / 100) // full mass of 1 AND of 3
+  }
+
   test("personalizedPageRank: restart mass only at seeds; off-graph seeds ignored") {
     // triangle 1→2, 1→3, 2→3; seeds {1, 99} — 99 has no edges
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")

@@ -184,8 +184,8 @@ class PlanSpec extends SparkSpec {
     val e = graft.source.Changelog.table(spark, sf, "lineitem")
       .select(col("l_partkey").cast("long").as("src"),
         lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
-      .filter(col("dst").isNotNull).distinct()
-    val eod = e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+      .filter(col("dst").isNotNull).distinct().withColumn("w", lit(1L))
+    val eod = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
     val nodes = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct()
       .withColumn("is_seed", lit(true))
