@@ -47,7 +47,12 @@ object IvfIndex {
       // every posting carries its m codes so [[servePq]] can score
       // candidates without ever reading the vector column
       pqM: Int = 0, pqK: Int = 8, pqIters: Int = 1,
-      trainSample: Int = Similarity.defaultTrainSample)
+      trainSample: Int = Similarity.defaultTrainSample,
+      // metadata columns carried INTO the postings (re-attached after
+      // cell assignment), so [[serve]] can evaluate a query-time
+      // predicate inside the probed-cell scan — filtered vector search
+      // over ONE shared index, not one index per predicate
+      metaCols: Seq[String] = Nil)
 
   private def centroidsPath(target: String): java.nio.file.Path =
     java.nio.file.Paths.get(target, "CENTROIDS")
@@ -156,8 +161,13 @@ object IvfIndex {
       writeCentroids(cfg.target, seeded)
       readCentroids(spark, cfg.target).get
     }
-    val assigned = Similarity
+    val assigned0 = Similarity
       .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
+    // assignCells projects to (vec_id, v, cell); re-attach the declared
+    // metadata columns so they land in the store's postings
+    val assigned = if (cfg.metaCols.isEmpty) assigned0
+      else assigned0.join(
+        batch.select(col("vec_id") +: cfg.metaCols.map(col): _*), "vec_id")
     val postings = (if (cfg.pqM > 0) {
       val (codebook, m, k) = readPqCodebook(spark, cfg.target).getOrElse {
         // first PQ batch freezes the codebook — trained on ITS vectors,
@@ -208,7 +218,8 @@ object IvfIndex {
     * self-matches excluded, ties broken by lowest nid (as
     * [[Similarity.ivfTopK]] and the oracle). */
   def serve(spark: SparkSession, target: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = readCentroids(spark, target).getOrElse(
       throw new IllegalStateException(s"no CENTROIDS at $target — index empty"))
@@ -217,8 +228,14 @@ object IvfIndex {
     // bounded collect: |queries| × nprobe cell ids, then prune the scan
     // to exactly those chains
     val probed = q.select("cell").distinct().collect().map(_.getLong(0).toInt).toSet
+    // the optional predicate (over metaCols the index was built with)
+    // applies BEFORE ranking — top-k among QUALIFYING neighbors, the
+    // pre-filter semantic — and inside the probed-cell scan, so parquet
+    // row-group stats can prune on the metadata column on top of the
+    // bucket pruning
     val corpus = DeltaStore.readAppendOnly(spark, target, Some(probed)).getOrElse(
       throw new IllegalStateException(s"index store empty at $target"))
+      .transform(df => filter.map(df.filter).getOrElse(df))
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     corpus.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))

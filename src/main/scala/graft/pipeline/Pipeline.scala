@@ -465,7 +465,10 @@ object Pipeline {
           pqK = if (snk.has("pqK")) snk.get("pqK").asInt() else 8,
           pqIters = if (snk.has("pqIters")) snk.get("pqIters").asInt() else 1,
           trainSample = if (snk.has("trainSample")) snk.get("trainSample").asInt()
-            else graft.ops.Similarity.defaultTrainSample)
+            else graft.ops.Similarity.defaultTrainSample,
+          // metadata columns carried into the postings for query-time
+          // filtered serves
+          metaCols = if (snk.has("metaCols")) strs(snk.get("metaCols")) else Nil)
         graft.ops.IvfIndex.indexStream(transformed, icfg)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the

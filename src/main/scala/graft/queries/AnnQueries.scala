@@ -629,6 +629,72 @@ object AnnQueries {
     // (the truth leg broadcasts the query set; the IVF leg prunes to
     // probed cells), and the oracle recomputes both legs AND the
     // intersection, so the reported recall itself is value-checked.
+    // Filtered vector search — the standard serving feature: top-k
+    // restricted to a metadata predicate (label even), evaluated
+    // INSIDE the persisted index's probed-cell scan over ONE shared
+    // index (the index is built over everything; the predicate arrives
+    // at query time — not one index per predicate). Pre-filter
+    // semantics: top-5 among QUALIFYING neighbors, so rank counts only
+    // even-label vectors. The oracle replays seeding/assignment over
+    // the FULL corpus, then restricts the neighbor side.
+    "ann_filtered" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ann-filtered")
+        try {
+          val cfg = graft.ops.IvfIndex.Config(
+            target = tmp.resolve("index").toString,
+            checkpoint = tmp.resolve("ckpt").toString,
+            cells = 16, portableSeeding = true, metaCols = Seq("label"))
+          val corpus = table(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+              col("label"))
+          graft.ops.IvfIndex.indexBatch(corpus, cfg, 0L)
+          val res = graft.ops.IvfIndex.serve(s, cfg.target,
+            vecs(s, dir).filter(col("vec_id") < 32), k = 5, nprobe = 4,
+            filter = Some(pmod(col("label"), lit(2)) === 0))
+            .select("qid", "rank", "nid")
+            .orderBy("qid", "rank")
+          // materialize into a local relation so the temp index can be
+          // deleted here (a lazy read would pin the dir)
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         label
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, e.label, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (
+        |  SELECT vec_id AS nid, v AS nv, cell FROM scored
+        |  WHERE label % 2 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id < 32
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) <= 4),
+        |p AS (
+        |  SELECT DISTINCT qid, nid,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+        |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid)
+        |SELECT qid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+        |       nid
+        |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     "ann_recall" -> QueryDef(
       (s, dir) => {
         val e = vecs(s, dir)

@@ -185,4 +185,35 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("PQCODEBOOK"))
   }
+
+  test("metaCols land in the postings; filtered serve ranks only qualifying neighbors") {
+    val dir = Files.createTempDirectory("graft-ivf-filt").toString
+    val cfg = cfgAt(dir).copy(metaCols = Seq("label"))
+    val withLabel = vecsOf(0 until 40).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    IvfIndex.indexBatch(withLabel, cfg, 0L)
+    val stored = DeltaStore.readAppendOnly(spark, cfg.target).get
+    assert(stored.columns.contains("label"))
+    assert(stored.count() === 40)
+    val queries = vecsOf(0 until 3)
+    val filtered = IvfIndex.serve(spark, cfg.target, queries, k = 5,
+      nprobe = 4, filter = Some(col("label") === 1)).collect()
+    assert(filtered.nonEmpty)
+    // every returned neighbor satisfies the predicate (vec_id % 3 == 1)
+    assert(filtered.forall(_.getAs[Long]("nid") % 3 == 1))
+    // nprobe = cells (4): the probed set is the whole index, so the
+    // filtered serve must equal brute-force top-k over the qualifying
+    // corpus — the pre-filter semantic, value-checked
+    val brute = graft.ops.Similarity.bruteTopK(
+      withLabel.filter(col("label") === 1).select("vec_id", "v"),
+      queries, k = 5).select("qid", "rank", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = filtered.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("rank"), r.getAs[Long]("nid"))).toSet
+    assert(got == brute)
+    // unfiltered serve on the same store is unaffected by the metadata
+    val plain = IvfIndex.serve(spark, cfg.target, queries, k = 3,
+      nprobe = 4).collect()
+    assert(plain.exists(_.getAs[Long]("nid") % 3 != 1))
+  }
 }
