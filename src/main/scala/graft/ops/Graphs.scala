@@ -116,13 +116,28 @@ object Graphs {
           col(dstCol).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct().withColumn("w", lit(1L))
-      case Some(wc) => edges
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"),
-          col(wc).cast("long").as("w"))
-        .filter(col("src").isNotNull && col("dst").isNotNull &&
-          col("w").isNotNull && col("w") > 0)
-        .groupBy("src", "dst").agg(sum("w").as("w"))
+      case Some(wc) =>
+        // weights collapse and total in DECIMAL first: the per-(src,dst)
+        // and per-src sums are where magnitudes accumulate, and a long
+        // sum would either throw a bare ANSI ArithmeticException or
+        // (ANSI off) wrap silently past any later check. Validated
+        // loudly here, then cast down — every per-pair weight is ≤ its
+        // src's total, so the long downcast cannot overflow.
+        val ed = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"),
+            col(wc).cast("decimal(38,0)").as("wd"))
+          .filter(col("src").isNotNull && col("dst").isNotNull &&
+            col("wd").isNotNull && col("wd") > 0)
+          .groupBy("src", "dst").agg(sum("wd").as("wd"))
+        val mx = ed.groupBy("src").agg(sum("wd").as("wsd"))
+          .agg(max("wsd")).head()
+        if (!mx.isNullAt(0))
+          require(mx.getDecimal(0).compareTo(
+            new java.math.BigDecimal(Long.MaxValue)) <= 0,
+            "pageRank overflow bound: a source's total edge weight " +
+              s"exceeds long range (max per-src total ${mx.getDecimal(0)})")
+        ed.select(col("src"), col("dst"), col("wd").cast("long").as("w"))
     }).cache()
     // nodes carry their seed flag (everyone is a "seed" in the global
     // form) — the flag rides the cached frame so the per-round base
@@ -141,17 +156,14 @@ object Graphs {
     }
     // edge set with per-src weight total attached — the loop-invariant
     // operand, built and cached once (re-deriving inside the loop would
-    // re-shuffle |E| every round); wsum summed as decimal so an
-    // overflowing weight total fails the require instead of wrapping
+    // re-shuffle |E| every round); the decimal validation above already
+    // proved every per-src long sum fits
     val eod = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src").cache()
     val (nNodes, wMax) = graft.PhaseClock.time("pr.edges") {
       eod.count()
       val wm = if (weight.isEmpty) 1L else {
-        val r = e.agg(max("w"), sum(col("w").cast("decimal(38,0)"))).head()
-        require(r.getDecimal(1).compareTo(
-          new java.math.BigDecimal(Long.MaxValue)) <= 0,
-          "pageRank overflow bound: total edge weight exceeds long range")
-        r.getLong(0)
+        val r = e.agg(max("w")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) // null: no surviving edge
       }
       val n = nodes.count()
       e.unpersist(blocking = false) // eod/nodes now hold the operands

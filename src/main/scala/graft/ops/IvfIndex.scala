@@ -164,10 +164,24 @@ object IvfIndex {
     val assigned0 = Similarity
       .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
     // assignCells projects to (vec_id, v, cell); re-attach the declared
-    // metadata columns so they land in the store's postings
+    // metadata columns so they land in the store's postings. The
+    // re-attach join REQUIRES unique vec_ids in the batch: duplicate
+    // ids would fan the collapsed posting back out into one row per
+    // duplicate AND could pair the surviving vector with another row's
+    // metadata — refuse loudly rather than store a silently-wrong index
+    // (the metadata-less path tolerates duplicates because assignCells'
+    // max_by collapse is the entire projection).
     val assigned = if (cfg.metaCols.isEmpty) assigned0
-      else assigned0.join(
-        batch.select(col("vec_id") +: cfg.metaCols.map(col): _*), "vec_id")
+      else {
+        val dup = batch.groupBy("vec_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"ivf metaCols requires unique vec_id per batch; vec_id " +
+            s"${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} repeats — " +
+            "dedup the batch upstream (e.g. dropDuplicates on a keyed read)")
+        assigned0.join(
+          batch.select(col("vec_id") +: cfg.metaCols.map(col): _*), "vec_id")
+      }
     val postings = (if (cfg.pqM > 0) {
       val (codebook, m, k) = readPqCodebook(spark, cfg.target).getOrElse {
         // first PQ batch freezes the codebook — trained on ITS vectors,

@@ -623,12 +623,6 @@ object AnnQueries {
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
       bench = true),
 
-    // Index-quality evaluation: recall@5 of the IVF serve against the
-    // exact brute-force ground truth, per query — the metric an ANN
-    // deployment tunes nprobe/cells against. Both legs run in ONE plan
-    // (the truth leg broadcasts the query set; the IVF leg prunes to
-    // probed cells), and the oracle recomputes both legs AND the
-    // intersection, so the reported recall itself is value-checked.
     // Filtered vector search — the standard serving feature: top-k
     // restricted to a metadata predicate (label even), evaluated
     // INSIDE the persisted index's probed-cell scan over ONE shared
@@ -695,6 +689,12 @@ object AnnQueries {
         |       nid
         |FROM p QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Index-quality evaluation: recall@5 of the IVF serve against the
+    // exact brute-force ground truth, per query — the metric an ANN
+    // deployment tunes nprobe/cells against. Both legs run in ONE plan
+    // (the truth leg broadcasts the query set; the IVF leg prunes to
+    // probed cells), and the oracle recomputes both legs AND the
+    // intersection, so the reported recall itself is value-checked.
     "ann_recall" -> QueryDef(
       (s, dir) => {
         val e = vecs(s, dir)

@@ -101,17 +101,17 @@ class GraphsPropSpec extends SparkSpec {
       dampNum <- Gen.choose(1L, 99L)
     } yield (edges, iters, dampNum)
     val prop = Prop.forAll(wCaseGen) { case (edges, iters, dampNum) =>
-      if (edges.forall(_._3 <= 0)) true // nothing survives the w>0 filter
-      else {
-        val got = graft.ops.Graphs.pageRankWeighted(
-          edges.toDF("s", "d", "w"), "s", "d", "w", iters,
-          dampNum = dampNum).as[(Long, Long)].collect().toMap
-        val want = weightedModel(edges, iters, dampNum)
-        if (got != want)
-          println(s"MISMATCH edges=$edges iters=$iters damp=$dampNum\n" +
-            s" got=$got\n want=$want")
-        got == want
-      }
+      // all-dropped inputs (every weight <= 0) run too: both the op and
+      // the model must return EMPTY, not crash — the empty-aggregate
+      // null path is exactly where a naive guard would NPE
+      val got = graft.ops.Graphs.pageRankWeighted(
+        edges.toDF("s", "d", "w"), "s", "d", "w", iters,
+        dampNum = dampNum).as[(Long, Long)].collect().toMap
+      val want = weightedModel(edges, iters, dampNum)
+      if (got != want)
+        println(s"MISMATCH edges=$edges iters=$iters damp=$dampNum\n" +
+          s" got=$got\n want=$want")
+      got == want
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(20), prop)
