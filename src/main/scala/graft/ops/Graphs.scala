@@ -206,6 +206,177 @@ object Graphs {
     ranks.select(col("n").as("node"), col("rank").as("rank_units"))
   }
 
+  /** Per-node triangle count and local clustering coefficient over the
+    * UNDIRECTED simple graph underlying `edges` (direction, duplicate
+    * edges, and self-loops all collapse away) — the local-density
+    * signal that separates genuinely clustered regions (mirror rings,
+    * template families) from mere hub reachability, complementing
+    * [[Clusters.components]] (who is connected) and [[pageRank]] (who
+    * is important) on the same edge-list representation.
+    *
+    * Output: (node, degree, tri_count, lcc_units) for every node of
+    * the simple graph, where lcc_units is the local clustering
+    * coefficient 2T/(d(d−1)) in EXACT fixed-point units of 1e-9
+    * (integral division in decimal — bit-identical across engines and
+    * partitionings; 0 when d < 2), so the DuckDB oracle can
+    * hash-compare every coefficient, not just the counts.
+    *
+    * Scale shape — the naive wedge join is THE textbook quadratic
+    * skew trap (a degree-d hub generates d² wedges: one 10⁶-degree
+    * node = 10¹² candidate rows), and degree orientation is the
+    * standard fix: direct every edge from its lower-(degree, id)
+    * endpoint to the higher, enumerate wedges only at each edge's
+    * SOURCE, and close them against the oriented edge set. Each
+    * triangle is found exactly once (at its smallest-ordered corner),
+    * and per-node wedge generation is bounded by the oriented
+    * out-degree, which is O(√|E|) for ANY graph — a hub's wedges
+    * migrate to its (many, low-degree) neighbors instead of exploding
+    * at the hub. Both the wedge join (on the shared source) and the
+    * closing join (on the composite (t1, t2) key) are plain
+    * equi-joins; per-node counts come from one map-side-combined
+    * hash aggregation over the exploded triangle corners. The oracle
+    * replays the orientation-free id-ordered enumeration — per-node
+    * counts are orientation-independent, so the two sides meet on
+    * values while the Spark side keeps the skew-proof plan. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive (got $scale)")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().cache()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree")).cache()
+    // orient low→high in (degree, id) order; carry the target's degree
+    // so the wedge self-join can compare orientation order without a
+    // third join
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("degree").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .cache()
+    oriented.count() // materialize: read twice by wedges + closing join
+    und.unpersist(blocking = false)
+    val e2 = oriented.select(col("s").as("s2"), col("t").as("t2"),
+      col("dt").as("dt2"))
+    val tris = oriented.join(e2, col("s") === col("s2"))
+      // t <o t2 in the SAME (degree, id) orientation order — each wedge
+      // once, and the closing edge (if present) is then oriented t→t2
+      .filter(col("dt") < col("dt2") ||
+        (col("dt") === col("dt2") && col("t") < col("t2")))
+      .join(oriented.select(col("s").as("t"), col("t").as("t2")),
+        Seq("t", "t2"))
+      .select(col("s"), col("t"), col("t2"))
+    val perNode = tris
+      .select(explode(array(col("s"), col("t"), col("t2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri_count"))
+    val out = deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      // integral division in decimal(38,0) — `div` truncates identically
+      // in Spark and DuckDB, and the decimal product cannot overflow at
+      // any degree a 100-TB graph can produce
+      .withColumn("lcc_units",
+        when(col("degree") >= 2, expr(
+          s"""CAST((CAST(2 AS DECIMAL(38,0)) * CAST(tri_count AS DECIMAL(38,0))
+             |  * CAST($scale AS DECIMAL(38,0)))
+             | div (CAST(degree AS DECIMAL(38,0))
+             |  * CAST(degree - 1 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+          .otherwise(lit(0L)))
+    // materialize before releasing the operand caches (the caller's
+    // frame must not silently rebuild the wedge join per action)
+    val rdd = out.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count()
+    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
+    oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
+  }
+
+  /** Synchronous label propagation over the undirected simple graph —
+    * community detection: every node starts with its own id as label
+    * and each round adopts the most frequent label among its
+    * neighbors, ties broken to the SMALLEST label, all nodes updating
+    * simultaneously from the previous round. Deterministic by
+    * construction (frequency + min-label is a pure function of the
+    * previous round), so the DuckDB oracle replays the identical
+    * rounds and the gate hash-compares every final label — unlike the
+    * async/randomized LPA variants whose output depends on visit
+    * order. Complements [[Clusters.components]]: components answer
+    * reachability (one giant blob on a crawl graph); LPA splits that
+    * blob into densely-linked communities — the granularity a
+    * curation pipeline samples across to avoid over-representing one
+    * template family.
+    *
+    * Scale shape: each round is one equi-join (symmetric adjacency ×
+    * labels on the neighbor key) and one map-side-combined count
+    * aggregation to (node, label), then an argmax reduced as
+    * max(struct(cnt, −label)) — a second hash aggregation, NOT a
+    * per-node window sort. Same per-round lineage-cut discipline as
+    * [[pageRank]] (localCheckpoint + previous-round unpersist); the
+    * adjacency is built and cached once. Node ids must be > Long.Min
+    * (the −label argmax trick; any real id space is). Isolated nodes
+    * cannot occur (every node comes off an edge). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1,
+      s"labelPropagation needs iterations >= 1 (got $iterations)")
+    val spark = edges.sparkSession
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("n"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("n"), col("u").as("nb")))
+      .cache()
+    graft.PhaseClock.time("lpa.adj") { adj.count() }
+    var labels = adj.select(col("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    (1 to iterations).foreach { _ =>
+      val next = lpaRoundFrame(adj, labels)
+      graft.PhaseClock.count("lpa.rounds")
+      val rdd = graft.PhaseClock.time("lpa.round") {
+        val r = next.rdd
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.localCheckpoint()
+        r.count()
+        r
+      }
+      labels = spark.createDataFrame(rdd, next.schema)
+      if (liveRdd != null) liveRdd.unpersist(blocking = false)
+      liveRdd = rdd
+    }
+    adj.unpersist()
+    labels.select(col("n").as("node"), col("label"))
+  }
+
+  /** One synchronous LPA round as a frame — exposed for plan pinning
+    * (two HashAggregates, no window). */
+  private[graft] def lpaRoundFrame(adj: DataFrame,
+      labels: DataFrame): DataFrame =
+    adj.join(labels.select(col("n").as("nb"), col("label")), "nb")
+      .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as ONE more hash agg: max of
+      // (c, −label) lexicographically picks max count then min label
+      .groupBy(col("n"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("n"), (-col("m.nl")).as("label"))
+
   /** One rank round as a frame — the loop body, exposed so the plan
     * shape (map-side-combined message HashAggregate, equi-keyed joins
     * only) can be pinned by tests without re-deriving the dataflow. */

@@ -163,6 +163,62 @@ object Mixing {
       .drop("_s", "_rate")
   }
 
+  /** Deterministic EPOCH-REPETITION schedule: emit each row
+    * `epochsMilli(stratum) / 1000` epochs, in milli-epochs so the
+    * fraction is exact integer arithmetic — 2500 = "2.5 epochs" =
+    * every doc twice, plus a deterministic half of docs a third time.
+    * This is the data-repetition knob of a token-budgeted pretraining
+    * mix (high-quality strata repeat for several epochs while bulk web
+    * data sees less than one), materialized as an explicit schedule:
+    * one output row per (doc, epoch) with `epoch` ∈ 1..copies, so the
+    * downstream shuffle/pack stage treats repeats as ordinary rows.
+    *
+    * The fractional-epoch decision is the [[hashSlice]] coin on a
+    * DISTINCT salt (`id || ":ep"`), so it is independent of the
+    * sampling coin — a doc kept by [[sampleByRate]] is not thereby
+    * biased into the extra epoch. copies is MONOTONE in milli-epochs:
+    * the floor and the fraction threshold move together (raising 1900
+    * → 2100 first grows the extra-copy set to everyone, then starts a
+    * fresh fraction), so raising a stratum's budget only ever ADDS
+    * (doc, epoch) rows — an incremental append, never a re-deal.
+    * Rows whose copies resolve to 0 (milli < 1000 and the coin misses)
+    * drop entirely — sub-epoch milli IS [[sampleByRate]] with the
+    * epoch coin.
+    *
+    * Scale shape: map-only — a when-chain picks the stratum's milli, a
+    * codegen'd `sequence` explode fans each row out by its copy count
+    * (fanout ≤ ⌈max milli/1000⌉, a config constant), no shuffle, no
+    * state. At 100 TB the repeated corpus is written once by whatever
+    * sink follows; re-running with a raised budget re-derives only the
+    * added epochs' rows. */
+  def repeatByEpochs(df: DataFrame, strataCol: String, idCol: String,
+      epochsMilli: Map[String, Long], defaultMilli: Long = 1000L,
+      epochCol: String = "epoch"): DataFrame = {
+    require((epochsMilli.values.toSeq :+ defaultMilli).forall(_ >= 0),
+      "milli-epochs must be >= 0")
+    // fanout is a deliberate, bounded choice: 1000 epochs of anything
+    // is a config typo, not a schedule
+    require((epochsMilli.values.toSeq :+ defaultMilli).forall(_ <= 1000000L),
+      "milli-epochs above 1e6 (1000 epochs) — lower the schedule")
+    val milli = epochsMilli.foldLeft(lit(defaultMilli)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val u = hashSlice(concat(col(idCol).cast("string"), lit(":ep")))
+    // extra-copy coin: u/65536 < (milli mod 1000)/1000, cross-multiplied
+    // so both sides stay integral (the exact same inequality the DuckDB
+    // oracle replays)
+    val copies = (milli / lit(1000L)).cast("long") +
+      when(u * lit(1000L) < (milli % lit(1000L)) * lit(65536L), lit(1L))
+        .otherwise(lit(0L))
+    // sequence(1, 0) would count DOWN in Spark — guard the empty case
+    // out before explode rather than exploding a descending range
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") >= 1L)
+      .withColumn(epochCol,
+        explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Shard-parallel sequence packing, concat-offset form: within each
     * of `nShards` hash-shards, docs are laid out in id order and cut
     * into packs at fixed `ctxTokens` boundaries — a doc is assigned to

@@ -151,8 +151,75 @@ object GraphQueries {
           ],
           "sink": {"type": "noop"}
         }""").orderBy("node"),
-      Some(rankWeightOracle))
+      Some(rankWeightOracle)),
+
+    // Per-node triangle count + local clustering coefficient (exact
+    // 1e-9 fixed point) over the undirected simple part graph. The
+    // Spark side runs the degree-oriented wedge enumeration (the
+    // skew-proof plan: a hub's wedges migrate to its low-degree
+    // neighbors, per-node wedge fanout O(√|E|)); the oracle replays
+    // the orientation-free id-ordered enumeration — per-node counts
+    // are orientation-independent, so values meet exactly.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => Graphs.triangles(edges(s, dir), "src", "dst")
+        .orderBy("node"),
+      Some(s"""$undCte,
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+        |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM und a JOIN und b ON b.u = a.v
+        |  JOIN und c ON c.u = a.u AND c.v = b.v),
+        |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri_count FROM
+        |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, degree,
+        |  coalesce(tri_count, 0) AS tri_count,
+        |  CAST(CASE WHEN degree >= 2 THEN
+        |    (2 * CAST(coalesce(tri_count, 0) AS HUGEINT) * 1000000000)
+        |      // (CAST(degree AS HUGEINT) * (degree - 1))
+        |  ELSE 0 END AS BIGINT) AS lcc_units
+        |FROM deg LEFT JOIN pn ON pn.n = deg.n
+        |ORDER BY node""".stripMargin)),
+
+    // Synchronous label-propagation communities, 3 rounds, min-label
+    // tie-break — deterministic by construction, so the oracle replays
+    // the identical rounds (count-argmax per node) and the gate
+    // hash-compares every final label. Splits the part graph's giant
+    // component into densely-linked families — the stratum a curation
+    // pipeline balances across.
+    "graph_lpa" -> QueryDef(
+      (s, dir) => Graphs.labelPropagation(edges(s, dir), "src", "dst",
+        iterations = 3).orderBy("node"),
+      Some(s"""$undCte,
+        |adj AS (SELECT u AS n, v AS nb FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |l0 AS (SELECT DISTINCT n, n AS label FROM adj),
+        |${lpaRound(1, "l0")},
+        |${lpaRound(2, "l1")},
+        |${lpaRound(3, "l2")}
+        |SELECT n AS node, CAST(label AS BIGINT) AS label FROM l3
+        |ORDER BY node""".stripMargin))
   )
+
+  /** Canonical undirected simple graph off the lead-derived edge
+    * stream: direction, duplicates, and self-loops collapse away. */
+  private lazy val undCte =
+    """WITH raw AS (
+      |  SELECT l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+      |  FROM lineitem),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM raw WHERE dst IS NOT NULL AND src <> dst)""".stripMargin
+
+  /** One synchronous LPA round: neighbor-label counts, argmax with the
+    * min-label tie-break. */
+  private def lpaRound(i: Int, prev: String): String =
+    s"""m$i AS (SELECT adj.n, l.label, count(*) AS c
+       |  FROM adj JOIN $prev l ON l.n = adj.nb GROUP BY adj.n, l.label),
+       |l$i AS (SELECT n, label FROM
+       |  (SELECT n, label,
+       |     row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+       |   FROM m$i) WHERE rn = 1)""".stripMargin
 
   // lazy: `defs` above initializes first and captures this value — a
   // plain val would still be null at that point (declaration order)

@@ -63,6 +63,41 @@ object MixQueries {
         |SELECT doc_id, u.lang AS lang FROM u JOIN r ON u.lang = r.lang
         |WHERE u < rate * 65536.0 ORDER BY doc_id""".stripMargin)),
 
+    // Epoch-repetition schedule: en 2.5 epochs, de 1.2, zh 0.4, rest
+    // 1.0 — the data-repetition knob of a token-budgeted mix as an
+    // explicit (doc, epoch) schedule. Milli-epoch integer arithmetic +
+    // the salted md5 coin make every copy decision exact, so the
+    // oracle value-checks the whole schedule (each fractional-epoch
+    // inclusion AND each fanout), not just row counts. Map-only:
+    // when-chain + codegen'd sequence explode, no shuffle.
+    "mix_epochs" -> QueryDef(
+      (s, dir) => {
+        Mixing.repeatByEpochs(table(s, dir, "documents"),
+          "lang", "doc_id",
+          Map("en" -> 2500L, "de" -> 1200L, "zh" -> 400L))
+          .select("doc_id", "lang", "epoch")
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""WITH u AS (
+        |  SELECT doc_id, lang,
+        |${Registry.md5Slice("CAST(doc_id AS VARCHAR) || ':ep'")} AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    m // 1000 + CASE WHEN u * 1000 < (m % 1000) * 65536
+        |                     THEN 1 ELSE 0 END AS copies
+        |  FROM (SELECT doc_id, lang, u,
+        |          CAST(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 1200
+        |                         WHEN 'zh' THEN 400 ELSE 1000
+        |               END AS BIGINT) AS m
+        |        FROM u))
+        |-- constant-bound series (DuckDB's generate_series is not
+        |-- lateral-capable); 3 = ceil(max milli / 1000) of the schedule
+        |SELECT k.doc_id, k.lang, CAST(g.epoch AS BIGINT) AS epoch
+        |FROM k, generate_series(1, 3) AS g(epoch)
+        |WHERE g.epoch <= k.copies
+        |ORDER BY doc_id, epoch""".stripMargin)),
+
     // Token-budget mixing: cut en to 6000 tokens and de to 2000 (other
     // langs untouched) by the deterministic hash-slice threshold — the
     // "sample each language down to N training tokens" primitive.

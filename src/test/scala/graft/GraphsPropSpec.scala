@@ -118,6 +118,93 @@ class GraphsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Brute-force triangle model: canonical simple graph, enumerate all
+    * id-ordered triples, per-node counts + exact fixed-point lcc. */
+  private def triModel(edges: List[(Long, Long)])
+      : Map[Long, (Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap { case (u, v) => Seq(u, v) }
+    val deg = nodes.map(n =>
+      n -> und.count { case (u, v) => u == n || v == n }.toLong).toMap
+    val ns = nodes.toSeq.sorted
+    val tris = for {
+      i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+      if und((ns(i), ns(j))) && und((ns(j), ns(k))) && und((ns(i), ns(k)))
+    } yield (ns(i), ns(j), ns(k))
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    nodes.map { n =>
+      val d = deg(n); val t = perNode.getOrElse(n, 0L)
+      val lcc = if (d >= 2)
+        (BigInt(2) * t * 1000000000L / (BigInt(d) * (d - 1))).toLong
+      else 0L
+      n -> (d, t, lcc)
+    }.toMap
+  }
+
+  test("triangles equals the brute-force model") {
+    val gen = for {
+      nEdges <- Gen.choose(1, 18)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+    } yield edges
+    val prop = Prop.forAll(gen) { edges =>
+      val got = graft.ops.Graphs.triangles(edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val want = triModel(edges)
+      if (got != want)
+        println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Sequential synchronous-LPA model: neighbor-label frequency argmax,
+    * min-label tie-break, all nodes updating from the previous round. */
+  private def lpaModel(edges: List[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nbrs = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = nbrs.map { case (n, nb) =>
+        val counts = nb.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation equals the sequential synchronous model") {
+    val gen = for {
+      nEdges <- Gen.choose(1, 16)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      iters <- Gen.choose(1, 4)
+    } yield (edges, iters)
+    val prop = Prop.forAll(gen) { case (edges, iters) =>
+      // all-self-loop inputs yield an empty graph: both sides must
+      // return empty, not crash
+      val got = graft.ops.Graphs.labelPropagation(
+        edges.toDF("s", "d"), "s", "d", iters)
+        .as[(Long, Long)].collect().toMap
+      val want = lpaModel(edges, iters)
+      if (got != want)
+        println(s"MISMATCH edges=$edges iters=$iters\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rank mass is conserved exactly on out-degree-complete graphs with full seeds") {
     // every node has at least one out-edge and dampNum=dampDen-? …
     // conservation holds up to floor loss: Σrank ≤ |V|·scale and

@@ -197,6 +197,40 @@ class MixingPropSpec extends SparkSpec {
     assert(kept(1000000L).size == 400 && kept(0L).isEmpty)
   }
 
+  test("repeatByEpochs matches the exact md5 model and is monotone in milli-epochs") {
+    def md5u(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:ep".getBytes("UTF-8"))
+          .take(2).map(b => f"${b & 0xff}%02x").mkString, 16)
+    def modelCopies(id: Long, m: Long): Long =
+      m / 1000 + (if (md5u(id) * 1000 < (m % 1000) * 65536) 1L else 0L)
+    val ids = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val milliGen = Gen.choose(0L, 4000L)
+    val prop = Prop.forAll(milliGen, milliGen) { (a, b) =>
+      def sched(m: Long): Map[(Long, Long), Long] =
+        Mixing.repeatByEpochs(ids, "lang", "doc_id",
+          Map("en" -> m), defaultMilli = 1000L)
+          .select("doc_id", "epoch").as[(Long, Long)].collect()
+          .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val got = sched(a)
+      // exact model: epochs 1..copies per doc, each exactly once
+      val want = (0L until 200L).flatMap { i =>
+        val m = if (i % 2 == 0) a else 1000L
+        (1L to modelCopies(i, m)).map(e => (i, e) -> 1L)
+      }.toMap
+      val exact = got == want
+      // monotone: the (doc, epoch) set at min(a,b) is a subset of max's
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val mono = sched(lo).keySet.subsetOf(sched(hi).keySet)
+      if (!exact) println(s"MISMATCH milli=$a\n got=$got\n want=$want")
+      exact && mono
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
