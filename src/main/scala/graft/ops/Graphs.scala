@@ -267,6 +267,25 @@ object Graphs {
       .cache()
     oriented.count() // materialize: read twice by wedges + closing join
     und.unpersist(blocking = false)
+    val out = triangleFrame(oriented, deg, scale)
+    // materialize before releasing the operand caches (the caller's
+    // frame must not silently rebuild the wedge join per action)
+    val rdd = out.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count()
+    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
+    oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
+  }
+
+  /** The wedge-enumeration dataflow off an oriented edge set
+    * (s, t, dt) and a degree table (n, degree) — exposed so the plan
+    * shape (equi-keyed wedge + closing joins, map-side-combined corner
+    * count, no cartesian path) can be pinned by tests. */
+  private[graft] def triangleFrame(oriented: DataFrame, deg: DataFrame,
+      scale: Long = 1000000000L): DataFrame = {
     val e2 = oriented.select(col("s").as("s2"), col("t").as("t2"),
       col("dt").as("dt2"))
     val tris = oriented.join(e2, col("s") === col("s2"))
@@ -280,7 +299,7 @@ object Graphs {
     val perNode = tris
       .select(explode(array(col("s"), col("t"), col("t2"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri_count"))
-    val out = deg.join(perNode, Seq("n"), "left")
+    deg.join(perNode, Seq("n"), "left")
       .select(col("n").as("node"), col("degree"),
         coalesce(col("tri_count"), lit(0L)).as("tri_count"))
       // integral division in decimal(38,0) — `div` truncates identically
@@ -293,16 +312,6 @@ object Graphs {
              | div (CAST(degree AS DECIMAL(38,0))
              |  * CAST(degree - 1 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
           .otherwise(lit(0L)))
-    // materialize before releasing the operand caches (the caller's
-    // frame must not silently rebuild the wedge join per action)
-    val rdd = out.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.localCheckpoint()
-    rdd.count()
-    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
-    oriented.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    res
   }
 
   /** Synchronous label propagation over the undirected simple graph —

@@ -198,6 +198,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("triangle wedges meet on equi-keys with map-side corner counts, never n² blind") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the pinned shape is what a hub survives: the wedge self-join must
+    // key on the shared source (the orientation-order filter rides as a
+    // residual, NOT as the join condition — that would go nested-loop),
+    // the closing join on the composite (t, t2), and the per-node
+    // corner count must partial-aggregate before its exchange
+    val oriented = Seq((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L))
+      .toDF("s", "t", "dt")
+    val deg = Seq((1L, 2L), (2L, 2L), (3L, 2L)).toDF("n", "degree")
+    val p = graft.ops.Graphs.triangleFrame(oriented, deg)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration degenerated to an unkeyed product:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-node corner count lost map-side combine:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("LPA round: two hash aggs (count + argmax), no per-node window sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("n", "nb")
+    val labels = adj.select(col("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+    val p = graft.ops.Graphs.lpaRoundFrame(adj, labels)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"neighbor-label count lost map-side combine:\n$p")
+    assert(!p.contains("Window"),
+      s"argmax fell back to a per-node window sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("stream_join meets on the user-id equi-key with range residuals") {
     val p = plan("stream_join")
     assert(!p.contains("CartesianProduct") &&
