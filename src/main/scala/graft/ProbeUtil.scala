@@ -25,6 +25,20 @@ private[graft] object ProbeUtil {
     }.reduce(_ unionByName _)
   }
 
+  /** Edge-list ×k as disjoint ISOMORPHIC copies: src and dst live in
+    * the same node-id space, so both shift by one SHARED span —
+    * [[scaled]]'s per-column spans would desynchronize the endpoints
+    * whenever max(src) != max(dst) (the global max id need not appear
+    * on both sides), breaking the disjoint-copies premise. */
+  def sharedSpanCopies(eBase: DataFrame, n: Int): DataFrame = {
+    val span = eBase.agg(greatest(max(col("src")), max(col("dst"))))
+      .head().getLong(0) + 1
+    (0 until n).map { i =>
+      eBase.select((col("src") + i * span).as("src"),
+        (col("dst") + i * span).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Materialize to parquet and read back (untimed): the timed region
     * then runs over a plain scan — the SAME plan shape at every k. A
     * k-leg union plan grows its planning cost and scan fan-in with k,

@@ -403,19 +403,7 @@ object SkewProbe {
         .select(col("l_partkey").cast("long").as("src"),
           lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
         .filter(col("dst").isNotNull)
-      // src and dst are the SAME node-id space, so both columns must
-      // shift by one SHARED span — ProbeUtil.scaled's per-column spans
-      // would desynchronize the sides whenever max(src) != max(dst)
-      // (the global max partkey need not appear as a lead value),
-      // breaking the disjoint-isomorphic-copies premise
-      def scaledEdges(n: Int): DataFrame = {
-        val span = eBase.agg(greatest(max(col("src")), max(col("dst"))))
-          .head().getLong(0) + 1
-        (0 until n).map { i =>
-          eBase.select((col("src") + i * span).as("src"),
-            (col("dst") + i * span).as("dst"))
-        }.reduce(_ unionByName _)
-      }
+      def scaledEdges(n: Int): DataFrame = ProbeUtil.sharedSpanCopies(eBase, n)
       def prAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
         val e0 = scaledEdges(n)
         // per-edge redirect (not per-dst relabel): collapse of same-src
@@ -446,6 +434,83 @@ object SkewProbe {
         s""""nodes_1":$n1,"nodes_k":$nk,"nodes_k_uniform":$nu,""" +
         s""""prep_k":$prepS,"loop_k":$loopS,""" +
         s""""ratio":${pk / p1},"skew_tax":${pk / pu},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
+    // ── Triangle counting under a hub node ──────────────────────────
+    // Same edge list ×k, then ~30% of edges re-pointed at ONE node —
+    // a hub of degree ≈ 0.3·|E|. This is THE op the naive plan cannot
+    // survive: wedge enumeration at the hub is degree² (reported below
+    // as wedges_naive, computed from the degree distribution — running
+    // it would be the quadratic blowup itself). The claim under test
+    // is the scaladoc's: degree orientation moves every hub wedge to
+    // the hub's (many, low-degree) neighbors, so the ENUMERATED wedge
+    // count stays near the uniform leg's and the hub pays a bounded
+    // tax. wedges_oriented is measured from the op's own oriented
+    // out-degrees; the timed legs run the full gated operator.
+    if (want("skew_triangles_hub")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .select(col("l_partkey").cast("long").as("src"),
+          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      def edgesAt(n: Int, hot: Boolean): DataFrame = {
+        val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
+        val e = if (hot) e0.withColumn("dst",
+            when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
+              lit(0L)).otherwise(col("dst")))
+          else e0
+        mat(e, s"tri$n$hot")
+      }
+      def triAt(in: DataFrame): (Double, Long, Map[String, Double]) = {
+        PhaseClock.reset()
+        val (secs, nodes) = time(
+          graft.ops.Graphs.triangles(in, "src", "dst").count())
+        val ph = PhaseClock.snapshot()
+        sweepBlocks()
+        (secs, nodes, ph)
+      }
+      /** (Σ deg·(deg−1)/2) under f's degree notion — the wedge count a
+        * plan enumerating pairs at f's key would generate. */
+      def wedgeCount(edges: DataFrame, bySource: Boolean): Long = {
+        val und = graft.ops.Graphs.simpleUndirected(edges, "src", "dst")
+        val d =
+          if (bySource) {
+            val deg = graft.ops.Graphs.degreesOf(und)
+            graft.ops.Graphs.orientEdges(und, deg)
+              .groupBy("s").agg(count(lit(1)).as("degree"))
+          } else graft.ops.Graphs.degreesOf(und)
+        val r = d.agg(sum(expr(
+          "CAST(degree AS DECIMAL(38,0)) * CAST(degree - 1 AS DECIMAL(38,0))"))
+        ).head()
+        val tot = if (r.isNullAt(0)) BigInt(0) else BigInt(r.getDecimal(0).toBigInteger)
+        (tot / 2).toLong
+      }
+      triAt(edgesAt(1, hot = true)) // warm
+      val (t1, _, _) = triAt(edgesAt(1, hot = true))
+      val hotK = edgesAt(k, hot = true)
+      val wNaive = wedgeCount(hotK, bySource = false)
+      val wOrient = wedgeCount(hotK, bySource = true)
+      sweepBlocks()
+      val (tk, nk, phk) = triAt(hotK)
+      val uniK = edgesAt(k, hot = false)
+      val wUni = wedgeCount(uniK, bySource = true)
+      sweepBlocks()
+      val (tu, nu, _) = triAt(uniK)
+      val orientS = phk.getOrElse("tri.orient", 0.0)
+      val countS = phk.getOrElse("tri.count", 0.0)
+      val bn = if (countS > orientS) "wedge join + corner count (tri.count)"
+        else "orientation prep (tri.orient)"
+      println(s"""{"probe":"skew_triangles_hub","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$t1,"secs_k":$tk,"secs_k_uniform":$tu,""" +
+        s""""nodes_k":$nk,"nodes_k_uniform":$nu,""" +
+        s""""wedges_naive_k":$wNaive,"wedges_oriented_k":$wOrient,""" +
+        s""""wedges_oriented_uniform_k":$wUni,""" +
+        s""""orient_reduction":${wNaive.toDouble / math.max(wOrient, 1L)},""" +
+        s""""orient_k":$orientS,"count_k":$countS,""" +
+        s""""ratio":${tk / t1},"skew_tax":${tk / tu},""" +
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 

@@ -241,19 +241,53 @@ object Graphs {
   def triangles(edges: DataFrame, srcCol: String, dstCol: String,
       scale: Long = 1000000000L): DataFrame = {
     require(scale > 0, s"scale must be positive (got $scale)")
-    val und = edges
+    val und = simpleUndirected(edges, srcCol, dstCol).cache()
+    val deg = degreesOf(und).cache()
+    val oriented = orientEdges(und, deg).cache()
+    graft.PhaseClock.time("tri.orient") {
+      oriented.count() // materialize: read twice by wedges + closing join
+    }
+    und.unpersist(blocking = false)
+    val out = triangleFrame(oriented, deg, scale)
+    // materialize before releasing the operand caches (the caller's
+    // frame must not silently rebuild the wedge join per action)
+    val rdd = graft.PhaseClock.time("tri.count") {
+      val r = out.rdd
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r.count()
+      r
+    }
+    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
+    oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
+  }
+
+  /** The canonical undirected simple graph under (srcCol, dstCol):
+    * direction, duplicate edges, and self-loops collapse away. */
+  private[graft] def simpleUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
-      .distinct().cache()
-    val deg = und.select(col("u").as("n"))
+      .distinct()
+
+  /** (n, degree) over the simple graph. */
+  private[graft] def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("degree")).cache()
-    // orient low→high in (degree, id) order; carry the target's degree
-    // so the wedge self-join can compare orientation order without a
-    // third join
-    val oriented = und
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+
+  /** Degree orientation: each undirected edge directed from its lower
+    * (degree, id) endpoint to the higher, carrying the target's degree
+    * so the wedge self-join can compare orientation order without a
+    * third join. Per-source out-degree under this orientation is
+    * O(√|E|) for ANY graph — the hub-wedge bound. */
+  private[graft] def orientEdges(und: DataFrame, deg: DataFrame): DataFrame =
+    und
       .join(deg.select(col("n").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("degree").as("dv")), "v")
       .select(
@@ -264,21 +298,6 @@ object Graphs {
             struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .cache()
-    oriented.count() // materialize: read twice by wedges + closing join
-    und.unpersist(blocking = false)
-    val out = triangleFrame(oriented, deg, scale)
-    // materialize before releasing the operand caches (the caller's
-    // frame must not silently rebuild the wedge join per action)
-    val rdd = out.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.localCheckpoint()
-    rdd.count()
-    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
-    oriented.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    res
-  }
 
   /** The wedge-enumeration dataflow off an oriented edge set
     * (s, t, dt) and a degree table (n, degree) — exposed so the plan

@@ -103,6 +103,10 @@ object Pipeline {
     "mix_weight" -> (c => df => graft.ops.Mixing.sampleByWeight(df,
       c.get("idCol").asText(), c.get("weightCol").asText(),
       c.get("n").asLong())),
+    "mix_epochs" -> (c => df => graft.ops.Mixing.repeatByEpochs(df,
+      c.get("strataCol").asText(), c.get("idCol").asText(),
+      strMap(c.get("epochsMilli")).map { case (k, v) => k -> v.toLong },
+      if (c.has("defaultMilli")) c.get("defaultMilli").asLong() else 1000L)),
     "cap_per_key" -> (c => df => graft.ops.Mixing.capPerKey(df,
       c.get("keyCol").asText(), c.get("ordCol").asText(),
       c.get("idCol").asText(), n = c.get("n").asInt(),
@@ -190,6 +194,11 @@ object Pipeline {
         c.get("dstCol").asText(),
         iterations = c.get("iterations").asInt(), scale = scale)
     }),
+    "triangles" -> (c => df => graft.ops.Graphs.triangles(df,
+      c.get("srcCol").asText(), c.get("dstCol").asText())),
+    "label_prop" -> (c => df => graft.ops.Graphs.labelPropagation(df,
+      c.get("srcCol").asText(), c.get("dstCol").asText(),
+      iterations = c.get("iterations").asInt())),
     // exact dedup as a task stage: fingerprint each doc (sorted distinct
     // token set, md5), keep the min id per fingerprint, carry the group
     // size as `dup_count`. One map-side-combinable hash agg + one join

@@ -155,6 +155,52 @@ class PipelineCfgSpec extends SparkSpec {
       viaCfg.forall(_.getAs[Long]("rank_units") >= 150000000L))
   }
 
+  test("triangles, label_prop, mix_epochs stages round-trip through the registry") {
+    val graphCfg = (proc: String) => graft.pipeline.Pipeline.buildFrame(spark,
+      s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "lineitem"},
+        "processors": [
+          {"type": "edges_lead", "partitionCol": "l_orderkey",
+           "orderCol": "l_linenumber", "valueCol": "l_partkey"},
+          $proc
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("node").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = graft.source.Changelog.table(spark, sf, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+
+    val triCfg = graphCfg(
+      """{"type": "triangles", "srcCol": "src", "dstCol": "dst"}""")
+    val triCode = graft.ops.Graphs.triangles(e, "src", "dst")
+      .orderBy("node").collect().toSeq
+    assert(triCfg == triCode && triCfg.nonEmpty)
+
+    val lpaCfg = graphCfg(
+      """{"type": "label_prop", "srcCol": "src", "dstCol": "dst",
+         "iterations": 2}""")
+    val lpaCode = graft.ops.Graphs.labelPropagation(e, "src", "dst", 2)
+      .orderBy("node").collect().toSeq
+    assert(lpaCfg == lpaCode && lpaCfg.nonEmpty)
+
+    val epCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "mix_epochs", "strataCol": "lang", "idCol": "doc_id",
+           "epochsMilli": {"en": 2500, "de": 1200}, "defaultMilli": 500}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("doc_id", "epoch").collect().toSeq
+    val epCode = graft.ops.Mixing.repeatByEpochs(
+      graft.source.Changelog.table(spark, sf, "documents"),
+      "lang", "doc_id", Map("en" -> 2500L, "de" -> 1200L),
+      defaultMilli = 500L)
+      .orderBy("doc_id", "epoch").collect().toSeq
+    assert(epCfg == epCode && epCfg.nonEmpty)
+  }
+
   test("parquet_bucketed sink lands a co-located table (exchange-free re-join)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-sink")
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
