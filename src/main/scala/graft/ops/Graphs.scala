@@ -405,6 +405,73 @@ object Graphs {
       .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
       .select(col("n"), (-col("m.nl")).as("label"))
 
+  /** Multi-source BFS over the DIRECTED edge graph: (node, dist) for
+    * every node reachable from the seed set within `maxDepth` hops —
+    * crawl-depth / seed-expansion-radius analysis (how far does a
+    * vetted seed list reach, and at what depth does each page enter).
+    * Unreached nodes are omitted; duplicate edges and self-loops are
+    * harmless (min-propagation ignores them). Deterministic integers,
+    * so the DuckDB oracle replays the unrolled rounds and the gate
+    * hash-compares every distance.
+    *
+    * Scale shape — FRONTIER-DELTA propagation, the textbook
+    * distributed BFS: in unweighted BFS a node's distance is final the
+    * round it is first reached, so only the round's NEWLY-reached
+    * frontier joins the edge set (frontier × edges on the src key,
+    * then one map-side-combined min to dst, then an anti-join against
+    * the settled set). Re-propagating settled nodes every round — the
+    * naive unrolled form — would join the whole reached set × |E|
+    * each round; the frontier form's total join work across ALL
+    * rounds is Σ|frontier_i| = |reached| rows. Same per-round
+    * lineage-cut discipline as [[pageRank]]. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"bfsLevels needs maxDepth >= 0 (got $maxDepth)")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    // seeds restricted to graph nodes (a seed outside the graph has no
+    // edges to reach anything, and emitting it would invent a node)
+    val s0 = nodes.join(
+      seeds.select(col(seedCol).cast("long").as("n"))
+        .filter(col("n").isNotNull).distinct(), "n")
+      .select(col("n"), lit(0L).as("dist"))
+    graft.PhaseClock.time("bfs.edges") { e.count() }
+    var dist = s0
+    var frontier = s0
+    var liveRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def pin(df: DataFrame): DataFrame = {
+      val r = df.rdd
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r.count()
+      liveRdds = r :: liveRdds
+      spark.createDataFrame(r, df.schema)
+    }
+    dist = pin(dist); frontier = dist
+    (1 to maxDepth).foreach { i =>
+      graft.PhaseClock.count("bfs.rounds")
+      val next = graft.PhaseClock.time("bfs.round") {
+        val cand = frontier
+          .join(e.select(col("src").as("n"), col("dst")), "n")
+          .select(col("dst").as("n")).distinct()
+          .withColumn("dist", lit(i).cast("long"))
+        pin(cand.join(dist, Seq("n"), "left_anti"))
+      }
+      frontier = next
+      dist = dist.unionByName(next)
+    }
+    e.unpersist(blocking = false)
+    // the reached set stays pinned for the caller; old rounds' blocks
+    // are all part of the result union, so none can be dropped early
+    dist.select(col("n").as("node"), col("dist"))
+  }
+
   /** One rank round as a frame — the loop body, exposed so the plan
     * shape (map-side-combined message HashAggregate, equi-keyed joins
     * only) can be pinned by tests without re-deriving the dataflow. */

@@ -163,6 +163,30 @@ object Mixing {
       .drop("_s", "_rate")
   }
 
+  /** Deterministic EXACT-SIZE sample: the `n` rows whose (hash slice,
+    * id) rank lowest — fixed sample SIZE where [[sampleByRate]] /
+    * [[sampleByWeight]] fix the RATE (Poisson: size varies ±√n). The
+    * eval-set / human-review draw ("exactly 10k docs, reproducibly"):
+    * reruns agree row-for-row, and the sample at n₁ < n₂ is a strict
+    * PREFIX of the sample at n₂ (the hash order is a fixed global
+    * shuffle of the corpus — [[globalShuffle]]'s order, consumed n
+    * rows at a time), so growing an eval set never re-draws it. Ties
+    * in the 16-bit slice break on id — total order, engine-portable.
+    *
+    * Scale shape: top-n, NOT a global sort — Spark plans orderBy+limit
+    * as TakeOrderedAndProject (each partition keeps its local n, the
+    * driver merges partitions' heads), so the corpus never shuffles
+    * and driver memory is n × partitions rows. That holds for
+    * eval-set-sized n (the intended use); a "sample half the corpus"
+    * n belongs to [[sampleByRate]]. */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0 (got $n)")
+    df.withColumn("_u", hashSlice(col(idCol)))
+      .orderBy(col("_u"), col(idCol))
+      .limit(n)
+      .drop("_u")
+  }
+
   /** Deterministic EPOCH-REPETITION schedule: emit each row
     * `epochsMilli(stratum) / 1000` epochs, in milli-epochs so the
     * fraction is exact integer arithmetic — 2500 = "2.5 epochs" =

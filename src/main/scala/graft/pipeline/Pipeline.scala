@@ -196,6 +196,34 @@ object Pipeline {
     }),
     "triangles" -> (c => df => graft.ops.Graphs.triangles(df,
       c.get("srcCol").asText(), c.get("dstCol").asText())),
+    // multi-source BFS over the incoming edge frame; seeds come either
+    // inline ("seeds": [ids…]) or as a SQL predicate over the edge
+    // frame ("seedExpr" — seed set = src values of qualifying rows)
+    "bfs" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val src = c.get("srcCol").asText()
+      val seeds =
+        if (c.has("seeds")) {
+          val ids = c.get("seeds").elements().asScala.map(_.asLong()).toSeq
+          df.sparkSession.createDataFrame(
+            ids.map(org.apache.spark.sql.Row(_)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("seed",
+                org.apache.spark.sql.types.LongType))))
+        } else if (c.has("seedExpr"))
+          df.filter(expr(c.get("seedExpr").asText()))
+            .select(col(src).as("seed"))
+        else throw new IllegalArgumentException(
+          "bfs stage needs \"seeds\" or \"seedExpr\"")
+      graft.ops.Graphs.bfsLevels(df, src, c.get("dstCol").asText(),
+        seeds, "seed", maxDepth = c.get("maxDepth").asInt())
+    }),
+    // ordered-step funnel over an event frame
+    "funnel" -> (c => df => graft.ops.Funnel.steps(df,
+      c.get("entityCol").asText(), c.get("typeCol").asText(),
+      strs(c.get("steps")), strs(c.get("orderCols")))),
+    "sample_exact" -> (c => df => graft.ops.Mixing.sampleExactN(df,
+      c.get("idCol").asText(), c.get("n").asInt())),
     "label_prop" -> (c => df => graft.ops.Graphs.labelPropagation(df,
       c.get("srcCol").asText(), c.get("dstCol").asText(),
       iterations = c.get("iterations").asInt())),
@@ -217,6 +245,9 @@ object Pipeline {
 
   def source(spark: SparkSession, c: JsonNode): DataFrame = c.get("type").asText() match {
     case "events" => Changelog.fromEvents(spark, c.get("dir").asText())
+    // the raw event stream (ts normalized to ts/ts_ns), for analytics
+    // stages that want event_type/user_id rather than the changelog view
+    case "events_raw" => Changelog.events(spark, c.get("dir").asText())
     case "scan" => Changelog.scan(spark, c.get("dir").asText(),
       c.get("table").asText(), c.get("pk").asText())
     case "scan_tables" => Changelog.scanTables(spark, c.get("dir").asText(),

@@ -198,8 +198,43 @@ object GraphQueries {
         |${lpaRound(2, "l1")},
         |${lpaRound(3, "l2")}
         |SELECT n AS node, CAST(label AS BIGINT) AS label FROM l3
-        |ORDER BY node""".stripMargin))
+        |ORDER BY node""".stripMargin)),
+
+    // Multi-source BFS from the ~1/7 "vetted seed" parts, 3 hops over
+    // the DIRECTED next-part graph — crawl-depth analysis (at what
+    // hop does each part enter the seed expansion). The op runs
+    // frontier-delta propagation (only newly-reached nodes join the
+    // edge set; total join work across rounds = |reached| rows); the
+    // oracle replays the equivalent full min-union unrolling.
+    "graph_bfs" -> QueryDef(
+      (s, dir) => {
+        val seeds = table(s, dir, "lineitem")
+          .select(col("l_partkey").as("seed"))
+          .filter(col("seed") % 7 === 0)
+        Graphs.bfsLevels(edges(s, dir), "src", "dst", seeds, "seed",
+          maxDepth = 3).orderBy("node")
+      },
+      Some(s"""WITH raw AS (
+        |  SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |d0 AS (SELECT n, CAST(0 AS BIGINT) AS dist FROM nodes WHERE n % 7 = 0),
+        |${bfsRound(1, "d0")},
+        |${bfsRound(2, "d1")},
+        |${bfsRound(3, "d2")}
+        |SELECT n AS node, dist FROM d3 ORDER BY node""".stripMargin))
   )
+
+  /** One BFS min-union round: everything reachable from the reached
+    * set, folded by min distance. */
+  private def bfsRound(i: Int, prev: String): String =
+    s"""c$i AS (SELECT DISTINCT e.dst AS n FROM e JOIN $prev ON $prev.n = e.src),
+       |d$i AS (SELECT n, min(dist) AS dist FROM
+       |  (SELECT * FROM $prev UNION ALL
+       |   SELECT n, CAST($i AS BIGINT) FROM c$i) GROUP BY n)""".stripMargin
 
   /** Canonical undirected simple graph off the lead-derived edge
     * stream: direction, duplicates, and self-loops collapse away. */

@@ -98,6 +98,21 @@ object MixQueries {
         |WHERE g.epoch <= k.copies
         |ORDER BY doc_id, epoch""".stripMargin)),
 
+    // Exact-size deterministic sample: the 100 docs ranking lowest in
+    // (hash, id) order — fixed SIZE where mix_sample fixes the RATE.
+    // The plan is top-n (TakeOrderedAndProject), never a global sort;
+    // the sample at smaller n is a strict prefix.
+    "mix_exact_n" -> QueryDef(
+      (s, dir) => {
+        Mixing.sampleExactN(table(s, dir, "documents"), "doc_id", n = 100)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte
+        |SELECT doc_id, lang FROM
+        |  (SELECT doc_id, lang FROM u ORDER BY u, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Token-budget mixing: cut en to 6000 tokens and de to 2000 (other
     // langs untouched) by the deterministic hash-slice threshold — the
     // "sample each language down to N training tokens" primitive.

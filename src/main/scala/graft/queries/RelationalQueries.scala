@@ -383,6 +383,45 @@ object RelationalQueries {
         |       COUNT(*) / CAST(SUM(is_new) AS BIGINT) AS events_per_session
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Ordered-step funnel (view → click → purchase per user, the
+    // MATCH_RECOGNIZE class): positions are row_number over the
+    // total (ts, event_id) order; each step is the min position
+    // strictly after the previous step's. k chained map-side-combined
+    // min-aggs on the user key — no per-user collect_list (a hot
+    // user costs k partial mins, not a task-resident history).
+    "events_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = graft.source.Changelog.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            col("ts_ns"), col("event_id"))
+        graft.ops.Funnel.steps(e, "user_id", "event_type",
+          Seq("view", "click", "purchase"), Seq("ts_ns", "event_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |      AS BIGINT) AS pos
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(pos) AS p1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(pos) AS p2
+        |       FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND pos > p1
+        |       GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(pos) AS p3
+        |       FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND pos > p2
+        |       GROUP BY ev.user_id)
+        |SELECT s1.user_id, p1, s2.p2, s3.p3,
+        |  CAST(1 + CASE WHEN s2.p2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.p3 IS NULL THEN 0 ELSE 1 END
+        |    AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin)),
+
     // Exact discrete percentiles (rank-pick: deterministic and portable,
     // no interpolation-formula float divergence; approx_percentile is the
     // sketch-based scale path for wide-cardinality groups).

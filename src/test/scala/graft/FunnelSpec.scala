@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Funnel
+
+/** Model check of [[graft.ops.Funnel]]: the chained min-agg dataflow
+  * against a driver-side greedy sequential walk — per entity, sort
+  * events, take the earliest step-1 event, then the earliest step-2
+  * event strictly after it, and so on. Random streams cover ties in
+  * the primary order column (broken by the unique id — positions must
+  * stay engine-portable), entities missing early or late steps, empty
+  * step types, and repeated types in the step list. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(ent: Long, ty: String, t: Long, id: Long)
+
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 40)
+    evs <- Gen.listOfN(n, for {
+      ent <- Gen.choose(0L, 4L)
+      ty <- Gen.oneOf("a", "b", "c", "d")
+      t <- Gen.choose(0L, 9L) // dense → plenty of ties on t
+    } yield (ent, ty, t))
+  } yield evs.zipWithIndex.map { case ((e, ty, t), i) => Ev(e, ty, t, i.toLong) }
+
+  private val stepsGen: Gen[List[String]] = for {
+    k <- Gen.choose(1, 3)
+    st <- Gen.listOfN(k, Gen.oneOf("a", "b", "c"))
+  } yield st
+
+  /** Greedy sequential walk over the (t, id)-sorted stream. */
+  private def model(evs: List[Ev], steps: List[String])
+      : Map[Long, (List[Option[Long]], Long)] =
+    evs.groupBy(_.ent).flatMap { case (ent, es) =>
+      val sorted = es.sortBy(e => (e.t, e.id))
+      val pos = sorted.zipWithIndex.map { case (e, i) => (e.ty, i + 1L) }
+      var prev = 0L
+      val ps = steps.map { ty =>
+        val hit = pos.find { case (ety, p) => ety == ty && p > prev }
+        hit.foreach { case (_, p) => prev = p }
+        // a missed step ends the funnel: later steps stay null even if
+        // their type occurs (pos > prev would wrongly restart from the
+        // last completed step otherwise)
+        if (hit.isEmpty) prev = Long.MaxValue
+        hit.map(_._2)
+      }
+      if (ps.head.isEmpty) None
+      else Some(ent -> (ps, ps.count(_.isDefined).toLong))
+    }
+
+  test("steps equals the greedy sequential walk for random streams") {
+    val prop = Prop.forAll(evGen, stepsGen) { (evs, steps) =>
+      val df = evs.map(e => (e.ent, e.ty, e.t, e.id))
+        .toDF("ent", "ty", "t", "id")
+      val out = Funnel.steps(df, "ent", "ty", steps, Seq("t", "id")).collect()
+      val got = out.map { r =>
+        val ps = steps.indices.map(i =>
+          Option(r.getAs[java.lang.Long](s"p${i + 1}")).map(_.toLong)).toList
+        r.getAs[Long]("ent") -> (ps, r.getAs[Long]("depth"))
+      }.toMap
+      val want = model(evs, steps)
+      if (got != want)
+        println(s"MISMATCH steps=$steps evs=$evs\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("funnel of an empty frame / no-matching-type stream is empty") {
+    val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
+    assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))
+      .count() == 0L)
+    assert(Funnel.steps(df.filter("false"), "ent", "ty", Seq("a"),
+      Seq("t", "id")).count() == 0L)
+  }
+}

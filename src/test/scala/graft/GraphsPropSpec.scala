@@ -205,6 +205,47 @@ class GraphsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Sequential multi-source BFS model: plain frontier expansion over
+    * the directed edge set, seeds restricted to graph nodes. */
+  private def bfsModel(edges: List[(Long, Long)], seeds: Set[Long],
+      maxDepth: Int): Map[Long, Long] = {
+    val e = edges.toSet
+    val nodes = e.flatMap { case (s, d) => Seq(s, d) }
+    val adj = e.toSeq.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = (seeds & nodes).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    (1 to maxDepth).foreach { i =>
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> i.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsLevels equals the sequential frontier model") {
+    val gen = for {
+      nEdges <- Gen.choose(1, 16)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      seeds <- Gen.someOf(0L to 9L) // some seeds outside the graph
+      depth <- Gen.choose(0, 4)
+    } yield (edges, seeds.toSet, depth)
+    val prop = Prop.forAll(gen) { case (edges, seeds, depth) =>
+      val got = graft.ops.Graphs.bfsLevels(edges.toDF("s", "d"), "s", "d",
+        seeds.toList.toDF("seed"), "seed", depth)
+        .as[(Long, Long)].collect().toMap
+      val want = bfsModel(edges, seeds, depth)
+      if (got != want)
+        println(s"MISMATCH edges=$edges seeds=$seeds depth=$depth\n" +
+          s" got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rank mass is conserved exactly on out-degree-complete graphs with full seeds") {
     // every node has at least one out-edge and dampNum=dampDen-? …
     // conservation holds up to floor loss: Σrank ≤ |V|·scale and

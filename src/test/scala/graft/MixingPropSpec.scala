@@ -231,6 +231,24 @@ class MixingPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sampleExactN: exact size, prefix nesting, partitioning-invariant") {
+    val ids = (0L until 257L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    val nGen = Gen.choose(0, 300)
+    val prop = Prop.forAll(nGen, nGen) { (a, b) =>
+      def draw(n: Int, parts: Int): Seq[Long] =
+        Mixing.sampleExactN(ids.repartition(parts), "doc_id", n)
+          .select("doc_id").as[Long].collect().toSeq.sorted
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val dLo = draw(lo, 3); val dHi = draw(hi, 3)
+      // exact size (clamped at corpus), strict prefix nesting, and the
+      // same draw regardless of input partitioning
+      dLo.size == math.min(lo, 257) && dHi.size == math.min(hi, 257) &&
+        dLo.toSet.subsetOf(dHi.toSet) && dHi == draw(hi, 7)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampleByRate is monotone in the rate for random rate pairs") {
     val ids = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -201,6 +201,76 @@ class PipelineCfgSpec extends SparkSpec {
     assert(epCfg == epCode && epCfg.nonEmpty)
   }
 
+  test("bfs, funnel, sample_exact stages round-trip through the registry") {
+    // bfs: seedExpr form over the lead-derived part graph
+    val bfsCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "lineitem"},
+        "processors": [
+          {"type": "edges_lead", "partitionCol": "l_orderkey",
+           "orderCol": "l_linenumber", "valueCol": "l_partkey"},
+          {"type": "bfs", "srcCol": "src", "dstCol": "dst",
+           "seedExpr": "src % 7 = 0", "maxDepth": 2}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("node").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = graft.source.Changelog.table(spark, sf, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+    val bfsCode = graft.ops.Graphs.bfsLevels(e, "src", "dst",
+      e.filter(col("src") % 7 === 0).select(col("src").as("seed")),
+      "seed", maxDepth = 2).orderBy("node").collect().toSeq
+    assert(bfsCfg == bfsCode && bfsCfg.nonEmpty)
+
+    // bfs: inline seed list matches the same seeds passed as a frame
+    val seedIds = bfsCode.take(3).map(_.getLong(0))
+    val bfsInline = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "lineitem"},
+        "processors": [
+          {"type": "edges_lead", "partitionCol": "l_orderkey",
+           "orderCol": "l_linenumber", "valueCol": "l_partkey"},
+          {"type": "bfs", "srcCol": "src", "dstCol": "dst",
+           "seeds": [${seedIds.mkString(", ")}], "maxDepth": 1}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("node").collect().toSeq
+    import spark.implicits._
+    val bfsInlineCode = graft.ops.Graphs.bfsLevels(e, "src", "dst",
+      seedIds.toDF("seed"), "seed", maxDepth = 1)
+      .orderBy("node").collect().toSeq
+    assert(bfsInline == bfsInlineCode && bfsInline.nonEmpty)
+
+    // funnel over the events table
+    val funCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "events_raw", "dir": "$sf"},
+        "processors": [
+          {"type": "funnel", "entityCol": "user_id", "typeCol": "event_type",
+           "steps": ["view", "click", "purchase"],
+           "orderCols": ["ts_ns", "event_id"]}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("user_id").collect().toSeq
+    val funCode = graft.ops.Funnel.steps(
+      graft.source.Changelog.events(spark, sf),
+      "user_id", "event_type", Seq("view", "click", "purchase"),
+      Seq("ts_ns", "event_id")).orderBy("user_id").collect().toSeq
+    assert(funCfg == funCode && funCfg.nonEmpty)
+
+    // sample_exact
+    val seCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "sample_exact", "idCol": "doc_id", "n": 17}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("doc_id").collect().toSeq
+    val seCode = graft.ops.Mixing.sampleExactN(
+      graft.source.Changelog.table(spark, sf, "documents"), "doc_id", 17)
+      .orderBy("doc_id").collect().toSeq
+    assert(seCfg == seCode && seCfg.size == 17)
+  }
+
   test("parquet_bucketed sink lands a co-located table (exchange-free re-join)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bkt-sink")
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
