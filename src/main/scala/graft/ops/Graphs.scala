@@ -457,11 +457,7 @@ object Graphs {
     (1 to maxDepth).foreach { i =>
       graft.PhaseClock.count("bfs.rounds")
       val next = graft.PhaseClock.time("bfs.round") {
-        val cand = frontier
-          .join(e.select(col("src").as("n"), col("dst")), "n")
-          .select(col("dst").as("n")).distinct()
-          .withColumn("dist", lit(i).cast("long"))
-        pin(cand.join(dist, Seq("n"), "left_anti"))
+        pin(bfsRoundFrame(frontier, e, dist, i))
       }
       frontier = next
       dist = dist.unionByName(next)
@@ -471,6 +467,19 @@ object Graphs {
     // are all part of the result union, so none can be dropped early
     dist.select(col("n").as("node"), col("dist"))
   }
+
+  /** One BFS round as a frame — the loop body, exposed so the plan
+    * shape (frontier×edges equi-join on the src key, partial-aggregated
+    * distinct, keyed anti-join against the settled set) can be pinned
+    * by tests. `frontier` must be `(n)`-shaped, `e` `(src, dst)`,
+    * `dist` `(n, dist)`. */
+  private[graft] def bfsRoundFrame(frontier: DataFrame, e: DataFrame,
+      dist: DataFrame, i: Int): DataFrame =
+    frontier
+      .join(e.select(col("src").as("n"), col("dst")), "n")
+      .select(col("dst").as("n")).distinct()
+      .withColumn("dist", lit(i).cast("long"))
+      .join(dist, Seq("n"), "left_anti")
 
   /** One rank round as a frame — the loop body, exposed so the plan
     * shape (map-side-combined message HashAggregate, equi-keyed joins

@@ -235,6 +235,46 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("sampleExactN plans as top-n, never a global sort") {
+    // orderBy+limit must fuse to TakeOrderedAndProject: each partition
+    // keeps its local n and the driver merges heads — a range-exchange
+    // Sort would shuffle the whole corpus to draw 100 rows
+    val p = graft.ops.Mixing.sampleExactN(
+        graft.source.Changelog.table(spark, sf, "documents"), "doc_id", 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-N draw lost the top-n plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"exact-N draw global-sorts the corpus:\n$p")
+  }
+
+  test("funnel: step mins partial-aggregate map-side, joins stay equi-keyed") {
+    val p = plan("events_funnel")
+    assert(p.contains("partial_min"),
+      s"step-position min lost map-side combine:\n$p")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel step join degenerated to an unkeyed product:\n$p")
+  }
+
+  test("BFS round: frontier meets edges on the src equi-key, anti-join keyed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val frontier = Seq(Tuple1(1L)).toDF("n")
+    val dist = Seq((1L, 0L)).toDF("n", "dist")
+    val p = graft.ops.Graphs.bfsRoundFrame(frontier, e, dist, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"BFS round degenerated to an unkeyed product:\n$p")
+    // the frontier distinct must partial-aggregate before its exchange
+    // (a hub frontier node fans to one partial per upstream partition)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("stream_join meets on the user-id equi-key with range residuals") {
     val p = plan("stream_join")
     assert(!p.contains("CartesianProduct") &&
