@@ -68,4 +68,46 @@ object Funnel {
     acc.withColumn("depth", depth)
       .withColumnRenamed("_ent", entityCol)
   }
+
+  /** [[steps]] without the position window — the hot-entity scale
+    * form. `keyCol` must be a UNIQUE, totally-ordered column within
+    * each entity (pack the timestamp and a unique id into one
+    * comparable value; exact integer packing keeps it engine-portable).
+    * Step i's key is the MIN key of a type-sᵢ event strictly after
+    * step i−1's key — the same greedy-earliest semantics, compared on
+    * keys instead of positions, so the SAME events are chosen and
+    * `depth` is identical; only the reported coordinate differs
+    * (k1..kk are keys, not indices).
+    *
+    * Scale shape: the whole funnel is k chained map-side-combined
+    * min-aggregates + equi-joins on the entity key — NO window
+    * anywhere in the plan (PlanSpec pins Window-free). [[steps]]'s
+    * per-entity numbering window must sort a hot entity's entire
+    * history in ONE task (30% of a 100-TB corpus on one user = one
+    * executor sorting 30 TB); here the hot entity collapses to one
+    * agg buffer per partition before anything moves, so its cost is
+    * k partial mins — skew-immune by construction, measured in
+    * SkewProbe `skew_funnel_hotuser`. */
+  def stepsByKey(events: DataFrame, entityCol: String, typeCol: String,
+      stepTypes: Seq[String], keyCol: String): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(entityCol).as("_ent"),
+      col(typeCol).as("_ty"), col(keyCol).as("_k"))
+    var acc = ev.filter(col("_ty") === stepTypes.head)
+      .groupBy(col("_ent")).agg(min(col("_k")).as("k1"))
+    stepTypes.zipWithIndex.drop(1).foreach { case (ty, i) =>
+      val prev = s"k$i"; val cur = s"k${i + 1}"
+      val nextMin = ev.filter(col("_ty") === ty)
+        .join(acc.select(col("_ent"), col(prev)), "_ent")
+        .filter(col(prev).isNotNull && col("_k") > col(prev))
+        .groupBy(col("_ent")).agg(min(col("_k")).as(cur))
+        .select(col("_ent").as("_e2"), col(cur))
+      acc = acc.join(nextMin, col("_ent") === col("_e2"), "left")
+        .drop("_e2")
+    }
+    val depth = stepTypes.indices.map(i => col(s"k${i + 1}").isNotNull)
+      .map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    acc.withColumn("depth", depth)
+      .withColumnRenamed("_ent", entityCol)
+  }
 }

@@ -218,10 +218,15 @@ object Pipeline {
       graft.ops.Graphs.bfsLevels(df, src, c.get("dstCol").asText(),
         seeds, "seed", maxDepth = c.get("maxDepth").asInt())
     }),
-    // ordered-step funnel over an event frame
-    "funnel" -> (c => df => graft.ops.Funnel.steps(df,
-      c.get("entityCol").asText(), c.get("typeCol").asText(),
-      strs(c.get("steps")), strs(c.get("orderCols")))),
+    // ordered-step funnel over an event frame; "keyCol" (a unique
+    // orderable key) selects the window-free hot-entity form
+    "funnel" -> (c => df =>
+      if (c.has("keyCol")) graft.ops.Funnel.stepsByKey(df,
+        c.get("entityCol").asText(), c.get("typeCol").asText(),
+        strs(c.get("steps")), c.get("keyCol").asText())
+      else graft.ops.Funnel.steps(df,
+        c.get("entityCol").asText(), c.get("typeCol").asText(),
+        strs(c.get("steps")), strs(c.get("orderCols")))),
     "sample_exact" -> (c => df => graft.ops.Mixing.sampleExactN(df,
       c.get("idCol").asText(), c.get("n").asInt())),
     "label_prop" -> (c => df => graft.ops.Graphs.labelPropagation(df,

@@ -422,6 +422,43 @@ object RelationalQueries {
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin)),
 
+    // The funnel's window-free scale form: steps compared on a packed
+    // (ts, id) DECIMAL key instead of window positions — the whole
+    // funnel is k chained map-side-combined min-aggs, NO window in the
+    // plan (a hot user costs k partial mins, never a one-task sort of
+    // its history). Exact integer packing keeps the key portable.
+    "events_funnel_keys" -> QueryDef(
+      (s, dir) => {
+        val e = graft.source.Changelog.events(s, dir)
+          .withColumn("k",
+            col("ts_ns").cast("decimal(38,0)") * lit(10000000000L)
+              + col("event_id"))
+        graft.ops.Funnel.stepsByKey(e, "user_id", "event_type",
+          Seq("view", "click", "purchase"), "k")
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(k) AS k2
+        |       FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND k > k1
+        |       GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(k) AS k3
+        |       FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND k > k2
+        |       GROUP BY ev.user_id)
+        |SELECT s1.user_id, k1, s2.k2, s3.k3,
+        |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
+        |    AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin)),
+
     // Exact discrete percentiles (rank-pick: deterministic and portable,
     // no interpolation-formula float divergence; approx_percentile is the
     // sketch-based scale path for wide-cardinality groups).

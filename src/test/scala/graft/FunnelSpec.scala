@@ -69,6 +69,36 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("stepsByKey chooses the same events as steps for random streams") {
+    val prop = Prop.forAll(evGen, stepsGen) { (evs, steps) =>
+      val df = evs.map(e => (e.ent, e.ty, e.t, e.id, e.t * 1000L + e.id))
+        .toDF("ent", "ty", "t", "id", "k")
+      val byPos = Funnel.steps(df, "ent", "ty", steps, Seq("t", "id"))
+        .collect().map(r => r.getAs[Long]("ent") -> r).toMap
+      val byKey = Funnel.stepsByKey(df, "ent", "ty", steps, "k")
+        .collect().map(r => r.getAs[Long]("ent") -> r).toMap
+      // per entity: position i and key i must denote the SAME event
+      // (translate positions to keys through the sorted stream), and
+      // depth must agree
+      val keyAt = evs.groupBy(_.ent).map { case (ent, es) =>
+        ent -> es.sortBy(e => (e.t, e.id)).zipWithIndex
+          .map { case (e, i) => (i + 1L) -> (e.t * 1000L + e.id) }.toMap
+      }
+      byPos.keySet == byKey.keySet && byPos.forall { case (ent, rp) =>
+        val rk = byKey(ent)
+        rp.getAs[Long]("depth") == rk.getAs[Long]("depth") &&
+          steps.indices.forall { i =>
+            val p = Option(rp.getAs[java.lang.Long](s"p${i + 1}"))
+            val kv = Option(rk.getAs[java.lang.Long](s"k${i + 1}"))
+            p.map(x => keyAt(ent)(x.toLong)) == kv.map(_.toLong)
+          }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("funnel of an empty frame / no-matching-type stream is empty") {
     val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
     assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))

@@ -258,6 +258,16 @@ class PlanSpec extends SparkSpec {
       s"funnel step join degenerated to an unkeyed product:\n$p")
   }
 
+  test("funnel-by-key: NO window in the plan — a hot entity never sorts in one task") {
+    val p = plan("events_funnel_keys")
+    assert(!p.contains("Window"),
+      s"key-form funnel regrew a window — the hot-entity one-task sort:\n$p")
+    assert(p.contains("partial_min"))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("BFS round: frontier meets edges on the src equi-key, anti-join keyed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
