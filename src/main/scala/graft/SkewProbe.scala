@@ -514,6 +514,108 @@ object SkewProbe {
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
+    // ── Funnel under a hot user ─────────────────────────────────────
+    // events ×k, then ~30% of all rows redirected onto ONE user: that
+    // user's event history is 30% of the corpus at every k. The
+    // window form must sort that history in ONE task (the per-entity
+    // numbering window) — THE hot-entity hazard; the key form
+    // (stepsByKey) replaces the window with chained map-side-combined
+    // min-aggs, so the hot user collapses to one buffer per partition.
+    // Uniform comparator: identical volume, untouched user keys. The
+    // claim under test: the key form's skew tax stays ~1 while the
+    // window form pays the one-task sort.
+    if (want("skew_funnel_hotuser")) {
+      val fev = graft.source.Changelog.events(spark, sfDir)
+        .select("user_id", "event_type", "ts_ns", "event_id")
+      val stepsSeq = Seq("view", "click", "purchase")
+      def funnelAt(n: Int, hot: Boolean, byKey: Boolean): (Double, Long) = {
+        val base = scaled(fev, Seq("user_id", "event_id"), n)
+        val in = mat(if (hot) hotUserPct(base, HotPct) else base, s"fn$n$hot")
+        val r = time {
+          val out =
+            if (byKey) graft.ops.Funnel.stepsByKey(
+              in.withColumn("k",
+                col("ts_ns").cast("decimal(38,0)") * lit(10000000000L)
+                  + col("event_id")),
+              "user_id", "event_type", stepsSeq, "k")
+            else graft.ops.Funnel.steps(in, "user_id", "event_type",
+              stepsSeq, Seq("ts_ns", "event_id"))
+          out.count()
+        }
+        sweepBlocks()
+        r
+      }
+      funnelAt(1, hot = true, byKey = false) // warm both legs
+      funnelAt(1, hot = true, byKey = true)
+      val (w1, _) = funnelAt(1, hot = true, byKey = false)
+      val (wk, rwk) = funnelAt(k, hot = true, byKey = false)
+      val (wu, _) = funnelAt(k, hot = false, byKey = false)
+      val (kk1, _) = funnelAt(1, hot = true, byKey = true)
+      val (kkk, rkk) = funnelAt(k, hot = true, byKey = true)
+      val (kku, _) = funnelAt(k, hot = false, byKey = true)
+      val bn = if (wk > kkk) "per-entity numbering window (one-task hot sort)"
+        else "step min-agg exchange"
+      println(s"""{"probe":"skew_funnel_hotuser","k":$k,"hot_pct":$HotPct,""" +
+        s""""win_secs_1":$w1,"win_secs_k":$wk,"win_secs_k_uniform":$wu,""" +
+        s""""key_secs_1":$kk1,"key_secs_k":$kkk,"key_secs_k_uniform":$kku,""" +
+        s""""rows_k_win":$rwk,"rows_k_key":$rkk,""" +
+        s""""win_ratio":${wk / w1},"key_ratio":${kkk / kk1},""" +
+        s""""win_tax":${wk / wu},"key_tax":${kkk / kku},""" +
+        s""""win_over_key":${wk / kkk},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
+    // ── BFS from a hub seed ─────────────────────────────────────────
+    // Edge list ×k, then ~30% of edge SOURCES re-pointed at ONE node:
+    // a hub holding 30% of all out-edges. Seeding AT the hub makes
+    // round 1 expand 30% of |E| from a single frontier node — the
+    // frontier side broadcasts (it's tiny), so those edge rows are
+    // scanned in place and the distinct partial-aggregates map-side;
+    // nothing concentrates on one task. Equal-WORK uniform comparator:
+    // same untouched graph, seeded at a ~30% random subset of sources
+    // (the same round-1 out-edge volume, spread over many seeds).
+    if (want("skew_bfs_hub")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .select(col("l_partkey").cast("long").as("src"),
+          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      def bfsAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
+        val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
+        val e = if (hot) e0.withColumn("src",
+            when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
+              lit(0L)).otherwise(col("src")))
+          else e0
+        val in = mat(e, s"bfs$n$hot")
+        val seeds =
+          if (hot) spark.range(1).select(lit(0L).as("seed"))
+          else in.select(col("src").as("seed"))
+            .filter(pmod(xxhash64(col("seed")), lit(100)) < HotPct)
+        PhaseClock.reset()
+        val r = time(graft.ops.Graphs.bfsLevels(in, "src", "dst",
+          seeds, "seed", maxDepth = 3).count())
+        val ph = PhaseClock.snapshot()
+        sweepBlocks()
+        (r._1, r._2, ph)
+      }
+      bfsAt(1, hot = true) // warm
+      val (b1, n1, _) = bfsAt(1, hot = true)
+      val (bk, nk, phk) = bfsAt(k, hot = true)
+      val (bu, nu, _) = bfsAt(k, hot = false)
+      val prepS = phk.getOrElse("bfs.edges", 0.0)
+      val loopS = phk.getOrElse("bfs.round", 0.0)
+      val bn = if (loopS > prepS) "frontier join + distinct (bfs.round)"
+        else "edge dedup prep (bfs.edges)"
+      println(s"""{"probe":"skew_bfs_hub","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$b1,"secs_k":$bk,"secs_k_uniform":$bu,""" +
+        s""""reached_1":$n1,"reached_k":$nk,"reached_k_uniform":$nu,""" +
+        s""""prep_k":$prepS,"loop_k":$loopS,""" +
+        s""""ratio":${bk / b1},"skew_tax":${bk / bu},""" +
+        s""""bottleneck":"$bn","sf":"$sfDir"}""")
+    }
+
     spark.stop()
   }
 }

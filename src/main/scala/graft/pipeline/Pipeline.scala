@@ -229,6 +229,9 @@ object Pipeline {
         strs(c.get("steps")), strs(c.get("orderCols")))),
     "sample_exact" -> (c => df => graft.ops.Mixing.sampleExactN(df,
       c.get("idCol").asText(), c.get("n").asInt())),
+    "retention" -> (c => df => graft.ops.Retention.cohorts(df,
+      c.get("entityCol").asText(), c.get("tsNsCol").asText(),
+      c.get("periodNs").asLong())),
     "label_prop" -> (c => df => graft.ops.Graphs.labelPropagation(df,
       c.get("srcCol").asText(), c.get("dstCol").asText(),
       iterations = c.get("iterations").asInt())),

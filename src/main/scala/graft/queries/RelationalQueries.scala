@@ -459,6 +459,28 @@ object RelationalQueries {
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin)),
 
+    // Cohort retention: bucket users by first-activity day, count
+    // active users per (cohort, day-offset) cell — all in exact
+    // integer day arithmetic (ns div 86400e9). One min-agg + one
+    // entity-keyed join + one cell count over the per-period-deduped
+    // activity set; no window, no collect.
+    "events_retention" -> QueryDef(
+      (s, dir) => {
+        val e = graft.source.Changelog.events(s, dir)
+        graft.ops.Retention.cohorts(e, "user_id", "ts_ns",
+          periodNs = 86400L * 1000000000L)
+          .orderBy("cohort", "offset")
+      },
+      Some("""WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, act.p - cohort AS offset,
+        |       count(*) AS n_active
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Exact discrete percentiles (rank-pick: deterministic and portable,
     // no interpolation-formula float divergence; approx_percentile is the
     // sketch-based scale path for wide-cardinality groups).

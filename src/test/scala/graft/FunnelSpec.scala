@@ -99,6 +99,30 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("Retention.cohorts equals the sequential model for random streams") {
+    val gen = for {
+      n <- Gen.choose(0, 50)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 99L)))
+      period <- Gen.oneOf(7L, 10L, 25L)
+    } yield (evs, period)
+    val prop = Prop.forAll(gen) { case (evs, period) =>
+      val got = graft.ops.Retention.cohorts(
+        evs.toDF("ent", "t"), "ent", "t", period)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val act = evs.map { case (e, t) => (e, t / period) }.distinct
+      val first = act.groupBy(_._1).map { case (e, ps) => e -> ps.map(_._2).min }
+      val want = act.groupBy { case (e, p) => (first(e), p - first(e)) }
+        .map { case (cell, xs) => cell -> xs.size.toLong }
+      if (got != want)
+        println(s"MISMATCH period=$period evs=$evs\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("funnel of an empty frame / no-matching-type stream is empty") {
     val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
     assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))

@@ -257,6 +257,20 @@ class PipelineCfgSpec extends SparkSpec {
       Seq("ts_ns", "event_id")).orderBy("user_id").collect().toSeq
     assert(funCfg == funCode && funCfg.nonEmpty)
 
+    // retention over the raw events
+    val retCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "events_raw", "dir": "$sf"},
+        "processors": [
+          {"type": "retention", "entityCol": "user_id",
+           "tsNsCol": "ts_ns", "periodNs": 86400000000000}
+        ],
+        "sink": {"type": "noop"}
+      }""").orderBy("cohort", "offset").collect().toSeq
+    val retCode = graft.ops.Retention.cohorts(
+      graft.source.Changelog.events(spark, sf), "user_id", "ts_ns",
+      86400L * 1000000000L).orderBy("cohort", "offset").collect().toSeq
+    assert(retCfg == retCode && retCfg.nonEmpty)
+
     // sample_exact
     val seCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
         "source": {"type": "table", "dir": "$sf", "table": "documents"},

@@ -268,6 +268,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("retention: min-agg map-side-combined, no window, equi-keyed join") {
+    val p = plan("events_retention")
+    assert(p.contains("partial_min"),
+      s"cohort min lost map-side combine:\n$p")
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("BFS round: frontier meets edges on the src equi-key, anti-join keyed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
