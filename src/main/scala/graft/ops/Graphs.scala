@@ -468,6 +468,60 @@ object Graphs {
     dist.select(col("n").as("node"), col("dist"))
   }
 
+  /** k-core peeling over the canonical undirected simple graph: run
+    * `rounds` synchronous peel rounds — drop every node whose CURRENT
+    * degree is < k, discard its edges, repeat — and return the
+    * surviving nodes with their within-core degree. The crawl-graph
+    * cleaning primitive: the k-core is the maximal subgraph where
+    * every page keeps ≥ k within-subgraph links, and peeling is how
+    * link-farm tendrils and orphan chains fall away. Synchronous
+    * rounds with a FIXED budget keep it deterministic and
+    * oracle-replayable (the DuckDB oracle unrolls the identical
+    * rounds); once peeling converges, further rounds are no-ops, so a
+    * generous budget is safe — `kCorePeel(_, _, _, k, r)` equals the
+    * true k-core whenever convergence happens within r rounds.
+    *
+    * Scale shape, per round: one map-side-combined degree count + two
+    * semi-joins of the edge set against the surviving nodes — all
+    * equi-keyed on node ids, nothing windowed or collected. The edge
+    * frame only SHRINKS, so round cost is monotone non-increasing;
+    * per-round lineage cuts (the pageRank pin discipline) keep the
+    * plan from re-deriving r rounds of history. A celebrity node's
+    * degree count partial-aggregates before its exchange (the same
+    * hub argument as [[degreesOf]] everywhere else). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCorePeel needs k >= 1 (got $k)")
+    require(rounds >= 0, s"kCorePeel needs rounds >= 0 (got $rounds)")
+    val spark = edges.sparkSession
+    var prev: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def pin(df: DataFrame): DataFrame = {
+      val r = df.rdd
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(r)
+      spark.createDataFrame(r, df.schema)
+    }
+    var e = pin(simpleUndirected(edges, srcCol, dstCol))
+    (1 to rounds).foreach { _ =>
+      graft.PhaseClock.count("kcore.rounds")
+      // keep is lazy — the whole round (degree agg + semi-joins)
+      // executes at the pin below, so one phase covers it honestly
+      val keep = degreesOf(e).filter(col("degree") >= k).select(col("n"))
+      e = graft.PhaseClock.time("kcore.peel") {
+        pin(e
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      }
+    }
+    val out = degreesOf(e).select(col("n").as("node"), col("degree"))
+    // the final edge frame stays pinned: the returned plan reads it
+    out
+  }
+
   /** One BFS round as a frame — the loop body, exposed so the plan
     * shape (frontier×edges equi-join on the src key, partial-aggregated
     * distinct, keyed anti-join against the settled set) can be pinned

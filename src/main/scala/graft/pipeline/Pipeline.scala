@@ -235,6 +235,9 @@ object Pipeline {
     "label_prop" -> (c => df => graft.ops.Graphs.labelPropagation(df,
       c.get("srcCol").asText(), c.get("dstCol").asText(),
       iterations = c.get("iterations").asInt())),
+    "kcore" -> (c => df => graft.ops.Graphs.kCorePeel(df,
+      c.get("srcCol").asText(), c.get("dstCol").asText(),
+      k = c.get("k").asInt(), rounds = c.get("rounds").asInt())),
     // exact dedup as a task stage: fingerprint each doc (sorted distinct
     // token set, md5), keep the min id per fingerprint, carry the group
     // size as `dup_count`. One map-side-combinable hash agg + one join

@@ -225,8 +225,33 @@ object GraphQueries {
         |${bfsRound(1, "d0")},
         |${bfsRound(2, "d1")},
         |${bfsRound(3, "d2")}
-        |SELECT n AS node, dist FROM d3 ORDER BY node""".stripMargin))
+        |SELECT n AS node, dist FROM d3 ORDER BY node""".stripMargin)),
+
+    // 2-core after 3 peel rounds over the undirected part graph — the
+    // link-farm/tendril cleaning primitive. The op peels synchronously
+    // (degree agg + two node-keyed semi-joins per round, edge frame
+    // only shrinks); the oracle unrolls the identical rounds.
+    "graph_kcore" -> QueryDef(
+      (s, dir) => Graphs.kCorePeel(edges(s, dir), "src", "dst",
+        k = 2, rounds = 3).orderBy("node"),
+      Some(s"""$undCte,
+        |e0 AS (SELECT u, v FROM und),
+        |${kcoreRound(1, "e0", 2)},
+        |${kcoreRound(2, "e1", 2)},
+        |${kcoreRound(3, "e2", 2)}
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY n ORDER BY node""".stripMargin))
   )
+
+  /** One synchronous peel round: nodes with current degree >= k
+    * survive; edges keep only surviving endpoints. */
+  private def kcoreRound(i: Int, prev: String, k: Int): String =
+    s"""d$i AS (SELECT n FROM
+       |  (SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+       |  GROUP BY n HAVING count(*) >= $k),
+       |e$i AS (SELECT u, v FROM $prev
+       |  WHERE u IN (SELECT n FROM d$i) AND v IN (SELECT n FROM d$i))""".stripMargin
 
   /** One BFS min-union round: everything reachable from the reached
     * set, folded by min distance. */

@@ -246,6 +246,42 @@ class GraphsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Sequential synchronous peel model over the simple graph. */
+  private def kcoreModel(edges: List[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    def degs = und.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    (1 to rounds).foreach { _ =>
+      val keep = degs.filter(_._2 >= k).keySet
+      und = und.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    degs
+  }
+
+  test("kCorePeel equals the sequential synchronous peel model") {
+    val gen = for {
+      nEdges <- Gen.choose(1, 18)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      k <- Gen.choose(1, 4)
+      rounds <- Gen.choose(0, 4)
+    } yield (edges, k, rounds)
+    val prop = Prop.forAll(gen) { case (edges, k, rounds) =>
+      val got = graft.ops.Graphs.kCorePeel(edges.toDF("s", "d"), "s", "d",
+        k, rounds).as[(Long, Long)].collect().toMap
+      val want = kcoreModel(edges, k, rounds)
+      if (got != want)
+        println(s"MISMATCH edges=$edges k=$k rounds=$rounds\n" +
+          s" got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rank mass is conserved exactly on out-degree-complete graphs with full seeds") {
     // every node has at least one out-edge and dampNum=dampDen-? …
     // conservation holds up to floor loss: Σrank ≤ |V|·scale and

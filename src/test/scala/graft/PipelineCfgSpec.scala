@@ -185,6 +185,13 @@ class PipelineCfgSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(lpaCfg == lpaCode && lpaCfg.nonEmpty)
 
+    val kcoreCfg = graphCfg(
+      """{"type": "kcore", "srcCol": "src", "dstCol": "dst",
+         "k": 2, "rounds": 2}""")
+    val kcoreCode = graft.ops.Graphs.kCorePeel(e, "src", "dst", 2, 2)
+      .orderBy("node").collect().toSeq
+    assert(kcoreCfg == kcoreCode && kcoreCfg.nonEmpty)
+
     val epCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
         "source": {"type": "table", "dir": "$sf", "table": "documents"},
         "processors": [
