@@ -398,29 +398,23 @@ object RelationalQueries {
           Seq("view", "click", "purchase"), Seq("ts_ns", "event_id"))
           .orderBy("user_id")
       },
-      Some("""WITH ev AS (
-        |  SELECT user_id, event_type,
-        |    CAST(row_number() OVER
-        |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-        |      AS BIGINT) AS pos
-        |  FROM events),
-        |s1 AS (SELECT user_id, min(pos) AS p1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT ev.user_id, min(pos) AS p2
-        |       FROM ev JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND pos > p1
-        |       GROUP BY ev.user_id),
-        |s3 AS (SELECT ev.user_id, min(pos) AS p3
-        |       FROM ev JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND pos > p2
-        |       GROUP BY ev.user_id)
-        |SELECT s1.user_id, p1, s2.p2, s3.p3,
-        |  CAST(1 + CASE WHEN s2.p2 IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN s3.p3 IS NULL THEN 0 ELSE 1 END
-        |    AS BIGINT) AS depth
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin)),
+      Some(funnelOracle)),
+
+    // The identical funnel assembled from JSON through the config
+    // front-end (the reference's componentbuilder ethos): must
+    // reproduce events_funnel exactly — same oracle.
+    "pipeline_funnel_cfg" -> QueryDef(
+      (s, dir) => graft.pipeline.Pipeline.buildFrame(s, s"""{
+          "source": {"type": "events_raw", "dir": "$dir"},
+          "processors": [
+            {"type": "funnel", "entityCol": "user_id",
+             "typeCol": "event_type",
+             "steps": ["view", "click", "purchase"],
+             "orderCols": ["ts_ns", "event_id"]}
+          ],
+          "sink": {"type": "noop"}
+        }""").orderBy("user_id"),
+      Some(funnelOracle)),
 
     // The funnel's window-free scale form: steps compared on a packed
     // (ts, id) DECIMAL key instead of window positions — the whole
@@ -746,4 +740,31 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true)
   )
+
+  /** Shared by events_funnel and its config-assembled twin
+    * pipeline_funnel_cfg (lazy: referenced from inside `defs`). */
+  private lazy val funnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(row_number() OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      |      AS BIGINT) AS pos
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(pos) AS p1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(pos) AS p2
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND pos > p1
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(pos) AS p3
+      |       FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND pos > p2
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id, p1, s2.p2, s3.p3,
+      |  CAST(1 + CASE WHEN s2.p2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.p3 IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
 }
