@@ -528,20 +528,32 @@ object SkewProbe {
       val fev = graft.source.Changelog.events(spark, sfDir)
         .select("user_id", "event_type", "ts_ns", "event_id")
       val stepsSeq = Seq("view", "click", "purchase")
+      def funnelFrame(in: DataFrame, byKey: Boolean): DataFrame =
+        if (byKey) graft.ops.Funnel.stepsByKey(
+          // packedKey carries its own in-plan id<1e10 guard, so a
+          // fixture+k combination whose shifted event_ids cross a ts
+          // boundary fails LOUDLY instead of silently comparing a
+          // reordered funnel against the window form
+          in.withColumn("k",
+            graft.ops.Funnel.packedKey(col("ts_ns"), col("event_id"))),
+          "user_id", "event_type", stepsSeq, "k")
+        else graft.ops.Funnel.steps(in, "user_id", "event_type",
+          stepsSeq, Seq("ts_ns", "event_id"))
+      // the A/B claim is a PLAN difference — refuse to time two legs
+      // that plan the same way (the playbook's identical-plans trap)
+      locally {
+        val pw = funnelFrame(fev, byKey = false)
+          .queryExecution.executedPlan.toString
+        val pk = funnelFrame(fev, byKey = true)
+          .queryExecution.executedPlan.toString
+        require(pw.contains("Window") && !pk.contains("Window"),
+          "funnel probe legs lost their distinguishing plan shape " +
+            "(window form must contain Window; key form must not)")
+      }
       def funnelAt(n: Int, hot: Boolean, byKey: Boolean): (Double, Long) = {
         val base = scaled(fev, Seq("user_id", "event_id"), n)
         val in = mat(if (hot) hotUserPct(base, HotPct) else base, s"fn$n$hot")
-        val r = time {
-          val out =
-            if (byKey) graft.ops.Funnel.stepsByKey(
-              in.withColumn("k",
-                col("ts_ns").cast("decimal(38,0)") * lit(10000000000L)
-                  + col("event_id")),
-              "user_id", "event_type", stepsSeq, "k")
-            else graft.ops.Funnel.steps(in, "user_id", "event_type",
-              stepsSeq, Seq("ts_ns", "event_id"))
-          out.count()
-        }
+        val r = time(funnelFrame(in, byKey).count())
         sweepBlocks()
         r
       }

@@ -16,26 +16,31 @@ import org.apache.spark.sql.expressions.Window
   * Semantics: positions are `row_number` over (`orderCols`) within the
   * entity — `orderCols` MUST total-order events within an entity (tie
   * ties to a unique id; an ambiguous order would make the positions
-  * engine-dependent, the round-16 lead() lesson). Step i's position is
-  * the MINIMUM position of a type-sᵢ event STRICTLY AFTER step i−1's
+  * engine-dependent, the round-16 lead() lesson). Rows with a NULL in
+  * any order column are DROPPED before numbering: an unordered event
+  * has no position, and engines disagree on null placement (Spark
+  * sorts NULLS FIRST, DuckDB NULLS LAST — letting them through would
+  * shift every position on one side only). Step i's position is the
+  * MINIMUM position of a type-sᵢ event STRICTLY AFTER step i−1's
   * position (the earliest-completion convention; greedy-earliest is
   * optimal for reachability: if any assignment completes the funnel,
   * earliest-first does). Output: one row per entity that completed
   * step 1, with `p1..pk` (null once a step is unreached) and `depth` =
   * number of completed steps.
   *
-  * Scale shape: k chained (filter → map-side-combined min-aggregate →
-  * join) passes, ALL keyed on the entity — no arrays, no per-entity
-  * collect_list (a hot entity with 10⁸ events would materialize its
-  * whole history in one task under the collect-and-walk form; here it
-  * costs k partial mins), and every exchange reuses the same entity
-  * key so AQE folds them onto one partitioning. The event frame is
-  * filtered to the step's type BEFORE each shuffle — at k steps the
-  * total shuffled volume is Σ|type = sᵢ| rows, not k·|events|. The
-  * position numbering itself is one per-entity window over the events
-  * projected to (entity, order, type) — at 100 TB that window is the
-  * dominant exchange, and it is the irreducible one (any sequential
-  * semantics needs the per-entity order).
+  * Scale shape: the position numbering is a per-entity window over the
+  * events projected to (entity, order, type); the step chain is then k
+  * chained (filter → map-side-combined min-aggregate → join) passes,
+  * ALL keyed on the entity — no arrays, no per-entity collect_list (a
+  * hot entity with 10⁸ events would materialize its whole history in
+  * one task under the collect-and-walk form; here the steps cost k
+  * partial mins). Honest costs of THIS form: the window's exchange is
+  * written once (Spark reuses the identical exchange across the step
+  * branches) but the per-entity sort re-executes once per consuming
+  * step, and the hot entity's history still sorts in ONE task. Both
+  * costs vanish in [[stepsByKey]] — the window-free form — which is
+  * the recommended shape at scale whenever a unique orderable key can
+  * be packed; positions (event indices) are what this form buys.
   */
 object Funnel {
 
@@ -46,40 +51,27 @@ object Funnel {
     // window over the RENAMED key — the select below drops entityCol
     val w = Window.partitionBy("_ent").orderBy(orderCols.map(col): _*)
     val pos = events
+      .filter(orderCols.map(col(_).isNotNull).reduce(_ && _))
       .select(col(entityCol).as("_ent") +: col(typeCol).as("_ty") +:
         orderCols.map(col): _*)
       .withColumn("_pos", row_number().over(w).cast("long"))
       .select(col("_ent"), col("_ty"), col("_pos"))
-    // step 1: unconditional min position of the first type
-    var acc = pos.filter(col("_ty") === stepTypes.head)
-      .groupBy(col("_ent")).agg(min(col("_pos")).as("p1"))
-    stepTypes.zipWithIndex.drop(1).foreach { case (ty, i) =>
-      val prev = s"p$i"; val cur = s"p${i + 1}"
-      val nextMin = pos.filter(col("_ty") === ty)
-        .join(acc.select(col("_ent"), col(prev)), "_ent")
-        .filter(col(prev).isNotNull && col("_pos") > col(prev))
-        .groupBy(col("_ent")).agg(min(col("_pos")).as(cur))
-        .select(col("_ent").as("_e2"), col(cur))
-      acc = acc.join(nextMin, col("_ent") === col("_e2"), "left")
-        .drop("_e2")
-    }
-    val depth = stepTypes.indices.map(i => col(s"p${i + 1}").isNotNull)
-      .map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
-    acc.withColumn("depth", depth)
-      .withColumnRenamed("_ent", entityCol)
+    chain(pos, stepTypes, "p").withColumnRenamed("_ent", entityCol)
   }
 
   /** [[steps]] without the position window — the hot-entity scale
     * form. `keyCol` must be a UNIQUE, totally-ordered column within
-    * each entity (pack the timestamp and a unique id into one
-    * comparable value; exact integer packing keeps it engine-portable).
-    * Step i's key is the MIN key of a type-sᵢ event strictly after
-    * step i−1's key — the same greedy-earliest semantics, compared on
-    * keys instead of positions, so the SAME events are chosen and
-    * `depth` is identical; only the reported coordinate differs
-    * (k1..kk are keys, not indices).
+    * each entity ([[packedKey]] packs a timestamp and a unique id into
+    * one exact-decimal value). Rows with a NULL key are dropped, as in
+    * [[steps]]. Step i's key is the MIN key of a type-sᵢ event
+    * strictly after step i−1's key — the same greedy-earliest
+    * semantics, compared on keys instead of positions, so the SAME
+    * events are chosen and `depth` is identical; only the reported
+    * coordinate differs (k1..kk are keys, not indices).
     *
-    * Scale shape: the whole funnel is k chained map-side-combined
+    * Scale shape: the event frame is pre-filtered to the step types
+    * (semantics-preserving here — keys are intrinsic, unlike
+    * positions), then the whole funnel is k chained map-side-combined
     * min-aggregates + equi-joins on the entity key — NO window
     * anywhere in the plan (PlanSpec pins Window-free). [[steps]]'s
     * per-entity numbering window must sort a hot entity's entire
@@ -91,23 +83,54 @@ object Funnel {
   def stepsByKey(events: DataFrame, entityCol: String, typeCol: String,
       stepTypes: Seq[String], keyCol: String): DataFrame = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
-    val ev = events.select(col(entityCol).as("_ent"),
-      col(typeCol).as("_ty"), col(keyCol).as("_k"))
+    val ev = events
+      .filter(col(keyCol).isNotNull)
+      .filter(col(typeCol).isin(stepTypes.map(x => x: Any): _*))
+      .select(col(entityCol).as("_ent"), col(typeCol).as("_ty"),
+        col(keyCol).as("_pos"))
+    chain(ev, stepTypes, "k").withColumnRenamed("_ent", entityCol)
+  }
+
+  /** Pack (timestamp, unique id) into one exact-decimal funnel key:
+    * `tsNs · 10¹⁰ + id`. Requires `0 ≤ id < 10¹⁰` — enforced IN the
+    * plan (the guard rides inside the key expression, so column
+    * pruning can never drop it): a silently-overflowing id would cross
+    * timestamp boundaries and reorder events. Exact decimal(38)
+    * arithmetic keeps the key engine-portable (an ns epoch already
+    * exceeds double's 53-bit mantissa). */
+  def packedKey(tsNs: Column, id: Column): Column = {
+    val bound = lit(10000000000L)
+    val guard = coalesce(
+      assert_true(id >= 0 && id < bound,
+        lit("packedKey id out of [0, 1e10) — key would cross ts boundaries"))
+        .cast("decimal(38,0)"),
+      lit(0).cast("decimal(38,0)"))
+    tsNs.cast("decimal(38,0)") * bound + id + guard
+  }
+
+  /** The shared greedy step chain over a `(_ent, _ty, _pos)` frame:
+    * one min-agg for step 1, then per later step a type filter, an
+    * entity-keyed join to the previous step's coordinate, a
+    * strictly-after filter, and another min-agg — both public forms
+    * delegate here so the join condition, null propagation, and depth
+    * arithmetic can never drift apart. Output columns are
+    * `<prefix>1..<prefix>k` + `depth`. */
+  private def chain(ev: DataFrame, stepTypes: Seq[String],
+      prefix: String): DataFrame = {
     var acc = ev.filter(col("_ty") === stepTypes.head)
-      .groupBy(col("_ent")).agg(min(col("_k")).as("k1"))
+      .groupBy(col("_ent")).agg(min(col("_pos")).as(s"${prefix}1"))
     stepTypes.zipWithIndex.drop(1).foreach { case (ty, i) =>
-      val prev = s"k$i"; val cur = s"k${i + 1}"
+      val prev = s"$prefix$i"; val cur = s"$prefix${i + 1}"
       val nextMin = ev.filter(col("_ty") === ty)
         .join(acc.select(col("_ent"), col(prev)), "_ent")
-        .filter(col(prev).isNotNull && col("_k") > col(prev))
-        .groupBy(col("_ent")).agg(min(col("_k")).as(cur))
+        .filter(col(prev).isNotNull && col("_pos") > col(prev))
+        .groupBy(col("_ent")).agg(min(col("_pos")).as(cur))
         .select(col("_ent").as("_e2"), col(cur))
       acc = acc.join(nextMin, col("_ent") === col("_e2"), "left")
         .drop("_e2")
     }
-    val depth = stepTypes.indices.map(i => col(s"k${i + 1}").isNotNull)
+    val depth = stepTypes.indices.map(i => col(s"$prefix${i + 1}").isNotNull)
       .map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
     acc.withColumn("depth", depth)
-      .withColumnRenamed("_ent", entityCol)
   }
 }

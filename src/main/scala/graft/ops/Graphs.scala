@@ -442,29 +442,25 @@ object Graphs {
         .filter(col("n").isNotNull).distinct(), "n")
       .select(col("n"), lit(0L).as("dist"))
     graft.PhaseClock.time("bfs.edges") { e.count() }
-    var dist = s0
-    var frontier = s0
-    var liveRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    def pin(df: DataFrame): DataFrame = {
-      val r = df.rdd
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.localCheckpoint()
-      r.count()
-      liveRdds = r :: liveRdds
-      spark.createDataFrame(r, df.schema)
-    }
-    dist = pin(dist); frontier = dist
-    (1 to maxDepth).foreach { i =>
+    // rounds' blocks all stay pinned: every one is part of the result
+    // union, so none can be dropped early (Lineage.cut's RDD handle is
+    // deliberately unused here)
+    val (d0, _, n0) = Lineage.cut(s0)
+    var dist = d0
+    var frontier = d0
+    var frontierN = n0
+    var i = 1
+    while (i <= maxDepth && frontierN > 0) { // empty frontier: done
       graft.PhaseClock.count("bfs.rounds")
-      val next = graft.PhaseClock.time("bfs.round") {
-        pin(bfsRoundFrame(frontier, e, dist, i))
+      val (next, _, n) = graft.PhaseClock.time("bfs.round") {
+        Lineage.cut(bfsRoundFrame(frontier, e, dist, i))
       }
       frontier = next
+      frontierN = n
       dist = dist.unionByName(next)
+      i += 1
     }
     e.unpersist(blocking = false)
-    // the reached set stays pinned for the caller; old rounds' blocks
-    // are all part of the result union, so none can be dropped early
     dist.select(col("n").as("node"), col("dist"))
   }
 
@@ -493,33 +489,31 @@ object Graphs {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kCorePeel needs k >= 1 (got $k)")
     require(rounds >= 0, s"kCorePeel needs rounds >= 0 (got $rounds)")
-    val spark = edges.sparkSession
-    var prev: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-    def pin(df: DataFrame): DataFrame = {
-      val r = df.rdd
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.localCheckpoint()
-      r.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(r)
-      spark.createDataFrame(r, df.schema)
-    }
-    var e = pin(simpleUndirected(edges, srcCol, dstCol))
-    (1 to rounds).foreach { _ =>
+    // the edge frame only SHRINKS and the result reads only the FINAL
+    // round, so each cut drops the previous round's blocks
+    var (e, eRdd, eN) = Lineage.cut(simpleUndirected(edges, srcCol, dstCol))
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
       graft.PhaseClock.count("kcore.rounds")
       // keep is lazy — the whole round (degree agg + semi-joins)
-      // executes at the pin below, so one phase covers it honestly
+      // executes at the cut below, so one phase covers it honestly
       val keep = degreesOf(e).filter(col("degree") >= k).select(col("n"))
-      e = graft.PhaseClock.time("kcore.peel") {
-        pin(e
+      val (e2, r2, n2) = graft.PhaseClock.time("kcore.peel") {
+        Lineage.cut(e
           .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v")))
       }
+      eRdd.unpersist(blocking = false)
+      // nothing peeled: every node already has degree >= k, so all
+      // remaining rounds are no-ops — identical result, skip them
+      converged = n2 == eN
+      e = e2; eRdd = r2; eN = n2
+      round += 1
     }
-    val out = degreesOf(e).select(col("n").as("node"), col("degree"))
     // the final edge frame stays pinned: the returned plan reads it
-    out
+    degreesOf(e).select(col("n").as("node"), col("degree"))
   }
 
   /** One BFS round as a frame — the loop body, exposed so the plan

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   * yield documents at week c+n.
   *
   * Exact integer arithmetic end to end: periods are `tsNs div
-  * periodNs` (floor division on longs), so the DuckDB oracle replays
-  * the identical bucketing and the gate hash-compares every cell.
+  * periodNs` — integer division TRUNCATING TOWARD ZERO, matching
+  * DuckDB `//` on integers, so the oracle replays the identical
+  * bucketing and the gate hash-compares every cell. Timestamps are
+  * assumed non-negative (post-1970): for negative epochs truncation
+  * would give period 0 a double width, so pre-epoch data needs an
+  * explicit offset before bucketing. Rows with a NULL entity or
+  * timestamp are dropped (an unplaceable activity has no cell).
   *
   * Scale shape: one map-side-combined min-agg per entity (the cohort
   * assignment), one entity-keyed equi-join to re-attach it, one

@@ -425,8 +425,7 @@ object RelationalQueries {
       (s, dir) => {
         val e = graft.source.Changelog.events(s, dir)
           .withColumn("k",
-            col("ts_ns").cast("decimal(38,0)") * lit(10000000000L)
-              + col("event_id"))
+            graft.ops.Funnel.packedKey(col("ts_ns"), col("event_id")))
         graft.ops.Funnel.stepsByKey(e, "user_id", "event_type",
           Seq("view", "click", "purchase"), "k")
           .orderBy("user_id")
@@ -434,7 +433,8 @@ object RelationalQueries {
       Some("""WITH ev AS (
         |  SELECT user_id, event_type,
         |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
-        |  FROM events),
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
         |       WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT ev.user_id, min(k) AS k2
@@ -468,7 +468,8 @@ object RelationalQueries {
       Some("""WITH act AS (
         |  SELECT DISTINCT user_id,
         |    epoch_ns(ts) // 86400000000000 AS p
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
         |SELECT cohort, act.p - cohort AS offset,
         |       count(*) AS n_active
@@ -749,7 +750,8 @@ object RelationalQueries {
       |    CAST(row_number() OVER
       |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
       |      AS BIGINT) AS pos
-      |  FROM events),
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
       |s1 AS (SELECT user_id, min(pos) AS p1 FROM ev
       |       WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT ev.user_id, min(pos) AS p2
