@@ -34,11 +34,12 @@ import org.apache.spark.sql.expressions.Window
   * ALL keyed on the entity — no arrays, no per-entity collect_list (a
   * hot entity with 10⁸ events would materialize its whole history in
   * one task under the collect-and-walk form; here the steps cost k
-  * partial mins). Honest costs of THIS form: the window's exchange is
-  * written once (Spark reuses the identical exchange across the step
-  * branches) but the per-entity sort re-executes once per consuming
-  * step, and the hot entity's history still sorts in ONE task. Both
-  * costs vanish in [[stepsByKey]] — the window-free form — which is
+  * partial mins). Honest costs of THIS form: the position window
+  * subtree appears once per consuming step in the plan (k re-sorts;
+  * AQE may share the identical shuffle stages at runtime but the
+  * sort+window above them re-executes), and the hot entity's history
+  * sorts in ONE task. Both costs vanish in [[stepsByKey]] — the
+  * window-free form — which is
   * the recommended shape at scale whenever a unique orderable key can
   * be packed; positions (event indices) are what this form buys.
   */
