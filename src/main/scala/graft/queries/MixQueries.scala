@@ -113,6 +113,30 @@ object MixQueries {
         |  (SELECT doc_id, lang FROM u ORDER BY u, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Exact-size deterministic sample PER STRATUM: exactly 40 docs per
+    // language, best-first in (hash DESC, id) order — mix_exact_n's
+    // per-group form, composed from the salted two-phase capPerKey
+    // (the hot stratum spreads over salts; the global window sees
+    // ≤ n·salts rows per language, never the stratum's corpus). Draws
+    // nest across n like the global form; rk is the within-stratum
+    // rank, so rk <= m IS the size-m draw.
+    "mix_exact_n_strata" -> QueryDef(
+      (s, dir) => {
+        Mixing.capPerKey(
+          table(s, dir, "documents")
+            .withColumn("_u", Mixing.hashSlice(col("doc_id"))),
+          "lang", "_u", "doc_id", n = 40)
+          .select("doc_id", "lang", "rk")
+          .orderBy("doc_id")
+      },
+      Some(s"""$uCte
+        |SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY lang ORDER BY u DESC, doc_id) AS BIGINT) AS rk
+        |  FROM u)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin)),
+
     // Token-budget mixing: cut en to 6000 tokens and de to 2000 (other
     // langs untouched) by the deterministic hash-slice threshold — the
     // "sample each language down to N training tokens" primitive.
