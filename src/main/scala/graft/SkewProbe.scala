@@ -514,6 +514,51 @@ object SkewProbe {
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
+    // ── k-core peeling under a hub node ─────────────────────────────
+    // Edge list ×k, ~30% of edges re-pointed at ONE node (the
+    // triangle probe's hub construction). The path no other probe
+    // covers: the per-round node-keyed SEMI-JOINS — the hub's 0.3·|E|
+    // edge rows all carry the same u, so a shuffled semi-join would
+    // put them on one task (the keep side is per-NODE, so Spark
+    // broadcasts it while it fits; at 100-TB node counts it shuffles
+    // and the AQE skew split is the mitigation). Degree agg is the
+    // usual map-side-combined hub argument. Uniform comparator:
+    // same volume, untouched keys.
+    if (want("skew_kcore_hub")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .select(col("l_partkey").cast("long").as("src"),
+          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      def kcoreAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
+        val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
+        val e = if (hot) e0.withColumn("dst",
+            when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
+              lit(0L)).otherwise(col("dst")))
+          else e0
+        val in = mat(e, s"kc$n$hot")
+        PhaseClock.reset()
+        val r = time(graft.ops.Graphs.kCorePeel(in, "src", "dst",
+          k = 3, rounds = 3).count())
+        val ph = PhaseClock.snapshot()
+        sweepBlocks()
+        (r._1, r._2, ph)
+      }
+      kcoreAt(1, hot = true) // warm
+      val (c1, n1, _) = kcoreAt(1, hot = true)
+      val (ck, nk, phk) = kcoreAt(k, hot = true)
+      val (cu, nu, _) = kcoreAt(k, hot = false)
+      val peelS = phk.getOrElse("kcore.peel", 0.0)
+      println(s"""{"probe":"skew_kcore_hub","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$c1,"secs_k":$ck,"secs_k_uniform":$cu,""" +
+        s""""core_1":$n1,"core_k":$nk,"core_k_uniform":$nu,""" +
+        s""""peel_k":$peelS,""" +
+        s""""ratio":${ck / c1},"skew_tax":${ck / cu},""" +
+        s""""bottleneck":"degree agg + semi-join peel (kcore.peel)","sf":"$sfDir"}""")
+    }
+
     // ── Funnel under a hot user ─────────────────────────────────────
     // events ×k, then ~30% of all rows redirected onto ONE user: that
     // user's event history is 30% of the corpus at every k. The
