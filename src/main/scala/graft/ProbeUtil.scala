@@ -30,6 +30,20 @@ private[graft] object ProbeUtil {
     * [[scaled]]'s per-column spans would desynchronize the endpoints
     * whenever max(src) != max(dst) (the global max id need not appear
     * on both sides), breaking the disjoint-copies premise. */
+  /** The probes' shared part graph: within-order next-part edges off
+    * lineitem, order tie-broken on the value (the round-16 lead()
+    * lesson) — ONE implementation so every graph probe measures the
+    * same edge multiset. */
+  def partEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .select(col("l_partkey").cast("long").as("src"),
+        lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
+      .filter(col("dst").isNotNull)
+  }
+
   def sharedSpanCopies(eBase: DataFrame, n: Int): DataFrame = {
     val span = eBase.agg(greatest(max(col("src")), max(col("dst"))))
       .head().getLong(0) + 1

@@ -396,13 +396,7 @@ object SkewProbe {
     // uniform), so no hot join partition exists to split. Uniform
     // comparator: identical volume, dsts untouched.
     if (want("skew_pagerank_hotdst")) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .select(col("l_partkey").cast("long").as("src"),
-          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
-        .filter(col("dst").isNotNull)
+      val eBase = ProbeUtil.partEdges(spark, sfDir)
       def scaledEdges(n: Int): DataFrame = ProbeUtil.sharedSpanCopies(eBase, n)
       def prAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
         val e0 = scaledEdges(n)
@@ -449,13 +443,7 @@ object SkewProbe {
     // tax. wedges_oriented is measured from the op's own oriented
     // out-degrees; the timed legs run the full gated operator.
     if (want("skew_triangles_hub")) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .select(col("l_partkey").cast("long").as("src"),
-          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
-        .filter(col("dst").isNotNull)
+      val eBase = ProbeUtil.partEdges(spark, sfDir)
       def edgesAt(n: Int, hot: Boolean): DataFrame = {
         val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
         val e = if (hot) e0.withColumn("dst",
@@ -525,13 +513,7 @@ object SkewProbe {
     // usual map-side-combined hub argument. Uniform comparator:
     // same volume, untouched keys.
     if (want("skew_kcore_hub")) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .select(col("l_partkey").cast("long").as("src"),
-          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
-        .filter(col("dst").isNotNull)
+      val eBase = ProbeUtil.partEdges(spark, sfDir)
       def kcoreAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
         val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
         val e = if (hot) e0.withColumn("dst",
@@ -632,13 +614,7 @@ object SkewProbe {
     // same untouched graph, seeded at a ~30% random subset of sources
     // (the same round-1 out-edge volume, spread over many seeds).
     if (want("skew_bfs_hub")) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-      val eBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .select(col("l_partkey").cast("long").as("src"),
-          lead(col("l_partkey"), 1).over(w).cast("long").as("dst"))
-        .filter(col("dst").isNotNull)
+      val eBase = ProbeUtil.partEdges(spark, sfDir)
       def bfsAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
         val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
         val e = if (hot) e0.withColumn("src",

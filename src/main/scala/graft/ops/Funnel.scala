@@ -101,8 +101,12 @@ object Funnel {
     * exceeds double's 53-bit mantissa). */
   def packedKey(tsNs: Column, id: Column): Column = {
     val bound = lit(10000000000L)
+    // null-TOLERANT guard: a NULL id must yield a NULL key (which the
+    // funnel forms then DROP, matching the oracle's IS NOT NULL) — an
+    // assert over the bare bound would raise on null, turning the
+    // documented drop semantics into a job crash
     val guard = coalesce(
-      assert_true(id >= 0 && id < bound,
+      assert_true(id.isNull || (id >= 0 && id < bound),
         lit("packedKey id out of [0, 1e10) — key would cross ts boundaries"))
         .cast("decimal(38,0)"),
       lit(0).cast("decimal(38,0)"))
