@@ -464,6 +464,76 @@ object Graphs {
     dist.select(col("n").as("node"), col("dist"))
   }
 
+  /** Per-LANDMARK BFS distances over the directed edge graph:
+    * (landmark, node, dist) for every node reachable from each landmark
+    * within `maxDepth` hops — the standard landmark/pivot scheme for
+    * estimating centrality on graphs where all-pairs distances are
+    * unpayable (closeness/harmonic centrality from a seed sample is
+    * the web-graph page-importance estimate that complements
+    * [[pageRank]]: rank measures endorsement mass, centrality measures
+    * reach). [[bfsLevels]] is the lm-collapsed form (min over
+    * landmarks); here the frontier key is the COMPOSITE (landmark,
+    * node), so each landmark's wave expands independently in the same
+    * per-round jobs.
+    *
+    * Scale shape: identical to [[bfsLevels]] with the key widened —
+    * frontier × edges equi-join on the node key, map-side-combined
+    * distinct on (lm, dst), keyed anti-join against settled pairs;
+    * total join work = Σ|reached pairs| ≤ |landmarks|·|V| (choose the
+    * landmark count, pay linearly — the whole point of sampling);
+    * per-round lineage cuts, empty-frontier early exit. */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: DataFrame, lmCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0,
+      s"landmarkDistances needs maxDepth >= 0 (got $maxDepth)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    val s0 = nodes.join(
+      landmarks.select(col(lmCol).cast("long").as("n"))
+        .filter(col("n").isNotNull).distinct(), "n")
+      .select(col("n").as("lm"), col("n"), lit(0L).as("dist"))
+    graft.PhaseClock.time("lmbfs.edges") { e.count() }
+    val (d0, _, n0) = Lineage.cut(s0)
+    var dist = d0
+    var frontier = d0
+    var frontierN = n0
+    var i = 1
+    while (i <= maxDepth && frontierN > 0) {
+      graft.PhaseClock.count("lmbfs.rounds")
+      val (next, _, n) = graft.PhaseClock.time("lmbfs.round") {
+        Lineage.cut(frontier
+          .join(e.select(col("src").as("n"), col("dst")), "n")
+          .select(col("lm"), col("dst").as("n")).distinct()
+          .withColumn("dist", lit(i).cast("long"))
+          .join(dist, Seq("lm", "n"), "left_anti"))
+      }
+      frontier = next
+      frontierN = n
+      dist = dist.unionByName(next)
+      i += 1
+    }
+    e.unpersist(blocking = false)
+    dist.select(col("lm").as("landmark"), col("n").as("node"), col("dist"))
+  }
+
+  /** Harmonic-centrality estimate from [[landmarkDistances]]: per
+    * node, the number of landmarks that reach it and Σ 1e9 div dist
+    * over those landmarks (self pairs, dist 0, excluded — harmonic
+    * centrality's own convention, and exact fixed-point integer
+    * arithmetic keeps it engine-portable). One map-side-combined hash
+    * agg over the (landmark, node, dist) pairs. */
+  def harmonicCentrality(lmDist: DataFrame, scale: Long = 1000000000L)
+      : DataFrame =
+    lmDist.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(expr(s"${scale}L div dist")).as("harm_units"))
+
   /** k-core peeling over the canonical undirected simple graph: run
     * `rounds` synchronous peel rounds — drop every node whose CURRENT
     * degree is < k, discard its edges, repeat — and return the

@@ -218,6 +218,20 @@ object Pipeline {
       graft.ops.Graphs.bfsLevels(df, src, c.get("dstCol").asText(),
         seeds, "seed", maxDepth = c.get("maxDepth").asInt())
     }),
+    // landmark harmonic-centrality estimate over the incoming edge
+    // frame; landmark sampling mirrors the bfs stage's seedExpr form
+    "harmonic_centrality" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val src = c.get("srcCol").asText(); val dst = c.get("dstCol").asText()
+      // landmarkExpr is a NODE predicate over the column `lm` (both
+      // endpoints are candidates), e.g. "lm % 11 = 0"
+      val lms = df.select(col(src).as("lm"))
+        .unionByName(df.select(col(dst).as("lm")))
+        .filter(expr(c.get("landmarkExpr").asText()))
+      graft.ops.Graphs.harmonicCentrality(
+        graft.ops.Graphs.landmarkDistances(df, src, dst, lms, "lm",
+          maxDepth = c.get("maxDepth").asInt()))
+    }),
     // ordered-step funnel over an event frame; "keyCol" (a unique
     // orderable key) selects the window-free hot-entity form
     "funnel" -> (c => df =>

@@ -227,6 +227,41 @@ object GraphQueries {
         |${bfsRound(3, "d2")}
         |SELECT n AS node, dist FROM d3 ORDER BY node""".stripMargin)),
 
+    // Harmonic centrality from the ~1/11 landmark sample, 3 hops over
+    // the directed part graph — the landmark/pivot centrality estimate
+    // (reach complements pageRank's endorsement mass). Per-landmark
+    // BFS waves expand in the same per-round jobs on the composite
+    // (landmark, node) key; the oracle replays the unrolled min-union
+    // rounds and the exact fixed-point 1e9 div dist fold.
+    "graph_closeness" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        // landmarks from BOTH endpoints (the oracle samples all graph
+        // nodes; a dst-only node can be a landmark too)
+        val lms = e.select(col("src").as("lm"))
+          .unionByName(e.select(col("dst").as("lm")))
+          .filter(col("lm") % 11 === 0)
+        Graphs.harmonicCentrality(
+          Graphs.landmarkDistances(e, "src", "dst", lms, "lm",
+            maxDepth = 3)).orderBy("node")
+      },
+      Some(s"""WITH raw AS (
+        |  SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |d0 AS (SELECT n AS lm, n, CAST(0 AS BIGINT) AS dist
+        |       FROM nodes WHERE n % 11 = 0),
+        |${lmRound(1, "d0")},
+        |${lmRound(2, "d1")},
+        |${lmRound(3, "d2")}
+        |SELECT n AS node, count(*) AS n_landmarks,
+        |  CAST(sum(1000000000 // dist) AS BIGINT) AS harm_units
+        |FROM d3 WHERE dist > 0
+        |GROUP BY n ORDER BY node""".stripMargin)),
+
     // 2-core after 3 peel rounds over the undirected part graph — the
     // link-farm/tendril cleaning primitive. The op peels synchronously
     // (degree agg + two node-keyed semi-joins per round, edge frame
@@ -243,6 +278,14 @@ object GraphQueries {
         |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
         |GROUP BY n ORDER BY node""".stripMargin))
   )
+
+  /** One landmark-BFS min-union round over (lm, n) states. */
+  private def lmRound(i: Int, prev: String): String =
+    s"""c$i AS (SELECT DISTINCT $prev.lm, e.dst AS n
+       |  FROM e JOIN $prev ON $prev.n = e.src),
+       |d$i AS (SELECT lm, n, min(dist) AS dist FROM
+       |  (SELECT * FROM $prev UNION ALL
+       |   SELECT lm, n, CAST($i AS BIGINT) FROM c$i) GROUP BY lm, n)""".stripMargin
 
   /** One synchronous peel round: nodes with current degree >= k
     * survive; edges keep only surviving endpoints. */

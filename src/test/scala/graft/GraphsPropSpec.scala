@@ -246,6 +246,41 @@ class GraphsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("landmarkDistances + harmonicCentrality equal the per-seed BFS model") {
+    val gen = for {
+      nEdges <- Gen.choose(1, 16)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      lms <- Gen.someOf(0L to 9L)
+      depth <- Gen.choose(0, 4)
+    } yield (edges, lms.toSet, depth)
+    val prop = Prop.forAll(gen) { case (edges, lms, depth) =>
+      val lmDf = lms.toList.toDF("lm")
+      val got = graft.ops.Graphs.landmarkDistances(
+        edges.toDF("s", "d"), "s", "d", lmDf, "lm", depth)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // per-landmark sequential BFS (bfsModel with a single seed)
+      val want = lms.flatMap(l => bfsModel(edges, Set(l), depth)
+        .map { case (n, d) => (l, n) -> d }).toMap
+      val gotH = graft.ops.Graphs.harmonicCentrality(
+        graft.ops.Graphs.landmarkDistances(
+          edges.toDF("s", "d"), "s", "d", lmDf, "lm", depth))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val wantH = want.toSeq.filter(_._2 > 0).groupBy(_._1._2)
+        .map { case (n, xs) =>
+          n -> (xs.size.toLong, xs.map(x => 1000000000L / x._2).sum) }
+      if (got != want || gotH != wantH)
+        println(s"MISMATCH edges=$edges lms=$lms depth=$depth\n" +
+          s" got=$got\n want=$want\n gotH=$gotH\n wantH=$wantH")
+      got == want && gotH == wantH
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** Sequential synchronous peel model over the simple graph. */
   private def kcoreModel(edges: List[(Long, Long)], k: Int,
       rounds: Int): Map[Long, Long] = {

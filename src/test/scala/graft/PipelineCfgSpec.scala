@@ -192,6 +192,17 @@ class PipelineCfgSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(kcoreCfg == kcoreCode && kcoreCfg.nonEmpty)
 
+    val hcCfg = graphCfg(
+      """{"type": "harmonic_centrality", "srcCol": "src", "dstCol": "dst",
+         "landmarkExpr": "lm % 11 = 0", "maxDepth": 2}""")
+    val hcLms = e.select(col("src").as("lm"))
+      .unionByName(e.select(col("dst").as("lm")))
+      .filter(col("lm") % 11 === 0)
+    val hcCode = graft.ops.Graphs.harmonicCentrality(
+      graft.ops.Graphs.landmarkDistances(e, "src", "dst", hcLms, "lm", 2))
+      .orderBy("node").collect().toSeq
+    assert(hcCfg == hcCode && hcCfg.nonEmpty)
+
     val epCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
         "source": {"type": "table", "dir": "$sf", "table": "documents"},
         "processors": [
