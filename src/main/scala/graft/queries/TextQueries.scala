@@ -19,6 +19,25 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Corpus vocabulary head: the 100 most frequent tokens by exact
+    // count — the tokenizer-coverage / vocab-induction report a
+    // training pipeline runs before choosing a vocab. One explode +
+    // map-side-combined count, then top-n (TakeOrderedAndProject —
+    // each partition keeps a local 100-heap; the token table never
+    // globally sorts). Ties break on the token itself.
+    "text_vocab" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(100)
+      },
+      Some(s"""$tokCte,
+        |c AS (SELECT tok, count(*) AS cnt
+        |      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok)
+        |SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 100""".stripMargin)),
+
     // The FUSED profile: every text signal gated individually below
     // (quality counters, language scores, duplicate-n-gram fractions,
     // fingerprint, token estimates) computed in ONE scan of the corpus
