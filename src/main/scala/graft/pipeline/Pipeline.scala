@@ -560,6 +560,10 @@ object Pipeline {
     // query so a shared session's other streams never trip it
     watchdog.restrictTo(q.id)
     graft.PhaseClock.time("drain") { q.awaitTermination() }
+    // the gauge read below races async listener delivery — wait for
+    // THIS query's termination event (FIFO bus ⇒ all its progress
+    // events are in) before reading; see PipelineMetrics.sawTermination
+    metrics.awaitDelivery(q.id)
     } finally {
       poller.interrupt()
       spark.streams.removeListener(watchdog)

@@ -430,28 +430,56 @@ object RelationalQueries {
           Seq("view", "click", "purchase"), "k")
           .orderBy("user_id")
       },
-      Some("""WITH ev AS (
-        |  SELECT user_id, event_type,
-        |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
-        |  FROM events
-        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
-        |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT ev.user_id, min(k) AS k2
-        |       FROM ev JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND k > k1
-        |       GROUP BY ev.user_id),
-        |s3 AS (SELECT ev.user_id, min(k) AS k3
-        |       FROM ev JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND k > k2
-        |       GROUP BY ev.user_id)
-        |SELECT s1.user_id, k1, s2.k2, s3.k3,
-        |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
-        |    AS BIGINT) AS depth
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin)),
+      Some(funnelKeysOracle)),
+
+    // The streaming funnel, gated END TO END: drain the event stream as
+    // 4 ts-SCRAMBLED micro-batches (sliced by `value`, so a user's
+    // events arrive out of ts order across batches), fold per-user
+    // state via flatMapGroupsWithState, upsert update-mode emissions,
+    // and hash-compare the FINAL per-user chain against the same oracle
+    // as the batch key-form funnel — the streaming op is exact under
+    // cross-batch disorder or this gate fails.
+    "stream_funnel" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+        try {
+          val raw = graft.streaming.ChangeStream.fromEventsRawStream(
+            s, dir, slices = 4, sliceBy = "event_id % 4")
+          val upd = graft.streaming.ChangeStream.streamingFunnel(
+            raw, Seq("view", "click", "purchase"))
+          val q = upd.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[
+                 graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+                b.withColumn("_b", lit(id)).write
+                  .mode("append").parquet(s"$tmp/out")
+                ()
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+          // final chain per user = its LAST emission (state is
+          // cumulative); derive the packed step keys the oracle speaks
+          val fin = s.read.parquet(s"$tmp/out")
+          val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
+          val last = fin.withColumn("_r", row_number().over(w))
+            .filter(col("_r") === 1)
+          val ks = (1 to 3).map { i =>
+            when(col("depth") >= i,
+              graft.ops.Funnel.packedKey(
+                element_at(col("ts_arr"), i), element_at(col("id_arr"), i)))
+              .as(s"k$i")
+          }
+          val res = last.select(col("user_id") +: ks :+ col("depth"): _*)
+            .orderBy("user_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some(funnelKeysOracle)),
 
     // Cohort retention: bucket users by first-activity day, count
     // active users per (cohort, day-offset) cell — all in exact
@@ -765,6 +793,32 @@ object RelationalQueries {
       |SELECT s1.user_id, p1, s2.p2, s3.p3,
       |  CAST(1 + CASE WHEN s2.p2 IS NULL THEN 0 ELSE 1 END
       |         + CASE WHEN s3.p3 IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
+  /** Shared by events_funnel_keys and the streaming funnel gate
+    * stream_funnel (lazy: referenced from inside `defs`). */
+  private lazy val funnelKeysOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(k) AS k2
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND k > k1
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(k) AS k3
+      |       FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND k > k2
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id, k1, s2.k2, s3.k3,
+      |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
       |    AS BIGINT) AS depth
       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id

@@ -78,6 +78,19 @@ object ChangeStream {
       Some(schema), sliceBy, slices), schema)
   }
 
+  /** [[fromEventsStream]] WITHOUT the changelog projection: the raw
+    * event stream (ts normalized to ts/ts_ns), for event-sequence
+    * analytics that want user_id/event_type rather than the changelog
+    * view — the streaming twin of the batch `events_raw` source. */
+  def fromEventsRawStream(spark: SparkSession, sfDir: String,
+      slices: Int = 1, sliceBy: String = "event_id"): DataFrame = {
+    val (drop, schema) = stageEvents(spark, sfDir, slices, sliceBy)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop)
+    graft.source.Changelog.normalizeTs(raw)
+  }
+
   /** The crawl-increment analog of [[fromEventsStream]]: the `documents`
     * table tailed as an unbounded (doc_id, text, …) stream — `slices`
     * doc_id-range segments arriving one micro-batch each. This is the
@@ -222,6 +235,102 @@ object ChangeStream {
     * (`Trigger.ProcessingTime(...)`) — pending timeouts make the default
     * as-fast-as-possible trigger busy-loop empty batches, which also
     * starves `processAllAvailable` in tests. */
+  /** One funnel event after projection/filtering (only step-type events
+    * with non-null key fields reach the state). */
+  case class FunnelEvent(user: Long, ty: String, ts: Long, id: Long)
+
+  /** Per-user funnel state: for each step TYPE, the (ts, id) keys seen
+    * so far, kept sorted. This is the EXACT disorder-tolerant form — a
+    * late-arriving early event can re-decide every step of the greedy
+    * chain, so nothing less than the per-type key sets suffices; state
+    * is bounded by the user's step-type events only (non-step events
+    * never enter). A production deployment bounds it further with a
+    * watermark that folds-and-evicts the matured prefix, trading
+    * late-data exactness for state; the exact form is what the gate can
+    * prove equal to the batch operator. */
+  case class FunnelProgress(keys: Map[String, Seq[(Long, Long)]])
+
+  /** One funnel update: the user's current chain after this batch —
+    * step coordinates as parallel (ts, id) arrays of length `depth`. */
+  case class FunnelUpd(user_id: Long, depth: Long,
+      ts_arr: Seq[Long], id_arr: Seq[Long])
+
+  /** The per-user funnel fold, extracted PURE (the [[foldGroup]]
+    * pattern): merge a batch's events into the per-type sorted key
+    * sets, replay the greedy earliest-completion chain ([[graft.ops.
+    * Funnel]] semantics: step i = min key of type sᵢ strictly after
+    * step i−1's), emit the chain if step 1 is reached. Recomputing the
+    * chain from the sets — not patching it — is what makes ARBITRARY
+    * cross-batch disorder exact: the sets are order-insensitive, and
+    * the chain is a pure function of them. */
+  private[graft] def funnelFold(user: Long, stepTypes: Seq[String],
+      prev: Option[FunnelProgress], batch: Seq[FunnelEvent])
+      : (FunnelProgress, Option[FunnelUpd]) = {
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val base = prev.map(_.keys).getOrElse(Map.empty[String, Seq[(Long, Long)]])
+    val merged = batch.groupBy(_.ty).foldLeft(base) { case (m, (ty, evs)) =>
+      m.updated(ty,
+        (m.getOrElse(ty, Nil) ++ evs.map(e => (e.ts, e.id))).distinct.sorted)
+    }
+    var prevKey: Option[(Long, Long)] = None
+    var dead = false
+    val picks = Seq.newBuilder[(Long, Long)]
+    stepTypes.foreach { ty =>
+      if (!dead) {
+        val ks = merged.getOrElse(ty, Nil)
+        val pick = prevKey match {
+          case None => ks.headOption
+          case Some(p) => ks.find(k => ord.gt(k, p))
+        }
+        pick match {
+          case Some(k) => picks += k; prevKey = Some(k)
+          case None => dead = true
+        }
+      }
+    }
+    val chain = picks.result()
+    val upd =
+      if (chain.isEmpty) None
+      else Some(FunnelUpd(user, chain.size.toLong,
+        chain.map(_._1), chain.map(_._2)))
+    (FunnelProgress(merged), upd)
+  }
+
+  /** Streaming [[graft.ops.Funnel]]: the incremental funnel over an
+    * unbounded raw event stream, EXACT under arbitrary cross-batch
+    * event disorder (spec-pinned against the batch operator with
+    * ts-scrambled slices). Each batch emits the updated chain for every
+    * user that received step-type events — update-mode upserts keyed on
+    * the user; the final row per user equals the batch funnel over the
+    * full history, by induction on the pure [[funnelFold]].
+    *
+    * Scale shape: one groupByKey exchange on the user (the state
+    * operator's irreducible shuffle); events are filtered to the step
+    * types BEFORE the exchange, so the shuffled volume is Σ|type∈steps|
+    * rows per batch, and state is per-user step-type keys only. */
+  def streamingFunnel(raw: DataFrame, stepTypes: Seq[String])
+      : Dataset[FunnelUpd] = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    import raw.sparkSession.implicits._
+    val ev = raw
+      .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
+      .filter(col("user_id").isNotNull && col("ts_ns").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id").as("user"), col("event_type").as("ty"),
+        col("ts_ns").as("ts"), col("event_id").as("id"))
+      .as[FunnelEvent]
+    ev.groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelProgress, FunnelUpd](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) =>
+          val (next, upd) = funnelFold(user, stepTypes,
+            state.getOption, events.toSeq)
+          state.update(next)
+          upd.iterator
+      }
+  }
+
   def statefulCompact(flat: Dataset[FlatEvent],
       ttl: Option[java.time.Duration] = None): Dataset[NetRow] = {
     import flat.sparkSession.implicits._

@@ -17,11 +17,31 @@ final class PipelineMetrics extends StreamingQueryListener {
       watermarkMs: Option[Long], triggerMs: Long)
 
   private val last = new AtomicReference[Option[Snapshot]](None)
+  private val terminated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
   def latest: Option[Snapshot] = last.get()
 
+  /** Listener events are delivered ASYNCHRONOUSLY: `awaitTermination`
+    * returning does not mean the final batch's progress event has
+    * reached this listener — under a busy bus (a long-lived shared
+    * session) the read can race ahead of delivery and see None (a
+    * once-flaky spec caught exactly this). The bus is FIFO, and the
+    * termination event is posted AFTER every progress event of its
+    * query, so "saw the termination" ⇒ "saw all progress". */
+  def sawTermination(id: java.util.UUID): Boolean = terminated.contains(id)
+
+  /** Bounded wait for the query's termination event to be delivered —
+    * call after `awaitTermination`, before reading [[latest]]. */
+  def awaitDelivery(id: java.util.UUID, timeoutMs: Long = 5000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!sawTermination(id) && System.nanoTime() < deadline)
+      Thread.sleep(10)
+  }
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    terminated.add(event.id)
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress

@@ -75,14 +75,18 @@ object Staging {
       // an empty source yields one all-null agg row (not zero rows):
       // guard the null, not just headOption, so the drain stays empty
       // instead of throwing on getLong
-      val (lo, hi) = df.agg(min(sliceBy), max(sliceBy)).collect()
+      // sliceBy is any LONG-valued SQL expression (a bare column name is
+      // the common case; "event_id % 4" deliberately SCRAMBLES event
+      // time across slices — the disorder harness the streaming-funnel
+      // gate leans on)
+      val (lo, hi) = df.agg(min(expr(sliceBy)), max(expr(sliceBy))).collect()
         .headOption.filterNot(_.isNullAt(0))
         .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
       val span = (hi - lo + slices) / slices
       (0 until slices).foreach { i =>
         val out = java.nio.file.Files.createTempDirectory("graft-slice")
-        df.filter(col(sliceBy) >= lo + i * span &&
-            col(sliceBy) < lo + (i + 1L) * span)
+        df.filter(expr(sliceBy) >= lo + i * span &&
+            expr(sliceBy) < lo + (i + 1L) * span)
           .coalesce(1).write.mode("overwrite").parquet(out.toString)
         val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
         val dst = drop.resolve(s"slice-$i.parquet")

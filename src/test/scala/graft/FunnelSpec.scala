@@ -123,6 +123,59 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("funnelFold is exact under ANY batch split and arrival order") {
+    // the streaming funnel's whole claim: fold the same events in any
+    // batching and any within/cross-batch order — the final chain must
+    // equal the batch operator's greedy walk over the full stream
+    import graft.streaming.ChangeStream.{FunnelEvent, funnelFold}
+    val gen = for {
+      evs <- evGen
+      steps <- stepsGen
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (evs, steps, seed)
+    val prop = Prop.forAll(gen) { case (evs, steps, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(evs)
+      // random batch boundaries (possibly empty batches)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.zipWithIndex
+        .groupBy { case (_, i) => rnd.nextInt(nBatches) }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val finals = evs.map(_.ent).distinct.flatMap { u =>
+        var st: Option[graft.streaming.ChangeStream.FunnelProgress] = None
+        var last: Option[graft.streaming.ChangeStream.FunnelUpd] = None
+        batches.foreach { b =>
+          val mine = b.filter(e => e.ent == u && steps.contains(e.ty))
+            .map(e => FunnelEvent(u, e.ty, e.t, e.id))
+          if (mine.nonEmpty) {
+            val (next, upd) = funnelFold(u, steps, st, mine)
+            st = Some(next)
+            upd.foreach(x => last = Some(x))
+          }
+        }
+        last.map(u -> _)
+      }.toMap
+      // compare against the greedy model through the key translation
+      val want = model(evs, steps)
+      val got = finals.map { case (u, f) =>
+        u -> (f.ts_arr.zip(f.id_arr).map { case (t, i) =>
+          Option((t, i)) }.toList
+          .padTo(steps.size, Option.empty[(Long, Long)]), f.depth)
+      }
+      val wantK = want.map { case (u, (ps, d)) =>
+        val keyAt = evs.filter(_.ent == u).sortBy(e => (e.t, e.id))
+          .zipWithIndex.map { case (e, i) => (i + 1L) -> ((e.t, e.id)) }.toMap
+        u -> (ps.map(_.map(keyAt)), d)
+      }
+      if (got != wantK)
+        println(s"MISMATCH steps=$steps evs=$evs\n got=$got\n want=$wantK")
+      got == wantK
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("funnel of an empty frame / no-matching-type stream is empty") {
     val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
     assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))
