@@ -414,6 +414,7 @@ object Pipeline {
     val snk = cfg.get("sink")
     val ckpt = snk.get("checkpoint").asText()
     val metrics = new graft.streaming.PipelineMetrics
+    var qid: Option[java.util.UUID] = None
     spark.streams.addListener(metrics) // before start: first batch counts
     // stuck-pipe alarm (reference disruptor.go:216-236): warn when the
     // query goes silent — no batch completion AND no idle report —
@@ -559,6 +560,7 @@ object Pipeline {
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it
     watchdog.restrictTo(q.id)
+    qid = Some(q.id)
     graft.PhaseClock.time("drain") { q.awaitTermination() }
     // the gauge read below races async listener delivery — wait for
     // THIS query's termination event (FIFO bus ⇒ all its progress
@@ -569,7 +571,9 @@ object Pipeline {
       spark.streams.removeListener(watchdog)
       spark.streams.removeListener(metrics)
     }
-    metrics.latest
+    // read THIS query's gauge, not the listener-global latest — another
+    // stream on a shared session could have posted progress after ours
+    qid.flatMap(metrics.latest(_))
   }
 
   /** Build the transformed frame without sinking (for inspection/tests). */

@@ -433,8 +433,9 @@ object RelationalQueries {
       Some(funnelKeysOracle)),
 
     // The streaming funnel, gated END TO END: drain the event stream as
-    // 4 ts-SCRAMBLED micro-batches (sliced by `value`, so a user's
-    // events arrive out of ts order across batches), fold per-user
+    // 4 ts-SCRAMBLED micro-batches (sliced by event_id % 4, so every
+    // slice spans the whole time range and a user's events arrive out
+    // of ts order across batches), fold per-user
     // state via flatMapGroupsWithState, upsert update-mode emissions,
     // and hash-compare the FINAL per-user chain against the same oracle
     // as the batch key-form funnel — the streaming op is exact under
@@ -458,7 +459,10 @@ object RelationalQueries {
                 ()
             }
             .start()
-          q.processAllAvailable(); q.stop()
+          // stop() must survive a drain failure: an orphaned query on
+          // the shared gate session would keep erroring against the
+          // checkpoint dir the finally below deletes
+          try q.processAllAvailable() finally q.stop()
           // final chain per user = its LAST emission (state is
           // cumulative); derive the packed step keys the oracle speaks
           val fin = s.read.parquet(s"$tmp/out")

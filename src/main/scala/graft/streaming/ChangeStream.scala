@@ -44,13 +44,9 @@ object ChangeStream {
     *    ONE slice, so batch order between a key's ops is preserved
     *    trivially. */
   def fromEventsStream(spark: SparkSession, sfDir: String,
-      slices: Int = 1, sliceBy: String = "event_id"): DataFrame = {
-    val (drop, schema) = stageEvents(spark, sfDir, slices, sliceBy)
-    val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(drop)
-    graft.source.Changelog.fromEventsDf(graft.source.Changelog.normalizeTs(raw))
-  }
+      slices: Int = 1, sliceBy: String = "event_id"): DataFrame =
+    graft.source.Changelog.fromEventsDf(
+      fromEventsRawStream(spark, sfDir, slices, sliceBy))
 
   /** Stage the events file as range slices and return (dropDir, declared
     * schema). Public so tests can locate the staged dir — the drop path
@@ -236,8 +232,10 @@ object ChangeStream {
     * as-fast-as-possible trigger busy-loop empty batches, which also
     * starves `processAllAvailable` in tests. */
   /** One funnel event after projection/filtering (only step-type events
-    * with non-null key fields reach the state). */
-  case class FunnelEvent(user: Long, ty: String, ts: Long, id: Long)
+    * with non-null ts/id reach the state; a NULL entity is a real group
+    * — the batch funnel and the oracle both keep it — so `user` is
+    * optional, not filtered). */
+  case class FunnelEvent(user: Option[Long], ty: String, ts: Long, id: Long)
 
   /** Per-user funnel state: for each step TYPE, the (ts, id) keys seen
     * so far, kept sorted. This is the EXACT disorder-tolerant form — a
@@ -252,7 +250,7 @@ object ChangeStream {
 
   /** One funnel update: the user's current chain after this batch —
     * step coordinates as parallel (ts, id) arrays of length `depth`. */
-  case class FunnelUpd(user_id: Long, depth: Long,
+  case class FunnelUpd(user_id: Option[Long], depth: Long,
       ts_arr: Seq[Long], id_arr: Seq[Long])
 
   /** The per-user funnel fold, extracted PURE (the [[foldGroup]]
@@ -263,14 +261,17 @@ object ChangeStream {
     * chain from the sets — not patching it — is what makes ARBITRARY
     * cross-batch disorder exact: the sets are order-insensitive, and
     * the chain is a pure function of them. */
-  private[graft] def funnelFold(user: Long, stepTypes: Seq[String],
+  private[graft] def funnelFold(user: Option[Long], stepTypes: Seq[String],
       prev: Option[FunnelProgress], batch: Seq[FunnelEvent])
       : (FunnelProgress, Option[FunnelUpd]) = {
     val ord = implicitly[Ordering[(Long, Long)]]
     val base = prev.map(_.keys).getOrElse(Map.empty[String, Seq[(Long, Long)]])
     val merged = batch.groupBy(_.ty).foldLeft(base) { case (m, (ty, evs)) =>
-      m.updated(ty,
-        (m.getOrElse(ty, Nil) ++ evs.map(e => (e.ts, e.id))).distinct.sorted)
+      // linear sorted-merge into the already-sorted state: a hot user
+      // pays O(|state| + |batch| log |batch|) per batch, not a
+      // re-sort-everything O(|state| log |state|)
+      m.updated(ty, mergeSorted(m.getOrElse(ty, Nil),
+        evs.map(e => (e.ts, e.id)).distinct.sorted))
     }
     var prevKey: Option[(Long, Long)] = None
     var dead = false
@@ -296,6 +297,27 @@ object ChangeStream {
     (FunnelProgress(merged), upd)
   }
 
+  /** Linear dedup-merge of two sorted runs (both already distinct). */
+  private def mergeSorted(a0: Seq[(Long, Long)], b0: Seq[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    // state decodes as List: index through IndexedSeq views or the
+    // "linear" merge silently goes quadratic on apply()
+    val a = a0.toIndexedSeq; val b = b0.toIndexedSeq
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val out = Seq.newBuilder[(Long, Long)]
+    var (i, j) = (0, 0)
+    while (i < a.size || j < b.size) {
+      val next =
+        if (j >= b.size || (i < a.size && ord.lteq(a(i), b(j)))) {
+          val x = a(i); i += 1
+          if (j < b.size && b(j) == x) j += 1 // cross-run duplicate
+          x
+        } else { val x = b(j); j += 1; x }
+      out += next
+    }
+    out.result()
+  }
+
   /** Streaming [[graft.ops.Funnel]]: the incremental funnel over an
     * unbounded raw event stream, EXACT under arbitrary cross-batch
     * event disorder (spec-pinned against the batch operator with
@@ -314,15 +336,16 @@ object ChangeStream {
     import raw.sparkSession.implicits._
     val ev = raw
       .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
-      .filter(col("user_id").isNotNull && col("ts_ns").isNotNull &&
-        col("event_id").isNotNull)
+      // null ts/id have no key (dropped, as in the batch forms); a null
+      // ENTITY is a real group — batch groupBy and the oracle keep it
+      .filter(col("ts_ns").isNotNull && col("event_id").isNotNull)
       .select(col("user_id").as("user"), col("event_type").as("ty"),
         col("ts_ns").as("ts"), col("event_id").as("id"))
       .as[FunnelEvent]
     ev.groupByKey(_.user)
       .flatMapGroupsWithState[FunnelProgress, FunnelUpd](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, events: Iterator[FunnelEvent],
+        (user: Option[Long], events: Iterator[FunnelEvent],
             state: GroupState[FunnelProgress]) =>
           val (next, upd) = funnelFold(user, stepTypes,
             state.getOption, events.toSeq)

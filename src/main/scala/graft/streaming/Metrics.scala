@@ -16,11 +16,21 @@ final class PipelineMetrics extends StreamingQueryListener {
       processedRowsPerSecond: Double, numInputRows: Long,
       watermarkMs: Option[Long], triggerMs: Long)
 
-  private val last = new AtomicReference[Option[Snapshot]](None)
+  // snapshots keyed by QUERY id: listeners are session-global, so on a
+  // shared session another active stream's progress would otherwise
+  // overwrite the gauge between this query's termination and the read
+  // (the same attribution problem StallWatchdog.restrictTo solves)
+  private val last = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, Snapshot]()
+  private val anyLast = new AtomicReference[Option[Snapshot]](None)
   private val terminated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
-  def latest: Option[Snapshot] = last.get()
+  /** Most recent snapshot from ANY query this listener saw. */
+  def latest: Option[Snapshot] = anyLast.get()
+
+  /** Most recent snapshot from the given query only. */
+  def latest(id: java.util.UUID): Option[Snapshot] = Option(last.get(id))
 
   /** Listener events are delivered ASYNCHRONOUSLY: `awaitTermination`
     * returning does not mean the final batch's progress event has
@@ -47,13 +57,15 @@ final class PipelineMetrics extends StreamingQueryListener {
     val p = event.progress
     val wm = Option(p.eventTime.get("watermark"))
       .map(ts => java.time.Instant.parse(ts).toEpochMilli)
-    last.set(Some(Snapshot(
+    val snap = Snapshot(
       p.batchId,
       Option(p.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
       Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
       p.numInputRows,
       wm,
-      p.batchDuration)))
+      p.batchDuration)
+    last.put(p.id, snap)
+    anyLast.set(Some(snap))
   }
 }
 

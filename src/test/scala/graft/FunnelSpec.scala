@@ -146,9 +146,9 @@ class FunnelSpec extends SparkSpec {
         var last: Option[graft.streaming.ChangeStream.FunnelUpd] = None
         batches.foreach { b =>
           val mine = b.filter(e => e.ent == u && steps.contains(e.ty))
-            .map(e => FunnelEvent(u, e.ty, e.t, e.id))
+            .map(e => FunnelEvent(Some(u), e.ty, e.t, e.id))
           if (mine.nonEmpty) {
-            val (next, upd) = funnelFold(u, steps, st, mine)
+            val (next, upd) = funnelFold(Some(u), steps, st, mine)
             st = Some(next)
             upd.foreach(x => last = Some(x))
           }
