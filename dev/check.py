@@ -67,8 +67,26 @@ def main():
             print(f"FAIL {name}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_sorted)} rows)")
-            n_pass += 1
+            # Decimal-typed outputs are a DRIVER-HASHER hazard even when
+            # this value comparison passes: both sides flow through DuckDB
+            # here, so a Spark-parquet-vs-DuckDB decimal REPRESENTATION gap
+            # is invisible locally (the r16 events_funnel_keys/stream_funnel
+            # red rows). Flag them as failures so decimal never reaches a
+            # gate output again — cast to VARCHAR/BIGINT instead.
+            import decimal
+            dec_cols = sorted({sorted(s_cols)[j]
+                               for r in (s_sorted[:1] + o_sorted[:1])
+                               for j, v in enumerate(r)
+                               if isinstance(v, decimal.Decimal)})
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL gate-output hazard in cols "
+                      f"{dec_cols} — values match locally but the driver "
+                      f"hasher canonicalizes Spark vs DuckDB decimals "
+                      f"differently; cast to VARCHAR or BIGINT on both sides")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(s_sorted)} rows)")
+                n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -35,8 +35,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries cache intermediates (token/signature frames); drop them so
-      // 46 queries don't accumulate blocks across the whole run
+      // 141 queries don't accumulate blocks across the whole run.
+      // clearCache() misses RDD-level localCheckpoint blocks (the
+      // iterative graph ops deliberately pin their final round) —
+      // release those through their registry too.
       spark.catalog.clearCache()
+      graft.ops.GraphBlocks.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

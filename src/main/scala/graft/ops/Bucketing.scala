@@ -29,7 +29,26 @@ object Bucketing {
     * registration — the data lives at `path`, not the warehouse). */
   def writeBucketed(spark: SparkSession, df: DataFrame, name: String,
       path: String, key: String, buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // `name` reaches raw SQL and a catalog drop: accept plain
+    // identifiers only (config-supplied — an interpolated or typo'd
+    // name must not clobber an unrelated registered table), and refuse
+    // to drop an existing same-named table that lives elsewhere
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bucketed table name must be a plain identifier, got '$name'")
+    if (spark.catalog.tableExists(name)) {
+      val loc = scala.util.Try(
+        spark.sql(s"DESCRIBE TABLE EXTENDED `$name`")
+          .filter(col("col_name") === "Location")
+          .collect().headOption.map(_.getString(1))).toOption.flatten
+      val target = new java.io.File(path).getCanonicalPath
+      loc.foreach { l =>
+        val existing = new java.io.File(l.stripPrefix("file:")).getCanonicalPath
+        require(existing == target,
+          s"refusing to drop table '$name': it points at $existing, " +
+            s"not the configured path $target — choose another name")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.repartition(buckets, col(key))
       .write.format("parquet").option("path", path)
       .bucketBy(buckets, key).sortBy(key)

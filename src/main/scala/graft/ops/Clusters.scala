@@ -104,9 +104,11 @@ object Clusters {
       s"components: no fixpoint after $maxIters rounds — component diameter " +
         "exceeds the bound (raise maxIters, or contract dense cliques first)")
     // the final round's checkpoint stays persisted: the returned frame
-    // reads from it (it falls to the ContextCleaner once the caller
-    // drops the result — one round of blocks, not one per round)
-    labels.select(col("v").as(idCol), col("comp"))
+    // reads from it — registered so GraphBlocks.release can free it
+    // eagerly (one round of blocks, not one per round)
+    GraphBlocks.register(
+      labels.select(col("v").as(idCol), col("comp")),
+      Option(liveRdd).toSeq)
   }
 
   /** Quality-aware canonical selection — the release-side keep/drop

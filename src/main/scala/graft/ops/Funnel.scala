@@ -52,6 +52,12 @@ object Funnel {
     // window over the RENAMED key — the select below drops entityCol
     val w = Window.partitionBy("_ent").orderBy(orderCols.map(col): _*)
     val pos = events
+      // a NULL entity identifies no one — DROPPED in every funnel form
+      // (batch window, key form, streaming) so the three agree; before
+      // this filter the forms silently diverged (the chain's inner
+      // equi-joins stranded a null entity at depth 1 while the
+      // streaming groupByKey advanced it through all steps)
+      .filter(col(entityCol).isNotNull)
       .filter(orderCols.map(col(_).isNotNull).reduce(_ && _))
       .select(col(entityCol).as("_ent") +: col(typeCol).as("_ty") +:
         orderCols.map(col): _*)
@@ -85,6 +91,7 @@ object Funnel {
       stepTypes: Seq[String], keyCol: String): DataFrame = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
     val ev = events
+      .filter(col(entityCol).isNotNull) // NULL entity dropped, as in [[steps]]
       .filter(col(keyCol).isNotNull)
       .filter(col(typeCol).isin(stepTypes.map(x => x: Any): _*))
       .select(col(entityCol).as("_ent"), col(typeCol).as("_ty"),

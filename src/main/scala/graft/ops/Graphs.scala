@@ -202,8 +202,11 @@ object Graphs {
     nodes.unpersist()
     eod.unpersist()
     // the final round's checkpoint stays persisted for the caller, as
-    // in Clusters.components
-    ranks.select(col("n").as("node"), col("rank").as("rank_units"))
+    // in Clusters.components — registered so GraphBlocks.release can
+    // free it without a global sweep
+    GraphBlocks.register(
+      ranks.select(col("n").as("node"), col("rank").as("rank_units")),
+      Option(liveRdd).toSeq)
   }
 
   /** Per-node triangle count and local clustering coefficient over the
@@ -261,7 +264,7 @@ object Graphs {
     val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
     oriented.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    res
+    GraphBlocks.register(res, Seq(rdd))
   }
 
   /** The canonical undirected simple graph under (srcCol, dstCol):
@@ -390,7 +393,9 @@ object Graphs {
       liveRdd = rdd
     }
     adj.unpersist()
-    labels.select(col("n").as("node"), col("label"))
+    GraphBlocks.register(
+      labels.select(col("n").as("node"), col("label")),
+      Option(liveRdd).toSeq)
   }
 
   /** One synchronous LPA round as a frame — exposed for plan pinning
@@ -443,25 +448,29 @@ object Graphs {
       .select(col("n"), lit(0L).as("dist"))
     graft.PhaseClock.time("bfs.edges") { e.count() }
     // rounds' blocks all stay pinned: every one is part of the result
-    // union, so none can be dropped early (Lineage.cut's RDD handle is
-    // deliberately unused here)
-    val (d0, _, n0) = Lineage.cut(s0)
+    // union, so none can be dropped early — collected so
+    // GraphBlocks.release can free them all at once
+    val pinned = Seq.newBuilder[org.apache.spark.rdd.RDD[_]]
+    val (d0, r0, n0) = Lineage.cut(s0)
+    pinned += r0
     var dist = d0
     var frontier = d0
     var frontierN = n0
     var i = 1
     while (i <= maxDepth && frontierN > 0) { // empty frontier: done
       graft.PhaseClock.count("bfs.rounds")
-      val (next, _, n) = graft.PhaseClock.time("bfs.round") {
+      val (next, r, n) = graft.PhaseClock.time("bfs.round") {
         Lineage.cut(bfsRoundFrame(frontier, e, dist, i))
       }
+      pinned += r
       frontier = next
       frontierN = n
       dist = dist.unionByName(next)
       i += 1
     }
     e.unpersist(blocking = false)
-    dist.select(col("n").as("node"), col("dist"))
+    GraphBlocks.register(
+      dist.select(col("n").as("node"), col("dist")), pinned.result())
   }
 
   /** Per-LANDMARK BFS distances over the directed edge graph:
@@ -498,27 +507,32 @@ object Graphs {
         .filter(col("n").isNotNull).distinct(), "n")
       .select(col("n").as("lm"), col("n"), lit(0L).as("dist"))
     graft.PhaseClock.time("lmbfs.edges") { e.count() }
-    val (d0, _, n0) = Lineage.cut(s0)
+    val pinned = Seq.newBuilder[org.apache.spark.rdd.RDD[_]]
+    val (d0, r0, n0) = Lineage.cut(s0)
+    pinned += r0
     var dist = d0
     var frontier = d0
     var frontierN = n0
     var i = 1
     while (i <= maxDepth && frontierN > 0) {
       graft.PhaseClock.count("lmbfs.rounds")
-      val (next, _, n) = graft.PhaseClock.time("lmbfs.round") {
+      val (next, r, n) = graft.PhaseClock.time("lmbfs.round") {
         Lineage.cut(frontier
           .join(e.select(col("src").as("n"), col("dst")), "n")
           .select(col("lm"), col("dst").as("n")).distinct()
           .withColumn("dist", lit(i).cast("long"))
           .join(dist, Seq("lm", "n"), "left_anti"))
       }
+      pinned += r
       frontier = next
       frontierN = n
       dist = dist.unionByName(next)
       i += 1
     }
     e.unpersist(blocking = false)
-    dist.select(col("lm").as("landmark"), col("n").as("node"), col("dist"))
+    GraphBlocks.register(
+      dist.select(col("lm").as("landmark"), col("n").as("node"),
+        col("dist")), pinned.result())
   }
 
   /** Harmonic-centrality estimate from [[landmarkDistances]]: per
@@ -582,8 +596,10 @@ object Graphs {
       e = e2; eRdd = r2; eN = n2
       round += 1
     }
-    // the final edge frame stays pinned: the returned plan reads it
-    degreesOf(e).select(col("n").as("node"), col("degree"))
+    // the final edge frame stays pinned: the returned plan reads it —
+    // registered for GraphBlocks.release
+    GraphBlocks.register(
+      degreesOf(e).select(col("n").as("node"), col("degree")), Seq(eRdd))
   }
 
   /** One BFS round as a frame — the loop body, exposed so the plan

@@ -26,3 +26,41 @@ private[graft] object Lineage {
     (df.sparkSession.createDataFrame(r, df.schema), r, n)
   }
 }
+
+/** Release handle for the MEMORY_AND_DISK localCheckpoint blocks that
+  * iterative ops (pageRank, BFS, k-core, triangles, components…)
+  * deliberately leave pinned behind their returned frame — the frame
+  * READS those blocks, so the op cannot unpersist them itself, but a
+  * long-lived session running many queries must be able to free them
+  * without a global `getPersistentRDDs` sweep (the r15 trap: they
+  * survive `catalog.clearCache()`).
+  *
+  * Ops call [[register]] on the frame they return; a caller that has
+  * materialized the result calls [[release]] on that exact frame (or
+  * [[releaseAll]] between independent queries, as the gate harness
+  * does). The registry holds strong refs — entries are few (one per
+  * iterative-op call) and [[releaseAll]] must still find blocks whose
+  * frame the caller dropped. */
+object GraphBlocks {
+  private val reg = scala.collection.mutable.LinkedHashMap
+    .empty[DataFrame, Seq[RDD[_]]]
+
+  private[graft] def register(df: DataFrame, rdds: Seq[RDD[_]]): DataFrame =
+    synchronized { reg.update(df, rdds); df }
+
+  /** Unpersist the blocks backing `df` (a frame returned by an
+    * iterative op). Safe after the caller has materialized or written
+    * the result; a no-op for unregistered frames. */
+  def release(df: DataFrame): Unit = synchronized {
+    reg.remove(df).foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Unpersist every registered block (between independent queries). */
+  def releaseAll(): Unit = synchronized {
+    reg.valuesIterator.foreach(_.foreach(_.unpersist(blocking = false)))
+    reg.clear()
+  }
+
+  /** Number of registered frames (observability/test hook). */
+  def registered: Int = synchronized { reg.size }
+}

@@ -421,13 +421,20 @@ object RelationalQueries {
     // funnel is k chained map-side-combined min-aggs, NO window in the
     // plan (a hot user costs k partial mins, never a one-task sort of
     // its history). Exact integer packing keeps the key portable.
+    // The packed DECIMAL(38,0) stays INTERNAL to the plan: the gate
+    // output casts k1..k3 to string (exact for scale-0 decimals) —
+    // r16's two red rows were decimal REPRESENTATION gaps in the
+    // driver's hasher on value-identical outputs.
     "events_funnel_keys" -> QueryDef(
       (s, dir) => {
         val e = graft.source.Changelog.events(s, dir)
           .withColumn("k",
             graft.ops.Funnel.packedKey(col("ts_ns"), col("event_id")))
-        graft.ops.Funnel.stepsByKey(e, "user_id", "event_type",
+        val f = graft.ops.Funnel.stepsByKey(e, "user_id", "event_type",
           Seq("view", "click", "purchase"), "k")
+        f.select(col("user_id"), col("k1").cast("string").as("k1"),
+            col("k2").cast("string").as("k2"),
+            col("k3").cast("string").as("k3"), col("depth"))
           .orderBy("user_id")
       },
       Some(funnelKeysOracle)),
@@ -469,11 +476,13 @@ object RelationalQueries {
           val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
           val last = fin.withColumn("_r", row_number().over(w))
             .filter(col("_r") === 1)
+          // cast the packed keys to string for the gate — decimal
+          // outputs trip the driver's hash canonicalization (r16)
           val ks = (1 to 3).map { i =>
             when(col("depth") >= i,
               graft.ops.Funnel.packedKey(
                 element_at(col("ts_arr"), i), element_at(col("id_arr"), i)))
-              .as(s"k$i")
+              .cast("string").as(s"k$i")
           }
           val res = last.select(col("user_id") +: ks :+ col("depth"): _*)
             .orderBy("user_id")
@@ -783,7 +792,8 @@ object RelationalQueries {
       |      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
       |      AS BIGINT) AS pos
       |  FROM events
-      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL),
       |s1 AS (SELECT user_id, min(pos) AS p1 FROM ev
       |       WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT ev.user_id, min(pos) AS p2
@@ -809,7 +819,8 @@ object RelationalQueries {
       |  SELECT user_id, event_type,
       |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
       |  FROM events
-      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL),
       |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
       |       WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT ev.user_id, min(k) AS k2
@@ -820,7 +831,10 @@ object RelationalQueries {
       |       FROM ev JOIN s2 USING (user_id)
       |       WHERE event_type = 'purchase' AND k > k2
       |       GROUP BY ev.user_id)
-      |SELECT s1.user_id, k1, s2.k2, s3.k3,
+      |SELECT s1.user_id,
+      |  CAST(k1 AS VARCHAR) AS k1,
+      |  CAST(s2.k2 AS VARCHAR) AS k2,
+      |  CAST(s3.k3 AS VARCHAR) AS k3,
       |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
       |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
       |    AS BIGINT) AS depth

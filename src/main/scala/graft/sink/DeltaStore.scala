@@ -223,7 +223,15 @@ object DeltaStore {
     val touched = chains.view.filter { case (_, gens) =>
       gens.exists { g => val id = segId(g); id > fromBatch && id <= toBatch }
     }.toMap
-    chainFrames(spark, target, touched).map { all0 =>
+    // An idle window (store exists, no bucket holds a generation in
+    // (from, to]) is the COMMON case for a polling CDC-out consumer —
+    // it must yield an EMPTY feed with the feed schema, not None (None
+    // means "no store"). limit(0) keeps it schema-only: the scan reads
+    // parquet footers, never data.
+    val source =
+      if (touched.nonEmpty) chainFrames(spark, target, touched)
+      else chainFrames(spark, target, chains).map(_.limit(0))
+    source.map { all0 =>
       val pkCols = inferPkCols(target)
       val all = all0.filter(col("_seq") <= toBatch)
         .withColumn("_del", when(col("net_op") === "delete", 1).otherwise(0))

@@ -337,7 +337,11 @@ object ChangeStream {
     val ev = raw
       .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
       // null ts/id have no key (dropped, as in the batch forms); a null
-      // ENTITY is a real group — batch groupBy and the oracle keep it
+      // ENTITY identifies no one and is dropped in ALL funnel forms —
+      // before this filter the streaming fold advanced the None group
+      // through every step while the batch chain's equi-joins stranded
+      // it at depth 1 (divergence found by ADVICE r16)
+      .filter(col("user_id").isNotNull)
       .filter(col("ts_ns").isNotNull && col("event_id").isNotNull)
       .select(col("user_id").as("user"), col("event_type").as("ty"),
         col("ts_ns").as("ts"), col("event_id").as("id"))

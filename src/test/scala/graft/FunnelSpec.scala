@@ -176,6 +176,41 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("NULL entities are dropped identically by all three funnel forms") {
+    // r16 ADVICE divergence: before the shared entity-not-null filter,
+    // the batch chain stranded a NULL entity at depth 1 (equi-joins
+    // drop null keys) while the streaming fold advanced the None group
+    // through every step. Contract now: a NULL entity identifies no
+    // one — no form emits a row for it, and its presence never
+    // perturbs real entities' chains.
+    val withNull = Seq(
+      (Option(1L), "a", 1L, 1L), (Option(1L), "b", 2L, 2L),
+      (Option.empty[Long], "a", 3L, 3L), (Option.empty[Long], "b", 4L, 4L),
+      (Option.empty[Long], "c", 5L, 5L))
+    val st = List("a", "b", "c")
+    val df = withNull.toDF("ent", "ty", "t", "id")
+    val clean = df.filter("ent IS NOT NULL")
+
+    val batch = Funnel.steps(df, "ent", "ty", st, Seq("t", "id"))
+    assert(batch.filter("ent IS NULL").count() == 0L)
+    assert(batch.collect().toSet ==
+      Funnel.steps(clean, "ent", "ty", st, Seq("t", "id")).collect().toSet)
+
+    val keyed = df.withColumn("k",
+      org.apache.spark.sql.functions.expr("t * 100 + id"))
+    val byKey = Funnel.stepsByKey(keyed, "ent", "ty", st, "k")
+    assert(byKey.filter("ent IS NULL").count() == 0L)
+
+    // streaming form over the same rows as a batch dataset — Spark
+    // runs flatMapGroupsWithState in batch with empty initial state,
+    // exercising the identical pre-state filter + fold path
+    val raw = withNull.toDF("user_id", "event_type", "ts_ns", "event_id")
+    val upd = graft.streaming.ChangeStream.streamingFunnel(raw, st).collect()
+    assert(!upd.exists(_.user_id.isEmpty),
+      s"streaming emitted a null-entity chain: ${upd.mkString(", ")}")
+    assert(upd.map(u => u.user_id.get -> u.depth).toMap == Map(1L -> 2L))
+  }
+
   test("funnel of an empty frame / no-matching-type stream is empty") {
     val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
     assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))

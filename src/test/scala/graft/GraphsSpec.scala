@@ -122,4 +122,28 @@ class GraphsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("overflow"))
   }
+
+  test("GraphBlocks.release frees an iterative op's pinned checkpoint blocks") {
+    // the ADVICE r16 leak: iterative ops pin MEMORY_AND_DISK
+    // localCheckpoint blocks behind their returned frame, which survive
+    // catalog.clearCache(); release(df) must free exactly them, and
+    // releaseAll() must empty the registry
+    graft.ops.GraphBlocks.releaseAll()
+    val sc = spark.sparkContext
+    def pinnedIds = sc.getPersistentRDDs.keySet
+    val before = pinnedIds
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val pr = Graphs.pageRank(e, "s", "d", iterations = 2)
+    pr.count() // materialize: caller done with the frame
+    assert(graft.ops.GraphBlocks.registered >= 1)
+    assert((pinnedIds -- before).nonEmpty, "expected pinned round blocks")
+    graft.ops.GraphBlocks.release(pr)
+    assert((pinnedIds -- before).isEmpty,
+      s"blocks survived release: ${pinnedIds -- before}")
+    // releaseAll sweeps frames whose handle the caller dropped
+    Graphs.bfsLevels(e, "s", "d", Seq(1L).toDF("seed"), "seed", 3).count()
+    assert((pinnedIds -- before).nonEmpty)
+    graft.ops.GraphBlocks.releaseAll()
+    assert((pinnedIds -- before).isEmpty && graft.ops.GraphBlocks.registered == 0)
+  }
 }
