@@ -159,7 +159,13 @@ object Bench {
       val times = timed.map(_._1)
       if (ok) {
         if (timed.head._2.nonEmpty) phases(name) = timed.head._2
-        Some(name -> (times(times.length / 2), times.head))
+        // (median, min, relative spread (max-min)/min): the spread is
+        // what arbitrates a cross-round delta — a 20% "regression" on a
+        // query whose own reps spread 40% is load, not code (the r16
+        // driver-vs-self 1.7x disagreement)
+        val spread =
+          if (times.head > 0) (times.last - times.head) / times.head else 0.0
+        Some(name -> (times(times.length / 2), times.head, spread))
       } else { failed += name; None }
     }
     // Variance guard: the min is the query's floor on this box — a median
@@ -170,17 +176,19 @@ object Bench {
     // isolation pass; emitting min alongside median makes them
     // self-clearing. Queries tripping the 1.5x gate are named in "noisy".
     val noisy = results.collect {
-      case (name, (med, mn)) if mn > 0.0 && med > 1.5 * mn => name
+      case (name, (med, mn, _)) if mn > 0.0 && med > 1.5 * mn => name
     }
     noisy.foreach { n =>
-      val (med, mn) = results.toMap.apply(n)
+      val (med, mn, _) = results.toMap.apply(n)
       System.err.println(f"[bench] NOISY $n: median $med%.2fs > 1.5x min $mn%.2fs" +
         " — trust the min; not a regression signal")
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    val qsSpread = results.map { case (k, (_, _, sp)) =>
+      "\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
     val anchorEnd = if (anchor) anchorMin(cpus) else -1.0
@@ -188,7 +196,7 @@ object Bench {
     // batch apply sustains ~130K events/s; compare p8_compact's min-rep
     // throughput at this SF. baseline_ratio = our_time / baseline_time —
     // ≤1.0 beats the reference, the round gate is ≤2.0.
-    val baselineJson = results.toMap.get("p8_compact").map { case (_, mn) =>
+    val baselineJson = results.toMap.get("p8_compact").map { case (_, mn, _) =>
       // row count straight from the parquet footers — no SparkSession
       // spin-up just to count (and no hardcoded core count to get wrong)
       val nEvents = parquetRowCount(s"$sfDir/events.parquet")
@@ -206,7 +214,7 @@ object Bench {
       if (anchorStart > 0 && anchorEnd > 0) math.min(anchorStart, anchorEnd)
       else -1.0
     val normJson = if (anchorRef > 0) {
-      val qn = results.map { case (k, (_, mn)) =>
+      val qn = results.map { case (k, (_, mn, _)) =>
         "\"" + k + "\":" + f"${mn / anchorRef}%.3f" }.mkString("{", ",", "}")
       s""""anchor_min":$anchorRef,"queries_norm":$qn,""" +
         f""""total_min_norm":${totalMin / anchorRef}%.2f,"""
@@ -218,7 +226,8 @@ object Bench {
         .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"total_min":$totalMin,"noisy":$noisyJson,""" +
+      s""""queries_min":$qsMin,"queries_spread":$qsSpread,""" +
+      s""""total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
       s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
       normJson + baselineJson +

@@ -35,6 +35,27 @@ object Pipeline {
   private def strMap(n: JsonNode): Map[String, String] =
     n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
 
+  /** Shared rule parser for the `expect` (fail-loud) and
+    * `quality_report` (audit-row) stages. */
+  private def parseRules(rules: JsonNode): Seq[graft.ops.Validate.Expectation] = {
+    import graft.ops.Validate._
+    rules.elements().asScala.map { r =>
+      r.get("kind").asText() match {
+        case "not_null" => NotNull(r.get("col").asText())
+        case "unique" => Unique(r.get("col").asText())
+        case "in_range" => InRange(r.get("col").asText(),
+          r.get("lo").asLong(), r.get("hi").asLong())
+        case "min_rows" => MinRows(r.get("n").asLong())
+        case "distinct_at_least" => DistinctAtLeast(r.get("col").asText(),
+          r.get("n").asLong())
+        case "matches" => Matches(r.get("col").asText(),
+          r.get("regex").asText())
+        case other =>
+          throw new IllegalArgumentException(s"unknown expectation: $other")
+      }
+    }.toSeq
+  }
+
   /** Name→constructor registry for processor stages (the authoritative
     * component inventory, mirroring `componentbuilder.go:170-234`). */
   val processorRegistry: Map[String, JsonNode => Stage] = Map(
@@ -81,25 +102,12 @@ object Pipeline {
     // fail-loud corpus gate: release configs put this between scrub
     // and write so a malformed corpus can never reach the sink (note:
     // this stage is EAGER — it runs one validation scan when built)
-    "expect" -> (c => df => {
-      import graft.ops.Validate._
-      val rules = c.get("rules").elements().asScala.map { r =>
-        r.get("kind").asText() match {
-          case "not_null" => NotNull(r.get("col").asText())
-          case "unique" => Unique(r.get("col").asText())
-          case "in_range" => InRange(r.get("col").asText(),
-            r.get("lo").asLong(), r.get("hi").asLong())
-          case "min_rows" => MinRows(r.get("n").asLong())
-          case "distinct_at_least" => DistinctAtLeast(r.get("col").asText(),
-            r.get("n").asLong())
-          case "matches" => Matches(r.get("col").asText(),
-            r.get("regex").asText())
-          case other =>
-            throw new IllegalArgumentException(s"unknown expectation: $other")
-        }
-      }.toSeq
-      graft.ops.Validate.expect(df, rules)
-    }),
+    "expect" -> (c => df =>
+      graft.ops.Validate.expect(df, parseRules(c.get("rules")))),
+    // the report form of expect: one row per rule with its violation
+    // count instead of a throw — the audit artifact a release run keeps
+    "quality_report" -> (c => df =>
+      graft.ops.Validate.report(df, parseRules(c.get("rules")))),
     "mix_weight" -> (c => df => graft.ops.Mixing.sampleByWeight(df,
       c.get("idCol").asText(), c.get("weightCol").asText(),
       c.get("n").asLong())),
@@ -265,6 +273,70 @@ object Pipeline {
         .agg(min(col(id)).as("_keep"), count(lit(1)).as("dup_count"))
       fp.join(grps, col("fp") === col("_gfp") && col(id) === col("_keep"))
         .drop("_gfp", "_keep", "fp")
+    }),
+    // exact token-granular span-dedup audit: per doc, total tokens,
+    // covered (duplicated-span) tokens, and the residual fingerprint
+    "span_dedup_exact" -> (c => df => graft.ops.Dedup.exactSpanCover(df,
+      c.get("idCol").asText(),
+      if (c.has("textCol")) c.get("textCol").asText() else "text",
+      minTokens = if (c.has("minTokens")) c.get("minTokens").asInt() else 8)),
+    // per-stratum exact-N draw: exactly n best-ranked (hash DESC, id)
+    // rows per stratum — the salted two-phase capPerKey composed with
+    // the deterministic hash-slice order, as the mix_exact_n_strata
+    // gate does; `rk` is the within-stratum rank, so rk <= m nests the
+    // size-m draw
+    "sample_exact_strata" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val id = c.get("idCol").asText()
+      graft.ops.Mixing.capPerKey(
+        df.withColumn("_u", graft.ops.Mixing.hashSlice(col(id))),
+        c.get("strataCol").asText(), "_u", id, n = c.get("n").asInt(),
+        salts = if (c.has("salts")) c.get("salts").asInt() else 16)
+        .drop("_u")
+    }),
+    // token-budget mixing: cut each named stratum down to ~N tokens by
+    // the deterministic hash-slice threshold; unnamed strata pass
+    "mix_budget" -> (c => df => graft.ops.Mixing.sampleByTokenBudget(df,
+      c.get("strataCol").asText(), c.get("idCol").asText(),
+      c.get("tokensCol").asText(),
+      strMap(c.get("budgets")).map { case (k, v) => k -> v.toLong })),
+    // HLL overlap estimate between the rows matching `splitExpr` (side
+    // a) and the rest (side b) — the one-row corpus-vs-corpus overlap
+    // audit (est_a, est_b, est_union, est_overlap)
+    "sketch_overlap" -> (c => df => {
+      import org.apache.spark.sql.functions.expr
+      val p = expr(c.get("splitExpr").asText())
+      graft.ops.Sketches.overlapEstimate(df.filter(p), df.filter(!p),
+        c.get("idCol").asText(),
+        lgK = if (c.has("lgK")) c.get("lgK").asInt() else 14)
+    }),
+    // count-min heavy-hitter profile — the hot-key detector feeding
+    // cap_per_key/salting decisions (eager: builds the sketch when run)
+    "heavy_hitters" -> (c => df => graft.ops.Sketches.heavyHitters(df,
+      c.get("keyCol").asText(), topK = c.get("topK").asInt(),
+      eps = if (c.has("eps")) c.get("eps").asDouble() else 0.0005)),
+    // per-group quantile profile (count / min / approx p25-p50-p75-p99 / max)
+    "quantile_profile" -> (c => df => graft.ops.Sketches.quantileProfile(df,
+      c.get("grpCol").asText(), c.get("valCol").asText())),
+    // PII scrub: replace emails/phones in textCol, count per doc
+    "redact_pii" -> (c => df => graft.ops.TextAnalysis.redactPii(df,
+      if (c.has("textCol")) c.get("textCol").asText() else "text")),
+    // quality-aware canonical selection over a clustered frame
+    "keep_best" -> (c => df => graft.ops.Clusters.keepBest(df,
+      c.get("idCol").asText(), c.get("clusterCol").asText(),
+      c.get("scoreCol").asText())),
+    // connected components over an edge frame (aCol, bCol): node set =
+    // union of endpoints, labels = min reachable id (hash-min + pointer
+    // jumping, per-round lineage cuts)
+    "components" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val a = c.get("aCol").asText(); val b = c.get("bCol").asText()
+      val nodes = df.select(col(a).as("_n"))
+        .unionByName(df.select(col(b).as("_n"))).distinct()
+      graft.ops.Clusters.components(nodes, "_n", df, a, b,
+        maxIters = if (c.has("maxIters")) c.get("maxIters").asInt() else 25)
+        .withColumnRenamed("_n", if (c.has("idOut")) c.get("idOut").asText()
+          else "node")
     })
   )
 

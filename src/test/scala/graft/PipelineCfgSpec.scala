@@ -380,6 +380,120 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg.columns.toSet == docs.columns.toSet, viaCfg.columns.mkString(","))
   }
 
+  test("r17 stages round-trip through the registry (audit/mix/sketch family)") {
+    def cfg1(table: String, stage: String): Seq[org.apache.spark.sql.Row] =
+      graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "$table"},
+        "processors": [$stage],
+        "sink": {"type": "noop"}
+      }""").collect().toSeq.sortBy(_.toString)
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+
+    // quality_report: one audit row per rule, never a throw
+    val qr = cfg1("documents",
+      """{"type": "quality_report", "rules": [
+           {"kind": "not_null", "col": "doc_id"},
+           {"kind": "min_rows", "n": 1},
+           {"kind": "in_range", "col": "doc_id", "lo": -1, "hi": 99999999}]}""")
+    assert(qr == sortRows(graft.ops.Validate.report(docs, Seq(
+      graft.ops.Validate.NotNull("doc_id"), graft.ops.Validate.MinRows(1),
+      graft.ops.Validate.InRange("doc_id", -1, 99999999)))) && qr.nonEmpty)
+
+    // span_dedup_exact
+    val sde = cfg1("documents",
+      """{"type": "span_dedup_exact", "idCol": "doc_id",
+          "textCol": "text", "minTokens": 8}""")
+    assert(sde == sortRows(
+      graft.ops.Dedup.exactSpanCover(docs, "doc_id", "text", 8)) && sde.nonEmpty)
+
+    // sample_exact_strata: n per stratum, rk nests
+    val ses = cfg1("documents",
+      """{"type": "sample_exact_strata", "strataCol": "lang",
+          "idCol": "doc_id", "n": 5}""")
+    val sesCode = sortRows(graft.ops.Mixing.capPerKey(
+      docs.withColumn("_u", graft.ops.Mixing.hashSlice(col("doc_id"))),
+      "lang", "_u", "doc_id", n = 5).drop("_u"))
+    assert(ses == sesCode && ses.nonEmpty)
+
+    // mix_budget over a chars-as-tokens column
+    val mb = cfg1("documents",
+      """{"type": "mix_budget", "strataCol": "lang", "idCol": "doc_id",
+          "tokensCol": "n_chars", "budgets": {"en": "5000", "de": "2000"}}""")
+    assert(mb == sortRows(graft.ops.Mixing.sampleByTokenBudget(docs,
+      "lang", "doc_id", "n_chars",
+      Map("en" -> 5000L, "de" -> 2000L))) && mb.nonEmpty)
+
+    // sketch_overlap: split halves overlap only in the estimate sense —
+    // compare against the code form exactly (deterministic sketches)
+    val so = cfg1("documents",
+      """{"type": "sketch_overlap", "splitExpr": "doc_id % 2 = 0",
+          "idCol": "doc_id"}""")
+    assert(so == sortRows(graft.ops.Sketches.overlapEstimate(
+      docs.filter("doc_id % 2 = 0"), docs.filter("not (doc_id % 2 = 0)"),
+      "doc_id")) && so.size == 1)
+
+    // heavy_hitters / quantile_profile / redact_pii / keep_best
+    val hh = cfg1("documents",
+      """{"type": "heavy_hitters", "keyCol": "lang", "topK": 3}""")
+    assert(hh == sortRows(
+      graft.ops.Sketches.heavyHitters(docs, "lang", 3)) && hh.size == 3)
+    val qp = cfg1("documents",
+      """{"type": "quantile_profile", "grpCol": "lang", "valCol": "n_chars"}""")
+    assert(qp == sortRows(
+      graft.ops.Sketches.quantileProfile(docs, "lang", "n_chars")) && qp.nonEmpty)
+    val rp = cfg1("documents",
+      """{"type": "redact_pii", "textCol": "text"}""")
+    assert(rp == sortRows(graft.ops.TextAnalysis.redactPii(docs, "text"))
+      && rp.nonEmpty)
+    val kb = cfg1("documents",
+      """{"type": "keep_best", "idCol": "doc_id", "clusterCol": "lang",
+          "scoreCol": "n_chars"}""")
+    assert(kb == sortRows(
+      graft.ops.Clusters.keepBest(docs, "doc_id", "lang", "n_chars"))
+      && kb.nonEmpty)
+
+    // components over a no-null int edge frame
+    val cc = cfg1("nation",
+      """{"type": "components", "aCol": "n_regionkey", "bCol": "n_nationkey"}""")
+    val nat = graft.source.Changelog.table(spark, sf, "nation")
+    val nodes = nat.select(col("n_regionkey").as("_n"))
+      .unionByName(nat.select(col("n_nationkey").as("_n"))).distinct()
+    assert(cc == sortRows(graft.ops.Clusters.components(
+      nodes, "_n", nat, "n_regionkey", "n_nationkey")
+      .withColumnRenamed("_n", "node")) && cc.nonEmpty)
+  }
+
+  test("registry completeness: every registered stage is inventoried") {
+    // the r16 sweep found gated ops with no config stage; this pins the
+    // inventory so the NEXT stage added without spec coverage (and a
+    // PLANS.md row) fails here instead of drifting silently
+    val inventoried = Set(
+      // CDC processors (ProcessorsSpec + gates)
+      "filter", "remap-op", "rename-table", "rename-logical", "namecatcher",
+      "columnvalue", "valuemap", "marshal", "compact", "route",
+      // release chain
+      "decontaminate", "mix_rate", "mix_temperature", "mix_weight",
+      "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
+      "sample_exact_strata", "split", "pack", "pack_audit", "zorder",
+      "global_shuffle", "expect", "quality_report",
+      // quality/text
+      "quality_filter", "langid_filter", "redact_pii", "exact_dedup",
+      "span_dedup_exact", "keep_best",
+      // sketches
+      "sketch_distinct", "sketch_overlap", "heavy_hitters", "quantile_profile",
+      // graph/analytics
+      "edges_lead", "page_rank", "triangles", "bfs", "harmonic_centrality",
+      "funnel", "retention", "label_prop", "kcore", "components")
+    assert(graft.pipeline.Pipeline.processorRegistry.keySet == inventoried,
+      "registry drift: " +
+        (graft.pipeline.Pipeline.processorRegistry.keySet -- inventoried)
+          .mkString(",") + " | " +
+        (inventoried -- graft.pipeline.Pipeline.processorRegistry.keySet)
+          .mkString(","))
+  }
+
   test("unknown processor type fails loudly with its name") {
     val e = intercept[IllegalArgumentException] {
       graft.pipeline.Pipeline.buildFrame(spark, s"""{
