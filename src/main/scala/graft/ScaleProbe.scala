@@ -546,6 +546,106 @@ object ScaleProbe {
     // ratio follows the same split once the scan cost (shared by both)
     // stops dominating. This is the measured form of the Sketches
     // scaladoc's refresh-cost claim.
+    // ── funnel, both forms: events ×k with user_id AND event_id
+    // shifted (users grow ×k, per-user history length constant — the
+    // realistic growth mode). The window form pays k re-sorts of the
+    // position subtree; the key form is chained map-side min-aggs.
+    // Both must scale ≈ linearly here; the form DIFFERENCE under a hot
+    // user is SkewProbe's job (skew_funnel_hotuser), volume is this
+    // row's.
+    val evF = graft.source.Changelog.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_ns", "event_id")
+    def funnelAt(n: Int): (Double, Double, Long) = {
+      val in = mat(scaled(evF, Seq("user_id", "event_id"), n), s"fun$n").cache()
+      in.count()
+      try {
+        val steps = Seq("view", "click", "purchase")
+        val (wSecs, wRows) = time(graft.ops.Funnel.steps(in, "user_id",
+          "event_type", steps, Seq("ts_ns", "event_id")).count())
+        val keyed = in.withColumn("k",
+          graft.ops.Funnel.packedKey(col("ts_ns"), col("event_id")))
+        val (kSecs, kRows) = time(graft.ops.Funnel.stepsByKey(keyed,
+          "user_id", "event_type", steps, "k").count())
+        require(wRows == kRows,
+          s"funnel forms disagree at x$n: window=$wRows keys=$kRows")
+        (wSecs, kSecs, kRows)
+      } finally { in.unpersist(); () }
+    }
+    if (want("funnel_forms")) {
+      funnelAt(1) // warm both legs
+      val (w1, k1s, r1) = funnelAt(1)
+      val (wk, kks, rk) = funnelAt(k)
+      println(s"""{"probe":"funnel_forms","k":$k,""" +
+        s""""window_secs_1":$w1,"window_secs_k":$wk,""" +
+        s""""keys_secs_1":$k1s,"keys_secs_k":$kks,""" +
+        s""""users_1":$r1,"users_k":$rk,""" +
+        s""""window_ratio":${wk / w1},"keys_ratio":${kks / k1s},""" +
+        s""""bottleneck":"window: per-user sort x3 subtree; keys: """ +
+        s"""step-chain hash-agg exchanges","sf":"$sfDir"}""")
+    }
+
+    // ── cohort retention: events ×k, same growth mode. One min-agg +
+    // one entity join + one cell count; cell count is bounded by
+    // (cohorts × offsets), so the output never grows with k — cost is
+    // the two keyed exchanges.
+    def retAt(n: Int): (Double, Long) = {
+      val in = mat(scaled(evF, Seq("user_id", "event_id"), n), s"ret$n").cache()
+      in.count()
+      try time(graft.ops.Retention.cohorts(in, "user_id", "ts_ns",
+        periodNs = 86400L * 1000000000L).count())
+      finally { in.unpersist(); () }
+    }
+    if (want("retention")) {
+      retAt(1) // warm
+      val (t1, c1) = retAt(1)
+      val (tk, ck2) = retAt(k)
+      println(s"""{"probe":"retention","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
+        s""""cells_1":$c1,"cells_k":$ck2,"ratio":${tk / t1},""" +
+        s""""bottleneck":"first-activity min-agg exchange","sf":"$sfDir"}""")
+    }
+
+    // ── LPA and triangles: part graph ×k as disjoint isomorphic copies
+    // (shared span — per-column spans would desynchronize endpoints).
+    // LPA rounds are FIXED (iterations budget), so cost must track edge
+    // volume; triangles' wedge count grows ×k (per-copy structure
+    // unchanged) so the closing join must too — a superlinear jump
+    // would be the wedge blowup the orientation trick exists to prevent.
+    val eBaseG = ProbeUtil.partEdges(spark, sfDir)
+    def lpaAt(n: Int): (Double, Long, Map[String, Double]) = {
+      val e = mat(ProbeUtil.sharedSpanCopies(eBaseG, n), s"lpa$n")
+      PhaseClock.reset()
+      val (secs, rows) = time(
+        graft.ops.Graphs.labelPropagation(e, "src", "dst", iterations = 3)
+          .count())
+      graft.ops.GraphBlocks.releaseAll()
+      (secs, rows, PhaseClock.snapshot())
+    }
+    if (want("lpa")) {
+      lpaAt(1) // warm
+      val (l1, n1, _) = lpaAt(1)
+      val (lk, nk, phk) = lpaAt(k)
+      println(s"""{"probe":"lpa","k":$k,"secs_1":$l1,"secs_k":$lk,""" +
+        s""""nodes_1":$n1,"nodes_k":$nk,"ratio":${lk / l1},""" +
+        s""""rounds_k":${phk.getOrElse("lpa.rounds", 0.0)},""" +
+        s""""bottleneck":"${topPhase(phk, "lpa.")}","sf":"$sfDir"}""")
+    }
+    def triAt(n: Int): (Double, Long, Map[String, Double]) = {
+      val e = mat(ProbeUtil.sharedSpanCopies(eBaseG, n), s"tri$n")
+      PhaseClock.reset()
+      val (secs, rows) = time(
+        graft.ops.Graphs.triangles(e, "src", "dst").count())
+      graft.ops.GraphBlocks.releaseAll()
+      (secs, rows, PhaseClock.snapshot())
+    }
+    if (want("triangles")) {
+      triAt(1) // warm
+      val (t1, n1, _) = triAt(1)
+      val (tk, nk, phk) = triAt(k)
+      println(s"""{"probe":"triangles","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
+        s""""nodes_1":$n1,"nodes_k":$nk,"ratio":${tk / t1},""" +
+        s""""bottleneck":"${topPhase(phk, "tri.")}","sf":"$sfDir"}""")
+    }
+
     if (want("sketch_distinct")) {
       def legs(n: Int): (Double, Long, Double, Long) = {
         val full = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -43,6 +43,7 @@ object StreamBench {
 
     if (args.contains("dsv2")) { runDsv2(spark, sfDir); spark.stop(); return }
     if (args.contains("delta")) { runDeltaVsMerge(spark, sfDir); spark.stop(); return }
+    if (args.contains("funnel")) { runFunnel(spark, sfDir); spark.stop(); return }
     val jdbcMode = args.contains("jdbc")
     val target = java.nio.file.Files.createTempDirectory("graft-sbench-t")
       .toString + "/state"
@@ -197,6 +198,67 @@ object StreamBench {
       s""""live_gens_at_drain_end":${liveAuto.size},""" +
       s""""snap_fired":${liveAuto.exists(_.startsWith("snap-"))},""" +
       s""""slices":$slices,"slice_by":"$sliceBy","state_rows":$rows,"sf":"$sfDir"}""")
+  }
+
+  /** Streaming-funnel STATE probe: the same ts-scrambled drain through
+    * the exact form (state grows with step-event history) and the
+    * watermark-evicting form (frozen chain prefixes, sub-watermark
+    * events evicted, empty users removed) — per-batch state rows/bytes
+    * from the query's own progress events. The 100-TB question this
+    * answers is state GROWTH, not wall: the reference's whole design is
+    * bounded buffers (disruptor.go:15-18), and the TTL knob is the
+    * funnel's bound. Wall seconds are reported but single-shot
+    * (informational); the state series is deterministic. */
+  private def runFunnel(spark: SparkSession, sfDir: String): Unit = {
+    val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "8").toInt
+    val evictDelay = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_EVICT", "10 days")
+    val sliceBy = s"event_id % $slices" // scrambled: worst case for state
+    val steps = Seq("view", "click", "purchase")
+    // stage outside the timed region (shared by both legs)
+    graft.streaming.ChangeStream.fromEventsRawStream(spark, sfDir, slices, sliceBy)
+    def drain(evict: Option[String]): (Double, Seq[(Long, Long, Long)], Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-funnel")
+      val raw = graft.streaming.ChangeStream.fromEventsRawStream(
+        spark, sfDir, slices, sliceBy)
+      val upd = graft.streaming.ChangeStream.streamingFunnel(raw, steps, evict)
+      val q = upd.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+            b.withColumn("_b",
+              org.apache.spark.sql.functions.lit(id)).write
+              .mode("append").parquet(s"$tmp/out")
+            ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val per = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .sortBy(_.batchId)
+        .map { p => (p.batchId,
+          p.stateOperators(0).numRowsTotal,
+          p.stateOperators(0).memoryUsedBytes) }
+      val users = spark.read.parquet(s"$tmp/out")
+        .select("user_id").distinct().count()
+      (secs, per, users)
+    }
+    val (exactSecs, exactPer, exactUsers) = drain(None)
+    val (ttlSecs, ttlPer, ttlUsers) = drain(Some(evictDelay))
+    def js(per: Seq[(Long, Long, Long)], f: ((Long, Long, Long)) => Long) =
+      per.map(f).mkString("[", ",", "]")
+    Seq(("exact", exactSecs, exactPer, exactUsers, "null"),
+        ("ttl", ttlSecs, ttlPer, ttlUsers, s""""$evictDelay"""")).foreach {
+      case (mode, secs, per, users, ev) =>
+        println(s"""{"metric":"stream_funnel_state","mode":"$mode",""" +
+          s""""evict_delay":$ev,"slices":$slices,"slice_by":"$sliceBy",""" +
+          s""""state_rows_per_batch":${js(per, _._2)},""" +
+          s""""state_bytes_per_batch":${js(per, _._3)},""" +
+          s""""emitted_users":$users,"secs":$secs,"sf":"$sfDir"}""")
+    }
   }
 
   /** DSv2 chunked-source drain: rate-limited batches over spooled segment

@@ -444,6 +444,15 @@ object Pipeline {
           spark, src.get("dir").asText(),
           if (src.has("slices")) src.get("slices").asInt() else 1,
           if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
+      case "events_raw_stream" =>
+        // the events table RAW (user_id/event_type/ts) as staged slices
+        // — the analytics-stream shape (pairs with the funnel_upsert
+        // sink; sliceBy "event_id % N" scrambles event time across
+        // batches, the disorder harness)
+        graft.streaming.ChangeStream.fromEventsRawStream(
+          spark, src.get("dir").asText(),
+          if (src.has("slices")) src.get("slices").asInt() else 1,
+          if (src.has("sliceBy")) src.get("sliceBy").asText() else "event_id")
       case "documents_stream" =>
         // crawl-increment source: the documents table arriving as
         // doc_id-range slices, one micro-batch each — pairs with the
@@ -479,8 +488,8 @@ object Pipeline {
         r.load()
           .withColumn("db", lit("srcdb"))
       case other => throw new IllegalArgumentException(
-        "streaming pipeline needs an events_stream, events_dsv2, " +
-          s"documents_stream or embeddings_stream source, got $other")
+        "streaming pipeline needs an events_stream, events_raw_stream, " +
+          s"events_dsv2, documents_stream or embeddings_stream source, got $other")
     }
     val transformed = stages(cfg)(stream)
     val snk = cfg.get("sink")
@@ -608,6 +617,35 @@ object Pipeline {
           // filtered serves
           metaCols = if (snk.has("metaCols")) strs(snk.get("metaCols")) else Nil)
         graft.ops.IvfIndex.indexStream(transformed, icfg)
+      case "funnel_upsert" =>
+        // streaming funnel over an events_raw_stream source: update-mode
+        // per-user chain upserts appended to a parquet feed (reader
+        // resolves the latest _b per user). "evictDelay" (e.g.
+        // "10 days") is the state bound: watermark eviction of matured
+        // chain prefixes — the deployment knob the exact form trades
+        // away. The config-front-end form of ChangeStream.streamingFunnel.
+        val steps = strs(snk.get("steps"))
+        val evict = if (snk.has("evictDelay"))
+          Some(snk.get("evictDelay").asText()) else None
+        val path = snk.get("path").asText()
+        val upd = graft.streaming.ChangeStream.streamingFunnel(
+          transformed, steps, evict)
+        upd.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+              graft.PhaseClock.count("batches")
+              graft.PhaseClock.time("apply") {
+                b.withColumn("_b",
+                  org.apache.spark.sql.functions.lit(id)).write
+                  .mode("append").parquet(path)
+              }
+              ()
+          }
+          .start()
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)
@@ -627,7 +665,8 @@ object Pipeline {
         }
       case other => throw new IllegalArgumentException(
         "streaming pipeline needs a parquet_merge, parquet_delta, " +
-          s"jdbc_apply or corpus_admit sink, got $other")
+          s"jdbc_apply, corpus_admit, span_admit, ivf_append or " +
+          s"funnel_upsert sink, got $other")
     } }
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it

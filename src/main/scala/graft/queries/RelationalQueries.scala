@@ -448,51 +448,21 @@ object RelationalQueries {
     // as the batch key-form funnel — the streaming op is exact under
     // cross-batch disorder or this gate fails.
     "stream_funnel" -> QueryDef(
-      (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
-        try {
-          val raw = graft.streaming.ChangeStream.fromEventsRawStream(
-            s, dir, slices = 4, sliceBy = "event_id % 4")
-          val upd = graft.streaming.ChangeStream.streamingFunnel(
-            raw, Seq("view", "click", "purchase"))
-          val q = upd.writeStream
-            .outputMode("update")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch {
-              (b: org.apache.spark.sql.Dataset[
-                 graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
-                b.withColumn("_b", lit(id)).write
-                  .mode("append").parquet(s"$tmp/out")
-                ()
-            }
-            .start()
-          // stop() must survive a drain failure: an orphaned query on
-          // the shared gate session would keep erroring against the
-          // checkpoint dir the finally below deletes
-          try q.processAllAvailable() finally q.stop()
-          // final chain per user = its LAST emission (state is
-          // cumulative); derive the packed step keys the oracle speaks
-          val fin = s.read.parquet(s"$tmp/out")
-          val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
-          val last = fin.withColumn("_r", row_number().over(w))
-            .filter(col("_r") === 1)
-          // cast the packed keys to string for the gate — decimal
-          // outputs trip the driver's hash canonicalization (r16)
-          val ks = (1 to 3).map { i =>
-            when(col("depth") >= i,
-              graft.ops.Funnel.packedKey(
-                element_at(col("ts_arr"), i), element_at(col("id_arr"), i)))
-              .cast("string").as(s"k$i")
-          }
-          val res = last.select(col("user_id") +: ks :+ col("depth"): _*)
-            .orderBy("user_id")
-          val rows = res.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-        } finally {
-          Registry.rmTree(tmp.toFile)
-        }
-      },
+      (s, dir) => streamFunnelGate(s, dir, evictDelay = None),
       Some(funnelKeysOracle)),
+
+    // The watermark-evicting deployment form of stream_funnel: a
+    // 10-day event-time watermark drops late arrivals and lets the
+    // fold freeze the matured chain prefix + evict sub-watermark state
+    // (the reference's whole design is bounded buffers —
+    // disruptor.go:15-18; this is the funnel's bound). The oracle
+    // replays the deterministic drop rule (batch = event_id % 4;
+    // survivor ⇔ ts_ms > max(prior batches' ts_ms) − 10d) and runs the
+    // SAME funnel over the survivors — eviction must cost nothing in
+    // exactness over surviving events or this gate fails.
+    "stream_funnel_ttl" -> QueryDef(
+      (s, dir) => streamFunnelGate(s, dir, evictDelay = Some("10 days")),
+      Some(funnelTtlOracle)),
 
     // Cohort retention: bucket users by first-activity day, count
     // active users per (cohort, day-offset) cell — all in exact
@@ -812,6 +782,67 @@ object RelationalQueries {
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** The streaming-funnel gate harness, shared by stream_funnel (exact
+    * form) and stream_funnel_ttl (watermark-evicting form): drain the
+    * event stream as 4 ts-SCRAMBLED micro-batches (sliced by
+    * event_id % 4, so every slice spans the whole time range and a
+    * user's events arrive out of ts order across batches), fold
+    * per-user state via flatMapGroupsWithState, upsert update-mode
+    * emissions, and resolve the FINAL per-user chain. */
+  private def streamFunnelGate(s: org.apache.spark.sql.SparkSession,
+      dir: String, evictDelay: Option[String])
+      : org.apache.spark.sql.DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+    try {
+      val raw = graft.streaming.ChangeStream.fromEventsRawStream(
+        s, dir, slices = 4, sliceBy = "event_id % 4")
+      val upd = graft.streaming.ChangeStream.streamingFunnel(
+        raw, Seq("view", "click", "purchase"), evictDelay)
+      val q = upd.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+            b.withColumn("_b", lit(id)).write
+              .mode("append").parquet(s"$tmp/out")
+            ()
+        }
+        .start()
+      // stop() must survive a drain failure: an orphaned query on
+      // the shared gate session would keep erroring against the
+      // checkpoint dir the finally below deletes
+      try q.processAllAvailable() finally q.stop()
+      // final chain per user = its LAST emission (state is
+      // cumulative); derive the packed step keys the oracle speaks
+      val fin = s.read.parquet(s"$tmp/out")
+      val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
+      val last = fin.withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+      // cast the packed keys to string for the gate — decimal
+      // outputs trip the driver's hash canonicalization (r16)
+      val ks = (1 to 3).map { i =>
+        when(col("depth") >= i,
+          graft.ops.Funnel.packedKey(
+            element_at(col("ts_arr"), i), element_at(col("id_arr"), i)))
+          .cast("string").as(s"k$i")
+      }
+      val res = last.select(col("user_id") +: ks :+ col("depth"): _*)
+        .orderBy("user_id")
+      // freeze the result DISTRIBUTED before the drain dir is removed:
+      // a driver collect here becomes driver-resident at 100x users
+      // (r16 watch item) — spool to a sibling temp table instead and
+      // hand back a reader over it (swept on JVM exit)
+      val keep = java.nio.file.Files.createTempDirectory("graft-funnel-res")
+      res.write.mode("overwrite").parquet(s"$keep/final")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Registry.rmTree(keep.toFile)))
+      s.read.parquet(s"$keep/final").orderBy("user_id")
+    } finally {
+      Registry.rmTree(tmp.toFile)
+    }
+  }
+
   /** Shared by events_funnel_keys and the streaming funnel gate
     * stream_funnel (lazy: referenced from inside `defs`). */
   private lazy val funnelKeysOracle: String =
@@ -821,6 +852,56 @@ object RelationalQueries {
       |  FROM events
       |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
       |    AND user_id IS NOT NULL),
+      |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(k) AS k2
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND k > k1
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(k) AS k3
+      |       FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND k > k2
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id,
+      |  CAST(k1 AS VARCHAR) AS k1,
+      |  CAST(s2.k2 AS VARCHAR) AS k2,
+      |  CAST(s3.k3 AS VARCHAR) AS k3,
+      |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
+  /** stream_funnel_ttl's oracle: the SAME greedy funnel, over the
+    * events that SURVIVE the watermark — batch = event_id % 4 (the
+    * staged slice), watermark before batch b = max ms-floored event
+    * time over batches < b minus the 10-day delay (Spark's
+    * EventTimeWatermark arithmetic, ms-floored), survivor ⇔
+    * ts_ms > wm (the fold's `<=`-stale rule). Batch 0 has no
+    * watermark: everything survives. */
+  private lazy val funnelTtlOracle: String =
+    """WITH e0 AS (
+      |  SELECT user_id, event_type, event_id % 4 AS b,
+      |    epoch_us(ts) // 1000 AS ts_ms,
+      |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL),
+      |bmax AS (
+      |  -- the watermark node sits BELOW the funnel's filters: its max
+      |  -- is over ALL events in the batch, not just step-type rows
+      |  SELECT event_id % 4 AS b, max(epoch_us(ts) // 1000) AS mx
+      |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |  GROUP BY 1),
+      |wm AS (SELECT b,
+      |         max(mx) OVER (ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           - 864000000 AS wm_ms
+      |       FROM bmax),
+      |ev AS (SELECT e0.user_id, e0.event_type, e0.k
+      |       FROM e0 JOIN wm USING (b)
+      |       WHERE wm.wm_ms IS NULL OR e0.ts_ms > wm.wm_ms),
       |s1 AS (SELECT user_id, min(k) AS k1 FROM ev
       |       WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT ev.user_id, min(k) AS k2

@@ -235,18 +235,32 @@ object ChangeStream {
     * with non-null ts/id reach the state; a NULL entity is a real group
     * — the batch funnel and the oracle both keep it — so `user` is
     * optional, not filtered). */
-  case class FunnelEvent(user: Option[Long], ty: String, ts: Long, id: Long)
+  case class FunnelEvent(user: Option[Long], ty: String, ts: Long, id: Long,
+      // the watermarked TIMESTAMP attribute, carried only so the
+      // stateful operator's child output retains the event-time column
+      // (getCurrentWatermarkMs refuses to answer without it); the fold
+      // itself reads the exact ns in `ts`
+      et: Option[java.sql.Timestamp] = None)
 
   /** Per-user funnel state: for each step TYPE, the (ts, id) keys seen
     * so far, kept sorted. This is the EXACT disorder-tolerant form — a
     * late-arriving early event can re-decide every step of the greedy
     * chain, so nothing less than the per-type key sets suffices; state
     * is bounded by the user's step-type events only (non-step events
-    * never enter). A production deployment bounds it further with a
-    * watermark that folds-and-evicts the matured prefix, trading
-    * late-data exactness for state; the exact form is what the gate can
-    * prove equal to the batch operator. */
-  case class FunnelProgress(keys: Map[String, Seq[(Long, Long)]])
+    * never enter).
+    *
+    * `frozen` is the watermark-matured chain prefix (the TTL form,
+    * [[streamingFunnel]] with `evictDelay`): picks whose ts fell below
+    * the watermark. Freezing them — and evicting every other sub-
+    * watermark event — is EXACT under the watermark contract: all
+    * future survivors carry ts strictly above the watermark, so (a)
+    * the greedy walk over the sub-watermark region is fully determined
+    * by events already merged, and (b) no evicted non-pick event can
+    * ever be chosen later, because any later step's lower bound is a
+    * pick at or above the watermark. The exact-forever form keeps
+    * `frozen` empty. */
+  case class FunnelProgress(keys: Map[String, Seq[(Long, Long)]],
+      frozen: Seq[(Long, Long)] = Nil)
 
   /** One funnel update: the user's current chain after this batch —
     * step coordinates as parallel (ts, id) arrays of length `depth`. */
@@ -263,20 +277,42 @@ object ChangeStream {
     * the chain is a pure function of them. */
   private[graft] def funnelFold(user: Option[Long], stepTypes: Seq[String],
       prev: Option[FunnelProgress], batch: Seq[FunnelEvent])
+      : (FunnelProgress, Option[FunnelUpd]) =
+    funnelFoldTtl(user, stepTypes, prev, batch, wmMs = Long.MinValue)
+
+  /** The fold's watermark-evicting core. `wmMs` is the event-time
+    * watermark (ms) at this batch's start; `Long.MinValue` = the
+    * exact-forever form (nothing stale, nothing frozen, nothing
+    * dropped — bit-identical to the pre-TTL fold).
+    *
+    * Staleness is judged in MILLISECONDS with `<=` — a strict SUPERSET
+    * of whatever late-row filtering Spark's own watermark machinery
+    * applies upstream (which compares ms-floored event times), so the
+    * effective drop rule is exactly this one and the DuckDB oracle can
+    * replay it: survivor ⇔ floor(ts_ns/10⁶) > wm_ms. */
+  private[graft] def funnelFoldTtl(user: Option[Long], stepTypes: Seq[String],
+      prev: Option[FunnelProgress], batch: Seq[FunnelEvent], wmMs: Long)
       : (FunnelProgress, Option[FunnelUpd]) = {
     val ord = implicitly[Ordering[(Long, Long)]]
+    def stale(tsNs: Long): Boolean = Math.floorDiv(tsNs, 1000000L) <= wmMs
     val base = prev.map(_.keys).getOrElse(Map.empty[String, Seq[(Long, Long)]])
-    val merged = batch.groupBy(_.ty).foldLeft(base) { case (m, (ty, evs)) =>
+    val frozen = prev.map(_.frozen).getOrElse(Nil)
+    // arrival-side drop: a late event below the watermark is gone (the
+    // exactness trade the TTL form makes — the exact form's wm is -inf)
+    val fresh = batch.filterNot(e => stale(e.ts))
+    val merged = fresh.groupBy(_.ty).foldLeft(base) { case (m, (ty, evs)) =>
       // linear sorted-merge into the already-sorted state: a hot user
       // pays O(|state| + |batch| log |batch|) per batch, not a
       // re-sort-everything O(|state| log |state|)
       m.updated(ty, mergeSorted(m.getOrElse(ty, Nil),
         evs.map(e => (e.ts, e.id)).distinct.sorted))
     }
-    var prevKey: Option[(Long, Long)] = None
+    // greedy walk resumes AFTER the frozen prefix (frozen picks are
+    // final — see FunnelProgress doc)
+    var prevKey: Option[(Long, Long)] = frozen.lastOption
     var dead = false
     val picks = Seq.newBuilder[(Long, Long)]
-    stepTypes.foreach { ty =>
+    stepTypes.drop(frozen.size).foreach { ty =>
       if (!dead) {
         val ks = merged.getOrElse(ty, Nil)
         val pick = prevKey match {
@@ -289,12 +325,22 @@ object ChangeStream {
         }
       }
     }
-    val chain = picks.result()
+    val chain = frozen ++ picks.result()
     val upd =
       if (chain.isEmpty) None
       else Some(FunnelUpd(user, chain.size.toLong,
         chain.map(_._1), chain.map(_._2)))
-    (FunnelProgress(merged), upd)
+    // freeze the matured chain prefix, then evict EVERY sub-watermark
+    // event: non-picks below wm can never be chosen (all later lower
+    // bounds sit at/above wm), picks below wm are final. A completed
+    // chain needs no events at all; a fully-evicted, chain-less user
+    // leaves empty state (the caller removes it).
+    val frozenNow = chain.takeWhile(k => stale(k._1))
+    val kept =
+      if (frozenNow.size == stepTypes.size) Map.empty[String, Seq[(Long, Long)]]
+      else merged.view.mapValues(_.filterNot(k => stale(k._1)))
+        .filter(_._2.nonEmpty).toMap
+    (FunnelProgress(kept, frozenNow), upd)
   }
 
   /** Linear dedup-merge of two sorted runs (both already distinct). */
@@ -330,11 +376,23 @@ object ChangeStream {
     * operator's irreducible shuffle); events are filtered to the step
     * types BEFORE the exchange, so the shuffled volume is Σ|type∈steps|
     * rows per batch, and state is per-user step-type keys only. */
-  def streamingFunnel(raw: DataFrame, stepTypes: Seq[String])
-      : Dataset[FunnelUpd] = {
+  /** `evictDelay` (a Spark interval string, e.g. "10 days") switches on
+    * the DEPLOYMENT form: an event-time watermark on `ts` bounds state
+    * — per batch, the fold freezes the chain prefix matured below the
+    * watermark, evicts every sub-watermark event, drops late arrivals,
+    * and REMOVES users whose state empties. Exact over the surviving
+    * events (see [[FunnelProgress]]); the trade is late-data loss,
+    * which is every watermarked operator's contract. None = exact
+    * under arbitrarily late data, state grows with step-event history. */
+  def streamingFunnel(raw: DataFrame, stepTypes: Seq[String],
+      evictDelay: Option[String] = None): Dataset[FunnelUpd] = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
     import raw.sparkSession.implicits._
-    val ev = raw
+    // watermark declared on the raw frame's timestamp col (before ts is
+    // projected away — the watermark node survives projection and feeds
+    // state.getCurrentWatermarkMs)
+    val withWm = evictDelay.map(raw.withWatermark("ts", _)).getOrElse(raw)
+    val ev = withWm
       .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
       // null ts/id have no key (dropped, as in the batch forms); a null
       // ENTITY identifies no one and is dropped in ALL funnel forms —
@@ -344,16 +402,20 @@ object ChangeStream {
       .filter(col("user_id").isNotNull)
       .filter(col("ts_ns").isNotNull && col("event_id").isNotNull)
       .select(col("user_id").as("user"), col("event_type").as("ty"),
-        col("ts_ns").as("ts"), col("event_id").as("id"))
+        col("ts_ns").as("ts"), col("event_id").as("id"),
+        col("ts").as("et"))
       .as[FunnelEvent]
+    val ttl = evictDelay.isDefined
     ev.groupByKey(_.user)
       .flatMapGroupsWithState[FunnelProgress, FunnelUpd](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user: Option[Long], events: Iterator[FunnelEvent],
             state: GroupState[FunnelProgress]) =>
-          val (next, upd) = funnelFold(user, stepTypes,
-            state.getOption, events.toSeq)
-          state.update(next)
+          val wmMs = if (ttl) state.getCurrentWatermarkMs() else Long.MinValue
+          val (next, upd) = funnelFoldTtl(user, stepTypes,
+            state.getOption, events.toSeq, wmMs)
+          if (next.keys.isEmpty && next.frozen.isEmpty) state.remove()
+          else state.update(next)
           upd.iterator
       }
   }

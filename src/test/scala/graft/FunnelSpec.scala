@@ -176,6 +176,82 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("funnelFoldTtl is exact over the watermark's survivors, state bounded") {
+    // the TTL form's whole claim: under ANY batch split, arrival order,
+    // and monotone watermark sequence, the final chain equals the batch
+    // funnel over the SURVIVING events (arrival-dropped: ts_ms <= wm at
+    // arrival), and after every fold the kept state holds no stale
+    // event while the frozen prefix holds only matured picks
+    import graft.streaming.ChangeStream.{FunnelEvent, FunnelProgress, funnelFoldTtl}
+    val ord = implicitly[Ordering[(Long, Long)]]
+    def greedy(sur: Seq[(String, (Long, Long))], steps: List[String])
+        : List[(Long, Long)] = {
+      var prev: Option[(Long, Long)] = None
+      var out = List.empty[(Long, Long)]
+      var dead = false
+      steps.foreach { ty =>
+        if (!dead) {
+          val cand = sur.filter(_._1 == ty).map(_._2)
+            .filter(k => prev.forall(p => ord.gt(k, p)))
+          cand.sorted.headOption match {
+            case Some(k) => out :+= k; prev = Some(k)
+            case None => dead = true
+          }
+        }
+      }
+      out
+    }
+    val gen = for {
+      evs <- evGen; steps <- stepsGen; seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (evs, steps, seed)
+    val prop = Prop.forAll(gen) { case (evs, steps, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(evs)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.zipWithIndex
+        .groupBy { case (_, i) => rnd.nextInt(nBatches) }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      // monotone watermark per batch (Spark's: running max, ms units;
+      // ts scaled ns = t * 1e6 so ms-floor lands back on t)
+      var wmRun = -1L
+      val wms = batches.map { _ =>
+        wmRun = math.max(wmRun, rnd.nextInt(11) - 1L); wmRun
+      }
+      evs.map(_.ent).distinct.forall { u =>
+        var st: Option[FunnelProgress] = None
+        var last: Option[graft.streaming.ChangeStream.FunnelUpd] = None
+        val survivors = scala.collection.mutable.ListBuffer
+          .empty[(String, (Long, Long))]
+        var ok = true
+        batches.zip(wms).foreach { case (b, wm) =>
+          val mine = b.filter(e => e.ent == u && steps.contains(e.ty))
+            .map(e => FunnelEvent(Some(u), e.ty, e.t * 1000000L, e.id))
+          survivors ++= mine.filter(_.ts / 1000000L > wm)
+            .map(e => e.ty -> ((e.ts, e.id)))
+          if (mine.nonEmpty) {
+            val (next, upd) = funnelFoldTtl(Some(u), steps, st, mine, wm)
+            st = Some(next)
+            upd.foreach(x => last = Some(x))
+            // state bound: nothing stale survives in the kept sets;
+            // frozen holds only matured picks, contiguous from step 1
+            ok &&= next.keys.values.flatten.forall(_._1 / 1000000L > wm)
+            ok &&= next.frozen.forall(_._1 / 1000000L <= wm)
+            ok &&= next.frozen.size <= steps.size
+          }
+        }
+        val want = greedy(survivors.toList, steps)
+        val got = last.map(f => f.ts_arr.zip(f.id_arr).toList).getOrElse(Nil)
+        val pass = ok && got == want
+        if (!pass) println(s"TTL MISMATCH u=$u steps=$steps wms=$wms " +
+          s"evs=$evs\n got=$got\n want=$want ok=$ok")
+        pass
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("NULL entities are dropped identically by all three funnel forms") {
     // r16 ADVICE divergence: before the shared entity-not-null filter,
     // the batch chain stranded a NULL entity at depth 1 (equi-joins
@@ -209,6 +285,60 @@ class FunnelSpec extends SparkSpec {
     assert(!upd.exists(_.user_id.isEmpty),
       s"streaming emitted a null-entity chain: ${upd.mkString(", ")}")
     assert(upd.map(u => u.user_id.get -> u.depth).toMap == Map(1L -> 2L))
+  }
+
+  test("funnel_upsert streaming sink round-trips through the config front-end") {
+    // the TTL knob wired end to end as a TASK: events_raw_stream source
+    // (4 ts-scrambled slices) → funnel_upsert sink with evictDelay;
+    // resolved feed must equal the library call's gate result (the
+    // stream_funnel_ttl survivor semantics)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-cfg")
+    try {
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_raw_stream", "dir": "$sf",
+                   "slices": 4, "sliceBy": "event_id % 4"},
+        "processors": [],
+        "sink": {"type": "funnel_upsert", "path": "$tmp/out",
+                 "checkpoint": "$tmp/ckpt",
+                 "steps": ["view", "click", "purchase"],
+                 "evictDelay": "10 days"}
+      }""")
+      val fin = spark.read.parquet(s"$tmp/out")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(org.apache.spark.sql.functions.col("_b").desc)
+      val last = fin
+        .withColumn("_r",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter("_r = 1")
+        .select("user_id", "depth")
+        .as[(Long, Long)].collect().toMap
+      // same drain through the library call
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft-funnel-lib")
+      try {
+        val raw = graft.streaming.ChangeStream.fromEventsRawStream(
+          spark, sf, slices = 4, sliceBy = "event_id % 4")
+        val upd = graft.streaming.ChangeStream.streamingFunnel(
+          raw, Seq("view", "click", "purchase"), Some("10 days"))
+        val q = upd.writeStream.outputMode("update")
+          .option("checkpointLocation", s"$tmp2/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+              b.withColumn("_b",
+                org.apache.spark.sql.functions.lit(id)).write
+                .mode("append").parquet(s"$tmp2/out")
+              ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val lib = spark.read.parquet(s"$tmp2/out")
+          .withColumn("_r",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter("_r = 1").select("user_id", "depth")
+          .as[(Long, Long)].collect().toMap
+        assert(last == lib && last.nonEmpty)
+      } finally graft.queries.Registry.rmTree(tmp2.toFile)
+    } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
   test("funnel of an empty frame / no-matching-type stream is empty") {
