@@ -150,6 +150,11 @@ object Bench {
         // starts from an empty block store.
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = true))
+        // also drain the GraphBlocks registry: the sweep above already
+        // unpersisted its RDDs, but the strong registry entries (one
+        // per iterative-op call) would otherwise accumulate across the
+        // suite's hundreds of runs
+        graft.ops.GraphBlocks.releaseAll()
         PhaseClock.reset()
         val t0 = System.nanoTime()
         runOne()

@@ -102,5 +102,8 @@ private[graft] object ProbeUtil {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = true))
+    // drain the GraphBlocks registry too: its RDDs were just swept, but
+    // the strong entries would accumulate across probe legs
+    graft.ops.GraphBlocks.releaseAll()
   }
 }

@@ -120,21 +120,33 @@ object SkewProbe {
         when(flagged, concat(prefix, lit(" "), col("text")))
           .otherwise(col("text")))
     }
-    def spansAt(n: Int, hot: Boolean): (Double, Long) = {
-      val d = mat(prefixed(saltedDocs(n), hot), s"sz$n$hot")
-      try time(graft.ops.Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 8)
-        .agg(sum("dup_chunks")).head().getLong(0))
+    def spansAt(n: Int, hot: Boolean, split: Boolean = false): (Double, Long) = {
+      val d = mat(prefixed(saltedDocs(n), hot), s"sz$n$hot$split")
+      val deduped =
+        if (split) graft.ops.Dedup.chunkDedupHotSplit(d, "doc_id", "text",
+          chunkTokens = 8, hotMin = 1000L)
+        else graft.ops.Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 8)
+      try time(deduped.agg(sum("dup_chunks")).head().getLong(0))
       finally sweepBlocks()
     }
     if (want("skew_spans_hotchunk")) {
       spansAt(1, hot = true) // warm
+      spansAt(1, hot = true, split = true) // warm the split leg too
       val (s1, d1) = spansAt(1, hot = true)
       val (sk, dk) = spansAt(k, hot = true)
       val (su, du) = spansAt(k, hot = false)
+      // the r16 mitigation candidate, priced: manual hot-digest split
+      // (broadcast hot keepers + hot-free shuffle) vs the AQE skew
+      // split it would replace — SAME input, output asserted identical
+      val (sSplit, dSplit) = spansAt(k, hot = true, split = true)
+      require(dSplit == dk,
+        s"hot-split dedup diverged: $dSplit vs $dk dup chunks")
       println(s"""{"probe":"skew_spans_hotchunk","k":$k,"hot_pct":$HotPct,""" +
         s""""secs_1":$s1,"secs_k":$sk,"secs_k_uniform":$su,""" +
+        s""""secs_k_split":$sSplit,"split_gain":${sk / sSplit},""" +
         s""""dups_1":$d1,"dups_k":$dk,"dups_k_uniform":$du,""" +
         s""""ratio":${sk / s1},"skew_tax":${sk / su},""" +
+        s""""skew_tax_split":${sSplit / su},""" +
         s""""bottleneck":"hot-digest flag join (AQE skew split)","sf":"$sfDir"}""")
     }
 
@@ -615,37 +627,69 @@ object SkewProbe {
     // (the same round-1 out-edge volume, spread over many seeds).
     if (want("skew_bfs_hub")) {
       val eBase = ProbeUtil.partEdges(spark, sfDir)
-      def bfsAt(n: Int, hot: Boolean): (Double, Long, Map[String, Double]) = {
+      // the r16 mitigation candidate, priced: two-phase SALTED frontier
+      // distinct — phase 1 pre-aggregates on (salt(n), n) before the
+      // final distinct on n, so a hot dst (if one existed) would spread
+      // over `salts` reducers. The hypothesis to refute: the default
+      // distinct's map-side partial aggregation already does this work,
+      // so salting only adds an exchange.
+      def saltedRound(salts: Int)(frontier: org.apache.spark.sql.DataFrame,
+          e: org.apache.spark.sql.DataFrame,
+          dist: org.apache.spark.sql.DataFrame, i: Int)
+          : org.apache.spark.sql.DataFrame =
+        frontier
+          .join(e.select(col("src").as("n"), col("dst")), "n")
+          .select(col("dst").as("n"))
+          .groupBy(pmod(xxhash64(col("n")), lit(salts)).as("_s"), col("n"))
+          .agg(count(lit(1))).select(col("n")).distinct()
+          .withColumn("dist", lit(i).cast("long"))
+          .join(dist, Seq("n"), "left_anti")
+      def bfsAt(n: Int, hot: Boolean, salted: Boolean = false)
+          : (Double, Long, Map[String, Double]) = {
         val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
         val e = if (hot) e0.withColumn("src",
             when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
               lit(0L)).otherwise(col("src")))
           else e0
-        val in = mat(e, s"bfs$n$hot")
+        val in = mat(e, s"bfs$n$hot$salted")
         val seeds =
           if (hot) spark.range(1).select(lit(0L).as("seed"))
           else in.select(col("src").as("seed"))
             .filter(pmod(xxhash64(col("seed")), lit(100)) < HotPct)
         PhaseClock.reset()
-        val r = time(graft.ops.Graphs.bfsLevels(in, "src", "dst",
-          seeds, "seed", maxDepth = 3).count())
+        // construction INSIDE the clock: bfsLevels executes its rounds
+        // eagerly (lineage cuts), so timing only .count() would measure
+        // a read of the final cut, not the BFS
+        val r = time {
+          val run =
+            if (salted) graft.ops.Graphs.bfsLevelsImpl(in, "src", "dst",
+              seeds, "seed", 3, saltedRound(64))
+            else graft.ops.Graphs.bfsLevels(in, "src", "dst",
+              seeds, "seed", maxDepth = 3)
+          run.count()
+        }
         val ph = PhaseClock.snapshot()
         sweepBlocks()
         (r._1, r._2, ph)
       }
       bfsAt(1, hot = true) // warm
+      bfsAt(1, hot = true, salted = true) // warm the salted leg too
       val (b1, n1, _) = bfsAt(1, hot = true)
       val (bk, nk, phk) = bfsAt(k, hot = true)
       val (bu, nu, _) = bfsAt(k, hot = false)
+      val (bs, ns2, _) = bfsAt(k, hot = true, salted = true)
+      require(ns2 == nk, s"salted BFS diverged: reached $ns2 vs $nk")
       val prepS = phk.getOrElse("bfs.edges", 0.0)
       val loopS = phk.getOrElse("bfs.round", 0.0)
       val bn = if (loopS > prepS) "frontier join + distinct (bfs.round)"
         else "edge dedup prep (bfs.edges)"
       println(s"""{"probe":"skew_bfs_hub","k":$k,"hot_pct":$HotPct,""" +
         s""""secs_1":$b1,"secs_k":$bk,"secs_k_uniform":$bu,""" +
+        s""""secs_k_salted":$bs,"salt_gain":${bk / bs},""" +
         s""""reached_1":$n1,"reached_k":$nk,"reached_k_uniform":$nu,""" +
         s""""prep_k":$prepS,"loop_k":$loopS,""" +
         s""""ratio":${bk / b1},"skew_tax":${bk / bu},""" +
+        s""""skew_tax_salted":${bs / bu},""" +
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 

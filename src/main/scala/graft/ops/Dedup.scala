@@ -338,15 +338,40 @@ object Dedup {
   /** Keeper + flag + rebuild over any (idCol, pos, chunk, _h, _enc)
     * chunk frame — shared by the fixed and content-defined chunkers.
     * A dup chunk shorter than `minRemoveTokens` is kept (the CDC
-    * short-segment guard; 1 = remove any dup). */
+    * short-segment guard; 1 = remove any dup).
+    *
+    * `hotMin > 0` switches on the manual hot-digest split for the flag
+    * join: digests with ≥ hotMin occurrences (boilerplate chunks — at
+    * most |chunks|/hotMin of them, so the set broadcasts at any corpus
+    * size) take a BROADCAST keeper join, the rest shuffle with no hot
+    * key left in the exchange. 0 = single shuffle join (AQE's skew
+    * split is the safety net); the SkewProbe prices the two against
+    * each other (`skew_spans_hotchunk` split fields). */
   private def dedupChunkFrame(chunks: DataFrame, idCol: String,
-      minRemoveTokens: Int = 1): DataFrame = {
-    val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
+      minRemoveTokens: Int = 1, hotMin: Long = 0L): DataFrame = {
     val docBase = col("_enc") - col("pos") // = id << posBits, sign-safe
     val shortGuard =
       if (minRemoveTokens <= 1) lit(false)
       else size(split(col("chunk"), " ")) < minRemoveTokens
-    val flagged = chunks.join(keepers, "_h")
+    val flagged =
+      if (hotMin <= 0L) {
+        val keepers = chunks.groupBy("_h").agg(min(col("_enc")).as("_first"))
+        chunks.join(keepers, "_h")
+      } else {
+        val keepers = chunks.groupBy("_h")
+          .agg(min(col("_enc")).as("_first"), count(lit(1)).as("_n"))
+        val hotK = keepers.filter(col("_n") >= hotMin).drop("_n")
+        val coldK = keepers.filter(col("_n") < hotMin).drop("_n")
+        // hot leg: map-only broadcast join; cold leg: the hot digests
+        // are carved OUT by a broadcast anti-join first, so its shuffle
+        // has no hot key for AQE to rescue
+        val hotLeg = chunks.join(broadcast(hotK), "_h")
+        val coldLeg = chunks
+          .join(broadcast(hotK.select(col("_h"))), Seq("_h"), "left_anti")
+          .join(coldK, "_h")
+        hotLeg.unionByName(coldLeg)
+      }
+    val out = flagged
       .withColumn("_kept", col("_enc") === col("_first") || shortGuard)
       // _cross only on REMOVED chunks: with the guard off this is
       // unchanged (a kept first occurrence is never cross), with the
@@ -354,8 +379,17 @@ object Dedup {
       // cross-doc-keeper audit count
       .withColumn("_cross", !col("_kept") &&
         (col("_first") < docBase || col("_first") >= docBase + (1L << chunkPosBits)))
-    perDocRebuild(flagged, idCol)
+    perDocRebuild(out, idCol)
   }
+
+  /** [[chunkDedup]] with the manual hot-digest split (see
+    * [[dedupChunkFrame]]); identical output, different physical plan —
+    * exists to be PRICED against the AQE-split default under the
+    * hot-chunk skew probe. */
+  def chunkDedupHotSplit(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, hotMin: Long = 1000L): DataFrame =
+    dedupChunkFrame(chunkFrame(df, idCol, textCol, chunkTokens), idCol,
+      hotMin = hotMin)
 
   private[ops] val chunkPosBits = 20
 

@@ -430,7 +430,17 @@ object Graphs {
     * rounds is Σ|frontier_i| = |reached| rows. Same per-round
     * lineage-cut discipline as [[pageRank]]. */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame =
+    bfsLevelsImpl(edges, srcCol, dstCol, seeds, seedCol, maxDepth,
+      bfsRoundFrame)
+
+  /** [[bfsLevels]] with a pluggable round body — the SkewProbe seam
+    * for pricing alternative round plans (salted distinct, forced
+    * join strategies) against the default without forking the loop. */
+  private[graft] def bfsLevelsImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, maxDepth: Int,
+      round: (DataFrame, DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
     require(maxDepth >= 0, s"bfsLevels needs maxDepth >= 0 (got $maxDepth)")
     val spark = edges.sparkSession
     val e = edges
@@ -460,7 +470,7 @@ object Graphs {
     while (i <= maxDepth && frontierN > 0) { // empty frontier: done
       graft.PhaseClock.count("bfs.rounds")
       val (next, r, n) = graft.PhaseClock.time("bfs.round") {
-        Lineage.cut(bfsRoundFrame(frontier, e, dist, i))
+        Lineage.cut(round(frontier, e, dist, i))
       }
       pinned += r
       frontier = next

@@ -208,7 +208,10 @@ object DeltaStore {
     * [[readAt]] (and therefore no fold/snapshot id lies past `fromBatch`
     * either — folds raise the floor, so an accepted window contains only
     * plain appends, which is what makes the bucket pruning sound).
-    * Returns None when the store is empty or no bucket changed. */
+    * Returns None only when the store is MISSING (empty manifest); an
+    * idle window over an existing store — no bucket holds a generation
+    * in (from, to], the common case for a polling CDC-out consumer —
+    * yields an EMPTY feed with the feed schema. */
   def changesBetween(spark: SparkSession, target: String,
       fromBatch: Long, toBatch: Long): Option[DataFrame] = {
     require(toBatch >= fromBatch,

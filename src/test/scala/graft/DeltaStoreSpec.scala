@@ -619,8 +619,15 @@ class DeltaStoreSpec extends SparkSpec {
     }
     assert(sawAllThree === Set("insert", "update", "delete"),
       "fixture must exercise every change kind")
-    // an empty window over a non-empty store is None, not an empty frame
-    assert(DeltaStore.changesBetween(spark, target, 5, 5).isEmpty)
+    // an empty window over a non-empty store is an EMPTY FEED with the
+    // feed schema (ADVICE r16: the common case for a polling CDC-out
+    // consumer must not read as "no store"); None remains reserved for
+    // a missing store
+    val idle = DeltaStore.changesBetween(spark, target, 5, 5)
+    assert(idle.isDefined && idle.get.count() == 0L)
+    assert(idle.get.columns.contains("change"))
+    assert(DeltaStore.changesBetween(spark, tmp("graft-delta-nostore"),
+      0, 1).isEmpty)
   }
 
   test("changesBetween prunes the scan to buckets touched inside the window") {
