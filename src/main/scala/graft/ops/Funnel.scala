@@ -16,7 +16,10 @@ import org.apache.spark.sql.expressions.Window
   * Semantics: positions are `row_number` over (`orderCols`) within the
   * entity — `orderCols` MUST total-order events within an entity (tie
   * ties to a unique id; an ambiguous order would make the positions
-  * engine-dependent, the round-16 lead() lesson). Rows with a NULL in
+  * engine-dependent, the round-16 lead() lesson). Rows with a NULL
+  * entity are DROPPED in every funnel form — batch window, key form,
+  * streaming — and in the oracles (a NULL entity identifies no one;
+  * r16's forms silently disagreed on it). Rows with a NULL in
   * any order column are DROPPED before numbering: an unordered event
   * has no position, and engines disagree on null placement (Spark
   * sorts NULLS FIRST, DuckDB NULLS LAST — letting them through would

@@ -52,14 +52,22 @@ object GraphBlocks {
     * iterative op). Safe after the caller has materialized or written
     * the result; a no-op for unregistered frames. */
   def release(df: DataFrame): Unit = synchronized {
-    reg.remove(df).foreach(_.foreach(_.unpersist(blocking = false)))
+    reg.remove(df).foreach(_.foreach(safeUnpersist))
   }
 
   /** Unpersist every registered block (between independent queries). */
   def releaseAll(): Unit = synchronized {
-    reg.valuesIterator.foreach(_.foreach(_.unpersist(blocking = false)))
+    reg.valuesIterator.foreach(_.foreach(safeUnpersist))
     reg.clear()
   }
+
+  /** Best-effort: a harness that cycles one SparkSession per query
+    * (Bench) may hold entries whose context already STOPPED — their
+    * blocks died with it, and unpersist against a dead context NPEs
+    * inside BlockManagerMaster. */
+  private def safeUnpersist(r: RDD[_]): Unit =
+    try { if (!r.sparkContext.isStopped) r.unpersist(blocking = false) }
+    catch { case _: Exception => () }
 
   /** Number of registered frames (observability/test hook). */
   def registered: Int = synchronized { reg.size }

@@ -232,9 +232,10 @@ object ChangeStream {
     * as-fast-as-possible trigger busy-loop empty batches, which also
     * starves `processAllAvailable` in tests. */
   /** One funnel event after projection/filtering (only step-type events
-    * with non-null ts/id reach the state; a NULL entity is a real group
-    * — the batch funnel and the oracle both keep it — so `user` is
-    * optional, not filtered). */
+    * with non-null entity, ts, and id reach the state — a NULL entity
+    * identifies no one and every funnel form drops it; `user` stays
+    * optional only because groupByKey's key type is what the encoder
+    * dictates). */
   case class FunnelEvent(user: Option[Long], ty: String, ts: Long, id: Long,
       // the watermarked TIMESTAMP attribute, carried only so the
       // stateful operator's child output retains the event-time column
@@ -375,8 +376,9 @@ object ChangeStream {
     * Scale shape: one groupByKey exchange on the user (the state
     * operator's irreducible shuffle); events are filtered to the step
     * types BEFORE the exchange, so the shuffled volume is Σ|type∈steps|
-    * rows per batch, and state is per-user step-type keys only. */
-  /** `evictDelay` (a Spark interval string, e.g. "10 days") switches on
+    * rows per batch, and state is per-user step-type keys only.
+    *
+    * `evictDelay` (a Spark interval string, e.g. "10 days") switches on
     * the DEPLOYMENT form: an event-time watermark on `ts` bounds state
     * — per batch, the fold freezes the chain prefix matured below the
     * watermark, evicts every sub-watermark event, drops late arrivals,
