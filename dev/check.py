@@ -74,8 +74,13 @@ def main():
             # red rows). Flag them as failures so decimal never reaches a
             # gate output again — cast to VARCHAR/BIGINT instead.
             import decimal
+            # scan EVERY row: a nullable decimal column (the funnel-key
+            # shape) is NULL in the first-sorted depth-1 rows, so a
+            # first-row check misses exactly the class that motivated
+            # this guard
             dec_cols = sorted({sorted(s_cols)[j]
-                               for r in (s_sorted[:1] + o_sorted[:1])
+                               for rows in (s_sorted, o_sorted)
+                               for r in rows
                                for j, v in enumerate(r)
                                if isinstance(v, decimal.Decimal)})
             if dec_cols:

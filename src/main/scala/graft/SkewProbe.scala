@@ -628,19 +628,25 @@ object SkewProbe {
     if (want("skew_bfs_hub")) {
       val eBase = ProbeUtil.partEdges(spark, sfDir)
       // the r16 mitigation candidate, priced: two-phase SALTED frontier
-      // distinct — phase 1 pre-aggregates on (salt(n), n) before the
-      // final distinct on n, so a hot dst (if one existed) would spread
-      // over `salts` reducers. The hypothesis to refute: the default
-      // distinct's map-side partial aggregation already does this work,
-      // so salting only adds an exchange.
+      // distinct — phase 1 pre-aggregates on (salt, dst) where the salt
+      // is ROW-VARYING (hash of the SOURCE endpoint, which differs
+      // across a dst group's rows — a salt that's a function of the
+      // grouping key would land the hot group on one reducer anyway,
+      // the strawman a review caught in this probe's first cut), then
+      // the final distinct on dst. The hypothesis to refute: the
+      // default distinct's map-side partial aggregation already does
+      // this work, so salting only adds an exchange.
       def saltedRound(salts: Int)(frontier: org.apache.spark.sql.DataFrame,
           e: org.apache.spark.sql.DataFrame,
           dist: org.apache.spark.sql.DataFrame, i: Int)
           : org.apache.spark.sql.DataFrame =
         frontier
           .join(e.select(col("src").as("n"), col("dst")), "n")
-          .select(col("dst").as("n"))
-          .groupBy(pmod(xxhash64(col("n")), lit(salts)).as("_s"), col("n"))
+          // input cols here are (n = the SOURCE endpoint, dst): salt on
+          // the source, which varies across a dst group's rows
+          .select(col("dst").as("n"),
+            pmod(xxhash64(col("n")), lit(salts)).as("_s0"))
+          .groupBy(col("_s0"), col("n"))
           .agg(count(lit(1))).select(col("n")).distinct()
           .withColumn("dist", lit(i).cast("long"))
           .join(dist, Seq("n"), "left_anti")

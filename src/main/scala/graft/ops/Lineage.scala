@@ -38,26 +38,30 @@ private[graft] object Lineage {
   * Ops call [[register]] on the frame they return; a caller that has
   * materialized the result calls [[release]] on that exact frame (or
   * [[releaseAll]] between independent queries, as the gate harness
-  * does). The registry holds strong refs — entries are few (one per
-  * iterative-op call) and [[releaseAll]] must still find blocks whose
-  * frame the caller dropped. */
+  * does). Keys are WEAK: a caller that simply drops the frame keeps
+  * the PRE-registry contract — the entry clears, the RDD loses its
+  * last strong ref, and Spark's ContextCleaner unpersists the blocks.
+  * (A strong registry would have turned every external call into a
+  * permanent pin unless the caller knew to release — review r17.) */
 object GraphBlocks {
-  private val reg = scala.collection.mutable.LinkedHashMap
-    .empty[DataFrame, Seq[RDD[_]]]
+  private val reg = new java.util.WeakHashMap[DataFrame, Seq[RDD[_]]]()
 
   private[graft] def register(df: DataFrame, rdds: Seq[RDD[_]]): DataFrame =
-    synchronized { reg.update(df, rdds); df }
+    synchronized { reg.put(df, rdds); df }
 
   /** Unpersist the blocks backing `df` (a frame returned by an
     * iterative op). Safe after the caller has materialized or written
     * the result; a no-op for unregistered frames. */
   def release(df: DataFrame): Unit = synchronized {
-    reg.remove(df).foreach(_.foreach(safeUnpersist))
+    Option(reg.remove(df)).foreach(_.foreach(safeUnpersist))
   }
 
-  /** Unpersist every registered block (between independent queries). */
+  /** Unpersist every still-registered block (between independent
+    * queries); blocks whose frame was already GC'd are on the
+    * ContextCleaner's path instead. */
   def releaseAll(): Unit = synchronized {
-    reg.valuesIterator.foreach(_.foreach(safeUnpersist))
+    import scala.jdk.CollectionConverters._
+    reg.values().asScala.foreach(_.foreach(safeUnpersist))
     reg.clear()
   }
 

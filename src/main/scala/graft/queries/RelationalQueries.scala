@@ -889,10 +889,14 @@ object RelationalQueries {
       |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
       |    AND user_id IS NOT NULL),
       |bmax AS (
-      |  -- the watermark node sits BELOW the funnel's filters: its max
-      |  -- is over ALL events in the batch, not just step-type rows
+      |  -- the operator declares its watermark ABOVE the funnel's
+      |  -- filters (by construction, not optimizer fate): its stats
+      |  -- cover exactly the step-type rows with non-null entity/ts/id
       |  SELECT event_id % 4 AS b, max(epoch_us(ts) // 1000) AS mx
-      |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL
+      |    AND event_type IN ('view', 'click', 'purchase')
       |  GROUP BY 1),
       |wm AS (SELECT b,
       |         max(mx) OVER (ORDER BY b

@@ -390,11 +390,7 @@ object ChangeStream {
       evictDelay: Option[String] = None): Dataset[FunnelUpd] = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
     import raw.sparkSession.implicits._
-    // watermark declared on the raw frame's timestamp col (before ts is
-    // projected away — the watermark node survives projection and feeds
-    // state.getCurrentWatermarkMs)
-    val withWm = evictDelay.map(raw.withWatermark("ts", _)).getOrElse(raw)
-    val ev = withWm
+    val filtered = raw
       .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
       // null ts/id have no key (dropped, as in the batch forms); a null
       // ENTITY identifies no one and is dropped in ALL funnel forms —
@@ -403,9 +399,28 @@ object ChangeStream {
       // it at depth 1 (divergence found by ADVICE r16)
       .filter(col("user_id").isNotNull)
       .filter(col("ts_ns").isNotNull && col("event_id").isNotNull)
+    // `et` carries the event-time TIMESTAMP into the state operator's
+    // child output (getCurrentWatermarkMs refuses to answer without
+    // it). Resolved against the frame EXPLICITLY: a bare col("ts")
+    // would silently fall back to the just-aliased ts_ns via the
+    // lateral-column-alias rule on a frame with no ts column — a
+    // ns-misscaled watermark instead of an analysis error.
+    val et =
+      if (evictDelay.isDefined) filtered("ts").as("et")
+      else lit(null).cast("timestamp").as("et")
+    val projected = filtered
       .select(col("user_id").as("user"), col("event_type").as("ty"),
-        col("ts_ns").as("ts"), col("event_id").as("id"),
-        col("ts").as("et"))
+        col("ts_ns").as("ts"), col("event_id").as("id"), et)
+    // the watermark is declared ABOVE the filters and ON the projected
+    // event-time column, so its stats cover exactly the step-type
+    // non-null rows BY CONSTRUCTION — declaring it on `raw` instead
+    // left the coverage to the optimizer, and Catalyst pushes the
+    // filters below the EventTimeWatermark node, silently making the
+    // watermark a function of NON-step events (caught by review:
+    // wm after a batch with a high-ts non-step event = step-only max,
+    // not all-events max; the oracle must be able to predict which)
+    val ev = evictDelay.map(projected.withWatermark("et", _))
+      .getOrElse(projected)
       .as[FunnelEvent]
     val ttl = evictDelay.isDefined
     ev.groupByKey(_.user)

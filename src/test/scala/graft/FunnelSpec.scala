@@ -287,6 +287,48 @@ class FunnelSpec extends SparkSpec {
     assert(upd.map(u => u.user_id.get -> u.depth).toMap == Map(1L -> 2L))
   }
 
+  test("TTL watermark covers step-type rows ONLY — a non-step event advances nothing") {
+    // the r17 review catch: declaring the watermark on the RAW frame
+    // let Catalyst push the funnel's filters below the
+    // EventTimeWatermark node, so a high-ts NON-step event (an 'error'
+    // row) silently advanced the watermark and evicted step events the
+    // oracle predicted as survivors. The operator now declares the
+    // watermark above its filters by construction; this pins it:
+    // batch 0 carries a non-step event 22 days past the last step
+    // event, batch 1's click must still SURVIVE a 10-day watermark.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.expr
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val raw = mem.toDF.toDF("user_id", "event_type", "ts", "event_id")
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    val upd = graft.streaming.ChangeStream.streamingFunnel(
+      raw, Seq("view", "click"), Some("10 days"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-wm")
+    val q = upd.writeStream.outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("funnel_wm_test").start()
+    try {
+      mem.addData((1L, "view", ts("2024-01-01 00:00:00"), 1L),
+        (9L, "error", ts("2024-02-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      // wrong coverage: wm = 2024-02-01 - 10d = 2024-01-22 → click dies;
+      // correct coverage: wm = 2024-01-01 - 10d = 2023-12-22 → survives
+      mem.addData((1L, "click", ts("2024-01-10 00:00:00"), 3L))
+      q.processAllAvailable()
+      val depth = spark.table("funnel_wm_test")
+        .orderBy(org.apache.spark.sql.functions.col("depth").desc)
+        .select("depth").as[Long].head()
+      assert(depth == 2L,
+        s"click was watermark-dropped (depth $depth): the non-step event " +
+          "advanced the watermark — filter/watermark order regressed")
+    } finally {
+      q.stop()
+      graft.queries.Registry.rmTree(tmp.toFile)
+    }
+  }
+
   test("funnel_upsert streaming sink round-trips through the config front-end") {
     // the TTL knob wired end to end as a TASK: events_raw_stream source
     // (4 ts-scrambled slices) → funnel_upsert sink with evictDelay;

@@ -140,10 +140,16 @@ class GraphsSpec extends SparkSpec {
     graft.ops.GraphBlocks.release(pr)
     assert((pinnedIds -- before).isEmpty,
       s"blocks survived release: ${pinnedIds -- before}")
-    // releaseAll sweeps frames whose handle the caller dropped
-    Graphs.bfsLevels(e, "s", "d", Seq(1L).toDF("seed"), "seed", 3).count()
+    // releaseAll sweeps every still-registered frame's blocks (the
+    // frame is HELD here: registry keys are weak, so a dropped frame
+    // reverts to the ContextCleaner path instead)
+    val bfs = Graphs.bfsLevels(e, "s", "d", Seq(1L).toDF("seed"), "seed", 3)
+    bfs.count()
     assert((pinnedIds -- before).nonEmpty)
     graft.ops.GraphBlocks.releaseAll()
     assert((pinnedIds -- before).isEmpty && graft.ops.GraphBlocks.registered == 0)
+    // keep the frames reachable past releaseAll so weak keys can't
+    // clear mid-test
+    assert(bfs != null && pr != null)
   }
 }
