@@ -212,7 +212,14 @@ object StreamBench {
   private def runFunnel(spark: SparkSession, sfDir: String): Unit = {
     val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "8").toInt
     val evictDelay = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_EVICT", "10 days")
-    val sliceBy = s"event_id % $slices" // scrambled: worst case for state
+    // default scrambled (worst case for state: every batch spans the
+    // whole time range, so the watermark freezes after batch 1);
+    // SPARK_GRAFT_STREAM_SLICEBY=event_id gives TS-ORDERED slices (the
+    // fixture is ts-ordered by event_id) — the live-stream shape where
+    // event time ADVANCES per batch and TTL state plateaus at the
+    // delay-window footprint while the exact form keeps growing
+    val sliceBy = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICEBY",
+      s"event_id % $slices")
     val steps = Seq("view", "click", "purchase")
     // stage outside the timed region (shared by both legs)
     graft.streaming.ChangeStream.fromEventsRawStream(spark, sfDir, slices, sliceBy)

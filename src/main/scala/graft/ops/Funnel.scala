@@ -102,6 +102,55 @@ object Funnel {
     chain(ev, stepTypes, "k").withColumnRenamed("_ent", entityCol)
   }
 
+  /** [[stepsByKey]] with a CONVERSION WINDOW: step i (i > 1) must also
+    * occur within `withinNs` of the chain's step-1 event — the
+    * "purchase within 7 days of first view" funnel every product
+    * analytics stack offers. Semantics are GREEDY-ANCHOR: the anchor
+    * is the greedy-earliest step-1 event (identical to
+    * [[stepsByKey]]'s), and later steps are constrained to
+    * [anchor, anchor + withinNs]; a user whose completion exists only
+    * under a LATER anchor is reported at the depth the earliest anchor
+    * reaches (deterministic and oracle-replayable — max-completion
+    * re-anchoring is a different, quadratic operator).
+    *
+    * `tsCol` carries the event timestamp (ns) separately from the
+    * packed key: the window binds on TIME, and unpacking ts from a
+    * DECIMAL key needs floor division that engines round differently.
+    * Each step's agg takes `min_by(ts, key)` alongside `min(key)` —
+    * still one map-side-combined agg per step, same skew-immune shape
+    * as [[stepsByKey]]. */
+  def stepsByKeyWithin(events: DataFrame, entityCol: String,
+      typeCol: String, stepTypes: Seq[String], keyCol: String,
+      tsCol: String, withinNs: Long): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinNs >= 0, s"withinNs must be >= 0 (got $withinNs)")
+    val ev = events
+      .filter(col(entityCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .filter(col(typeCol).isin(stepTypes.map(x => x: Any): _*))
+      .select(col(entityCol).as("_ent"), col(typeCol).as("_ty"),
+        col(keyCol).as("_pos"), col(tsCol).as("_ts"))
+    var acc = ev.filter(col("_ty") === stepTypes.head)
+      .groupBy(col("_ent"))
+      .agg(min(col("_pos")).as("k1"),
+        min_by(col("_ts"), col("_pos")).as("_t1"))
+    stepTypes.zipWithIndex.drop(1).foreach { case (ty, i) =>
+      val prev = s"k$i"; val cur = s"k${i + 1}"
+      val nextMin = ev.filter(col("_ty") === ty)
+        .join(acc.select(col("_ent"), col(prev), col("_t1")), "_ent")
+        .filter(col(prev).isNotNull && col("_pos") > col(prev) &&
+          col("_ts") <= col("_t1") + lit(withinNs))
+        .groupBy(col("_ent")).agg(min(col("_pos")).as(cur))
+        .select(col("_ent").as("_e2"), col(cur))
+      acc = acc.join(nextMin, col("_ent") === col("_e2"), "left")
+        .drop("_e2")
+    }
+    val depth = stepTypes.indices.map(i => col(s"k${i + 1}").isNotNull)
+      .map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    acc.withColumn("depth", depth).drop("_t1")
+      .withColumnRenamed("_ent", entityCol)
+  }
+
   /** Pack (timestamp, unique id) into one exact-decimal funnel key:
     * `tsNs · 10¹⁰ + id`. Requires `0 ≤ id < 10¹⁰` — enforced IN the
     * plan (the guard rides inside the key expression, so column

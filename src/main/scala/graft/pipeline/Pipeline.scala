@@ -241,9 +241,15 @@ object Pipeline {
           maxDepth = c.get("maxDepth").asInt()))
     }),
     // ordered-step funnel over an event frame; "keyCol" (a unique
-    // orderable key) selects the window-free hot-entity form
+    // orderable key) selects the window-free hot-entity form, and
+    // "withinNs" (+ "tsCol") adds the conversion-window constraint
+    // (steps 2..k within withinNs of the chain's step-1 event)
     "funnel" -> (c => df =>
-      if (c.has("keyCol")) graft.ops.Funnel.stepsByKey(df,
+      if (c.has("withinNs")) graft.ops.Funnel.stepsByKeyWithin(df,
+        c.get("entityCol").asText(), c.get("typeCol").asText(),
+        strs(c.get("steps")), c.get("keyCol").asText(),
+        c.get("tsCol").asText(), c.get("withinNs").asLong())
+      else if (c.has("keyCol")) graft.ops.Funnel.stepsByKey(df,
         c.get("entityCol").asText(), c.get("typeCol").asText(),
         strs(c.get("steps")), c.get("keyCol").asText())
       else graft.ops.Funnel.steps(df,

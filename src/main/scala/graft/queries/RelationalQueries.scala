@@ -439,6 +439,53 @@ object RelationalQueries {
       },
       Some(funnelKeysOracle)),
 
+    // Conversion-window funnel: steps 2..k must occur within 7 days of
+    // the chain's step-1 event (greedy-anchor semantics — see
+    // Funnel.stepsByKeyWithin). Same chained min-agg shape with a
+    // min_by(ts, key) anchor carried through; keys stringified for the
+    // gate (the decimal-output hazard).
+    "events_funnel_window" -> QueryDef(
+      (s, dir) => {
+        val e = graft.source.Changelog.events(s, dir)
+          .withColumn("k",
+            graft.ops.Funnel.packedKey(col("ts_ns"), col("event_id")))
+        val f = graft.ops.Funnel.stepsByKeyWithin(e, "user_id",
+          "event_type", Seq("view", "click", "purchase"), "k", "ts_ns",
+          withinNs = 7L * 86400L * 1000000000L)
+        f.select(col("user_id"), col("k1").cast("string").as("k1"),
+            col("k2").cast("string").as("k2"),
+            col("k3").cast("string").as("k3"), col("depth"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t,
+        |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(k) AS k1, min_by(t, k) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(k) AS k2
+        |       FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND k > k1
+        |         AND t <= t1 + 604800000000000
+        |       GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(k) AS k3
+        |       FROM ev JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND k > k2
+        |         AND t <= t1 + 604800000000000
+        |       GROUP BY ev.user_id)
+        |SELECT s1.user_id,
+        |  CAST(k1 AS VARCHAR) AS k1,
+        |  CAST(s2.k2 AS VARCHAR) AS k2,
+        |  CAST(s3.k3 AS VARCHAR) AS k3,
+        |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
+        |    AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin)),
+
     // The streaming funnel, gated END TO END: drain the event stream as
     // 4 ts-SCRAMBLED micro-batches (sliced by event_id % 4, so every
     // slice spans the whole time range and a user's events arrive out

@@ -287,6 +287,53 @@ class FunnelSpec extends SparkSpec {
     assert(upd.map(u => u.user_id.get -> u.depth).toMap == Map(1L -> 2L))
   }
 
+  test("stepsByKeyWithin equals the greedy-anchor model for random streams") {
+    // conversion-window semantics: the anchor is the greedy-earliest
+    // step-1 event; steps 2..k must land in (prev, anchor + W]. With
+    // W = infinity this must equal stepsByKey; with random W the
+    // driver-side model replays the same anchored walk.
+    val gen = for {
+      evs <- evGen; steps <- stepsGen; w <- Gen.choose(0L, 12L)
+    } yield (evs, steps, w)
+    val prop = Prop.forAll(gen) { case (evs, steps, w) =>
+      val df = evs.map(e => (e.ent, e.ty, e.t, e.id))
+        .toDF("ent", "ty", "t", "id")
+        .withColumn("k",
+          org.apache.spark.sql.functions.expr("t * 1000 + id"))
+      val got = Funnel.stepsByKeyWithin(df, "ent", "ty", steps,
+        "k", "t", withinNs = w)
+        .select("ent", "depth").as[(Long, Long)].collect().toMap
+      // model: anchored greedy walk over (t, id)-sorted events
+      val want = evs.groupBy(_.ent).flatMap { case (ent, es) =>
+        val sorted = es.filter(e => steps.contains(e.ty))
+          .sortBy(e => (e.t, e.id))
+        sorted.find(_.ty == steps.head).map { a =>
+          var prevKey = (a.t, a.id)
+          var depth = 1L
+          var dead = false
+          steps.drop(1).foreach { ty =>
+            if (!dead) {
+              sorted.find(e => e.ty == ty &&
+                  implicitly[Ordering[(Long, Long)]]
+                    .gt((e.t, e.id), prevKey) &&
+                  e.t <= a.t + w) match {
+                case Some(e) => depth += 1; prevKey = (e.t, e.id)
+                case None => dead = true
+              }
+            }
+          }
+          ent -> depth
+        }
+      }
+      if (got != want)
+        println(s"WINDOW MISMATCH w=$w steps=$steps evs=$evs\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TTL watermark covers step-type rows ONLY — a non-step event advances nothing") {
     // the r17 review catch: declaring the watermark on the RAW frame
     // let Catalyst push the funnel's filters below the
