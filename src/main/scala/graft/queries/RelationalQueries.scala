@@ -534,6 +534,61 @@ object RelationalQueries {
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The streaming retention matrix, gated END TO END against the
+    // SAME oracle as the batch form: drain 4 ts-SCRAMBLED slices (a
+    // user's earlier activity can arrive later, re-deciding their
+    // cohort and shifting every offset), upsert per-user
+    // (cohort, offsets) state emissions, resolve the LAST emission per
+    // user, and aggregate the (cohort, offset) cells in batch.
+    "stream_retention" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-reten")
+        try {
+          val raw = graft.streaming.ChangeStream.fromEventsRawStream(
+            s, dir, slices = 4, sliceBy = "event_id % 4")
+          val upd = graft.streaming.ChangeStream.streamingRetention(
+            raw, periodNs = 86400L * 1000000000L)
+          val q = upd.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[
+                 graft.streaming.ChangeStream.RetenUpd], id: Long) =>
+                b.withColumn("_b", lit(id)).write
+                  .mode("append").parquet(s"$tmp/out")
+                ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          val fin = s.read.parquet(s"$tmp/out")
+          val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
+          val cells = fin.withColumn("_r", row_number().over(w))
+            .filter(col("_r") === 1)
+            .select(col("cohort"), explode(col("offsets")).as("offset"))
+            .groupBy("cohort", "offset")
+            .agg(count(lit(1)).as("n_active"))
+            .orderBy("cohort", "offset")
+          // freeze distributed before the drain dir is removed
+          val keep = java.nio.file.Files.createTempDirectory("graft-reten-res")
+          cells.write.mode("overwrite").parquet(s"$keep/final")
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => Registry.rmTree(keep.toFile)))
+          s.read.parquet(s"$keep/final").orderBy("cohort", "offset")
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some("""WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, act.p - cohort AS offset,
+        |       count(*) AS n_active
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Exact discrete percentiles (rank-pick: deterministic and portable,
     // no interpolation-formula float divergence; approx_percentile is the
     // sketch-based scale path for wide-cardinality groups).

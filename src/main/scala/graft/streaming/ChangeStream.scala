@@ -437,6 +437,49 @@ object ChangeStream {
       }
   }
 
+  case class RetenEvent(user: Long, p: Long)
+  /** Per-user retention state: the sorted distinct set of ACTIVE
+    * periods. Order-insensitive by construction (a set), so the
+    * emission — cohort = min period, offsets = periods − cohort — is
+    * exact under arbitrary cross-batch disorder, including a late
+    * EARLIER event re-deciding the user's cohort (every offset shifts;
+    * recomputing from the set gets that for free, the streamingFunnel
+    * discipline). State is bounded by the user's distinct ACTIVE
+    * period count (≤ horizon/period), not their event count. */
+  case class RetenProgress(periods: Seq[Long])
+  case class RetenUpd(user_id: Long, cohort: Long, offsets: Seq[Long])
+
+  /** Streaming [[graft.ops.Retention]]: per-batch update-mode upserts
+    * of each active user's (cohort, offsets) — the per-entity
+    * resolution of the retention matrix; the (cohort, offset) cell
+    * counts are a batch aggregation over the upserted table (state ops
+    * can't feed a streaming agg in update mode, and the per-user form
+    * is the reusable artifact anyway). Rows with a NULL entity or
+    * timestamp are dropped, as in the batch operator. */
+  def streamingRetention(raw: DataFrame, periodNs: Long)
+      : Dataset[RetenUpd] = {
+    require(periodNs > 0, s"periodNs must be positive (got $periodNs)")
+    import raw.sparkSession.implicits._
+    val ev = raw
+      .filter(col("user_id").isNotNull && col("ts_ns").isNotNull)
+      .select(col("user_id").as("user"),
+        expr(s"ts_ns div ${periodNs}L").as("p"))
+      .as[RetenEvent]
+    ev.groupByKey(_.user)
+      .flatMapGroupsWithState[RetenProgress, RetenUpd](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[RetenEvent],
+            state: GroupState[RetenProgress]) =>
+          val prev = state.getOption.map(_.periods).getOrElse(Nil)
+          val merged =
+            (prev ++ events.map(_.p)).distinct.sorted
+          state.update(RetenProgress(merged))
+          if (merged.isEmpty) Iterator.empty
+          else Iterator.single(
+            RetenUpd(user, merged.head, merged.map(_ - merged.head)))
+      }
+  }
+
   def statefulCompact(flat: Dataset[FlatEvent],
       ttl: Option[java.time.Duration] = None): Dataset[NetRow] = {
     import flat.sparkSession.implicits._

@@ -430,6 +430,26 @@ class FunnelSpec extends SparkSpec {
     } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
+  test("streamingRetention resolves to Retention.cohorts' cells (nulls dropped)") {
+    val rows = Seq(
+      (Option(1L), Option(0L)), (Option(1L), Option(86400L * 3)),
+      (Option(2L), Option(86400L)), (Option(2L), Option(86400L * 2)),
+      (Option(2L), Option(86400L)), // duplicate period collapses
+      (Option.empty[Long], Option(0L)), (Option(3L), Option.empty[Long]))
+    // ts in SECONDS here; periodNs=86400e9 in prod — use periodNs=86400
+    // against second-scale values (div semantics identical)
+    val raw = rows.toDF("user_id", "ts_ns")
+    val upd = graft.streaming.ChangeStream
+      .streamingRetention(raw, periodNs = 86400L).collect()
+    assert(upd.map(_.user_id).toSet == Set(1L, 2L)) // nulls dropped
+    val cells = upd.flatMap(u => u.offsets.map(o => (u.cohort, o)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val batch = graft.ops.Retention.cohorts(raw, "user_id", "ts_ns", 86400L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells == batch, s"streaming $cells vs batch $batch")
+  }
+
   test("funnel of an empty frame / no-matching-type stream is empty") {
     val df = List((1L, "x", 1L, 1L)).toDF("ent", "ty", "t", "id")
     assert(Funnel.steps(df, "ent", "ty", Seq("a", "b"), Seq("t", "id"))
