@@ -268,6 +268,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("conversion-window funnel keeps the key form's plan shape") {
+    // the min_by(ts, key) anchor must not cost the form its structure:
+    // still Window-free (hot entity never one-task sorts), still
+    // map-side-combined hash aggs, still equi-keyed step joins
+    val p = plan("events_funnel_window")
+    assert(!p.contains("Window"),
+      s"windowed funnel regrew a window operator:\n$p")
+    assert(p.contains("partial_min"))
+    assert(!p.contains("SortAggregate"),
+      s"min_by anchor pushed the step agg to SortAggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("retention: min-agg map-side-combined, no window, equi-keyed join") {
     val p = plan("events_retention")
     assert(p.contains("partial_min"),
