@@ -5,7 +5,17 @@ delta only counts as a regression when it exceeds the query's own
 measured rep spread (plus a floor), otherwise it's ambient load (the r16
 driver-vs-self normalized totals disagreed 1.7x on identical code).
 
-Usage: python3 dev/bench_delta.py BENCH_r16.json BENCH_r17.json [out.json]
+Usage: python3 dev/bench_delta.py OLD.json NEW.json [out.json] [--new2=NEW2.json]
+
+--new2 is a SECOND new-side run on the same code: PLANS.md's rule is
+that a mover is only believable if it reproduces across two runs (two
+same-day r17 runs produced disjoint mover sets of similar size on
+untouched code). With --new2, every non-noise row is stamped
+`reproduced`: true iff the second run classifies it the same way.
+
+Accepts the driver wrapper ({"parsed": {...}}), the raw one-line Bench
+stdout, or the r18+ two-line stdout (headline first, full detail line
+second — the line carrying queries_norm wins).
 
 Writes a JSON artifact (default BENCH_DELTA.json next to the newer file)
 with per-query norm ratios, spread context, and a `regressions` list,
@@ -16,18 +26,40 @@ import sys, json, os
 FLOOR = 0.15  # ignore <15% moves outright: below rep-to-rep noise floor
 
 
-def main():
-    if len(sys.argv) < 3:
-        sys.exit(__doc__)
-    old_p, new_p = sys.argv[1], sys.argv[2]
-    out_p = sys.argv[3] if len(sys.argv) > 3 else \
-        os.path.join(os.path.dirname(os.path.abspath(new_p)), "BENCH_DELTA.json")
-    def load(p):
-        d = json.load(open(p))
-        # accept the driver wrapper ({"parsed": {...bench line...}}) as
-        # well as the raw Bench stdout JSON
-        return d.get("parsed") if isinstance(d.get("parsed"), dict) else d
-    old, new = load(old_p), load(new_p)
+def load(p):
+    """Return the bench dict that carries queries_norm, from any of the
+    artifact shapes (driver wrapper / raw line / two-line stdout)."""
+    txt = open(p).read()
+    try:
+        d = json.loads(txt)
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        if isinstance(d, dict):
+            return d
+    except json.JSONDecodeError:
+        pass
+    # multi-line stdout: parse each line, prefer the one with
+    # queries_norm (the detail line), else the last parseable dict
+    best = None
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict):
+            if "queries_norm" in d:
+                return d
+            best = d
+    if best is None:
+        sys.exit(f"{p}: no parseable bench JSON found")
+    return best
+
+
+def classify(old, new):
+    """Median-centered, spread-arbitrated per-query verdicts."""
     on, nn = old.get("queries_norm"), new.get("queries_norm")
     if not on or not nn:
         sys.exit("both artifacts need queries_norm (anchored full-suite runs)")
@@ -54,6 +86,35 @@ def main():
                      "ratio": round(ratio, 3), "raw_ratio": round(raw[q], 3),
                      "spread": sp, "verdict": verdict})
     rows.sort(key=lambda r: -r["ratio"])
+    return rows, med
+
+
+def main():
+    new2_p = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--new2="):
+            new2_p = a.split("=", 1)[1]
+        else:
+            argv.append(a)
+    if len(argv) < 2:
+        sys.exit(__doc__)
+    old_p, new_p = argv[0], argv[1]
+    out_p = argv[2] if len(argv) > 2 else \
+        os.path.join(os.path.dirname(os.path.abspath(new_p)), "BENCH_DELTA.json")
+    old, new = load(old_p), load(new_p)
+    rows, med = classify(old, new)
+    # mover reproduction: re-classify against the second new-side run
+    # and stamp agreement on every non-noise row
+    n_repro = None
+    if new2_p:
+        rows2, _ = classify(old, load(new2_p))
+        v2 = {r["query"]: r["verdict"] for r in rows2}
+        for r in rows:
+            if r["verdict"] != "noise":
+                r["reproduced"] = v2.get(r["query"]) == r["verdict"]
+        n_repro = sum(1 for r in rows
+                      if r["verdict"] == "regression" and r.get("reproduced"))
     regs = [r for r in rows if r["verdict"] == "regression"]
     imps = [r for r in rows if r["verdict"] == "improvement"]
     art = {"old": os.path.basename(old_p), "new": os.path.basename(new_p),
@@ -63,14 +124,22 @@ def main():
            "n_compared": len(rows), "n_regressions": len(regs),
            "n_improvements": len(imps), "rows": rows,
            "regressions": [r["query"] for r in regs]}
+    if new2_p:
+        art["new2"] = os.path.basename(new2_p)
+        art["n_reproduced_regressions"] = n_repro
+        art["reproduced_regressions"] = [
+            r["query"] for r in regs if r.get("reproduced")]
     json.dump(art, open(out_p, "w"), indent=1)
+    rep = "" if n_repro is None else f" ({n_repro} reproduced in {new2_p})"
     print(f"compared {len(rows)} queries "
           f"({old.get('commit')} -> {new.get('commit')}); "
-          f"{len(regs)} regressions, {len(imps)} improvements -> {out_p}")
+          f"{len(regs)} regressions{rep}, {len(imps)} improvements -> {out_p}")
     for r in rows[:10]:
         sp = "n/a" if r["spread"] is None else f"{r['spread']:.2f}"
+        extra = "" if "reproduced" not in r else \
+            (" REPRODUCED" if r["reproduced"] else " not-reproduced")
         print(f"  {r['query']:<28} {r['old_norm']:>8.2f} -> {r['new_norm']:>8.2f} "
-              f"x{r['ratio']:<6} spread={sp:<5} {r['verdict']}")
+              f"x{r['ratio']:<6} spread={sp:<5} {r['verdict']}{extra}")
 
 
 if __name__ == "__main__":

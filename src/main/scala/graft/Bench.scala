@@ -230,7 +230,18 @@ object Bench {
       "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
         .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // HEADLINE FIRST, full artifact second: the driver's capture
+    // truncates long output from the tail, and the headline fields
+    // (failed / baseline_ratio / totals) trailed the per-query dicts —
+    // two rounds of BENCH_r{N}.json carried `parsed: null` because the
+    // one giant line lost its closing brace. A short first line can't
+    // be truncated; dev/bench_delta.py accepts either shape.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_min":$totalMin,"n_queries":${results.size},""" +
+      s""""anchor_min":$anchorRef,"commit":"$commitSha",""" +
+      baselineJson +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_spread":$qsSpread,""" +
       s""""total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +

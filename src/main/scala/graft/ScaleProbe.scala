@@ -646,6 +646,40 @@ object ScaleProbe {
         s""""bottleneck":"${topPhase(phk, "tri.")}","sf":"$sfDir"}""")
     }
 
+    // ── landmark harmonic centrality: part graph ×k disjoint copies,
+    // landmark set FIXED at 16 md5-ranked nodes (the gate's r18
+    // parameterization). This is the row that certifies the de-scaling:
+    // with a fraction-of-nodes landmark set the (lm, node, dist) frame
+    // is O(N²) and the ratio would explode; with fixed K the frame is
+    // ≤ 16·reach, so cost must track edge volume like BFS. The whole
+    // operator (landmark rank + eager lineage-cut rounds) runs inside
+    // the timed region — the rounds EXECUTE during construction.
+    def closeAt(n: Int): (Double, Long, Map[String, Double]) = {
+      val e = mat(ProbeUtil.sharedSpanCopies(eBaseG, n), s"close$n")
+      PhaseClock.reset()
+      val (secs, rows) = time {
+        val lms = e.select(col("src").as("lm"))
+          .unionByName(e.select(col("dst").as("lm")))
+          .filter(col("lm").isNotNull).distinct()
+          .orderBy(md5(col("lm").cast("string"))).limit(16)
+        graft.ops.Graphs.harmonicCentrality(
+          graft.ops.Graphs.landmarkDistances(e, "src", "dst", lms, "lm",
+            maxDepth = 3)).count()
+      }
+      graft.ops.GraphBlocks.releaseAll()
+      (secs, rows, PhaseClock.snapshot())
+    }
+    if (want("closeness")) {
+      closeAt(1) // warm
+      val (c1, n1, _) = closeAt(1)
+      val (ck, nk, phk) = closeAt(k)
+      println(s"""{"probe":"closeness","k":$k,"landmarks":16,""" +
+        s""""secs_1":$c1,"secs_k":$ck,""" +
+        s""""nodes_1":$n1,"nodes_k":$nk,"ratio":${ck / c1},""" +
+        s""""rounds_k":${phk.getOrElse("lmbfs.rounds", 0.0)},""" +
+        s""""bottleneck":"${topPhase(phk, "lmbfs.")}","sf":"$sfDir"}""")
+    }
+
     if (want("sketch_distinct")) {
       def legs(n: Int): (Double, Long, Double, Long) = {
         val full = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -212,6 +212,12 @@ object StreamBench {
   private def runFunnel(spark: SparkSession, sfDir: String): Unit = {
     val slices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "8").toInt
     val evictDelay = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_EVICT", "10 days")
+    // recentProgress keeps only the last numRecentProgressUpdates
+    // entries (default 100): a slice count above that would silently
+    // drop the EARLY batches from the state series and fake a plateau —
+    // size the retention to the drain, with margin for no-data batches
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (slices * 2 + 64).toString)
     // default scrambled (worst case for state: every batch spans the
     // whole time range, so the watermark freezes after batch 1);
     // SPARK_GRAFT_STREAM_SLICEBY=event_id gives TS-ORDERED slices (the
@@ -249,6 +255,10 @@ object StreamBench {
         .map { p => (p.batchId,
           p.stateOperators(0).numRowsTotal,
           p.stateOperators(0).memoryUsedBytes) }
+      if (per.size < slices)
+        System.err.println(s"[streambench] state series has ${per.size} " +
+          s"stateful batches for $slices slices — early batches may be " +
+          "missing from recentProgress; raise numRecentProgressUpdates")
       val users = spark.read.parquet(s"$tmp/out")
         .select("user_id").distinct().count()
       (secs, per, users)

@@ -41,12 +41,19 @@ object Bucketing {
           .filter(col("col_name") === "Location")
           .collect().headOption.map(_.getString(1))).toOption.flatten
       val target = new java.io.File(path).getCanonicalPath
-      loc.foreach { l =>
-        val existing = new java.io.File(l.stripPrefix("file:")).getCanonicalPath
-        require(existing == target,
-          s"refusing to drop table '$name': it points at $existing, " +
-            s"not the configured path $target — choose another name")
-      }
+      // an UNREADABLE location (view, describe failure, no Location
+      // row) must refuse, not fall through: treating "can't tell" as
+      // "matches" is exactly the unrelated-object clobbering this
+      // guard exists to prevent
+      require(loc.isDefined,
+        s"refusing to drop '$name': cannot determine the existing " +
+          "object's location (it may be a view, or DESCRIBE failed) — " +
+          "choose another name or drop it manually")
+      val existing =
+        new java.io.File(loc.get.stripPrefix("file:")).getCanonicalPath
+      require(existing == target,
+        s"refusing to drop table '$name': it points at $existing, " +
+          s"not the configured path $target — choose another name")
     }
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.repartition(buckets, col(key))

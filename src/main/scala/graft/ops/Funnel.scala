@@ -138,8 +138,14 @@ object Funnel {
       val prev = s"k$i"; val cur = s"k${i + 1}"
       val nextMin = ev.filter(col("_ty") === ty)
         .join(acc.select(col("_ent"), col(prev), col("_t1")), "_ent")
+        // window test as a SUBTRACTION (`_ts - _t1 <= withinNs`, not
+        // `_ts <= _t1 + withinNs`): the sum can wrap Long for a huge
+        // withinNs (e.g. Long.MaxValue meaning "no window") and then
+        // silently strands every chain at depth 1; the difference of
+        // two non-negative epochs can't overflow, and Long.MaxValue
+        // naturally degrades to the unwindowed stepsByKey semantics
         .filter(col(prev).isNotNull && col("_pos") > col(prev) &&
-          col("_ts") <= col("_t1") + lit(withinNs))
+          col("_ts") - col("_t1") <= lit(withinNs))
         .groupBy(col("_ent")).agg(min(col("_pos")).as(cur))
         .select(col("_ent").as("_e2"), col(cur))
       acc = acc.join(nextMin, col("_ent") === col("_e2"), "left")

@@ -229,13 +229,24 @@ object Pipeline {
     // landmark harmonic-centrality estimate over the incoming edge
     // frame; landmark sampling mirrors the bfs stage's seedExpr form
     "harmonic_centrality" -> (c => df => {
-      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.functions.{col, expr, md5}
       val src = c.get("srcCol").asText(); val dst = c.get("dstCol").asText()
-      // landmarkExpr is a NODE predicate over the column `lm` (both
-      // endpoints are candidates), e.g. "lm % 11 = 0"
-      val lms = df.select(col(src).as("lm"))
+      require(c.has("landmarkK") || c.has("landmarkExpr"),
+        "harmonic_centrality: needs landmarkK (fixed-K md5-ranked " +
+          "sample — the scale-safe form) or landmarkExpr (node predicate)")
+      val cand = df.select(col(src).as("lm"))
         .unionByName(df.select(col(dst).as("lm")))
-        .filter(expr(c.get("landmarkExpr").asText()))
+        .filter(col("lm").isNotNull)
+      // landmarkK picks a FIXED-size md5-ranked sample (scale-safe:
+      // the distance frame stays O(K·N) however big the graph gets);
+      // landmarkExpr is the predicate form, e.g. "lm % 11 = 0" —
+      // fine for a fixed landmark LIST, a trap as a fraction of nodes
+      val lms =
+        if (c.has("landmarkK"))
+          cand.distinct()
+            .orderBy(md5(col("lm").cast("string")))
+            .limit(c.get("landmarkK").asInt())
+        else cand.filter(expr(c.get("landmarkExpr").asText()))
       graft.ops.Graphs.harmonicCentrality(
         graft.ops.Graphs.landmarkDistances(df, src, dst, lms, "lm",
           maxDepth = c.get("maxDepth").asInt()))
@@ -245,11 +256,14 @@ object Pipeline {
     // "withinNs" (+ "tsCol") adds the conversion-window constraint
     // (steps 2..k within withinNs of the chain's step-1 event)
     "funnel" -> (c => df =>
-      if (c.has("withinNs")) graft.ops.Funnel.stepsByKeyWithin(df,
+      if (c.has("withinNs")) {
+        require(c.has("keyCol") && c.has("tsCol"),
+          "funnel: withinNs needs keyCol and tsCol")
+        graft.ops.Funnel.stepsByKeyWithin(df,
         c.get("entityCol").asText(), c.get("typeCol").asText(),
         strs(c.get("steps")), c.get("keyCol").asText(),
         c.get("tsCol").asText(), c.get("withinNs").asLong())
-      else if (c.has("keyCol")) graft.ops.Funnel.stepsByKey(df,
+      } else if (c.has("keyCol")) graft.ops.Funnel.stepsByKey(df,
         c.get("entityCol").asText(), c.get("typeCol").asText(),
         strs(c.get("steps")), c.get("keyCol").asText())
       else graft.ops.Funnel.steps(df,
@@ -630,12 +644,16 @@ object Pipeline {
         // "10 days") is the state bound: watermark eviction of matured
         // chain prefixes — the deployment knob the exact form trades
         // away. The config-front-end form of ChangeStream.streamingFunnel.
+        // "withinNs" adds the conversion-window constraint (the
+        // streaming stepsByKeyWithin) — composable with evictDelay
         val steps = strs(snk.get("steps"))
         val evict = if (snk.has("evictDelay"))
           Some(snk.get("evictDelay").asText()) else None
+        val within = if (snk.has("withinNs"))
+          Some(snk.get("withinNs").asLong()) else None
         val path = snk.get("path").asText()
         val upd = graft.streaming.ChangeStream.streamingFunnel(
-          transformed, steps, evict)
+          transformed, steps, evict, within)
         upd.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)
@@ -643,6 +661,32 @@ object Pipeline {
           .foreachBatch {
             (b: org.apache.spark.sql.Dataset[
                graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
+              graft.PhaseClock.count("batches")
+              graft.PhaseClock.time("apply") {
+                b.withColumn("_b",
+                  org.apache.spark.sql.functions.lit(id)).write
+                  .mode("append").parquet(path)
+              }
+              ()
+          }
+          .start()
+      case "retention_upsert" =>
+        // streaming cohort retention over an events_raw_stream source:
+        // update-mode per-user (cohort, offsets) upserts appended to a
+        // parquet feed (reader resolves the latest _b per user, then
+        // aggregates the (cohort, offset) cells in batch). The config
+        // front-end form of ChangeStream.streamingRetention.
+        val periodNs = snk.get("periodNs").asLong()
+        val path = snk.get("path").asText()
+        graft.streaming.ChangeStream
+          .streamingRetention(transformed, periodNs)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               graft.streaming.ChangeStream.RetenUpd], id: Long) =>
               graft.PhaseClock.count("batches")
               graft.PhaseClock.time("apply") {
                 b.withColumn("_b",
@@ -671,8 +715,8 @@ object Pipeline {
         }
       case other => throw new IllegalArgumentException(
         "streaming pipeline needs a parquet_merge, parquet_delta, " +
-          s"jdbc_apply, corpus_admit, span_admit, ivf_append or " +
-          s"funnel_upsert sink, got $other")
+          s"jdbc_apply, corpus_admit, span_admit, ivf_append, " +
+          s"funnel_upsert or retention_upsert sink, got $other")
     } }
     // listeners are session-global: scope the alarm to THIS pipeline's
     // query so a shared session's other streams never trip it

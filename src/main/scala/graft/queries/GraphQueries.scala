@@ -227,20 +227,32 @@ object GraphQueries {
         |${bfsRound(3, "d2")}
         |SELECT n AS node, dist FROM d3 ORDER BY node""".stripMargin)),
 
-    // Harmonic centrality from the ~1/11 landmark sample, 3 hops over
-    // the directed part graph — the landmark/pivot centrality estimate
-    // (reach complements pageRank's endorsement mass). Per-landmark
-    // BFS waves expand in the same per-round jobs on the composite
-    // (landmark, node) key; the oracle replays the unrolled min-union
-    // rounds and the exact fixed-point 1e9 div dist fold.
+    // Harmonic centrality from a FIXED-K (16) md5-ranked landmark
+    // sample, 3 hops over the directed part graph — the landmark/pivot
+    // centrality estimate (reach complements pageRank's endorsement
+    // mass). The landmark count is scale-INDEPENDENT by construction:
+    // a fraction-of-nodes sample (the r17 `lm % 11` form) makes the
+    // (landmark, node, dist) frame O(N²) at scale, which defeats the
+    // whole point of landmark sampling; a deterministic md5 rank picks
+    // the same 16 pivots on any engine (the mix_shuffle idiom) and the
+    // frame stays O(16·N). Per-landmark BFS waves expand in the same
+    // per-round jobs on the composite (landmark, node) key; the oracle
+    // replays the md5 top-K, the unrolled min-union rounds, and the
+    // exact fixed-point 1e9 div dist fold.
     "graph_closeness" -> QueryDef(
       (s, dir) => {
         val e = edges(s, dir)
-        // landmarks from BOTH endpoints (the oracle samples all graph
-        // nodes; a dst-only node can be a landmark too)
+        // landmark candidates from BOTH endpoints (a dst-only node can
+        // be a landmark too); md5-rank top-K is a TakeOrdered — each
+        // partition keeps K, the driver merges K, no global sort
+        // NULL dst (lead() at chain end) must be dropped BEFORE the
+        // rank: Spark sorts NULLS FIRST, so a null candidate would
+        // steal a top-16 slot the oracle (which excludes nulls in its
+        // edge CTE) never sees
         val lms = e.select(col("src").as("lm"))
           .unionByName(e.select(col("dst").as("lm")))
-          .filter(col("lm") % 11 === 0)
+          .filter(col("lm").isNotNull).distinct()
+          .orderBy(md5(col("lm").cast("string"))).limit(16)
         Graphs.harmonicCentrality(
           Graphs.landmarkDistances(e, "src", "dst", lms, "lm",
             maxDepth = 3)).orderBy("node")
@@ -252,8 +264,8 @@ object GraphQueries {
         |e AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL),
         |nodes AS (SELECT DISTINCT n FROM
         |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
-        |d0 AS (SELECT n AS lm, n, CAST(0 AS BIGINT) AS dist
-        |       FROM nodes WHERE n % 11 = 0),
+        |d0 AS (SELECT n AS lm, n, CAST(0 AS BIGINT) AS dist FROM
+        |  (SELECT n FROM nodes ORDER BY md5(CAST(n AS VARCHAR)) LIMIT 16)),
         |${lmRound(1, "d0")},
         |${lmRound(2, "d1")},
         |${lmRound(3, "d2")}

@@ -457,34 +457,28 @@ object RelationalQueries {
             col("k3").cast("string").as("k3"), col("depth"))
           .orderBy("user_id")
       },
-      Some("""WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) AS t,
-        |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
-        |  FROM events
-        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
-        |    AND user_id IS NOT NULL),
-        |s1 AS (SELECT user_id, min(k) AS k1, min_by(t, k) AS t1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT ev.user_id, min(k) AS k2
-        |       FROM ev JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND k > k1
-        |         AND t <= t1 + 604800000000000
-        |       GROUP BY ev.user_id),
-        |s3 AS (SELECT ev.user_id, min(k) AS k3
-        |       FROM ev JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-        |       WHERE event_type = 'purchase' AND k > k2
-        |         AND t <= t1 + 604800000000000
-        |       GROUP BY ev.user_id)
-        |SELECT s1.user_id,
-        |  CAST(k1 AS VARCHAR) AS k1,
-        |  CAST(s2.k2 AS VARCHAR) AS k2,
-        |  CAST(s3.k3 AS VARCHAR) AS k3,
-        |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
-        |    AS BIGINT) AS depth
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin)),
+      Some(funnelWindowOracle)),
+
+    // The STREAMING conversion-window funnel: the same greedy-anchor
+    // semantics over the 4 ts-scrambled micro-batches. The fold
+    // recomputes the anchored walk from the per-type key sets each
+    // batch, so a late batch that re-decides the anchor re-clips every
+    // later step — final emission equals the batch stepsByKeyWithin
+    // over the full history (same oracle) or this gate fails.
+    "stream_funnel_window" -> QueryDef(
+      (s, dir) => streamFunnelGate(s, dir, evictDelay = None,
+        withinNs = Some(7L * 86400L * 1000000000L)),
+      Some(funnelWindowOracle)),
+
+    // Conversion window COMPOSED with the watermark-evicting TTL form:
+    // the oracle replays the survivor rule (batch = event_id % 4,
+    // wm = running prior-batch max − 10 days) and then the windowed
+    // greedy-anchor funnel over the survivors — freezing under the
+    // window must cost nothing in exactness over surviving events.
+    "stream_funnel_window_ttl" -> QueryDef(
+      (s, dir) => streamFunnelGate(s, dir, evictDelay = Some("10 days"),
+        withinNs = Some(7L * 86400L * 1000000000L)),
+      Some(funnelWindowTtlOracle)),
 
     // The streaming funnel, gated END TO END: drain the event stream as
     // 4 ts-SCRAMBLED micro-batches (sliced by event_id % 4, so every
@@ -892,14 +886,15 @@ object RelationalQueries {
     * per-user state via flatMapGroupsWithState, upsert update-mode
     * emissions, and resolve the FINAL per-user chain. */
   private def streamFunnelGate(s: org.apache.spark.sql.SparkSession,
-      dir: String, evictDelay: Option[String])
+      dir: String, evictDelay: Option[String],
+      withinNs: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
     try {
       val raw = graft.streaming.ChangeStream.fromEventsRawStream(
         s, dir, slices = 4, sliceBy = "event_id % 4")
       val upd = graft.streaming.ChangeStream.streamingFunnel(
-        raw, Seq("view", "click", "purchase"), evictDelay)
+        raw, Seq("view", "click", "purchase"), evictDelay, withinNs)
       val q = upd.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -944,6 +939,88 @@ object RelationalQueries {
       Registry.rmTree(tmp.toFile)
     }
   }
+
+  /** Shared by events_funnel_window and stream_funnel_window (lazy:
+    * referenced from inside `defs`): the greedy-anchor conversion
+    * window — steps 2..3 within 7 days of the step-1 anchor's ts. */
+  private lazy val funnelWindowOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t,
+      |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL),
+      |s1 AS (SELECT user_id, min(k) AS k1, min_by(t, k) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(k) AS k2
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND k > k1
+      |         AND t <= t1 + 604800000000000
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(k) AS k3
+      |       FROM ev JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND k > k2
+      |         AND t <= t1 + 604800000000000
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id,
+      |  CAST(k1 AS VARCHAR) AS k1,
+      |  CAST(s2.k2 AS VARCHAR) AS k2,
+      |  CAST(s3.k3 AS VARCHAR) AS k3,
+      |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
+  /** stream_funnel_window_ttl's oracle: the TTL survivor rule (see
+    * [[funnelTtlOracle]]) composed with the conversion window — the
+    * windowed greedy-anchor funnel over the surviving events. */
+  private lazy val funnelWindowTtlOracle: String =
+    """WITH e0 AS (
+      |  SELECT user_id, event_type, event_id % 4 AS b,
+      |    epoch_us(ts) // 1000 AS ts_ms, epoch_ns(ts) AS t,
+      |    CAST(epoch_ns(ts) AS DECIMAL(38,0)) * 10000000000 + event_id AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL),
+      |bmax AS (
+      |  SELECT event_id % 4 AS b, max(epoch_us(ts) // 1000) AS mx
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |    AND user_id IS NOT NULL
+      |    AND event_type IN ('view', 'click', 'purchase')
+      |  GROUP BY 1),
+      |wm AS (SELECT b,
+      |         max(mx) OVER (ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           - 864000000 AS wm_ms
+      |       FROM bmax),
+      |ev AS (SELECT e0.user_id, e0.event_type, e0.t, e0.k
+      |       FROM e0 JOIN wm USING (b)
+      |       WHERE wm.wm_ms IS NULL OR e0.ts_ms > wm.wm_ms),
+      |s1 AS (SELECT user_id, min(k) AS k1, min_by(t, k) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(k) AS k2
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND k > k1
+      |         AND t <= t1 + 604800000000000
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(k) AS k3
+      |       FROM ev JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND k > k2
+      |         AND t <= t1 + 604800000000000
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id,
+      |  CAST(k1 AS VARCHAR) AS k1,
+      |  CAST(s2.k2 AS VARCHAR) AS k2,
+      |  CAST(s3.k3 AS VARCHAR) AS k3,
+      |  CAST(1 + CASE WHEN s2.k2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.k3 IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
 
   /** Shared by events_funnel_keys and the streaming funnel gate
     * stream_funnel (lazy: referenced from inside `defs`). */

@@ -281,6 +281,17 @@ object ChangeStream {
       : (FunnelProgress, Option[FunnelUpd]) =
     funnelFoldTtl(user, stepTypes, prev, batch, wmMs = Long.MinValue)
 
+  /** The conversion-window fold ([[graft.ops.Funnel.stepsByKeyWithin]]
+    * semantics): steps 2..k constrained to `ts − anchorTs ≤ withinNs`
+    * where the anchor is the step-1 pick. `Long.MaxValue` = no window
+    * (the difference of two non-negative epochs can't exceed it). */
+  private[graft] def funnelFoldWithin(user: Option[Long],
+      stepTypes: Seq[String], prev: Option[FunnelProgress],
+      batch: Seq[FunnelEvent], withinNs: Long)
+      : (FunnelProgress, Option[FunnelUpd]) =
+    funnelFoldTtl(user, stepTypes, prev, batch, wmMs = Long.MinValue,
+      withinNs = withinNs)
+
   /** The fold's watermark-evicting core. `wmMs` is the event-time
     * watermark (ms) at this batch's start; `Long.MinValue` = the
     * exact-forever form (nothing stale, nothing frozen, nothing
@@ -290,9 +301,22 @@ object ChangeStream {
     * of whatever late-row filtering Spark's own watermark machinery
     * applies upstream (which compares ms-floored event times), so the
     * effective drop rule is exactly this one and the DuckDB oracle can
-    * replay it: survivor ⇔ floor(ts_ns/10⁶) > wm_ms. */
+    * replay it: survivor ⇔ floor(ts_ns/10⁶) > wm_ms.
+    *
+    * `withinNs` adds the conversion-window constraint (steps 2..k must
+    * land within withinNs of the step-1 anchor's ts). Freezing stays
+    * EXACT with the window: picks are (ts, id)-monotone, so stale
+    * picks always form a chain PREFIX; once the anchor is frozen it is
+    * final (every future survivor's ts sits strictly above the
+    * watermark, hence above the anchor), and the window bound —
+    * anchored on a final pick — can only EXCLUDE candidates, never
+    * admit one the frozen walk rejected. An unfrozen anchor can still
+    * move EARLIER (a late above-watermark step-1 event), which only
+    * shrinks the window — so no evicted or rejected event ever becomes
+    * eligible later, and the full-walk recompute re-clips the chain. */
   private[graft] def funnelFoldTtl(user: Option[Long], stepTypes: Seq[String],
-      prev: Option[FunnelProgress], batch: Seq[FunnelEvent], wmMs: Long)
+      prev: Option[FunnelProgress], batch: Seq[FunnelEvent], wmMs: Long,
+      withinNs: Long = Long.MaxValue)
       : (FunnelProgress, Option[FunnelUpd]) = {
     val ord = implicitly[Ordering[(Long, Long)]]
     def stale(tsNs: Long): Boolean = Math.floorDiv(tsNs, 1000000L) <= wmMs
@@ -309,8 +333,11 @@ object ChangeStream {
         evs.map(e => (e.ts, e.id)).distinct.sorted))
     }
     // greedy walk resumes AFTER the frozen prefix (frozen picks are
-    // final — see FunnelProgress doc)
+    // final — see FunnelProgress doc); the conversion window anchors
+    // on the chain HEAD's ts (frozen head if any, else the step-1 pick
+    // this walk makes)
     var prevKey: Option[(Long, Long)] = frozen.lastOption
+    var anchorTs: Option[Long] = frozen.headOption.map(_._1)
     var dead = false
     val picks = Seq.newBuilder[(Long, Long)]
     stepTypes.drop(frozen.size).foreach { ty =>
@@ -318,10 +345,17 @@ object ChangeStream {
         val ks = merged.getOrElse(ty, Nil)
         val pick = prevKey match {
           case None => ks.headOption
-          case Some(p) => ks.find(k => ord.gt(k, p))
+          case Some(p) =>
+            // window test as a subtraction (the batch form's overflow
+            // rule): ts − anchor can't wrap for non-negative epochs,
+            // and MaxValue degrades to the unwindowed semantics
+            val a = anchorTs.get
+            ks.find(k => ord.gt(k, p) && k._1 - a <= withinNs)
         }
         pick match {
-          case Some(k) => picks += k; prevKey = Some(k)
+          case Some(k) =>
+            picks += k; prevKey = Some(k)
+            if (anchorTs.isEmpty) anchorTs = Some(k._1)
           case None => dead = true
         }
       }
@@ -385,10 +419,22 @@ object ChangeStream {
     * and REMOVES users whose state empties. Exact over the surviving
     * events (see [[FunnelProgress]]); the trade is late-data loss,
     * which is every watermarked operator's contract. None = exact
-    * under arbitrarily late data, state grows with step-event history. */
+    * under arbitrarily late data, state grows with step-event history.
+    *
+    * `withinNs` switches on the CONVERSION-WINDOW form (the streaming
+    * [[graft.ops.Funnel.stepsByKeyWithin]]): steps 2..k must land
+    * within withinNs of the chain's step-1 anchor. Still exact under
+    * arbitrary cross-batch disorder — the fold recomputes the anchored
+    * walk from the order-insensitive key sets each batch, so a late
+    * event that re-decides the anchor re-clips every later step (spec-
+    * pinned); composable with `evictDelay` (see [[funnelFoldTtl]] for
+    * why freezing stays exact under the window). */
   def streamingFunnel(raw: DataFrame, stepTypes: Seq[String],
-      evictDelay: Option[String] = None): Dataset[FunnelUpd] = {
+      evictDelay: Option[String] = None,
+      withinNs: Option[Long] = None): Dataset[FunnelUpd] = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinNs.forall(_ >= 0),
+      s"withinNs must be >= 0 (got ${withinNs.get})")
     import raw.sparkSession.implicits._
     val filtered = raw
       .filter(col("event_type").isin(stepTypes.map(x => x: Any): _*))
@@ -423,6 +469,7 @@ object ChangeStream {
       .getOrElse(projected)
       .as[FunnelEvent]
     val ttl = evictDelay.isDefined
+    val window = withinNs.getOrElse(Long.MaxValue)
     ev.groupByKey(_.user)
       .flatMapGroupsWithState[FunnelProgress, FunnelUpd](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
@@ -430,7 +477,7 @@ object ChangeStream {
             state: GroupState[FunnelProgress]) =>
           val wmMs = if (ttl) state.getCurrentWatermarkMs() else Long.MinValue
           val (next, upd) = funnelFoldTtl(user, stepTypes,
-            state.getOption, events.toSeq, wmMs)
+            state.getOption, events.toSeq, wmMs, window)
           if (next.keys.isEmpty && next.frozen.isEmpty) state.remove()
           else state.update(next)
           upd.iterator

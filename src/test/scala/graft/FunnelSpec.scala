@@ -184,17 +184,25 @@ class FunnelSpec extends SparkSpec {
     // event while the frozen prefix holds only matured picks
     import graft.streaming.ChangeStream.{FunnelEvent, FunnelProgress, funnelFoldTtl}
     val ord = implicitly[Ordering[(Long, Long)]]
-    def greedy(sur: Seq[(String, (Long, Long))], steps: List[String])
-        : List[(Long, Long)] = {
+    // greedy walk with an optional conversion window (anchor = first
+    // pick): the TTL fold must stay exact when COMPOSED with the
+    // window — freezing under a window is the subtle case (the frozen
+    // anchor pins the window bound for all later steps)
+    def greedy(sur: Seq[(String, (Long, Long))], steps: List[String],
+        w: Long): List[(Long, Long)] = {
       var prev: Option[(Long, Long)] = None
+      var anchor: Option[Long] = None
       var out = List.empty[(Long, Long)]
       var dead = false
       steps.foreach { ty =>
         if (!dead) {
           val cand = sur.filter(_._1 == ty).map(_._2)
             .filter(k => prev.forall(p => ord.gt(k, p)))
+            .filter(k => anchor.forall(a => k._1 - a <= w))
           cand.sorted.headOption match {
-            case Some(k) => out :+= k; prev = Some(k)
+            case Some(k) =>
+              out :+= k; prev = Some(k)
+              if (anchor.isEmpty) anchor = Some(k._1)
             case None => dead = true
           }
         }
@@ -203,8 +211,10 @@ class FunnelSpec extends SparkSpec {
     }
     val gen = for {
       evs <- evGen; steps <- stepsGen; seed <- Gen.choose(0L, Long.MaxValue)
-    } yield (evs, steps, seed)
-    val prop = Prop.forAll(gen) { case (evs, steps, seed) =>
+      wRaw <- Gen.choose(0L, 12L); windowed <- Gen.oneOf(true, false)
+    } yield (evs, steps, seed,
+      if (windowed) wRaw * 1000000L else Long.MaxValue)
+    val prop = Prop.forAll(gen) { case (evs, steps, seed, w) =>
       val rnd = new scala.util.Random(seed)
       val shuffled = rnd.shuffle(evs)
       val nBatches = 1 + rnd.nextInt(4)
@@ -229,7 +239,7 @@ class FunnelSpec extends SparkSpec {
           survivors ++= mine.filter(_.ts / 1000000L > wm)
             .map(e => e.ty -> ((e.ts, e.id)))
           if (mine.nonEmpty) {
-            val (next, upd) = funnelFoldTtl(Some(u), steps, st, mine, wm)
+            val (next, upd) = funnelFoldTtl(Some(u), steps, st, mine, wm, w)
             st = Some(next)
             upd.foreach(x => last = Some(x))
             // state bound: nothing stale survives in the kept sets;
@@ -239,7 +249,7 @@ class FunnelSpec extends SparkSpec {
             ok &&= next.frozen.size <= steps.size
           }
         }
-        val want = greedy(survivors.toList, steps)
+        val want = greedy(survivors.toList, steps, w)
         val got = last.map(f => f.ts_arr.zip(f.id_arr).toList).getOrElse(Nil)
         val pass = ok && got == want
         if (!pass) println(s"TTL MISMATCH u=$u steps=$steps wms=$wms " +
@@ -332,6 +342,89 @@ class FunnelSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("funnelFoldWithin is exact under ANY batch split and arrival order") {
+    // the streaming conversion-window funnel's claim: fold the same
+    // events in any batching/order — the final chain must equal the
+    // batch stepsByKeyWithin's anchored greedy walk over the full
+    // stream, INCLUDING the case where a late batch re-decides the
+    // anchor and the window re-clips previously-emitted later steps
+    import graft.streaming.ChangeStream.{FunnelEvent, FunnelProgress,
+      FunnelUpd, funnelFoldWithin}
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val gen = for {
+      evs <- evGen; steps <- stepsGen; w <- Gen.choose(0L, 12L)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (evs, steps, w, seed)
+    val prop = Prop.forAll(gen) { case (evs, steps, w, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(evs)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.zipWithIndex
+        .groupBy { case (_, i) => rnd.nextInt(nBatches) }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val got = evs.map(_.ent).distinct.flatMap { u =>
+        var st: Option[FunnelProgress] = None
+        var last: Option[FunnelUpd] = None
+        batches.foreach { b =>
+          val mine = b.filter(e => e.ent == u && steps.contains(e.ty))
+            .map(e => FunnelEvent(Some(u), e.ty, e.t, e.id))
+          if (mine.nonEmpty) {
+            val (next, upd) = funnelFoldWithin(Some(u), steps, st, mine, w)
+            st = Some(next)
+            upd.foreach(x => last = Some(x))
+          }
+        }
+        last.map(f => u -> f.ts_arr.zip(f.id_arr).toList)
+      }.toMap
+      // anchored greedy model over the FULL (t, id)-sorted stream
+      val want = evs.groupBy(_.ent).flatMap { case (ent, es) =>
+        val sorted = es.filter(e => steps.contains(e.ty))
+          .sortBy(e => (e.t, e.id))
+        sorted.find(_.ty == steps.head).map { a =>
+          var prevKey = (a.t, a.id)
+          var chain = List(prevKey)
+          var dead = false
+          steps.drop(1).foreach { ty =>
+            if (!dead)
+              sorted.find(e => e.ty == ty &&
+                  ord.gt((e.t, e.id), prevKey) && e.t - a.t <= w) match {
+                case Some(e) => prevKey = (e.t, e.id); chain :+= prevKey
+                case None => dead = true
+              }
+          }
+          ent -> chain
+        }
+      }
+      if (got != want)
+        println(s"WITHIN-FOLD MISMATCH w=$w steps=$steps evs=$evs\n" +
+          s" got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a late anchor-deciding event re-clips later steps") {
+    // the disorder case the window form adds over plain stepsByKey:
+    // batch 1 completes the whole chain inside the window; batch 2
+    // delivers a LATE, EARLIER step-1 event — the anchor moves to it,
+    // the old steps fall outside [anchor, anchor+W], and the re-walk
+    // must shrink the emitted chain back to depth 1
+    import graft.streaming.ChangeStream.{FunnelEvent, funnelFoldWithin}
+    val steps = List("a", "b", "c")
+    val w = 3L
+    val (s1, u1) = funnelFoldWithin(Some(1L), steps, None, Seq(
+      FunnelEvent(Some(1L), "a", 5L, 1L),
+      FunnelEvent(Some(1L), "b", 6L, 2L),
+      FunnelEvent(Some(1L), "c", 7L, 3L)), w)
+    assert(u1.exists(u => u.depth == 3L && u.ts_arr == Seq(5L, 6L, 7L)))
+    val (_, u2) = funnelFoldWithin(Some(1L), steps, Some(s1), Seq(
+      FunnelEvent(Some(1L), "a", 0L, 0L)), w)
+    assert(u2.exists(u => u.depth == 1L && u.ts_arr == Seq(0L)),
+      s"anchor re-decision must re-clip the chain, got $u2")
   }
 
   test("TTL watermark covers step-type rows ONLY — a non-step event advances nothing") {
@@ -427,6 +520,63 @@ class FunnelSpec extends SparkSpec {
           .as[(Long, Long)].collect().toMap
         assert(last == lib && last.nonEmpty)
       } finally graft.queries.Registry.rmTree(tmp2.toFile)
+    } finally graft.queries.Registry.rmTree(tmp.toFile)
+  }
+
+  test("windowed funnel_upsert and retention_upsert round-trip through the config front-end") {
+    // config parity for the r18 knobs: "withinNs" on funnel_upsert
+    // (the streaming conversion-window funnel) and the new
+    // retention_upsert sink — each resolved feed must equal the
+    // library call's result
+    import org.apache.spark.sql.functions.{col, row_number, explode, count, lit}
+    val W = 7L * 86400L * 1000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-win-cfg")
+    try {
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_raw_stream", "dir": "$sf",
+                   "slices": 4, "sliceBy": "event_id % 4"},
+        "processors": [],
+        "sink": {"type": "funnel_upsert", "path": "$tmp/fout",
+                 "checkpoint": "$tmp/fckpt",
+                 "steps": ["view", "click", "purchase"],
+                 "withinNs": $W}
+      }""")
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "events_raw_stream", "dir": "$sf",
+                   "slices": 4, "sliceBy": "event_id % 4"},
+        "processors": [],
+        "sink": {"type": "retention_upsert", "path": "$tmp/rout",
+                 "checkpoint": "$tmp/rckpt",
+                 "periodNs": 86400000000000}
+      }""")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("_b").desc)
+      val cfgFunnel = spark.read.parquet(s"$tmp/fout")
+        .withColumn("_r", row_number().over(w)).filter("_r = 1")
+        .select("user_id", "depth").as[(Long, Long)].collect().toMap
+      // library form: the windowed BATCH funnel over the same events —
+      // the streaming fold's final emission must equal it (exactness
+      // under the 4-slice ts-scrambled drain)
+      val e = graft.source.Changelog.events(spark, sf)
+        .withColumn("k", graft.ops.Funnel.packedKey(
+          col("ts_ns"), col("event_id")))
+      val libFunnel = graft.ops.Funnel.stepsByKeyWithin(e, "user_id",
+          "event_type", Seq("view", "click", "purchase"), "k", "ts_ns", W)
+        .select("user_id", "depth").as[(Long, Long)].collect().toMap
+      assert(cfgFunnel == libFunnel && cfgFunnel.nonEmpty)
+
+      val cfgCells = spark.read.parquet(s"$tmp/rout")
+        .withColumn("_r", row_number().over(w)).filter("_r = 1")
+        .select(col("cohort"), explode(col("offsets")).as("offset"))
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val libCells = graft.ops.Retention.cohorts(
+          graft.source.Changelog.events(spark, sf),
+          "user_id", "ts_ns", periodNs = 86400L * 1000000000L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(cfgCells == libCells && cfgCells.nonEmpty)
     } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
