@@ -140,7 +140,7 @@ object Bench {
       // drain); keep the split of the MIN rep — the number the driver
       // trusts — so a slow run is attributable from the artifact alone
       // (residual = total - stage - start - drain ≈ final store read).
-      val timed = (1 to reps).map { _ =>
+      def oneRep(): (Double, Map[String, Double]) = {
         spark.catalog.clearCache()
         // clearCache() drops catalog-cached relations but NOT RDD-level
         // persists — a prior rep's localCheckpoint blocks (the iterative
@@ -159,18 +159,31 @@ object Bench {
         val t0 = System.nanoTime()
         runOne()
         ((System.nanoTime() - t0) / 1e9, PhaseClock.snapshot())
-      }.sortBy(_._1)
+      }
+      var timed = (1 to reps).map(_ => oneRep()).sortBy(_._1)
+      // Spread = (median − min)/min: the bar that arbitrates a
+      // cross-round delta. bench_delta classifies on MIN-based norm
+      // ratios, so the relevant noise is how tightly the lower reps
+      // cluster — (max − min)/min let one ambient outlier (the class
+      // the NOISY guard names separately) inflate the bar forever and
+      // hide a real 1.5x regression behind it (r17: graph_closeness
+      // 0.73, sketch_overlap 0.58). A bar still above 0.35 buys up to
+      // 3 extra reps (genuinely more evidence: min and median both
+      // stabilize); if it STAYS wide after that, the variance is real
+      // and the stamped value says so.
+      def spreadOf(ts: Seq[Double]): Double =
+        if (ok && ts.head > 0) (ts(ts.length / 2) - ts.head) / ts.head
+        else 0.0
+      var extra = 0
+      while (ok && extra < 3 && spreadOf(timed.map(_._1)) > 0.35) {
+        timed = (timed :+ oneRep()).sortBy(_._1)
+        extra += 1
+      }
       spark.stop()
       val times = timed.map(_._1)
       if (ok) {
         if (timed.head._2.nonEmpty) phases(name) = timed.head._2
-        // (median, min, relative spread (max-min)/min): the spread is
-        // what arbitrates a cross-round delta — a 20% "regression" on a
-        // query whose own reps spread 40% is load, not code (the r16
-        // driver-vs-self 1.7x disagreement)
-        val spread =
-          if (times.head > 0) (times.last - times.head) / times.head else 0.0
-        Some(name -> (times(times.length / 2), times.head, spread))
+        Some(name -> (times(times.length / 2), times.head, spreadOf(times)))
       } else { failed += name; None }
     }
     // Variance guard: the min is the query's floor on this box — a median

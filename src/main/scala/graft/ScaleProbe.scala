@@ -601,7 +601,46 @@ object ScaleProbe {
       val (tk, ck2) = retAt(k)
       println(s"""{"probe":"retention","k":$k,"secs_1":$t1,"secs_k":$tk,""" +
         s""""cells_1":$c1,"cells_k":$ck2,"ratio":${tk / t1},""" +
-        s""""bottleneck":"first-activity min-agg exchange","sf":"$sfDir"}""")
+        s""""bottleneck":"single entity-keyed agg exchange","sf":"$sfDir"}""")
+    }
+
+    // ── retention A/B: the distinct→min→join shape vs the single
+    // entity-exchange min+collect_set agg (cohortsAgg). Both legs
+    // warmed before either is timed; values compared cell-exact; the
+    // plans must genuinely differ (join vs no join) or the probe
+    // refuses to time two identical plans.
+    if (want("retention_agg")) {
+      val period = 86400L * 1000000000L
+      def legs(n: Int): (Double, Double) = {
+        val in = mat(scaled(evF, Seq("user_id", "event_id"), n), s"retab$n")
+          .cache()
+        in.count()
+        try {
+          val joinLeg = graft.ops.Retention.cohortsJoin(
+            in, "user_id", "ts_ns", period)
+          val aggLeg = graft.ops.Retention.cohorts(
+            in, "user_id", "ts_ns", period)
+          require(joinLeg.queryExecution.executedPlan.toString.contains("Join") &&
+            !aggLeg.queryExecution.executedPlan.toString.contains("Join"),
+            "retention_agg probe: plans do not differ as expected")
+          def cells(df: DataFrame) =
+            df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+              .toMap
+          val (cj, ca) = (cells(joinLeg), cells(aggLeg))
+          require(cj == ca && cj.nonEmpty,
+            s"retention_agg probe: cell mismatch (join=${cj.size} agg=${ca.size})")
+          // both legs warmed by the value check above; time min-of-3
+          def rep(df: DataFrame): Double =
+            (1 to 3).map(_ => time(df.count())._1).min
+          (rep(joinLeg), rep(aggLeg))
+        } finally { in.unpersist(); () }
+      }
+      val (j1, a1) = legs(1)
+      val (jk, ak) = legs(k)
+      println(s"""{"probe":"retention_agg","k":$k,""" +
+        s""""join_secs_1":$j1,"agg_secs_1":$a1,""" +
+        s""""join_secs_k":$jk,"agg_secs_k":$ak,""" +
+        s""""gain_1":${j1 / a1},"gain_k":${jk / ak},"sf":"$sfDir"}""")
     }
 
     // ── LPA and triangles: part graph ×k as disjoint isomorphic copies

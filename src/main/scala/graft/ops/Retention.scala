@@ -22,17 +22,18 @@ import org.apache.spark.sql.functions._
   * explicit offset before bucketing. Rows with a NULL entity or
   * timestamp are dropped (an unplaceable activity has no cell).
   *
-  * Scale shape: one map-side-combined min-agg per entity (the cohort
-  * assignment), one entity-keyed equi-join to re-attach it, one
-  * (cohort, offset) count-distinct — which Spark plans as two hash
-  * aggs (dedup on (cohort, offset, entity), then count). Every
-  * exchange is keyed on the entity or the cell; nothing is windowed,
-  * nothing collects. A hot entity costs one min buffer per partition;
-  * a hot CELL (everyone active at offset 0) costs one count buffer
-  * per partition after the dedup agg — both map-side-bounded. The
-  * entity-keyed join and the min-agg share their partitioning, so AQE
-  * folds them onto one exchange of the deduped (entity, period) set —
-  * ≤ |entities|·|periods| rows, not |events|. */
+  * Scale shape: ONE map-side-combined agg per entity computes the
+  * cohort (min) AND the distinct period set (collect_set) together,
+  * then explodes to (cohort, offset) cells — the (entity, period) set
+  * crosses the wire once, not three times (the r17 shape paid a
+  * distinct pre-pass + a min-agg exchange + an entity-keyed join;
+  * the single-exchange form measured 1.2–1.5× faster with the gain
+  * GROWING in data size — SCALEPROBE_r18 `retention_agg`, reproduced).
+  * Per-entity state is the distinct period set, bounded by
+  * horizon/period (the streaming form's bound), NOT by the entity's
+  * event count — a hot entity's events collapse in the map-side
+  * partial. A hot CELL (everyone active at offset 0) costs one count
+  * buffer per partition. */
 object Retention {
 
   def cohorts(events: DataFrame, entityCol: String, tsNsCol: String,
@@ -41,6 +42,25 @@ object Retention {
     // integer `div`, never `/`: Column `/` is DOUBLE division, and an
     // ns-epoch (~1.7e18) exceeds double's 53-bit mantissa — floor(x/y)
     // would mis-bucket events near period boundaries
+    events
+      .select(col(entityCol).as("_ent"),
+        col(tsNsCol).cast("long").as("_t"))
+      .withColumn("_p", expr(s"_t div ${periodNs}L"))
+      .filter(col("_ent").isNotNull && col("_p").isNotNull)
+      .groupBy(col("_ent"))
+      .agg(min(col("_p")).as("cohort"), collect_set(col("_p")).as("_ps"))
+      .select(col("cohort"), explode(col("_ps")).as("_p"))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** The r17 distinct→min-agg→join shape, kept as the A/B comparison
+    * leg for the `retention_agg` scale probe (and as the fallback if a
+    * future Spark regresses collect_set's partial aggregation).
+    * Identical cells to [[cohorts]] by construction. */
+  def cohortsJoin(events: DataFrame, entityCol: String, tsNsCol: String,
+      periodNs: Long): DataFrame = {
+    require(periodNs > 0, s"periodNs must be positive (got $periodNs)")
     val act = events
       .select(col(entityCol).as("_ent"),
         col(tsNsCol).cast("long").as("_t"))
