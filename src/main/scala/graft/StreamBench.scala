@@ -229,11 +229,13 @@ object StreamBench {
     val steps = Seq("view", "click", "purchase")
     // stage outside the timed region (shared by both legs)
     graft.streaming.ChangeStream.fromEventsRawStream(spark, sfDir, slices, sliceBy)
-    def drain(evict: Option[String]): (Double, Seq[(Long, Long, Long)], Long) = {
+    def drain(evict: Option[String], withinNs: Option[Long] = None)
+        : (Double, Seq[(Long, Long, Long)], Long) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-funnel")
       val raw = graft.streaming.ChangeStream.fromEventsRawStream(
         spark, sfDir, slices, sliceBy)
-      val upd = graft.streaming.ChangeStream.streamingFunnel(raw, steps, evict)
+      val upd = graft.streaming.ChangeStream.streamingFunnel(
+        raw, steps, evict, withinNs)
       val q = upd.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -263,15 +265,25 @@ object StreamBench {
         .select("user_id").distinct().count()
       (secs, per, users)
     }
+    // window leg: the conversion-window form with NO watermark — its
+    // state bound comes from the window itself (once a user has an
+    // anchor, kept events all sit inside [anchor, anchor+W]), so the
+    // exact-under-late-data form plateaus too
+    val windowNs = sys.env.getOrElse("SPARK_GRAFT_FUNNEL_WINDOW",
+      (7L * 86400L * 1000000000L).toString).toLong
     val (exactSecs, exactPer, exactUsers) = drain(None)
     val (ttlSecs, ttlPer, ttlUsers) = drain(Some(evictDelay))
+    val (winSecs, winPer, winUsers) = drain(None, Some(windowNs))
     def js(per: Seq[(Long, Long, Long)], f: ((Long, Long, Long)) => Long) =
       per.map(f).mkString("[", ",", "]")
-    Seq(("exact", exactSecs, exactPer, exactUsers, "null"),
-        ("ttl", ttlSecs, ttlPer, ttlUsers, s""""$evictDelay"""")).foreach {
-      case (mode, secs, per, users, ev) =>
+    Seq(("exact", exactSecs, exactPer, exactUsers, "null", "null"),
+        ("ttl", ttlSecs, ttlPer, ttlUsers, s""""$evictDelay"""", "null"),
+        ("window", winSecs, winPer, winUsers, "null", windowNs.toString))
+      .foreach {
+      case (mode, secs, per, users, ev, win) =>
         println(s"""{"metric":"stream_funnel_state","mode":"$mode",""" +
-          s""""evict_delay":$ev,"slices":$slices,"slice_by":"$sliceBy",""" +
+          s""""evict_delay":$ev,"within_ns":$win,""" +
+          s""""slices":$slices,"slice_by":"$sliceBy",""" +
           s""""state_rows_per_batch":${js(per, _._2)},""" +
           s""""state_bytes_per_batch":${js(per, _._3)},""" +
           s""""emitted_users":$users,"secs":$secs,"sf":"$sfDir"}""")

@@ -371,9 +371,21 @@ object ChangeStream {
     // chain needs no events at all; a fully-evicted, chain-less user
     // leaves empty state (the caller removes it).
     val frozenNow = chain.takeWhile(k => stale(k._1))
+    // window eviction (independent of the watermark, so it bounds the
+    // EXACT form's state too): once an anchor exists, an event with
+    // ts − anchor > withinNs can never be picked — the anchor is a
+    // min, so it only ever moves EARLIER, which only shrinks the
+    // window; and no beyond-window event can become the anchor itself
+    // (its ts is strictly above the current anchor's). Per-user state
+    // is therefore bounded by the step-type events inside one
+    // conversion window, not by history. Picks survive the filter by
+    // construction (each satisfied the window when chosen).
+    def beyondWindow(tsNs: Long): Boolean =
+      anchorTs.exists(a => tsNs - a > withinNs)
     val kept =
       if (frozenNow.size == stepTypes.size) Map.empty[String, Seq[(Long, Long)]]
-      else merged.view.mapValues(_.filterNot(k => stale(k._1)))
+      else merged.view
+        .mapValues(_.filterNot(k => stale(k._1) || beyondWindow(k._1)))
         .filter(_._2.nonEmpty).toMap
     (FunnelProgress(kept, frozenNow), upd)
   }

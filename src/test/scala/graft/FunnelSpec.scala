@@ -364,6 +364,7 @@ class FunnelSpec extends SparkSpec {
       val batches = shuffled.zipWithIndex
         .groupBy { case (_, i) => rnd.nextInt(nBatches) }
         .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      var bounded = true
       val got = evs.map(_.ent).distinct.flatMap { u =>
         var st: Option[FunnelProgress] = None
         var last: Option[FunnelUpd] = None
@@ -374,10 +375,20 @@ class FunnelSpec extends SparkSpec {
             val (next, upd) = funnelFoldWithin(Some(u), steps, st, mine, w)
             st = Some(next)
             upd.foreach(x => last = Some(x))
+            // window state bound: once an anchor exists, kept events
+            // all sit inside [*, anchor + w] — the fold's whole claim
+            // that per-user state is bounded by ONE conversion window
+            upd.foreach { x =>
+              val anchor = x.ts_arr.head
+              bounded &&= next.keys.values.flatten
+                .forall(k => k._1 - anchor <= w)
+            }
           }
         }
         last.map(f => u -> f.ts_arr.zip(f.id_arr).toList)
       }.toMap
+      if (!bounded)
+        println(s"WINDOW STATE UNBOUNDED w=$w steps=$steps evs=$evs")
       // anchored greedy model over the FULL (t, id)-sorted stream
       val want = evs.groupBy(_.ent).flatMap { case (ent, es) =>
         val sorted = es.filter(e => steps.contains(e.ty))
@@ -400,7 +411,7 @@ class FunnelSpec extends SparkSpec {
       if (got != want)
         println(s"WITHIN-FOLD MISMATCH w=$w steps=$steps evs=$evs\n" +
           s" got=$got\n want=$want")
-      got == want
+      bounded && got == want
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(40), prop)
