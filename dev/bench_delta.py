@@ -28,34 +28,40 @@ FLOOR = 0.15  # ignore <15% moves outright: below rep-to-rep noise floor
 
 def load(p):
     """Return the bench dict that carries queries_norm, from any of the
-    artifact shapes (driver wrapper / raw line / two-line stdout)."""
+    artifact shapes: driver wrapper ({"parsed": ..., "tail": ...}),
+    raw one-line stdout, or the r18+ two-line stdout. The dict with
+    queries_norm always wins — a wrapper whose `parsed` is the short
+    headline line must not shadow a detail line still recoverable from
+    its `tail` capture."""
     txt = open(p).read()
+    cands, line_sources = [], [txt]
     try:
         d = json.loads(txt)
-        if isinstance(d.get("parsed"), dict):
-            d = d["parsed"]
         if isinstance(d, dict):
-            return d
+            if isinstance(d.get("parsed"), dict):
+                cands.append(d["parsed"])
+            cands.append(d)
+            if isinstance(d.get("tail"), str):
+                line_sources.append(d["tail"])
     except json.JSONDecodeError:
         pass
-    # multi-line stdout: parse each line, prefer the one with
-    # queries_norm (the detail line), else the last parseable dict
-    best = None
-    for line in txt.splitlines():
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        if isinstance(d, dict):
-            if "queries_norm" in d:
-                return d
-            best = d
-    if best is None:
+    for src in line_sources:
+        for line in src.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict):
+                cands.append(d)
+    for d in cands:
+        if "queries_norm" in d:
+            return d
+    if not cands:
         sys.exit(f"{p}: no parseable bench JSON found")
-    return best
+    return cands[0]
 
 
 def classify(old, new):
@@ -90,11 +96,13 @@ def classify(old, new):
 
 
 def main():
-    new2_p = None
+    new2_p = calib_p = None
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--new2="):
             new2_p = a.split("=", 1)[1]
+        elif a.startswith("--calib="):
+            calib_p = a.split("=", 1)[1]
         else:
             argv.append(a)
     if len(argv) < 2:
@@ -115,6 +123,20 @@ def main():
                 r["reproduced"] = v2.get(r["query"]) == r["verdict"]
         n_repro = sum(1 for r in rows
                       if r["verdict"] == "regression" and r.get("reproduced"))
+    # ambient calibration: a delta artifact computed from a SAME-CODE
+    # run pair measures this box's cross-run noise directly (within-run
+    # rep spreads understate it ~10x: r18 measured rep spreads ~0.03
+    # but same-code cross-run movers up to 1.46x). A mover is only
+    # evidence of a code regression if it exceeds that envelope.
+    envelope = None
+    if calib_p:
+        cal = json.load(open(calib_p))
+        envelope = max((abs(r["ratio"] - 1) for r in cal.get("rows", [])),
+                       default=None)
+        if envelope is not None:
+            for r in rows:
+                if r["verdict"] != "noise":
+                    r["exceeds_calibration"] = abs(r["ratio"] - 1) > envelope
     regs = [r for r in rows if r["verdict"] == "regression"]
     imps = [r for r in rows if r["verdict"] == "improvement"]
     art = {"old": os.path.basename(old_p), "new": os.path.basename(new_p),
@@ -129,6 +151,12 @@ def main():
         art["n_reproduced_regressions"] = n_repro
         art["reproduced_regressions"] = [
             r["query"] for r in regs if r.get("reproduced")]
+    if envelope is not None:
+        art["calib"] = os.path.basename(calib_p)
+        art["ambient_envelope"] = round(envelope, 3)
+        art["credible_regressions"] = [
+            r["query"] for r in regs
+            if r.get("reproduced", True) and r.get("exceeds_calibration")]
     json.dump(art, open(out_p, "w"), indent=1)
     rep = "" if n_repro is None else f" ({n_repro} reproduced in {new2_p})"
     print(f"compared {len(rows)} queries "

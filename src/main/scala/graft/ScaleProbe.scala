@@ -697,9 +697,11 @@ object ScaleProbe {
       val e = mat(ProbeUtil.sharedSpanCopies(eBaseG, n), s"close$n")
       PhaseClock.reset()
       val (secs, rows) = time {
-        val lms = e.select(col("src").as("lm"))
-          .unionByName(e.select(col("dst").as("lm")))
-          .filter(col("lm").isNotNull).distinct()
+        // candidates from REAL edges only (both endpoints non-null) —
+        // the gate's parameterization exactly
+        val realE = e.filter(col("src").isNotNull && col("dst").isNotNull)
+        val lms = realE.select(col("src").as("lm"))
+          .unionByName(realE.select(col("dst").as("lm"))).distinct()
           .orderBy(md5(col("lm").cast("string"))).limit(16)
         graft.ops.Graphs.harmonicCentrality(
           graft.ops.Graphs.landmarkDistances(e, "src", "dst", lms, "lm",

@@ -234,9 +234,16 @@ object Pipeline {
       require(c.has("landmarkK") || c.has("landmarkExpr"),
         "harmonic_centrality: needs landmarkK (fixed-K md5-ranked " +
           "sample — the scale-safe form) or landmarkExpr (node predicate)")
-      val cand = df.select(col(src).as("lm"))
-        .unionByName(df.select(col(dst).as("lm")))
-        .filter(col("lm").isNotNull)
+      require(!c.has("landmarkK") || c.get("landmarkK").asInt() > 0,
+        s"harmonic_centrality: landmarkK must be > 0 " +
+          s"(got ${if (c.has("landmarkK")) c.get("landmarkK").asInt() else 0}" +
+          ") — limit(0) would silently yield an empty centrality frame")
+      // candidates = nodes of REAL edges (both endpoints non-null):
+      // a row with a null endpoint is not an edge, and its non-null
+      // side must not compete for a landmark slot
+      val realE = df.filter(col(src).isNotNull && col(dst).isNotNull)
+      val cand = realE.select(col(src).as("lm"))
+        .unionByName(realE.select(col(dst).as("lm")))
       // landmarkK picks a FIXED-size md5-ranked sample (scale-safe:
       // the distance frame stays O(K·N) however big the graph gets);
       // landmarkExpr is the predicate form, e.g. "lm % 11 = 0" —
@@ -455,6 +462,29 @@ object Pipeline {
     * [[graft.streaming.PipelineMetrics]] listener — the task_qps/delay
     * gauges the reference publishes while syncing (`metrics.go:16-23`);
     * None when no batch carried rows (e.g. a restart with nothing new). */
+  /** Shared update-mode upsert feed: per batch, stamp the batch id as
+    * `_b` and append to a parquet feed (a reader resolves the latest
+    * `_b` per key). The sink half of funnel_upsert and
+    * retention_upsert — one definition, so PhaseClock accounting and
+    * the resolution column can't drift between them. */
+  private def upsertFeed[T](ds: org.apache.spark.sql.Dataset[T],
+      path: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ds.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[T], id: Long) =>
+        graft.PhaseClock.count("batches")
+        graft.PhaseClock.time("apply") {
+          b.withColumn("_b",
+            org.apache.spark.sql.functions.lit(id)).write
+            .mode("append").parquet(path)
+        }
+        ()
+      }
+      .start()
+
   def runStream(spark: SparkSession, json: String): Option[graft.streaming.PipelineMetrics#Snapshot] = {
     val cfg = new ObjectMapper().readTree(json)
     val src = cfg.get("source")
@@ -651,51 +681,18 @@ object Pipeline {
           Some(snk.get("evictDelay").asText()) else None
         val within = if (snk.has("withinNs"))
           Some(snk.get("withinNs").asLong()) else None
-        val path = snk.get("path").asText()
-        val upd = graft.streaming.ChangeStream.streamingFunnel(
-          transformed, steps, evict, within)
-        upd.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[
-               graft.streaming.ChangeStream.FunnelUpd], id: Long) =>
-              graft.PhaseClock.count("batches")
-              graft.PhaseClock.time("apply") {
-                b.withColumn("_b",
-                  org.apache.spark.sql.functions.lit(id)).write
-                  .mode("append").parquet(path)
-              }
-              ()
-          }
-          .start()
+        upsertFeed(graft.streaming.ChangeStream.streamingFunnel(
+          transformed, steps, evict, within),
+          snk.get("path").asText(), ckpt)
       case "retention_upsert" =>
         // streaming cohort retention over an events_raw_stream source:
         // update-mode per-user (cohort, offsets) upserts appended to a
         // parquet feed (reader resolves the latest _b per user, then
         // aggregates the (cohort, offset) cells in batch). The config
         // front-end form of ChangeStream.streamingRetention.
-        val periodNs = snk.get("periodNs").asLong()
-        val path = snk.get("path").asText()
-        graft.streaming.ChangeStream
-          .streamingRetention(transformed, periodNs)
-          .writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[
-               graft.streaming.ChangeStream.RetenUpd], id: Long) =>
-              graft.PhaseClock.count("batches")
-              graft.PhaseClock.time("apply") {
-                b.withColumn("_b",
-                  org.apache.spark.sql.functions.lit(id)).write
-                  .mode("append").parquet(path)
-              }
-              ()
-          }
-          .start()
+        upsertFeed(graft.streaming.ChangeStream.streamingRetention(
+          transformed, snk.get("periodNs").asLong()),
+          snk.get("path").asText(), ckpt)
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)

@@ -242,16 +242,19 @@ object GraphQueries {
     "graph_closeness" -> QueryDef(
       (s, dir) => {
         val e = edges(s, dir)
-        // landmark candidates from BOTH endpoints (a dst-only node can
-        // be a landmark too); md5-rank top-K is a TakeOrdered — each
-        // partition keeps K, the driver merges K, no global sort
-        // NULL dst (lead() at chain end) must be dropped BEFORE the
-        // rank: Spark sorts NULLS FIRST, so a null candidate would
-        // steal a top-16 slot the oracle (which excludes nulls in its
-        // edge CTE) never sees
-        val lms = e.select(col("src").as("lm"))
-          .unionByName(e.select(col("dst").as("lm")))
-          .filter(col("lm").isNotNull).distinct()
+        // landmark candidates = nodes of REAL edges only (both
+        // endpoints, dst-only nodes included); md5-rank top-K is a
+        // TakeOrdered — each partition keeps K, the driver merges K,
+        // no global sort. Dropping the whole NULL-dst row — not just
+        // null lm values — is what matches the oracle's node pool: a
+        // NULL candidate would rank first (Spark sorts NULLS FIRST)
+        // and a part appearing ONLY as the sole line of 1-line orders
+        // has no edge at all, so the oracle never sees it and it must
+        // not compete for a top-16 slot here (review catch: the
+        // isNotNull-on-lm form still ranked such srcs).
+        val realE = e.filter(col("src").isNotNull && col("dst").isNotNull)
+        val lms = realE.select(col("src").as("lm"))
+          .unionByName(realE.select(col("dst").as("lm"))).distinct()
           .orderBy(md5(col("lm").cast("string"))).limit(16)
         Graphs.harmonicCentrality(
           Graphs.landmarkDistances(e, "src", "dst", lms, "lm",
