@@ -616,6 +616,46 @@ object SkewProbe {
         s""""bottleneck":"$bn","sf":"$sfDir"}""")
     }
 
+    // ── retention under a hot user ──────────────────────────────────
+    // events ×k with ~30% of rows redirected onto ONE user (the
+    // hot-entity hazard for the r18 single-exchange shape: cohort min
+    // + collect_set of periods in one entity agg). The claim: the hot
+    // user's events collapse in the MAP-SIDE partial — each partition
+    // contributes one ≤|periods| set, and the reduce-side merge is
+    // bounded by distinct periods (≤ horizon/period, ~30 here), not
+    // by the 30% event share. Uniform comparator: same volume,
+    // untouched user keys. Tax ≈ 1 or the shape is wrong.
+    if (want("skew_retention_hotuser")) {
+      val period = 86400L * 1000000000L
+      val rev = graft.source.Changelog.events(spark, sfDir)
+        .select("user_id", "ts_ns", "event_id")
+      def retAt(n: Int, hot: Boolean, agg: Boolean): (Double, Long) = {
+        val base = scaled(rev, Seq("user_id", "event_id"), n)
+        val in = mat(if (hot) hotUser(base) else base, s"rt$n$hot$agg")
+        val frame =
+          if (agg) graft.ops.Retention.cohorts(in, "user_id", "ts_ns", period)
+          else graft.ops.Retention.cohortsJoin(in, "user_id", "ts_ns", period)
+        val r = time(frame.count())
+        sweepBlocks()
+        r
+      }
+      retAt(1, hot = true, agg = true) // warm both shapes
+      retAt(1, hot = true, agg = false)
+      val (r1, _) = retAt(1, hot = true, agg = true)
+      val (rk, cellsK) = retAt(k, hot = true, agg = true)
+      val (ru, cellsU) = retAt(k, hot = false, agg = true)
+      val (jk, _) = retAt(k, hot = true, agg = false)
+      val (ju, _) = retAt(k, hot = false, agg = false)
+      println(s"""{"probe":"skew_retention_hotuser","k":$k,"hot_pct":$HotPct,""" +
+        s""""hot_secs_1":$r1,"hot_secs_k":$rk,"uniform_secs_k":$ru,""" +
+        s""""join_hot_secs_k":$jk,"join_uniform_secs_k":$ju,""" +
+        s""""cells_hot_k":$cellsK,"cells_uniform_k":$cellsU,""" +
+        s""""hot_ratio":${rk / r1},"hot_tax":${rk / ru},""" +
+        s""""join_hot_tax":${jk / ju},"hot_agg_over_join":${rk / jk},""" +
+        s""""bottleneck":"entity agg exchange (set <= |periods|/user)",""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // ── BFS from a hub seed ─────────────────────────────────────────
     // Edge list ×k, then ~30% of edge SOURCES re-pointed at ONE node:
     // a hub holding 30% of all out-edges. Seeding AT the hub makes
