@@ -130,6 +130,34 @@ object Pipeline {
       c.get("idCol").asText(),
       c.get("fractions").fields().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toSeq)),
+    // leakage-safe split: assign by the near-dup CLUSTER's canonical
+    // id (simhash16 + radius-2 ball + connected components, the
+    // dedup_clusters construction), so a near-duplicate pair can never
+    // straddle train/eval — the id-hash "split" stage can and does
+    "split_safe" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, min}
+      val id = c.get("idCol").asText()
+      val sigs = df.select(col(id),
+          graft.ops.TextAnalysis.tokens(col(c.get("textCol").asText()))
+            .as("_toks"))
+        .withColumn("_sim", graft.ops.Dedup.simhash16(col("_toks")))
+        .select(col(id), col("_sim"))
+      val nodes = sigs.select(col("_sim").as("id")).distinct()
+      val edges = graft.ops.Dedup.hammingBallPairs(
+        nodes.select(col("id"), col("id").as("_sim")), "_sim", "id",
+        radius = 2, bits = 16)
+      val comp = graft.ops.Clusters.components(nodes, "id", edges,
+        "a_id", "b_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("_root")
+      val clustered = sigs
+        .join(comp.select(col("id").as("_sim"), col("comp").as("_root")),
+          "_sim")
+        .withColumn("cluster", min(col(id)).over(w))
+      graft.ops.Mixing.assignSplits(clustered, "cluster",
+        c.get("fractions").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toSeq)
+        .drop("_sim", "_root")
+    }),
     "pack" -> (c => df => {
       import org.apache.spark.sql.functions.{col, size, xxhash64}
       val id = c.get("idCol").asText()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.source.Changelog.table
-import graft.ops.{Clusters, Dedup, SpanStore, TextAnalysis}
+import graft.ops.{Clusters, Dedup, Mixing, SpanStore, TextAnalysis}
 
 /** Deduplication queries over `documents`. The MinHash+LSH query is the
   * scale path (runs unbounded — candidate generation is a bucket join);
@@ -603,6 +603,72 @@ object DedupQueries {
         |  CAST(MIN(doc_id) OVER (PARTITION BY rootsim) AS BIGINT) AS cluster,
         |  CAST(COUNT(*) OVER (PARTITION BY rootsim) AS BIGINT) AS csize
         |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // Leakage-safe train/val/test split: assign by the near-dup
+    // CLUSTER's canonical id, not the doc's — an id-hash split lets a
+    // near-duplicate pair straddle train/eval (the contamination the
+    // whole dedup family exists to prevent; decontaminate only guards
+    // against EXTERNAL benchmarks, this guards the split against
+    // ITSELF). Same md5-slice assignment as mix_split, keyed on the
+    // cluster label, so the whole cluster lands on one side by
+    // construction — the straddle count is structurally zero, and
+    // SplitSpec witnesses it against the same clusters. Stability
+    // composes too: a cluster's split never changes as unrelated docs
+    // arrive (min-id canonical label + hash assignment are both
+    // incremental-stable).
+    "split_leakage_safe" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sigs = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("sim", Dedup.simhash16(col("toks")))
+          .select("doc_id", "sim").cache()
+        val sigNodes = sigs.select(col("sim").as("id")).distinct()
+        val sigEdges = Dedup.hammingBallPairs(
+          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
+          radius = 2, bits = 16)
+        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
+        val w = Window.partitionBy("rootsim")
+        val clustered = sigs
+          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
+          .withColumn("cluster", min("doc_id").over(w))
+        Mixing.assignSplits(clustered, "cluster",
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+          .select("doc_id", "cluster", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN list_sum(list_transform(toks,
+        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
+        |                       IN ('8','9','a','b','c','d','e','f')
+        |                  THEN 1 ELSE -1 END)) >= 0
+        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM t),
+        |n AS (SELECT DISTINCT sim FROM f),
+        |e AS (
+        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
+        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
+        |reach(v, r) AS (
+        |  SELECT sim, sim FROM n
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
+        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
+        |j AS (
+        |  SELECT doc_id,
+        |    CAST(MIN(doc_id) OVER (PARTITION BY rootsim) AS BIGINT) AS cluster
+        |  FROM f JOIN c USING (sim)),
+        |u AS (SELECT doc_id, cluster,
+        |${Registry.md5Slice("cluster")} AS u
+        |      FROM j)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN u < 58982 THEN 'train'
+        |       WHEN u < 62259 THEN 'val' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin)),
 
     // Release keep/drop over those clusters: ONE member survives per
     // near-dup cluster, chosen by score (here total token chars — an

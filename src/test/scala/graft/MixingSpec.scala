@@ -143,6 +143,48 @@ class MixingSpec extends SparkSpec {
       Seq("a" -> 2.0 / 3, "b" -> (1.0 / 3 + 1e-6))).collect()
   }
 
+  test("cluster split never straddles a near-dup pair; an id split does") {
+    // the leakage claim behind split_leakage_safe / the split_safe
+    // stage: 60 exact-duplicate pairs (same text → same simhash →
+    // same cluster). An id-hash split puts SOME pair's two members on
+    // different sides (P(no straddle) ≈ 0.815^60 ≈ 10⁻⁶, and md5 is
+    // fixed, so this is deterministic for these ids); the cluster
+    // split can't, by construction.
+    val docs = (1L to 120L)
+      .map(i => (i, s"duplicate text block number ${(i - 1) / 2} end"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split-safe")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out =
+      try graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$tmp", "table": "documents"},
+        "processors": [
+          {"type": "split_safe", "idCol": "doc_id", "textCol": "text",
+           "fractions": {"train": 0.90, "val": 0.05, "test": 0.05}}
+        ],
+        "sink": {"type": "noop"}
+      }""").select("doc_id", "cluster", "split").collect()
+      finally graft.queries.Registry.rmTree(tmp.toFile)
+    val assigned = out
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(assigned.size === 120)
+    // pair members share a cluster and therefore a split — zero straddles
+    (1L to 120L by 2).foreach { a =>
+      assert(assigned(a) === assigned(a + 1),
+        s"pair ($a, ${a + 1}) straddles: ${assigned(a)} vs ${assigned(a + 1)}")
+    }
+    // the plain id-hash split DOES straddle at least one pair — the
+    // leakage the cluster form exists to prevent
+    val byId = Mixing.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val straddles = (1L to 120L by 2).count(a => byId(a) != byId(a + 1))
+    assert(straddles > 0,
+      "id-hash split straddled no near-dup pair on this fixture — " +
+        "the witness lost its teeth; enlarge the pair set")
+  }
+
   test("globalShuffle: dense permutation, reproducible, not id order") {
     val docs = (1L to 500L).toDF("doc_id")
     val a = Mixing.globalShuffle(docs, "doc_id").collect()

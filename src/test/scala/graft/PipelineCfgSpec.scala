@@ -476,7 +476,8 @@ class PipelineCfgSpec extends SparkSpec {
       // release chain
       "decontaminate", "mix_rate", "mix_temperature", "mix_weight",
       "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
-      "sample_exact_strata", "split", "pack", "pack_audit", "zorder",
+      "sample_exact_strata", "split", "split_safe", "pack", "pack_audit",
+      "zorder",
       "global_shuffle", "expect", "quality_report",
       // quality/text
       "quality_filter", "langid_filter", "redact_pii", "exact_dedup",
