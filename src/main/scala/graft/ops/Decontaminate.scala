@@ -71,4 +71,60 @@ object Decontaminate {
       textCol: String, n: Int = 8): DataFrame =
     corpus.join(contaminated(corpus, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** NEAR-duplicate contamination: corpus docs whose distinct
+    * trigram-shingle Jaccard against ANY benchmark doc reaches
+    * `minJaccard` — the paraphrase / light-edit leakage the verbatim
+    * n-gram test above misses (change one token in every 8-gram and
+    * [[contaminated]] reports a clean doc; the shingle-set overlap
+    * barely moves). Candidates come from a cross-corpus banded-MinHash
+    * equi-join: corpus meets bench only on colliding (band, key)
+    * buckets — never all pairs — and the bench band side is benchmark-
+    * sized (broadcastable); survivors are verified with exact Jaccard
+    * on the distinct shingle sets, so LSH only spends recall, never
+    * precision. Same md5-sliced signature family as the dedup gates
+    * (k ≤ 8, engine-portable), same `inter/uni` exact-integer verify.
+    *
+    * Self-pairs are NOT excluded: the benchmark doc itself appearing
+    * in the corpus is the truest contamination, and cross-corpus id
+    * equality is coincidence, not identity.
+    *
+    * Returns one row per surviving (corpus, bench) pair:
+    * (idCol, bench_id, inter, uni) — exact longs. The scrub/audit
+    * aggregate is one groupBy away. */
+  def contaminatedNear(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, bands: Int = 4, rows: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(bands * rows <= k,
+      s"bands*rows must be <= k (got $bands*$rows > $k)")
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0, 1] (got $minJaccard)")
+    def shingled(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol),
+        array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+    def banded(sh: DataFrame) = Dedup.lshBands(
+      sh.withColumn("mh", Dedup.md5PerShingle(col("sh")))
+        .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)),
+      "sig", bands, rows, idCol)
+    val cs = shingled(corpus).cache()
+    val bs = shingled(bench).cache()
+    val cand = banded(cs)
+      .select(col("band"), col("key"), col(idCol).as("_doc"))
+      .join(banded(bs)
+        .select(col("band"), col("key"), col(idCol).as("bench_id")),
+        Seq("band", "key"))
+      .select("_doc", "bench_id").distinct()
+    val (inter, uni, _) = Dedup.jaccardCols(col("_sha"), col("_shb"))
+    cand
+      .join(cs.select(col(idCol).as("_doc"), col("sh").as("_sha")), "_doc")
+      .join(bs.select(col(idCol).as("bench_id"), col("sh").as("_shb")),
+        "bench_id")
+      .withColumn("inter", inter.cast("long"))
+      .withColumn("uni", uni.cast("long"))
+      .filter(col("inter") * 1.0 / col("uni") >= minJaccard)
+      .select(col("_doc").as(idCol), col("bench_id"),
+        col("inter"), col("uni"))
+  }
 }

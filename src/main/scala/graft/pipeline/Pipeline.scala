@@ -92,6 +92,20 @@ object Pipeline {
         id, c.get("textCol").asText(),
         n = if (c.has("n")) c.get("n").asInt() else 5)
     }),
+    // near-dup (paraphrase) decontamination scrub: drop corpus docs
+    // whose shingle Jaccard against any bench doc (id < benchBelowId)
+    // reaches minJaccard — the fuzzy complement of "decontaminate"
+    "decontaminate_fuzzy" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val id = c.get("idCol").asText()
+      val below = c.get("benchBelowId").asLong()
+      val corpus = df.filter(col(id) >= below)
+      val hits = graft.ops.Decontaminate.contaminatedNear(
+        corpus, df.filter(col(id) < below), id, c.get("textCol").asText(),
+        minJaccard =
+          if (c.has("minJaccard")) c.get("minJaccard").asDouble() else 0.5)
+      corpus.join(hits.select(id).distinct(), Seq(id), "left_anti")
+    }),
     "mix_rate" -> (c => df => graft.ops.Mixing.sampleByRate(df,
       c.get("strataCol").asText(), c.get("idCol").asText(),
       strMap(c.get("rates")).map { case (k, v) => k -> v.toDouble },

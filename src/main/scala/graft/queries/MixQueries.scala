@@ -412,6 +412,53 @@ object MixQueries {
         |WHERE g.doc_id >= 50
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // NEAR-dup benchmark decontamination: corpus docs whose shingle
+    // Jaccard against any benchmark doc (doc_id < 50) reaches 0.5 —
+    // the paraphrase/light-edit leakage the verbatim gates above miss.
+    // Candidates via the cross-corpus banded-MinHash equi-join (the
+    // bench band side is benchmark-sized → broadcast; the corpus is
+    // never self-joined); exact-Jaccard verify, exact-integer output.
+    // Bench docs ARE corpus members here, so the self pairs
+    // (inter = uni) the op deliberately keeps — a benchmark doc
+    // verbatim in the corpus — appear alongside true near-dups.
+    "decontaminate_fuzzy" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Decontaminate.contaminatedNear(docs,
+          docs.filter(col("doc_id") < 50), "doc_id", "text")
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS doc_id, bn.doc_id AS bench_id
+        |  FROM bands c JOIN bands bn
+        |    ON c.b = bn.b AND c.key = bn.key AND bn.doc_id < 50),
+        |v AS (
+        |  SELECT cand.doc_id, cand.bench_id,
+        |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+        |    CAST(len(sa.sh) + len(sb.sh)
+        |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+        |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_id
+        |            JOIN s sb ON sb.doc_id = cand.bench_id)
+        |SELECT doc_id, bench_id, inter, uni FROM v
+        |WHERE inter * 1.0 / uni >= 0.5
+        |ORDER BY doc_id, bench_id""".stripMargin)),
+
     // The corpus-release pipeline END TO END — scrub benchmark leakage,
     // apply the mixture weights, pack for training, emit per-pack audit
     // stats. Composition is the point: each stage is the operator gated

@@ -380,6 +380,27 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg.columns.toSet == docs.columns.toSet, viaCfg.columns.mkString(","))
   }
 
+  test("decontaminate_fuzzy stage equals the code-form scrub") {
+    val viaCfg = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "documents"},
+      "processors": [{"type": "decontaminate_fuzzy", "idCol": "doc_id",
+                      "textCol": "text", "benchBelowId": 50}],
+      "sink": {"type": "noop"}
+    }""")
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val hits = graft.ops.Decontaminate.contaminatedNear(
+      corpus, docs.filter(col("doc_id") < 50), "doc_id", "text")
+    val viaCode = corpus.join(
+      hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val (a, b) = (
+      viaCfg.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      viaCode.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(a == b && a.nonEmpty)
+    // the scrub must actually drop the near-dup hits, not no-op
+    assert(a.size < corpus.count())
+  }
+
   test("r17 stages round-trip through the registry (audit/mix/sketch family)") {
     def cfg1(table: String, stage: String): Seq[org.apache.spark.sql.Row] =
       graft.pipeline.Pipeline.buildFrame(spark, s"""{
@@ -474,7 +495,7 @@ class PipelineCfgSpec extends SparkSpec {
       "filter", "remap-op", "rename-table", "rename-logical", "namecatcher",
       "columnvalue", "valuemap", "marshal", "compact", "route",
       // release chain
-      "decontaminate", "mix_rate", "mix_temperature", "mix_weight",
+      "decontaminate", "decontaminate_fuzzy", "mix_rate", "mix_temperature", "mix_weight",
       "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
       "sample_exact_strata", "split", "split_safe", "pack", "pack_audit",
       "zorder",
