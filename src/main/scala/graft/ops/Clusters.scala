@@ -140,4 +140,52 @@ object Clusters {
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
   }
+
+  /** (idCol, cluster) for every doc: connected components over
+    * VERIFIED near-dup edges — banded-MinHash candidates filtered by
+    * exact shingle Jaccard ≥ `minJaccard` — labeled by the component's
+    * min doc id. Every doc appears (a doc with no near-dup, or too
+    * short to shingle, is its own singleton cluster).
+    *
+    * This is the cluster definition a SPLIT assignment must use, and
+    * deliberately NOT the signature-space radius ball the dedup gates
+    * cluster on: raw sig-adjacency merges by hash PROXIMITY, and a
+    * dense signature space percolates — on a large corpus most sigs
+    * join one giant component, which an over-DROPPING dedup tolerates
+    * but a split-by-cluster cannot (every doc would inherit one
+    * cluster id and land in one split). An edge here requires real
+    * measured similarity, so components only grow through genuine
+    * near-dup chains. Scale shape: candidates are the LSH bucket
+    * equi-join (never all pairs), verification is per-candidate, CC is
+    * [[components]] (hash-min + pointer jumping, doc-id keyed). */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, rows: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0, 1] (got $minJaccard)")
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol),
+        array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+      .cache()
+    // md5-per-shingle and the sliced signature are cached BEHIND
+    // barriers before the per-perm / per-band fan-out (the documented
+    // projection-collapse trap: unbarriered, the digest pass re-runs
+    // once per perm and the sig subtree once per band key)
+    val hashed = sh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+    val sig = hashed
+      .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)).cache()
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(sig, "sig", bands, rows, idCol), idCol)
+    val (inter, uni, _) = Dedup.jaccardCols(col("_sha"), col("_shb"))
+    val edges = cand
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("_sha")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("_shb")), "b_id")
+      .filter(inter * 1.0 / uni >= minJaccard)
+      .select("a_id", "b_id")
+    components(docs.select(col(idCol).as("id")).distinct(), "id",
+        edges, "a_id", "b_id")
+      .select(col("id").as(idCol), col("comp").as("cluster"))
+  }
 }

@@ -104,22 +104,30 @@ object Decontaminate {
       .filter(size(col("toks")) >= 3)
       .select(col(idCol),
         array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+    // md5-per-shingle and the sliced signature sit BEHIND cache
+    // barriers before the per-perm / per-band fan-out (the documented
+    // projection-collapse trap: unbarriered, the digest pass re-runs
+    // once per perm and the sig subtree once per band key)
     def banded(sh: DataFrame) = Dedup.lshBands(
-      sh.withColumn("mh", Dedup.md5PerShingle(col("sh")))
-        .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)),
+      sh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+        .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)).cache(),
       "sig", bands, rows, idCol)
     val cs = shingled(corpus).cache()
     val bs = shingled(bench).cache()
+    // bench sides carry an explicit broadcast hint (benchmark-sized by
+    // contract): without it the candidate join can plan as a shuffle
+    // of the CORPUS band stream — the one thing this op must not move
     val cand = banded(cs)
       .select(col("band"), col("key"), col(idCol).as("_doc"))
-      .join(banded(bs)
-        .select(col("band"), col("key"), col(idCol).as("bench_id")),
+      .join(broadcast(banded(bs)
+        .select(col("band"), col("key"), col(idCol).as("bench_id"))),
         Seq("band", "key"))
       .select("_doc", "bench_id").distinct()
     val (inter, uni, _) = Dedup.jaccardCols(col("_sha"), col("_shb"))
     cand
       .join(cs.select(col(idCol).as("_doc"), col("sh").as("_sha")), "_doc")
-      .join(bs.select(col(idCol).as("bench_id"), col("sh").as("_shb")),
+      .join(broadcast(
+          bs.select(col(idCol).as("bench_id"), col("sh").as("_shb"))),
         "bench_id")
       .withColumn("inter", inter.cast("long"))
       .withColumn("uni", uni.cast("long"))

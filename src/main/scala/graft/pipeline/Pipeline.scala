@@ -145,32 +145,21 @@ object Pipeline {
       c.get("fractions").fields().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toSeq)),
     // leakage-safe split: assign by the near-dup CLUSTER's canonical
-    // id (simhash16 + radius-2 ball + connected components, the
-    // dedup_clusters construction), so a near-duplicate pair can never
-    // straddle train/eval — the id-hash "split" stage can and does
+    // id (CC over VERIFIED near-dup edges — Clusters.nearDupClusters,
+    // the split_leakage_safe gate's construction), so a near-duplicate
+    // pair can never straddle train/eval — the id-hash "split" stage
+    // can and does. The original frame is PRESERVED: cluster and split
+    // are added columns, so downstream stages (pack, quality_filter)
+    // still see the text.
     "split_safe" -> (c => df => {
-      import org.apache.spark.sql.functions.{col, min}
       val id = c.get("idCol").asText()
-      val sigs = df.select(col(id),
-          graft.ops.TextAnalysis.tokens(col(c.get("textCol").asText()))
-            .as("_toks"))
-        .withColumn("_sim", graft.ops.Dedup.simhash16(col("_toks")))
-        .select(col(id), col("_sim"))
-      val nodes = sigs.select(col("_sim").as("id")).distinct()
-      val edges = graft.ops.Dedup.hammingBallPairs(
-        nodes.select(col("id"), col("id").as("_sim")), "_sim", "id",
-        radius = 2, bits = 16)
-      val comp = graft.ops.Clusters.components(nodes, "id", edges,
-        "a_id", "b_id")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("_root")
-      val clustered = sigs
-        .join(comp.select(col("id").as("_sim"), col("comp").as("_root")),
-          "_sim")
-        .withColumn("cluster", min(col(id)).over(w))
-      graft.ops.Mixing.assignSplits(clustered, "cluster",
+      val clusters = graft.ops.Clusters.nearDupClusters(
+        df, id, c.get("textCol").asText(),
+        minJaccard = if (c.has("minJaccard"))
+          c.get("minJaccard").asDouble() else 0.5)
+      graft.ops.Mixing.assignSplits(df.join(clusters, Seq(id)), "cluster",
         c.get("fractions").fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toSeq)
-        .drop("_sim", "_root")
     }),
     "pack" -> (c => df => {
       import org.apache.spark.sql.functions.{col, size, xxhash64}

@@ -609,62 +609,64 @@ object DedupQueries {
     // near-duplicate pair straddle train/eval (the contamination the
     // whole dedup family exists to prevent; decontaminate only guards
     // against EXTERNAL benchmarks, this guards the split against
-    // ITSELF). Same md5-slice assignment as mix_split, keyed on the
-    // cluster label, so the whole cluster lands on one side by
-    // construction — the straddle count is structurally zero, and
-    // SplitSpec witnesses it against the same clusters. Stability
-    // composes too: a cluster's split never changes as unrelated docs
-    // arrive (min-id canonical label + hash assignment are both
-    // incremental-stable).
+    // ITSELF). Clusters are CC over VERIFIED near-dup edges (banded
+    // MinHash candidates + exact Jaccard ≥ 0.5) — NOT the sig-space
+    // radius ball dedup_clusters uses: raw sig adjacency percolates on
+    // a large corpus into one giant component, which over-dropping
+    // dedup tolerates but a split-by-cluster cannot (every doc would
+    // inherit one cluster and land in one split). Same md5-slice
+    // assignment as mix_split, keyed on the cluster label, so the
+    // whole cluster lands on one side by construction — MixingSpec
+    // witnesses zero straddles where the id split demonstrably
+    // straddles. Stability composes: min-id labels and hash ranges
+    // both survive corpus growth.
     "split_leakage_safe" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val sigs = docs
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .withColumn("sim", Dedup.simhash16(col("toks")))
-          .select("doc_id", "sim").cache()
-        val sigNodes = sigs.select(col("sim").as("id")).distinct()
-        val sigEdges = Dedup.hammingBallPairs(
-          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
-          radius = 2, bits = 16)
-        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
-        val w = Window.partitionBy("rootsim")
-        val clustered = sigs
-          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
-          .withColumn("cluster", min("doc_id").over(w))
-        Mixing.assignSplits(clustered, "cluster",
-          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        Mixing.assignSplits(
+            Clusters.nearDupClusters(docs, "doc_id", "text"), "cluster",
+            Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
           .select("doc_id", "cluster", "split")
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
         |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN list_sum(list_transform(toks,
-        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
-        |                       IN ('8','9','a','b','c','d','e','f')
-        |                  THEN 1 ELSE -1 END)) >= 0
-        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
-        |  FROM t),
-        |n AS (SELECT DISTINCT sim FROM f),
-        |e AS (
-        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
-        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_aggregate(list_transform(sh,
+        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ve AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+        |  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0
+        |        / (len(sa.sh) + len(sb.sh)
+        |           - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+        |        >= 0.5),
+        |e AS (SELECT a_id AS u, b_id AS v FROM ve
+        |      UNION SELECT b_id, a_id FROM ve),
         |reach(v, r) AS (
-        |  SELECT sim, sim FROM n
+        |  SELECT doc_id, doc_id FROM documents
         |  UNION
         |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
-        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
-        |j AS (
-        |  SELECT doc_id,
-        |    CAST(MIN(doc_id) OVER (PARTITION BY rootsim) AS BIGINT) AS cluster
-        |  FROM f JOIN c USING (sim)),
+        |c AS (SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+        |      FROM reach GROUP BY 1),
         |u AS (SELECT doc_id, cluster,
         |${Registry.md5Slice("cluster")} AS u
-        |      FROM j)
+        |      FROM c)
         |SELECT doc_id, cluster,
         |  CASE WHEN u < 58982 THEN 'train'
         |       WHEN u < 62259 THEN 'val' ELSE 'test' END AS split

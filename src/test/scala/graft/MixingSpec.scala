@@ -145,8 +145,10 @@ class MixingSpec extends SparkSpec {
 
   test("cluster split never straddles a near-dup pair; an id split does") {
     // the leakage claim behind split_leakage_safe / the split_safe
-    // stage: 60 exact-duplicate pairs (same text → same simhash →
-    // same cluster). An id-hash split puts SOME pair's two members on
+    // stage: 60 exact-duplicate pairs (same text → Jaccard 1 → a
+    // verified near-dup edge → same cluster; texts of different pairs
+    // share 2 of 4 shingles, Jaccard 1/3 < 0.5, so no cross-pair
+    // edges). An id-hash split puts SOME pair's two members on
     // different sides (P(no straddle) ≈ 0.815^60 ≈ 10⁻⁶, and md5 is
     // fixed, so this is deterministic for these ids); the cluster
     // split can't, by construction.
@@ -156,15 +158,23 @@ class MixingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-split-safe")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out =
-      try graft.pipeline.Pipeline.buildFrame(spark, s"""{
-        "source": {"type": "table", "dir": "$tmp", "table": "documents"},
-        "processors": [
-          {"type": "split_safe", "idCol": "doc_id", "textCol": "text",
-           "fractions": {"train": 0.90, "val": 0.05, "test": 0.05}}
-        ],
-        "sink": {"type": "noop"}
-      }""").select("doc_id", "cluster", "split").collect()
-      finally graft.queries.Registry.rmTree(tmp.toFile)
+      try {
+        val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+          "source": {"type": "table", "dir": "$tmp", "table": "documents"},
+          "processors": [
+            {"type": "split_safe", "idCol": "doc_id", "textCol": "text",
+             "fractions": {"train": 0.90, "val": 0.05, "test": 0.05}}
+          ],
+          "sink": {"type": "noop"}
+        }""")
+        // the stage ADDS cluster/split — it must not project away the
+        // input columns (a split artifact without the text is
+        // untrainable; review catch)
+        assert(frame.columns.toSet ==
+          Set("doc_id", "text", "cluster", "split"),
+          frame.columns.mkString(","))
+        frame.select("doc_id", "cluster", "split").collect()
+      } finally graft.queries.Registry.rmTree(tmp.toFile)
     val assigned = out
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(assigned.size === 120)
