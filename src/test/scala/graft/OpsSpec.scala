@@ -350,6 +350,35 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("nearDupClusters: verified-edge CC — chains merge, dissimilar and short docs stay singletons") {
+    import graft.ops.Clusters
+    // 1~2 and 2~3 are genuine near-dups (shingle Jaccard exactly 0.5);
+    // 1~3 only transitively (Jaccard 0.2 — below the bar, so the
+    // cluster exists because of the CHAIN, not a direct pair). 4 is
+    // dissimilar, 5 too short to shingle — both singletons labeled by
+    // their own id. This is the split-feeding cluster definition: an
+    // edge requires measured similarity (no signature-space
+    // percolation), every doc appears.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "beta gamma delta zeta eta"),
+      (4L, "totally different words over here"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = Clusters.nearDupClusters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L),
+      s"got $got")
+    // raising the bar above the chain's 0.5 splits it apart
+    val strict = Clusters.nearDupClusters(docs, "doc_id", "text",
+        minJaccard = 0.6)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(strict === Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L),
+      s"got $strict")
+  }
+
   test("pqTopK: exact reconstruction when every vector is a codeword") {
     import graft.ops.Similarity
     // 4 vectors, dim 4, m=2 subspaces, k=4 codebook = the whole corpus,
