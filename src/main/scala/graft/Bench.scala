@@ -243,17 +243,23 @@ object Bench {
       "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
         .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // HEADLINE FIRST, full artifact second: the driver's capture
-    // truncates long output from the tail, and the headline fields
-    // (failed / baseline_ratio / totals) trailed the per-query dicts —
-    // two rounds of BENCH_r{N}.json carried `parsed: null` because the
-    // one giant line lost its closing brace. A short first line can't
-    // be truncated; dev/bench_delta.py accepts either shape.
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // HEADLINE FIRST *AND LAST*, full artifact in between: the driver's
+    // capture truncates long output from the TAIL, and the headline
+    // fields (failed / baseline_ratio / totals) trailed the per-query
+    // dicts — two rounds of BENCH_r{N}.json carried `parsed: null`
+    // because the one giant line lost its closing brace. Headline-first
+    // made the data survive truncation but the driver's parser reads the
+    // END of the capture, so r18 still parsed null; repeating the short
+    // line LAST makes the final line always small and parseable.
+    // dev/bench_delta.py accepts any of the shapes.
+    val normHead = if (anchorRef > 0)
+      f""""total_min_norm":${totalMin / anchorRef}%.2f,""" else ""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_min":$totalMin,"n_queries":${results.size},""" +
       s""""anchor_min":$anchorRef,"commit":"$commitSha",""" +
-      baselineJson +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+      normHead + baselineJson +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    println(headline)
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_spread":$qsSpread,""" +
       s""""total_min":$totalMin,"noisy":$noisyJson,""" +
@@ -261,6 +267,7 @@ object Bench {
       s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
       normJson + baselineJson +
       s""""failed":$failedJson,"sf":"$sfDir"}""")
+    println(headline)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -216,8 +216,11 @@ object StreamBench {
     // entries (default 100): a slice count above that would silently
     // drop the EARLY batches from the state series and fake a plateau —
     // size the retention to the drain, with margin for no-data batches
+    // max with the Spark default (100): the override must only ever
+    // RAISE retention — slices*2+64 alone dips below stock for <18
+    // slices (ADVICE r18)
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-      (slices * 2 + 64).toString)
+      math.max(100, slices * 2 + 64).toString)
     // default scrambled (worst case for state: every batch spans the
     // whole time range, so the watermark freezes after batch 1);
     // SPARK_GRAFT_STREAM_SLICEBY=event_id gives TS-ORDERED slices (the

@@ -161,8 +161,29 @@ object Clusters {
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, rows: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
+    // bands*rows > k would let lshBandArray's element_at read past the
+    // k-slice signature — null slices that concat_ws silently drops, so
+    // many docs share degenerate band keys and candidate generation
+    // goes near-quadratic (or throws under ANSI mode); same guard as
+    // contaminatedNear (ADVICE r18)
+    require(bands * rows <= k,
+      s"bands*rows must be <= k (got $bands*$rows > $k)")
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in [0, 1] (got $minJaccard)")
+    // cluster labels are min-id LONGS ([[components]] casts the id):
+    // a string id would silently cast to null, vanish into a null
+    // label, and be dropped by any downstream join — fail loudly here
+    // instead (map string ids to a stable long, e.g. xxhash64, first).
+    // Rows whose id is NULL identify no document and are excluded.
+    val idType = docs.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"nearDupClusters: id column '$idCol' must be an integral type " +
+        s"(got $idType) — cluster labels are min-id longs; map string " +
+        "ids to a stable long (e.g. xxhash64) first")
     val sh = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -184,8 +205,19 @@ object Clusters {
       .join(sh.select(col(idCol).as("b_id"), col("sh").as("_shb")), "b_id")
       .filter(inter * 1.0 / uni >= minJaccard)
       .select("a_id", "b_id")
-    components(docs.select(col(idCol).as("id")).distinct(), "id",
-        edges, "a_id", "b_id")
+    val labeled = components(
+        docs.select(col(idCol).as("id")).filter(col("id").isNotNull)
+          .distinct(),
+        "id", edges, "a_id", "b_id")
       .select(col("id").as(idCol), col("comp").as("cluster"))
+    // components ran EAGERLY (the CC loop materializes every round and
+    // the edge derivation fills during sym.count()), so the barrier
+    // caches above are fully consumed — free them now instead of
+    // pinning blocks until session end (ADVICE r18); the returned
+    // frame reads the CC checkpoint, not these
+    sh.unpersist(blocking = false)
+    hashed.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    labeled
   }
 }

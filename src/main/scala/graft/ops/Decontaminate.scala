@@ -107,13 +107,23 @@ object Decontaminate {
     // md5-per-shingle and the sliced signature sit BEHIND cache
     // barriers before the per-perm / per-band fan-out (the documented
     // projection-collapse trap: unbarriered, the digest pass re-runs
-    // once per perm and the sig subtree once per band key)
-    def banded(sh: DataFrame) = Dedup.lshBands(
-      sh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
-        .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)).cache(),
-      "sig", bands, rows, idCol)
+    // once per perm and the sig subtree once per band key). The op is
+    // LAZY (the returned frame reads THROUGH these barriers), so it
+    // cannot unpersist them itself — they're registered on the result
+    // for GraphBlocks.release/releaseAll, like the iterative ops'
+    // checkpoint blocks (ADVICE r18: repeated calls in a long-lived
+    // session otherwise accumulate barrier caches until session end)
+    val barriers = Seq.newBuilder[DataFrame]
+    def banded(sh: DataFrame) = {
+      val hashed = sh.withColumn("mh", Dedup.md5PerShingle(col("sh"))).cache()
+      val sig = hashed
+        .withColumn("sig", Dedup.minhashMd5Sliced(col("mh"), k)).cache()
+      barriers += hashed += sig
+      Dedup.lshBands(sig, "sig", bands, rows, idCol)
+    }
     val cs = shingled(corpus).cache()
     val bs = shingled(bench).cache()
+    barriers += cs += bs
     // bench sides carry an explicit broadcast hint (benchmark-sized by
     // contract): without it the candidate join can plan as a shuffle
     // of the CORPUS band stream — the one thing this op must not move
@@ -124,15 +134,17 @@ object Decontaminate {
         Seq("band", "key"))
       .select("_doc", "bench_id").distinct()
     val (inter, uni, _) = Dedup.jaccardCols(col("_sha"), col("_shb"))
-    cand
-      .join(cs.select(col(idCol).as("_doc"), col("sh").as("_sha")), "_doc")
-      .join(broadcast(
-          bs.select(col(idCol).as("bench_id"), col("sh").as("_shb"))),
-        "bench_id")
-      .withColumn("inter", inter.cast("long"))
-      .withColumn("uni", uni.cast("long"))
-      .filter(col("inter") * 1.0 / col("uni") >= minJaccard)
-      .select(col("_doc").as(idCol), col("bench_id"),
-        col("inter"), col("uni"))
+    GraphBlocks.registerCached(
+      cand
+        .join(cs.select(col(idCol).as("_doc"), col("sh").as("_sha")), "_doc")
+        .join(broadcast(
+            bs.select(col(idCol).as("bench_id"), col("sh").as("_shb"))),
+          "bench_id")
+        .withColumn("inter", inter.cast("long"))
+        .withColumn("uni", uni.cast("long"))
+        .filter(col("inter") * 1.0 / col("uni") >= minJaccard)
+        .select(col("_doc").as(idCol), col("bench_id"),
+          col("inter"), col("uni")),
+      barriers.result())
   }
 }

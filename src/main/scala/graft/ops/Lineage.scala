@@ -45,15 +45,27 @@ private[graft] object Lineage {
   * permanent pin unless the caller knew to release — review r17.) */
 object GraphBlocks {
   private val reg = new java.util.WeakHashMap[DataFrame, Seq[RDD[_]]]()
+  // cached-DATAFRAME track: lazy ops (contaminatedNear) whose returned
+  // frame reads THROUGH df.cache() barriers register those here — DF
+  // caches live in the CacheManager, not the ContextCleaner, so unlike
+  // RDD blocks they never free on frame drop; release/releaseAll is the
+  // only in-session path (ADVICE r18: repeated decontaminate_fuzzy /
+  // split_safe calls accumulated barrier caches until session end)
+  private val regCached = new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]()
 
   private[graft] def register(df: DataFrame, rdds: Seq[RDD[_]]): DataFrame =
     synchronized { reg.put(df, rdds); df }
+
+  private[graft] def registerCached(df: DataFrame,
+      cached: Seq[DataFrame]): DataFrame =
+    synchronized { regCached.put(df, cached); df }
 
   /** Unpersist the blocks backing `df` (a frame returned by an
     * iterative op). Safe after the caller has materialized or written
     * the result; a no-op for unregistered frames. */
   def release(df: DataFrame): Unit = synchronized {
     Option(reg.remove(df)).foreach(_.foreach(safeUnpersist))
+    Option(regCached.remove(df)).foreach(_.foreach(safeUnpersistDf))
   }
 
   /** Unpersist every still-registered block (between independent
@@ -63,6 +75,8 @@ object GraphBlocks {
     import scala.jdk.CollectionConverters._
     reg.values().asScala.foreach(_.foreach(safeUnpersist))
     reg.clear()
+    regCached.values().asScala.foreach(_.foreach(safeUnpersistDf))
+    regCached.clear()
   }
 
   /** Best-effort: a harness that cycles one SparkSession per query
@@ -73,6 +87,12 @@ object GraphBlocks {
     try { if (!r.sparkContext.isStopped) r.unpersist(blocking = false) }
     catch { case _: Exception => () }
 
+  private def safeUnpersistDf(df: DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
+    } catch { case _: Exception => () }
+
   /** Number of registered frames (observability/test hook). */
-  def registered: Int = synchronized { reg.size }
+  def registered: Int = synchronized { reg.size + regCached.size }
 }

@@ -161,6 +161,19 @@ object Pipeline {
         c.get("fractions").fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toSeq)
     }),
+    // standalone verified-edge cluster labels (the split_safe cluster
+    // definition, without the split): adds a `cluster` column — the
+    // near-dup component's min id over LSH-candidate + exact-Jaccard
+    // edges — for dedup review, fraction-sensitive sampling, or a
+    // keep-best release keyed the non-percolating way. The input frame
+    // is PRESERVED (cluster is an added column).
+    "near_dup_clusters" -> (c => df => {
+      val id = c.get("idCol").asText()
+      df.join(graft.ops.Clusters.nearDupClusters(
+        df, id, c.get("textCol").asText(),
+        minJaccard = if (c.has("minJaccard"))
+          c.get("minJaccard").asDouble() else 0.5), Seq(id))
+    }),
     "pack" -> (c => df => {
       import org.apache.spark.sql.functions.{col, size, xxhash64}
       val id = c.get("idCol").asText()

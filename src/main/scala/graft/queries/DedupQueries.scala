@@ -39,6 +39,52 @@ object DedupQueries {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
+  /** Verified-edge near-dup cluster CTE, the oracle replay of
+    * [[Clusters.nearDupClusters]] (k=8, bands=4, rows=2, Jaccard ≥
+    * 0.5): banded-MinHash candidates → exact-Jaccard verify →
+    * recursive reachability → min-id label. Shared by
+    * `split_leakage_safe`, `dedup_clusters`, and `dedup_keep_best` —
+    * every cluster-consuming decision keys on THIS definition, never
+    * on raw signature-space adjacency (which percolates; see the
+    * dedup_clusters comment). Ends with `c(doc_id, cluster)`; every
+    * doc appears (no-near-dup and too-short docs are singletons). */
+  private val nearDupClusterCte =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t WHERE len(toks) >= 3),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(range(0, 8),
+      |      i -> list_aggregate(list_transform(sh,
+      |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      |ve AS (
+      |  SELECT a_id, b_id FROM cand
+      |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+      |  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+      |        >= 0.5),
+      |e AS (SELECT a_id AS u, b_id AS v FROM ve
+      |      UNION SELECT b_id, a_id FROM ve),
+      |reach(v, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
+      |c AS (SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+      |      FROM reach GROUP BY 1)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -546,63 +592,33 @@ object DedupQueries {
 
     // SimHash fingerprints (16-bit portable family; simhash64/xxhash is
     // the production variant).
-    // Near-dup CLUSTERS, not pairs: connected components over the
-    // hamming≤2 simhash graph, canonical doc = min doc_id per
-    // component. Identical-signature cliques are CONTRACTED first (CC
-    // runs over DISTINCT signatures — a million-doc exact-dup clique is
-    // one node, not 10^12 edges), labels then join back to docs. The
-    // oracle recomputes reachability with a recursive CTE, so the gate
-    // checks transitive closure, not just pair agreement.
+    // Near-dup CLUSTERS, not pairs: connected components over VERIFIED
+    // near-dup edges (banded-MinHash candidates + exact Jaccard ≥ 0.5,
+    // [[Clusters.nearDupClusters]]), canonical doc = min doc_id per
+    // component. Re-keyed in r19 off the simhash16 radius-2 ball: raw
+    // signature-space adjacency merges by hash PROXIMITY, and a 16-bit
+    // space saturates — at corpus scale (and visibly at 450 fixture
+    // docs: 440 in one component) most sigs join ONE component, so any
+    // fraction-sensitive consumer (keep-one release, split-by-cluster,
+    // cluster-stratified sampling) collapses. Verified edges require
+    // real measured similarity, so components only grow through genuine
+    // near-dup chains; occupancy of the md5-shingle space is sparse at
+    // any corpus size (collisions need shared CONTENT, not nearby
+    // hashes). The oracle recomputes reachability with a recursive CTE,
+    // so the gate checks transitive closure, not just pair agreement.
     "dedup_clusters" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val sigs = docs
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .withColumn("sim", Dedup.simhash16(col("toks")))
-          .select("doc_id", "sim").cache()
-        val sigNodes = sigs.select(col("sim").as("id")).distinct()
-        // ball enumeration, not band blocking: 16-bit sigs are DENSE
-        // (16 values per 4-bit band slice), so banded candidates
-        // degenerate quadratic; the radius-2 ball is 137 masks — the
-        // probe join is linear in distinct sigs
-        val sigEdges = Dedup.hammingBallPairs(
-          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
-          radius = 2, bits = 16)
-        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
-        val w = Window.partitionBy("rootsim")
-        sigs
-          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
-          .withColumn("cluster", min("doc_id").over(w))
+        val w = Window.partitionBy("cluster")
+        Clusters.nearDupClusters(docs, "doc_id", "text")
           .withColumn("csize", count(lit(1)).over(w).cast("long"))
           .select("doc_id", "cluster", "csize")
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN list_sum(list_transform(toks,
-        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
-        |                       IN ('8','9','a','b','c','d','e','f')
-        |                  THEN 1 ELSE -1 END)) >= 0
-        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
-        |  FROM t),
-        |n AS (SELECT DISTINCT sim FROM f),
-        |e AS (
-        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
-        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
-        |reach(v, r) AS (
-        |  SELECT sim, sim FROM n
-        |  UNION
-        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
-        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
-        |j AS (SELECT f.doc_id, c.rootsim FROM f JOIN c USING (sim))
-        |SELECT doc_id,
-        |  CAST(MIN(doc_id) OVER (PARTITION BY rootsim) AS BIGINT) AS cluster,
-        |  CAST(COUNT(*) OVER (PARTITION BY rootsim) AS BIGINT) AS csize
-        |FROM j ORDER BY doc_id""".stripMargin)),
+      Some(s"""$nearDupClusterCte
+        |SELECT doc_id, cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+        |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Leakage-safe train/val/test split: assign by the near-dup
     // CLUSTER's canonical id, not the doc's — an id-hash split lets a
@@ -629,41 +645,7 @@ object DedupQueries {
           .select("doc_id", "cluster", "split")
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(range(0, 8),
-        |      i -> list_aggregate(list_transform(sh,
-        |             x -> substr(md5(x), CAST(4*i + 1 AS INTEGER), 4)), 'min')) AS mh
-        |  FROM s),
-        |bands AS (
-        |  SELECT doc_id, b, mh[2*b+1] || '#' || mh[2*b+2] AS key
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-        |ve AS (
-        |  SELECT a_id, b_id FROM cand
-        |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
-        |  WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0
-        |        / (len(sa.sh) + len(sb.sh)
-        |           - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
-        |        >= 0.5),
-        |e AS (SELECT a_id AS u, b_id AS v FROM ve
-        |      UNION SELECT b_id, a_id FROM ve),
-        |reach(v, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
-        |c AS (SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
-        |      FROM reach GROUP BY 1),
+      Some(s"""$nearDupClusterCte,
         |u AS (SELECT doc_id, cluster,
         |${Registry.md5Slice("cluster")} AS u
         |      FROM c)
@@ -681,67 +663,43 @@ object DedupQueries {
     // prunes map-side (PlanSpec-pinned), so the exchange never carries
     // a cluster's member rows — and the output is the per-doc decision
     // table (cluster label + kept flag) a release anti-join consumes
-    // downstream.
+    // downstream. The cluster KEY is [[Clusters.nearDupClusters]]
+    // (verified Jaccard edges), re-keyed in r19 off simhash16 radius-2
+    // adjacency: keep-ONE-per-cluster is maximally fraction-sensitive —
+    // a saturated 16-bit sig space is one connected component at corpus
+    // scale, so the release would keep essentially ONE document. With
+    // verified edges, survivors ≈ distinct near-dup groups (fixture
+    // witness in PLANS.md), and the kept fraction tracks real content
+    // duplication at any corpus size.
     "dedup_keep_best" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val sigs = docs
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .withColumn("sim", Dedup.simhash16(col("toks")))
-          .select("doc_id", "sim").cache()
-        val sigNodes = sigs.select(col("sim").as("id")).distinct()
-        val sigEdges = Dedup.hammingBallPairs(
-          sigNodes.select(col("id"), col("id").as("sim")), "sim", "id",
-          radius = 2, bits = 16)
-        val comp = Clusters.components(sigNodes, "id", sigEdges, "a_id", "b_id")
-        val labeled = sigs
-          .join(comp.select(col("id").as("sim"), col("comp").as("rootsim")), "sim")
-          .join(TextAnalysis.quality(docs).select("doc_id", "sum_len"), "doc_id")
-        val kept = Clusters.keepBest(labeled, "doc_id", "rootsim", "sum_len")
-        val w = Window.partitionBy("rootsim")
+        val labeled = Clusters.nearDupClusters(docs, "doc_id", "text")
+          .join(TextAnalysis.quality(docs).select("doc_id", "sum_len"),
+            "doc_id")
+        val kept = Clusters.keepBest(labeled, "doc_id", "cluster", "sum_len")
         labeled
-          .join(kept.select(col("rootsim"), col("doc_id").as("keep_id")), "rootsim")
-          .withColumn("cluster", min("doc_id").over(w))
+          .join(kept.select(col("cluster"), col("doc_id").as("keep_id")),
+            "cluster")
           .select(col("doc_id"), col("cluster"),
             (col("doc_id") === col("keep_id")).cast("long").as("kept"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN list_sum(list_transform(toks,
-        |             x -> CASE WHEN substr(md5(x), j + 1, 1)
-        |                       IN ('8','9','a','b','c','d','e','f')
-        |                  THEN 1 ELSE -1 END)) >= 0
-        |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS sim
-        |  FROM t),
-        |n AS (SELECT DISTINCT sim FROM f),
-        |e AS (
-        |  SELECT a.sim AS u, b.sim AS v FROM n a JOIN n b
-        |  ON a.sim <> b.sim AND bit_count(xor(a.sim, b.sim)) <= 2),
-        |reach(v, r) AS (
-        |  SELECT sim, sim FROM n
-        |  UNION
-        |  SELECT e.v, reach.r FROM reach JOIN e ON reach.v = e.u),
-        |c AS (SELECT v AS sim, MIN(r) AS rootsim FROM reach GROUP BY 1),
+      Some(s"""$nearDupClusterCte,
         |q AS (
         |  SELECT doc_id,
         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
         |  FROM t),
         |j AS (
-        |  SELECT f.doc_id, c.rootsim, q.sum_len
-        |  FROM f JOIN c USING (sim) JOIN q USING (doc_id)),
+        |  SELECT c.doc_id, c.cluster, q.sum_len
+        |  FROM c JOIN q USING (doc_id)),
         |k AS (
-        |  SELECT rootsim, doc_id AS keep_id FROM j
+        |  SELECT cluster, doc_id AS keep_id FROM j
         |  QUALIFY row_number() OVER (
-        |    PARTITION BY rootsim ORDER BY sum_len DESC, doc_id) = 1)
-        |SELECT j.doc_id,
-        |  CAST(MIN(j.doc_id) OVER (PARTITION BY j.rootsim) AS BIGINT) AS cluster,
+        |    PARTITION BY cluster ORDER BY sum_len DESC, doc_id) = 1)
+        |SELECT j.doc_id, j.cluster,
         |  CAST(CASE WHEN j.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM j JOIN k USING (rootsim) ORDER BY doc_id""".stripMargin)),
+        |FROM j JOIN k USING (cluster) ORDER BY doc_id""".stripMargin)),
 
     "dedup_simhash" -> QueryDef(
       (s, dir) => {

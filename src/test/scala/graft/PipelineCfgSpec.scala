@@ -486,6 +486,39 @@ class PipelineCfgSpec extends SparkSpec {
       .withColumnRenamed("_n", "node")) && cc.nonEmpty)
   }
 
+  test("near_dup_clusters stage round-trips and preserves the frame") {
+    // standalone verified-edge cluster labels (VERDICT r18 item 6):
+    // same definition as split_safe's key, reachable without the split
+    // — and like split_safe it must ADD the cluster column, never
+    // project the frame down to its own outputs
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, s"cluster text block number ${(i - 1) / 2} end"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndc-stage")
+    try {
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$tmp", "table": "documents"},
+        "processors": [
+          {"type": "near_dup_clusters", "idCol": "doc_id",
+           "textCol": "text"}
+        ],
+        "sink": {"type": "noop"}
+      }""")
+      assert(frame.columns.toSet == Set("doc_id", "text", "cluster"),
+        frame.columns.mkString(","))
+      val viaCfg = frame.select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCode = graft.ops.Clusters
+        .nearDupClusters(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaCfg == viaCode && viaCfg.size == 40)
+      // exact-dup pairs share a cluster; distinct pairs don't
+      assert(viaCfg(1L) == viaCfg(2L) && viaCfg(1L) != viaCfg(3L))
+    } finally graft.queries.Registry.rmTree(tmp.toFile)
+  }
+
   test("registry completeness: every registered stage is inventoried") {
     // the r16 sweep found gated ops with no config stage; this pins the
     // inventory so the NEXT stage added without spec coverage (and a
@@ -497,7 +530,8 @@ class PipelineCfgSpec extends SparkSpec {
       // release chain
       "decontaminate", "decontaminate_fuzzy", "mix_rate", "mix_temperature", "mix_weight",
       "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
-      "sample_exact_strata", "split", "split_safe", "pack", "pack_audit",
+      "sample_exact_strata", "split", "split_safe", "near_dup_clusters",
+      "pack", "pack_audit",
       "zorder",
       "global_shuffle", "expect", "quality_report",
       // quality/text
