@@ -6,6 +6,7 @@ measured rep spread (plus a floor), otherwise it's ambient load (the r16
 driver-vs-self normalized totals disagreed 1.7x on identical code).
 
 Usage: python3 dev/bench_delta.py OLD.json NEW.json [out.json] [--new2=NEW2.json]
+         [--calib=SAMECODE_DELTA.json] [--isolate[=K]] [--isolate-sf=DIR]
 
 --new2 is a SECOND new-side run on the same code: PLANS.md's rule is
 that a mover is only believable if it reproduces across two runs (two
@@ -13,17 +14,71 @@ same-day r17 runs produced disjoint mover sets of similar size on
 untouched code). With --new2, every non-noise row is stamped
 `reproduced`: true iff the second run classifies it the same way.
 
+--isolate[=K] closes the loop the r18 verdict ran BY HAND: every
+credible regression (reproduced + exceeds calibration) is re-measured
+K (default 3) times back-to-back, BENCH_ONLY-isolated with the anchor
+forced on, on the CURRENT build. If the isolated min-norm reaches back
+to the old reading (within the noise floor), the mover is same-code
+wander, not a code regression — stamped per row as `isolated_norms` /
+`isolation_verdict`, and the artifact gains `confirmed_regressions`.
+Requires sbt + the fixture (--isolate-sf, default /root/testdata/sf0.1);
+do NOT run while another sbt is in flight (shared target lock).
+
 Accepts the driver wrapper ({"parsed": {...}}), the raw one-line Bench
-stdout, or the r18+ two-line stdout (headline first, full detail line
-second — the line carrying queries_norm wins).
+stdout, or the r18+ two/three-line stdout (headline first and last,
+full detail line in between — the line carrying queries_norm wins).
 
 Writes a JSON artifact (default BENCH_DELTA.json next to the newer file)
 with per-query norm ratios, spread context, and a `regressions` list,
 and prints the top movers.
 """
-import sys, json, os
+import sys, json, os, subprocess
 
 FLOOR = 0.15  # ignore <15% moves outright: below rep-to-rep noise floor
+
+
+def parse_bench_stdout(txt):
+    """queries_norm-carrying dict from raw Bench stdout (any line shape)."""
+    best = None
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "queries_norm" in d:
+            best = d
+    return best
+
+
+def isolate(queries, sf, k):
+    """Re-measure `queries` K times back-to-back, BENCH_ONLY-isolated
+    with the anchor forced on; return {query: [norm, ...]}."""
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf,
+               SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+               SPARK_GRAFT_BENCH_ANCHOR="1")
+    norms = {q: [] for q in queries}
+    for i in range(k):
+        print(f"  isolation run {i + 1}/{k} ({','.join(queries)}) ...",
+              flush=True)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           capture_output=True, text=True, env=env,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        d = parse_bench_stdout(r.stdout)
+        if d is None:
+            print(f"  isolation run {i + 1} produced no parseable "
+                  f"queries_norm line (rc={r.returncode}) — skipped",
+                  file=sys.stderr)
+            continue
+        for q in queries:
+            v = d.get("queries_norm", {}).get(q)
+            if v is not None:
+                norms[q].append(v)
+    return norms
 
 
 def load(p):
@@ -97,12 +152,17 @@ def classify(old, new):
 
 def main():
     new2_p = calib_p = None
+    iso_k, iso_sf = 0, "/root/testdata/sf0.1"
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--new2="):
             new2_p = a.split("=", 1)[1]
         elif a.startswith("--calib="):
             calib_p = a.split("=", 1)[1]
+        elif a == "--isolate" or a.startswith("--isolate="):
+            iso_k = int(a.split("=", 1)[1]) if "=" in a else 3
+        elif a.startswith("--isolate-sf="):
+            iso_sf = a.split("=", 1)[1]
         else:
             argv.append(a)
     if len(argv) < 2:
@@ -157,11 +217,42 @@ def main():
         art["credible_regressions"] = [
             r["query"] for r in regs
             if r.get("reproduced", True) and r.get("exceeds_calibration")]
+    # direct isolation of the credible set (the step the r18 verdict ran
+    # by hand): K back-to-back BENCH_ONLY runs per credible mover; if the
+    # isolated min-norm reaches back to the old reading (+noise floor),
+    # the mover is cross-run wander on this box, not the code
+    creds = art.get("credible_regressions",
+                    art.get("reproduced_regressions",
+                            art["regressions"]) if iso_k else [])
+    if iso_k and creds:
+        iso = isolate(creds, iso_sf, iso_k)
+        by_q = {r["query"]: r for r in rows}
+        confirmed = []
+        for q in creds:
+            ns = iso.get(q, [])
+            r = by_q[q]
+            r["isolated_norms"] = [round(n, 3) for n in ns]
+            if not ns:
+                r["isolation_verdict"] = "no-data"
+                confirmed.append(q)  # fail loud: unmeasured stays accused
+            elif min(ns) <= r["old_norm"] * (1 + FLOOR):
+                r["isolation_verdict"] = "same-code-wander"
+            else:
+                r["isolation_verdict"] = "confirmed"
+                confirmed.append(q)
+        art["isolated"] = {q: iso.get(q, []) and
+                           [round(n, 3) for n in iso[q]] for q in creds}
+        art["confirmed_regressions"] = confirmed
+    elif iso_k:
+        art["confirmed_regressions"] = []
     json.dump(art, open(out_p, "w"), indent=1)
     rep = "" if n_repro is None else f" ({n_repro} reproduced in {new2_p})"
+    iso_rep = "" if "confirmed_regressions" not in art else \
+        f"; {len(art['confirmed_regressions'])} confirmed after isolation"
     print(f"compared {len(rows)} queries "
           f"({old.get('commit')} -> {new.get('commit')}); "
-          f"{len(regs)} regressions{rep}, {len(imps)} improvements -> {out_p}")
+          f"{len(regs)} regressions{rep}{iso_rep}, "
+          f"{len(imps)} improvements -> {out_p}")
     for r in rows[:10]:
         sp = "n/a" if r["spread"] is None else f"{r['spread']:.2f}"
         extra = "" if "reproduced" not in r else \

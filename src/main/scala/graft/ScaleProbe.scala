@@ -123,6 +123,73 @@ object ScaleProbe {
         s""""dups_1":$d1,"dups_k":$dk,"ratio":${sk / s1},"sf":"$sfDir"}""")
     }
 
+    // Leakage-safe split: the full verified-edge chain — LSH candidate
+    // join, exact-Jaccard verify, CC (hash-min + pointer jumping), and
+    // the md5 cluster-keyed assignment. saltedDocs suffixes every token
+    // per copy, so within-copy near-dup structure replicates ×n with
+    // ZERO cross-copy shingle overlap: candidates, verified edges, and
+    // clusters all grow ×n while CC rounds stay O(log diameter).
+    // Honest expectation: ≈ ×k; the first wall is the shingle-digest
+    // pass behind the candidate join (cc.edges). nearDupClusters runs
+    // EAGERLY (the CC loop), so the whole op is CONSTRUCTED inside
+    // time{} (the r17 construction-vs-count trap).
+    def splitSafeAt(n: Int): (Double, Long, Map[String, Double]) = {
+      val d = mat(ProbeUtil.saltedDocs(docs, n), s"splitsafe$n")
+      graft.PhaseClock.reset()
+      try {
+        val (secs, clusters) = time {
+          val labeled = graft.ops.Clusters.nearDupClusters(d, "doc_id", "text")
+          graft.ops.Mixing.assignSplits(labeled, "cluster",
+              Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+            .select("cluster").distinct().count()
+        }
+        (secs, clusters, graft.PhaseClock.snapshot())
+      } finally { spark.catalog.clearCache() }
+    }
+    if (want("split_safe")) {
+      splitSafeAt(1) // warm
+      val (s1, c1, _) = splitSafeAt(1)
+      val (sk, ck, ph) = splitSafeAt(k)
+      println(s"""{"probe":"split_safe","k":$k,"secs_1":$s1,"secs_k":$sk,""" +
+        s""""clusters_1":$c1,"clusters_k":$ck,"ratio":${sk / s1},""" +
+        s""""cc_rounds_k":${ph.getOrElse("cc.rounds", 0.0)},""" +
+        s""""top_phase":"${topPhase(ph)}","sf":"$sfDir"}""")
+    }
+
+    // Fuzzy decontamination: corpus ×k against a FIXED benchmark (the
+    // deployment shape — the bench never grows with the corpus). The
+    // bench band side is broadcast, so the corpus is never shuffled;
+    // cost model is one corpus-linear band-generation scan + a
+    // per-candidate verify whose candidate (and hit) count stays
+    // CONSTANT — only the corpus's copy-0 slice shares content with
+    // the bench (the other copies' salted shingles never collide).
+    // Honest expectation: ≈ ×k, band-scan-bound, hits_k == hits_1.
+    def decontFuzzyAt(n: Int): (Double, Long) = {
+      // fixed bench: every 37th doc of the SALTED copy-0 space (the
+      // corpus's copy 0 is token-salted, so the bench must be too or
+      // nothing collides), ids re-keyed negative so corpus and bench
+      // ids never collide (self-pairs stay content matches, the op's
+      // contract)
+      val bench = mat(ProbeUtil.saltedDocs(docs, 1)
+        .filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1), "dfz_bench")
+      val corpus = mat(ProbeUtil.saltedDocs(docs, n), s"dfz$n")
+      try time(graft.ops.Decontaminate.contaminatedNear(
+        corpus, bench, "doc_id", "text").count())
+      finally {
+        graft.ops.GraphBlocks.releaseAll()
+        spark.catalog.clearCache()
+      }
+    }
+    if (want("decontaminate_fuzzy")) {
+      decontFuzzyAt(1) // warm
+      val (f1, h1) = decontFuzzyAt(1)
+      val (fk, hk) = decontFuzzyAt(k)
+      println(s"""{"probe":"decontaminate_fuzzy","k":$k,"secs_1":$f1,""" +
+        s""""secs_k":$fk,"hits_1":$h1,"hits_k":$hk,"ratio":${fk / f1},""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // Incremental span admission, STATEFUL: the ×k corpus fed as 4
     // sequential batches against a growing chunk-digest store. Cost
     // model per batch: O(batch chunks) + O(store digest scan) — the

@@ -382,10 +382,24 @@ object ChangeStream {
     // construction (each satisfied the window when chosen).
     def beyondWindow(tsNs: Long): Boolean =
       anchorTs.exists(a => tsNs - a > withinNs)
+    // step-1 candidate prune (valid in EVERY mode, not just windowed):
+    // the anchor is a MIN, so for step 1 only the set's minimum is ever
+    // picked and the minimum only moves EARLIER — a head-typed event
+    // above the current anchor is dead weight UNLESS a later step
+    // shares the head's type (then the walk may pick it as that later
+    // step: the duplicate-step-type guard). With the anchor frozen the
+    // pick is final, so every remaining head-typed candidate is dead.
+    val headTy = stepTypes.head
+    val headTyDup = stepTypes.tail.contains(headTy)
     val kept =
       if (frozenNow.size == stepTypes.size) Map.empty[String, Seq[(Long, Long)]]
       else merged.view
         .mapValues(_.filterNot(k => stale(k._1) || beyondWindow(k._1)))
+        .map { case (ty, ks) =>
+          if (ty == headTy && !headTyDup)
+            ty -> (if (frozenNow.nonEmpty) Nil else ks.take(1))
+          else ty -> ks
+        }
         .filter(_._2.nonEmpty).toMap
     (FunnelProgress(kept, frozenNow), upd)
   }

@@ -418,6 +418,49 @@ class FunnelSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("step-1 prune: dead above-anchor events evicted; dup-step-type guard fails closed") {
+    import graft.streaming.ChangeStream.{FunnelEvent, funnelFold, funnelFoldTtl}
+    // distinct step types: the anchor is a MIN, so only the step-1
+    // set's minimum is ever pickable — view@5 is dead weight and must
+    // not survive the batch boundary (TODO r18 candidate 4)
+    val (st1, _) = funnelFold(Some(1L), Seq("view", "click"), None, Seq(
+      FunnelEvent(Some(1L), "view", 1L, 10L),
+      FunnelEvent(Some(1L), "view", 5L, 11L)))
+    assert(st1.keys("view") == Seq((1L, 10L)), st1.keys.toString)
+    // ...and exactness survives the prune: the funnel still completes
+    val (_, upd) = funnelFold(Some(1L), Seq("view", "click"), Some(st1), Seq(
+      FunnelEvent(Some(1L), "click", 7L, 12L)))
+    assert(upd.get.depth == 2L)
+
+    // duplicate-step-type guard: steps = (view, click, view) — the
+    // LATER view step may legitimately pick an above-anchor view
+    // event, so pruning it would kill the walk. The guard keeps both
+    // views across the batch boundary; the late-arriving click then
+    // completes the 3-deep chain through the second view. Without the
+    // guard this fails closed (depth would stop at 2).
+    val steps = Seq("view", "click", "view")
+    val (s1, _) = funnelFold(Some(1L), steps, None, Seq(
+      FunnelEvent(Some(1L), "view", 1L, 20L),
+      FunnelEvent(Some(1L), "view", 3L, 21L)))
+    assert(s1.keys("view").size == 2, s1.keys.toString)
+    val (_, u2) = funnelFold(Some(1L), steps, Some(s1), Seq(
+      FunnelEvent(Some(1L), "click", 2L, 22L)))
+    assert(u2.get.depth == 3L && u2.get.ts_arr == Seq(1L, 2L, 3L) &&
+      u2.get.id_arr == Seq(20L, 22L, 21L))
+
+    // frozen anchor (TTL form): the pick is FINAL, so every remaining
+    // head-typed candidate is dead — the view entry empties even for
+    // events the watermark alone would have kept
+    val (t1, _) = funnelFoldTtl(Some(1L), Seq("view", "click"), None, Seq(
+      FunnelEvent(Some(1L), "view", 1000000000L, 30L),
+      FunnelEvent(Some(1L), "view", 9000000000L, 31L),
+      FunnelEvent(Some(1L), "click", 7000000000L, 32L)), wmMs = Long.MinValue)
+    val (t2, _) = funnelFoldTtl(Some(1L), Seq("view", "click"), Some(t1),
+      Nil, wmMs = 2000L)
+    assert(t2.frozen == Seq((1000000000L, 30L)) &&
+      !t2.keys.contains("view"), t2.toString)
+  }
+
   test("a late anchor-deciding event re-clips later steps") {
     // the disorder case the window form adds over plain stepsByKey:
     // batch 1 completes the whole chain inside the window; batch 2
