@@ -625,6 +625,58 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space with the
+    * frozen coarse quantizer (the IVF machinery above), then inside
+    * each cluster drop every vector that has an EARLIER (lower-id)
+    * cluster-mate with cosine ≥ `tau`. This catches the paraphrase/
+    * re-encode duplicates the lexical family (MinHash/SimHash) cannot
+    * see, at a cost the cluster structure bounds: the pair join is
+    * keyed on the cell id, so per-cell work is O(cellSize²) and total
+    * work O(N · N/cells) — `cells` grows with the corpus (the paper
+    * uses ~100k clusters at web scale) to keep cell size constant,
+    * making the pass O(N · const), never the all-pairs N². Like the
+    * paper's method, cross-CLUSTER near-dups are invisible by design —
+    * that is the approximation that buys the bound.
+    *
+    * Returns every input vector with its cluster and verdict:
+    * (idCol, cell, dup_of, keep) — `dup_of` = the lowest earlier
+    * cluster-mate within `tau` (-1 if none), `keep` = 1/0. Keep rule
+    * "earlier id wins" makes the decision deterministic, stable under
+    * re-runs, and — under a FROZEN quantizer (the IvfIndex store's
+    * regime; this op re-seeds from its input) — incremental-friendly:
+    * appending higher ids never un-keeps. `trainIters` > 0 refines the
+    * quantizer
+    * with sampled Lloyd passes ([[trainCentroids]] — bounded training
+    * set, corpus assigned once). */
+  def semDedup(vecs: DataFrame, tau: Double, cells: Int = 16,
+      trainIters: Int = 0, idCol: String = "vec_id", vecCol: String = "v",
+      portableSeeding: Boolean = false,
+      trainSample: Int = defaultTrainSample): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1, 1] (got $tau)")
+    require(cells > 0, s"cells must be positive (got $cells)")
+    val cent =
+      if (trainIters > 0) trainCentroids(vecs, cells, trainIters, idCol,
+        vecCol, portableSeeding, trainSample)
+      else seedCentroids(vecs, cells, seedHashFor(idCol, portableSeeding),
+        idCol, vecCol)
+    val a = assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
+    val x = a.select(col("_id").as("x_id"), col("_v").as("xv"),
+      norm(col("_v")).as("xn"), col("cell"))
+    val y = a.select(col("_id").as("y_id"), col("_v").as("yv"),
+      norm(col("_v")).as("yn"), col("cell"))
+    // cell-keyed equi-join; map-side-combined min per victim
+    val dom = x.join(y, Seq("cell"))
+      .filter(col("y_id") < col("x_id") &&
+        dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= tau)
+      .groupBy(col("x_id").as("_id"))
+      .agg(min(col("y_id")).as("_dup"))
+    a.join(dom, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cell"),
+        coalesce(col("_dup"), lit(-1L)).as("dup_of"),
+        when(col("_dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** The per-row symmetric int8 scale: `max(|v_i|) / 127`. */
   def int8Scale(vecCol: Column): Column =
     array_max(transform(vecCol, x => abs(x))) / 127.0

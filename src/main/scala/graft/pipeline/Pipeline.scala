@@ -174,6 +174,45 @@ object Pipeline {
         minJaccard = if (c.has("minJaccard"))
           c.get("minJaccard").asDouble() else 0.5), Seq(id))
     }),
+    // DSIR-style importance selection (Selection.dsirSelect): keep the
+    // k docs whose hashed-n-gram evidence best matches the target
+    // exemplars (rows where targetCol = targetValue). The selected
+    // frame KEEPS the input columns (score/n_grams/rank joined on);
+    // downstream stages still see the text.
+    "dsir_select" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val id = c.get("idCol").asText()
+      val tv = c.get("targetValue")
+      val pred = col(c.get("targetCol").asText()) ===
+        (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+      val sel = graft.ops.Selection.dsirSelect(df, pred, id,
+        c.get("textCol").asText(), k = c.get("k").asInt(),
+        buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
+      df.join(sel.select(col(id), col("score"), col("n_grams"), col("rank")),
+        Seq(id))
+    }),
+    // SemDeDup (Similarity.semDedup): semantic dedup by embedding
+    // cluster — drops every row with an earlier same-cell mate at
+    // cosine >= tau. Filters to the keepers, preserving the input
+    // frame (the decontaminate_fuzzy shape).
+    "semantic_dedup" -> (c => df => {
+      import org.apache.spark.sql.functions.col
+      val id = c.get("idCol").asText()
+      val vecCol = c.get("vecCol").asText()
+      // parquet embedding storage is array<float>; the scoring algebra
+      // (VecDot) is double-only — cast on the way in, never on the
+      // preserved output frame
+      val keep = graft.ops.Similarity.semDedup(
+        df.withColumn(vecCol, col(vecCol).cast("array<double>")),
+        tau = c.get("tau").asDouble(),
+        cells = if (c.has("cells")) c.get("cells").asInt() else 16,
+        trainIters = if (c.has("trainIters")) c.get("trainIters").asInt() else 0,
+        idCol = id, vecCol = vecCol,
+        portableSeeding = c.has("portableSeeding") &&
+          c.get("portableSeeding").asBoolean())
+        .filter(col("keep") === 1L).select(col(id))
+      df.join(keep, Seq(id))
+    }),
     "pack" -> (c => df => {
       import org.apache.spark.sql.functions.{col, size, xxhash64}
       val id = c.get("idCol").asText()

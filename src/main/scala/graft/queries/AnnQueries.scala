@@ -509,6 +509,50 @@ object AnnQueries {
         |SELECT a_id, b_id FROM p WHERE cos >= 0.4
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023) — semantic dedup the embedding way:
+    // k-means cells from the frozen portable quantizer (the ann_ivf
+    // seeding, which the oracle replays exactly), then inside each cell
+    // drop every vector with an EARLIER cluster-mate at cosine ≥ 0.4.
+    // The cell key bounds the pair join (O(N·cellSize), never all
+    // pairs); cross-cell near-dups are invisible by design — the
+    // approximation that buys the bound (dedup_embed's LSH family is
+    // the recall-tunable alternative). Output is the full per-vector
+    // verdict: cell, dominating earlier id (-1 = none), keep 1/0.
+    "dedup_semantic" -> QueryDef(
+      (s, dir) => {
+        Similarity.semDedup(vecs(s, dir), tau = 0.4, cells = 16,
+          portableSeeding = true)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |cscored AS (
+        |  SELECT e.vec_id, e.v, cent.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cv[i])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cd
+        |  FROM e CROSS JOIN cent),
+        |a AS (
+        |  SELECT vec_id, v, cell FROM cscored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |p AS (
+        |  SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+        |  FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+        |        (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+        |         sqrt(list_sum(list_transform(y.v, t -> t * t)))) >= 0.4
+        |  GROUP BY 1)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(COALESCE(p.dup_of, -1) AS BIGINT) AS dup_of,
+        |       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin)),
+
     // Symmetric int8 quantization — the 4x storage/serving compression
     // with its audit trail: per-row scale, an order-weighted integer
     // checksum of the quantized vector (exact; permutation/truncation

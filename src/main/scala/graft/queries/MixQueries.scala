@@ -489,6 +489,55 @@ object MixQueries {
         }""").orderBy("pack_id"),
       Some(releaseOracle)),
 
+    // DSIR-style data selection (Xie et al. 2023): pull the corpus
+    // toward a target distribution you have exemplars of — here the
+    // 'en' docs — by hashed-unigram+bigram importance weights. The
+    // gated form uses centered FIXED-POINT likelihood-ratio weights
+    // (floor of one pinned-association double expression; per-doc
+    // scores are integer sums, so summation order cannot matter —
+    // Selection.scala documents the contract; dsirLogScores is the
+    // libm production twin). Scale shape: one B-key map-side-combined
+    // histogram agg + a map-only literal-array scoring fold + a
+    // TakeOrdered — the corpus never joins or shuffles.
+    "dsir_select" -> QueryDef(
+      (s, dir) => {
+        graft.ops.Selection.dsirSelect(table(s, dir, "documents"),
+          col("lang") === "en", "doc_id", "text", k = 200, buckets = 1024)
+          .orderBy("rank")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(toks, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS grams
+        |  FROM t),
+        |x AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        |b AS (SELECT doc_id, lang,
+        |  (
+        |${Registry.md5Slice("gram")}
+        |  ) % 1024 AS bucket FROM x),
+        |tot AS (SELECT CAST(COUNT(*) + 1024 AS DOUBLE) AS rp,
+        |               CAST(COUNT(*) FILTER (lang = 'en') + 1024 AS DOUBLE) AS tp
+        |        FROM b),
+        |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
+        |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+        |        FROM b WHERE lang = 'en' GROUP BY 1),
+        |w AS (SELECT r.bucket,
+        |        CAST(floor(((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) * rp /
+        |                    ((CAST(rc AS DOUBLE) + 1.0) * tp)) * 1000000.0)
+        |          AS BIGINT) - 1000000 AS w
+        |      FROM raw r LEFT JOIN tgt USING (bucket), tot),
+        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+        |             CAST(COUNT(*) AS BIGINT) AS n_grams
+        |      FROM b JOIN w USING (bucket) GROUP BY 1),
+        |r AS (SELECT doc_id, score, n_grams,
+        |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc_id, score, n_grams, rank FROM r
+        |WHERE rank <= 200 ORDER BY rank""".stripMargin)),
+
   )
 
   /** The code-built release chain `pipeline_release` gates (and the

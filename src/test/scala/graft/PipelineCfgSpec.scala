@@ -519,6 +519,50 @@ class PipelineCfgSpec extends SparkSpec {
     } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
+  test("dsir_select stage round-trips and preserves the frame") {
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "documents"},
+      "processors": [
+        {"type": "dsir_select", "idCol": "doc_id", "textCol": "text",
+         "targetCol": "lang", "targetValue": "en", "k": 50}
+      ],
+      "sink": {"type": "noop"}
+    }""")
+    // input columns survive; selection columns added; exactly k rows
+    assert(Set("doc_id", "text", "lang", "score", "n_grams", "rank")
+      .subsetOf(frame.columns.toSet), frame.columns.mkString(","))
+    assert(frame.count() == 50)
+    val viaCfg = frame.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCode = graft.ops.Selection.dsirSelect(docs,
+      col("lang") === "en", "doc_id", "text", k = 50)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCfg == viaCode)
+  }
+
+  test("semantic_dedup stage filters to keepers, preserving the frame") {
+    val vecs = graft.source.Changelog.table(spark, sf, "embeddings")
+    val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "embeddings"},
+      "processors": [
+        {"type": "semantic_dedup", "idCol": "vec_id", "vecCol": "embedding",
+         "tau": 0.4, "cells": 16, "portableSeeding": true}
+      ],
+      "sink": {"type": "noop"}
+    }""")
+    assert(frame.columns.toSet == vecs.columns.toSet,
+      frame.columns.mkString(","))
+    val kept = frame.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = graft.ops.Similarity.semDedup(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      tau = 0.4, cells = 16, portableSeeding = true)
+      .filter(col("keep") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == want && kept.nonEmpty && kept.size < 500)
+  }
+
   test("registry completeness: every registered stage is inventoried") {
     // the r16 sweep found gated ops with no config stage; this pins the
     // inventory so the NEXT stage added without spec coverage (and a
@@ -531,6 +575,7 @@ class PipelineCfgSpec extends SparkSpec {
       "decontaminate", "decontaminate_fuzzy", "mix_rate", "mix_temperature", "mix_weight",
       "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
       "sample_exact_strata", "split", "split_safe", "near_dup_clusters",
+      "dsir_select", "semantic_dedup",
       "pack", "pack_audit",
       "zorder",
       "global_shuffle", "expect", "quality_report",

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Selection, Similarity}
+
+/** DSIR-style importance selection ([[Selection]]) and SemDeDup
+  * ([[Similarity.semDedup]]): the two selection/dedup ops whose gated
+  * forms are `dsir_select` and `dedup_semantic`. These specs pin the
+  * SEMANTICS on constructed fixtures — evidence-not-length scoring,
+  * sign structure, earliest-id-wins dedup — which the oracle hash
+  * compare cannot articulate. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target vocabulary A vs raw-only vocabulary B; doc 1..3 are target
+  // exemplars, 4..7 candidates of controlled composition. Docs are
+  // LONG (patterns repeated 60×) so gram totals dwarf the add-one
+  // smoothing mass (= buckets) — the regime where the centered
+  // weight's sign is meaningful (Selection.scala's contract is about
+  // corpora, not 5-token fixtures).
+  private def rep(s: String, n: Int = 60) = Seq.fill(n)(s).mkString(" ")
+  private def corpus = Seq(
+    (1L, rep("alpha beta gamma alpha beta"), "tgt"),
+    (2L, rep("beta gamma alpha gamma beta"), "tgt"),
+    (3L, rep("gamma alpha beta beta gamma"), "tgt"),
+    (4L, rep("alpha beta gamma beta alpha"), "raw"), // target-like
+    (5L, rep("zeta eta theta iota kappa"), "raw"),   // disjoint vocab
+    (6L, rep("alpha beta gamma beta alpha zeta eta theta iota kappa"), "raw"),
+    (7L, rep("zeta eta theta iota kappa", 120), "raw")
+  ).toDF("doc_id", "text", "kind")
+
+  test("gramBuckets: unigrams + bigrams, bounded bucket ids") {
+    val g = corpus.select(col("doc_id"),
+      Selection.gramBuckets(col("text"), 64).as("g"))
+    val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // n tokens -> 2n-1 grams (docs 1/5: 300 tokens; doc 6: 600)
+    assert(sizes(1L) == 599 && sizes(5L) == 599 && sizes(6L) == 1199)
+    val all = g.select(explode(col("g"))).as[Int].collect()
+    assert(all.forall(b => b >= 0 && b < 64))
+    // single-token doc: one unigram, no bigram (the zip_with tail pair
+    // concat-nulls out)
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+      .select(size(Selection.gramBuckets(col("text"), 64))).as[Int].head()
+    assert(one == 1)
+  }
+
+  test("dsirScores: evidence not length — target-vocab docs positive, disjoint negative") {
+    val s = Selection.dsirScores(corpus, col("kind") === "tgt",
+      "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // pure target vocab scores positive, pure disjoint vocab negative
+    assert(s(4L) > 0, s"target-like doc should score > 0, got ${s(4L)}")
+    assert(s(5L) < 0, s"disjoint-vocab doc should score < 0, got ${s(5L)}")
+    // doc 7 is LONGER than doc 5 but just as target-foreign: more
+    // negative evidence, lower score — a raw ratio sum would reward
+    // the length instead
+    assert(s(7L) < s(5L),
+      s"longer foreign doc must score lower (7=${s(7L)} vs 5=${s(5L)})")
+    // mixed doc sits between its pure halves
+    assert(s(6L) < s(4L) && s(6L) > s(5L))
+  }
+
+  test("dsirSelect: top-k by (score desc, id asc), ranks 1..k, deterministic") {
+    val sel = Selection.dsirSelect(corpus, col("kind") === "tgt",
+      "doc_id", "text", k = 3, buckets = 256)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(sel.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(sel.map(_._2).toSeq == sel.map(_._2).sortBy(-_).toSeq)
+    // the disjoint-vocab docs must not make a k=3 cut over 7 docs
+    assert(!sel.map(_._1).contains(5L) && !sel.map(_._1).contains(7L))
+    val again = Selection.dsirSelect(corpus, col("kind") === "tgt",
+      "doc_id", "text", k = 3, buckets = 256)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(sel.toSeq == again.toSeq)
+  }
+
+  test("dsirLogScores agrees with the fixed-point form on sign and clear ranks") {
+    val fx = Selection.dsirScores(corpus, col("kind") === "tgt",
+      "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val lg = Selection.dsirLogScores(corpus, col("kind") === "tgt",
+      "doc_id", "text", buckets = 256)
+      .select(col("doc_id"), col("log_score"))
+      .as[(Long, Double)].collect().toMap
+    assert(lg(4L) > 0 && lg(5L) < 0)
+    assert((lg(4L) > lg(5L)) == (fx(4L) > fx(5L)))
+    assert((lg(7L) < lg(5L)) == (fx(7L) < fx(5L)))
+  }
+
+  test("guards: buckets bounds, positive k and scale") {
+    intercept[IllegalArgumentException] {
+      Selection.dsirScores(corpus, lit(true), "doc_id", "text", buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.dsirScores(corpus, lit(true), "doc_id", "text", buckets = 65537)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.dsirSelect(corpus, lit(true), "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.dsirScores(corpus, lit(true), "doc_id", "text", scale = 0L)
+    }
+  }
+
+  // ── SemDeDup ──────────────────────────────────────────────────────
+
+  private def vecsDf(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "v")
+
+  test("semDedup: earliest cluster-mate wins; chain points at the earliest, not the neighbor") {
+    val a = Seq(1.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0)
+    // 10/11/12 identical to each other and to nothing else; 20 alone
+    val out = Similarity.semDedup(
+      vecsDf((10L, a), (11L, a), (12L, a), (20L, b)),
+      tau = 0.99, cells = 1)
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((-1L, 1L)))
+    assert(out(11L) == ((10L, 0L)))
+    assert(out(12L) == ((10L, 0L)), "dup_of must be the EARLIEST mate, not the nearest")
+    assert(out(20L) == ((-1L, 1L)))
+  }
+
+  test("semDedup: tau gates the drop; orthogonal vectors all survive") {
+    val vs = vecsDf((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.0)))
+    val strict = Similarity.semDedup(vs, tau = 0.5, cells = 1)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(strict == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+    val loose = Similarity.semDedup(vs, tau = -1.0, cells = 1)
+      .filter(col("keep") === 1).select("vec_id").as[Long].collect().toSet
+    assert(loose == Set(1L), "tau = -1 keeps only the earliest per cell")
+  }
+
+  test("semDedup: every input appears exactly once with a cell label") {
+    val vs = vecsDf((1L, Seq(1.0, 0.2)), (2L, Seq(0.2, 1.0)),
+      (3L, Seq(-1.0, 0.4)), (4L, Seq(0.3, -0.9)))
+    val out = Similarity.semDedup(vs, tau = 0.95, cells = 2,
+      portableSeeding = true)
+    assert(out.count() == 4)
+    assert(out.select("vec_id").distinct().count() == 4)
+    assert(out.filter(col("cell") < 0 || col("cell") >= 2).count() == 0)
+  }
+
+  test("semDedup guards") {
+    val vs = vecsDf((1L, Seq(1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(vs, tau = 1.5, cells = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(vs, tau = 0.5, cells = 0)
+    }
+  }
+}
