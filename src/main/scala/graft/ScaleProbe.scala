@@ -190,6 +190,58 @@ object ScaleProbe {
         s""""sf":"$sfDir"}""")
     }
 
+    // DSIR selection: corpus ×k (salted — the gram space grows with
+    // the corpus; the histogram stays `buckets` keys regardless). Cost
+    // model: two corpus-linear scans (histogram, then the map-only
+    // literal-array scoring fold) + one B-key map-side-combined agg +
+    // a TakeOrdered. Honest expectation: ≈ ×k, scan-bound; selected
+    // count pinned at the op's k (the output never grows with the
+    // corpus).
+    def dsirAt(n: Int): (Double, Long) = {
+      // full table (the shared `docs` is projected to id/text; the
+      // target predicate needs lang)
+      val full = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val corpus = mat(ProbeUtil.saltedDocs(full, n), s"dsir$n")
+      try time(graft.ops.Selection.dsirSelect(corpus,
+        col("lang") === "en", "doc_id", "text", k = 200).count())
+      finally spark.catalog.clearCache()
+    }
+    if (want("dsir_select")) {
+      dsirAt(1) // warm
+      val (d1, n1) = dsirAt(1)
+      val (dk, nk) = dsirAt(k)
+      println(s"""{"probe":"dsir_select","k":$k,"secs_1":$d1,""" +
+        s""""secs_k":$dk,"sel_1":$n1,"sel_k":$nk,"ratio":${dk / d1},""" +
+        s""""sf":"$sfDir"}""")
+    }
+
+    // SemDeDup: embeddings ×k (id-shifted; the copies are identical
+    // vectors, i.e. genuine semantic dups — finding them is the job).
+    // Quantizer resolution grows with the corpus as the op's contract
+    // demands, at the balance point cells ∝ √N of the two quadratics
+    // (centroid assignment O(N·cells) vs per-cell pairs O(N²/cells)):
+    // total O(N^1.5) — the accepted semantic-dedup scale law short of
+    // ANN-assisted assignment. Honest expectation: ratio ≈ k^1.5, NOT
+    // ×k; the probe exists to pin that law, not to flatter it.
+    def semDedupAt(n: Int): (Double, Long) = {
+      val cells = math.max(1, (16 * math.sqrt(n.toDouble)).round.toInt)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val in = mat(scaled(emb, Seq("vec_id"), n), s"sd$n")
+      try time(graft.ops.Similarity.semDedup(in, tau = 0.4, cells = cells)
+        .filter(col("keep") === 1).count())
+      finally spark.catalog.clearCache()
+    }
+    if (want("dedup_semantic")) {
+      semDedupAt(1) // warm
+      val (m1, k1) = semDedupAt(1)
+      val (mk, kk) = semDedupAt(k)
+      println(s"""{"probe":"dedup_semantic","k":$k,"secs_1":$m1,""" +
+        s""""secs_k":$mk,"kept_1":$k1,"kept_k":$kk,"ratio":${mk / m1},""" +
+        s""""law":"n^1.5 under cells~sqrt(N)","sf":"$sfDir"}""")
+    }
+
     // Incremental span admission, STATEFUL: the ×k corpus fed as 4
     // sequential batches against a growing chunk-digest store. Cost
     // model per batch: O(batch chunks) + O(store digest scan) — the

@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   *   2. weight table — ≤ `buckets` rows of bounded metadata, computed
   *      driver-side and re-shipped as a LITERAL array (the
   *      seedCentroids idiom), so
-  *   3. scoring pass — a map-only fold per doc: no join, no shuffle,
-  *      no broadcast handshake. Selection itself is a TakeOrdered
-  *      (`orderBy.limit(k)`), never a full sort.
+  *   3. scoring pass — explode + the codegen'd bucket hash + ONE
+  *      doc-keyed map-side-combined INTEGER sum against the literal
+  *      weight array: no join, no broadcast handshake, and the only
+  *      exchange carries one narrow (id, long, long) row per doc.
+  *      Selection itself is a TakeOrdered (`orderBy.limit(k)`), never
+  *      a full sort. (A per-doc `aggregate` HOF fold would be
+  *      exchange-free but runs INTERPRETED — lambda bodies are
+  *      CodegenFallback — and measured ~8× slower; the narrow
+  *      doc-keyed agg is the retention-reshape trade.)
   * Two corpus scans are inherent to the method (the raw histogram is
   * the denominator of every weight); nothing is cached between them —
   * at corpus scale a cache barrier would be a spill, not a save.
@@ -46,23 +52,35 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Hashed gram buckets for one doc: unigrams + bigrams of the
-    * whitespace tokens, each md5-sliced to [0, buckets). Bigrams pair
-    * each token with its successor via zip_with against the
-    * 1-shifted array (null-padded tail pair concat-nulls out and is
-    * filtered) — no per-element `element_at(toks, i)` indexing, so the
-    * token-split subtree is referenced a CONSTANT number of times per
-    * row (~4), not once per gram (the projection-collapse fan-out the
-    * shingle family needs cache barriers against). */
-  def gramBuckets(textCol: Column, buckets: Int): Column = {
+  /** The gram array for one doc: unigrams + bigrams of the whitespace
+    * tokens. Bigrams pair each token with its successor via zip_with
+    * against the 1-shifted array (the null-padded tail pair
+    * concat-nulls out and is filtered) — no per-element
+    * `element_at(toks, i)` indexing, so the token-split subtree is
+    * referenced a CONSTANT number of times per row (~4), not once per
+    * gram (the projection-collapse fan-out the shingle family needs
+    * cache barriers against). Lambda bodies here are cheap string
+    * concat only: HOF lambdas run INTERPRETED (CodegenFallback), so
+    * the md5 bucket hash deliberately lives in the codegen'd
+    * post-explode projection ([[bucketOf]]), not in a lambda —
+    * measured 117s → 38s on the ×100 probe corpus (SCALEPROBE_r19). */
+  def grams(textCol: Column): Column = {
     val toks = TextAnalysis.tokens(textCol)
     val bigrams = filter(
       zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (x, y) => concat(x, lit(" "), y)),
       g => g.isNotNull)
-    transform(concat(toks, bigrams),
-      g => pmod(Mixing.hashSlice(g), lit(buckets)).cast("int"))
+    concat(toks, bigrams)
   }
+
+  /** md5-sliced bucket of one (exploded) gram: whole-stage-codegen'd. */
+  def bucketOf(gram: Column, buckets: Int): Column =
+    pmod(Mixing.hashSlice(gram), lit(buckets)).cast("int")
+
+  /** Back-compat shape of the per-doc bucket array (specs exercise the
+    * array form; the scoring passes explode instead — see [[grams]]). */
+  def gramBuckets(textCol: Column, buckets: Int): Column =
+    transform(grams(textCol), g => bucketOf(g, buckets))
 
   /** The smoothed, centered, fixed-point bucket weight. EXACTLY this
     * association on both engines: ((tc+1)·Rp / ((rc+1)·Tp)) · S,
@@ -78,8 +96,8 @@ object Selection {
   private def weightArray(corpus: DataFrame, targetPred: Column,
       textCol: String, buckets: Int, scale: Long): IndexedSeq[Long] = {
     val hist = corpus
-      .select(targetPred.as("_t"),
-        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .select(targetPred.as("_t"), explode(grams(col(textCol))).as("_g"))
+      .select(col("_t"), bucketOf(col("_g"), buckets).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
@@ -108,11 +126,11 @@ object Selection {
       s"buckets must be in [1, 65536] — the md5 slice is 16-bit (got $buckets)")
     require(scale > 0, s"scale must be positive (got $scale)")
     val warr = weightArray(corpus, targetPred, textCol, buckets, scale)
-    val grams = gramBuckets(col(textCol), buckets)
-    corpus.select(col(idCol),
-      aggregate(grams, lit(0L),
-        (acc, b) => acc + element_at(typedlit(warr), b + 1)).as("score"),
-      size(grams).cast("long").as("n_grams"))
+    corpus.select(col(idCol), explode(grams(col(textCol))).as("_g"))
+      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(element_at(typedlit(warr), col("_b") + 1)).as("score"),
+        count(lit(1)).as("n_grams"))
   }
 
   /** Top-`k` selection by importance score (score desc, id asc — the
@@ -151,8 +169,8 @@ object Selection {
       s"buckets must be in [1, 65536] — the md5 slice is 16-bit (got $buckets)")
     // reuse the integer histogram; weights as ln of the same smoothed ratio
     val hist = corpus
-      .select(targetPred.as("_t"),
-        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .select(targetPred.as("_t"), explode(grams(col(textCol))).as("_g"))
+      .select(col("_t"), bucketOf(col("_g"), buckets).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
@@ -167,11 +185,11 @@ object Selection {
       w(row.getInt(0)) = math.log(
         (row.getLong(2) + 1.0) * rp / ((row.getLong(1) + 1.0) * tp))
     }
-    val grams = gramBuckets(col(textCol), buckets)
-    corpus.select(col(idCol),
-      aggregate(grams, lit(0.0),
-        (acc, b) => acc + element_at(typedlit(w.toIndexedSeq), b + 1))
+    corpus.select(col(idCol), explode(grams(col(textCol))).as("_g"))
+      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(element_at(typedlit(w.toIndexedSeq), col("_b") + 1))
         .as("log_score"),
-      size(grams).cast("long").as("n_grams"))
+        count(lit(1)).as("n_grams"))
   }
 }

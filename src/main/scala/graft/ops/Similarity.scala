@@ -660,7 +660,15 @@ object Similarity {
         vecCol, portableSeeding, trainSample)
       else seedCentroids(vecs, cells, seedHashFor(idCol, portableSeeding),
         idCol, vecCol)
+    // the assigned frame feeds BOTH pair-join sides and the final
+    // verdict join — cache it or the centroid-assignment pass (a full
+    // corpus scan + scoring) runs three times. The returned frame
+    // reads through this barrier, so it is registered for
+    // GraphBlocks.release (the contaminatedNear pattern); a cluster
+    // deployment would persist the one-column-wider assigned corpus
+    // instead.
     val a = assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
+      .cache()
     val x = a.select(col("_id").as("x_id"), col("_v").as("xv"),
       norm(col("_v")).as("xn"), col("cell"))
     val y = a.select(col("_id").as("y_id"), col("_v").as("yv"),
@@ -671,10 +679,11 @@ object Similarity {
         dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= tau)
       .groupBy(col("x_id").as("_id"))
       .agg(min(col("y_id")).as("_dup"))
-    a.join(dom, Seq("_id"), "left")
+    val out = a.join(dom, Seq("_id"), "left")
       .select(col("_id").as(idCol), col("cell"),
         coalesce(col("_dup"), lit(-1L)).as("dup_of"),
         when(col("_dup").isNull, 1L).otherwise(0L).as("keep"))
+    GraphBlocks.registerCached(out, Seq(a))
   }
 
   /** The per-row symmetric int8 scale: `max(|v_i|) / 127`. */
