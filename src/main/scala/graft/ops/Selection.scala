@@ -192,4 +192,27 @@ object Selection {
         .as("log_score"),
         count(lit(1)).as("n_grams"))
   }
+
+  /** The paper's resampling selection: top-k of `log_score/temperature
+    * + Gumbel(id)` — sampling-without-replacement ∝ w^(1/T) by the
+    * Gumbel-top-k identity, with the noise derived from the md5 hash
+    * slice of the id instead of RNG state, so the draw is reproducible
+    * cluster-wide and stable across reruns/backfills (the Mixing-family
+    * determinism contract; u = (slice + 0.5)/65536 keeps the ln
+    * arguments strictly inside (0, 1)). T → 0 degenerates to
+    * [[dsirSelect]]'s argmax behavior; T = 1 is the paper's draw.
+    * Production form (libm, ungated), same two-pass scale shape. */
+  def dsirResample(corpus: DataFrame, targetPred: Column, idCol: String,
+      textCol: String, k: Int, temperature: Double = 1.0,
+      buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(temperature > 0.0,
+      s"temperature must be positive (got $temperature)")
+    val u = (Mixing.hashSlice(col(idCol)).cast("double") + 0.5) / 65536.0
+    val gumbel = -log(-log(u))
+    dsirLogScores(corpus, targetPred, idCol, textCol, buckets)
+      .withColumn("key", col("log_score") / temperature + gumbel)
+      .orderBy(col("key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

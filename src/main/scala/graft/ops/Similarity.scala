@@ -641,18 +641,25 @@ object Similarity {
     *
     * Returns every input vector with its cluster and verdict:
     * (idCol, cell, dup_of, keep) — `dup_of` = the lowest earlier
-    * cluster-mate within `tau` (-1 if none), `keep` = 1/0. Keep rule
-    * "earlier id wins" makes the decision deterministic, stable under
-    * re-runs, and — under a FROZEN quantizer (the IvfIndex store's
-    * regime; this op re-seeds from its input) — incremental-friendly:
-    * appending higher ids never un-keeps. `trainIters` > 0 refines the
-    * quantizer
-    * with sampled Lloyd passes ([[trainCentroids]] — bounded training
-    * set, corpus assigned once). */
+    * cluster-mate within `tau` (-1 if none), `keep` = 1/0. The default
+    * keep rule "earlier id wins" makes the decision deterministic,
+    * stable under re-runs, and — under a FROZEN quantizer (the
+    * IvfIndex store's regime; this op re-seeds from its input) —
+    * incremental-friendly: appending higher ids never un-keeps.
+    * `keepFarthest` switches to the paper's preferred keeper — the
+    * vector FARTHEST from its centroid wins (lowest centroid cosine,
+    * id tie-break; the paper found it preserves slightly more
+    * diversity than random/earliest) — at the cost of one extra
+    * broadcast-centroid scoring pass and a per-cell rank window, and
+    * of append-stability (a new vector can out-rank an old keeper).
+    * `trainIters` > 0 refines the quantizer with sampled Lloyd passes
+    * ([[trainCentroids]] — bounded training set, corpus assigned
+    * once). */
   def semDedup(vecs: DataFrame, tau: Double, cells: Int = 16,
       trainIters: Int = 0, idCol: String = "vec_id", vecCol: String = "v",
       portableSeeding: Boolean = false,
-      trainSample: Int = defaultTrainSample): DataFrame = {
+      trainSample: Int = defaultTrainSample,
+      keepFarthest: Boolean = false): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1, 1] (got $tau)")
     require(cells > 0, s"cells must be positive (got $cells)")
     val cent =
@@ -660,25 +667,38 @@ object Similarity {
         vecCol, portableSeeding, trainSample)
       else seedCentroids(vecs, cells, seedHashFor(idCol, portableSeeding),
         idCol, vecCol)
-    // the assigned frame feeds BOTH pair-join sides and the final
-    // verdict join — cache it or the centroid-assignment pass (a full
-    // corpus scan + scoring) runs three times. The returned frame
+    // the assigned+ranked frame feeds BOTH pair-join sides and the
+    // final verdict join — cache it or the centroid-assignment pass (a
+    // full corpus scan + scoring) runs three times. The returned frame
     // reads through this barrier, so it is registered for
     // GraphBlocks.release (the contaminatedNear pattern); a cluster
     // deployment would persist the one-column-wider assigned corpus
     // instead.
-    val a = assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
-      .cache()
+    val a0 = assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
+    // _rk: the keeper priority (smaller wins). Earliest mode uses the
+    // id itself — no window, no extra pass. Farthest mode re-scores
+    // against the broadcast centroids (assignCells' max_by discards
+    // its internal score; ANN consumers of that frame join on `cell`
+    // and an extra column would collide) and ranks per cell.
+    val a = (if (!keepFarthest) a0.withColumn("_rk", col("_id"))
+      else {
+        val wr = Window.partitionBy("cell")
+          .orderBy(col("_cd").asc, col("_id").asc)
+        a0.join(cent, Seq("cell"))
+          .withColumn("_cd", cosine(col("_v"), col("cv"))).drop("cv")
+          .withColumn("_rk", row_number().over(wr).cast("long"))
+          .drop("_cd")
+      }).cache()
     val x = a.select(col("_id").as("x_id"), col("_v").as("xv"),
-      norm(col("_v")).as("xn"), col("cell"))
+      norm(col("_v")).as("xn"), col("cell"), col("_rk").as("x_rk"))
     val y = a.select(col("_id").as("y_id"), col("_v").as("yv"),
-      norm(col("_v")).as("yn"), col("cell"))
-    // cell-keyed equi-join; map-side-combined min per victim
+      norm(col("_v")).as("yn"), col("cell"), col("_rk").as("y_rk"))
+    // cell-keyed equi-join; map-side-combined best-ranked dominator
     val dom = x.join(y, Seq("cell"))
-      .filter(col("y_id") < col("x_id") &&
+      .filter(col("y_rk") < col("x_rk") &&
         dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= tau)
       .groupBy(col("x_id").as("_id"))
-      .agg(min(col("y_id")).as("_dup"))
+      .agg(min_by(col("y_id"), struct(col("y_rk"), col("y_id"))).as("_dup"))
     val out = a.join(dom, Seq("_id"), "left")
       .select(col("_id").as(idCol), col("cell"),
         coalesce(col("_dup"), lit(-1L)).as("dup_of"),

@@ -209,7 +209,9 @@ object Pipeline {
         trainIters = if (c.has("trainIters")) c.get("trainIters").asInt() else 0,
         idCol = id, vecCol = vecCol,
         portableSeeding = c.has("portableSeeding") &&
-          c.get("portableSeeding").asBoolean())
+          c.get("portableSeeding").asBoolean(),
+        keepFarthest = c.has("keepFarthest") &&
+          c.get("keepFarthest").asBoolean())
         .filter(col("keep") === 1L).select(col(id))
       df.join(keep, Seq(id))
     }),

@@ -146,6 +146,52 @@ class SelectionSpec extends SparkSpec {
     assert(out.filter(col("cell") < 0 || col("cell") >= 2).count() == 0)
   }
 
+  test("dsirResample: deterministic Gumbel draw; tiny temperature degenerates to score order") {
+    val r1 = Selection.dsirResample(corpus, col("kind") === "tgt",
+      "doc_id", "text", k = 4, buckets = 256)
+      .select("doc_id").as[Long].collect().toSeq
+    val r2 = Selection.dsirResample(corpus, col("kind") === "tgt",
+      "doc_id", "text", k = 4, buckets = 256)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r1 == r2, "the md5-derived draw must be rerun-stable")
+    assert(r1.size == 4)
+    // T -> 0: score/T dominates the O(1) Gumbel noise -> pure score order
+    val cold = Selection.dsirResample(corpus, col("kind") === "tgt",
+      "doc_id", "text", k = 4, temperature = 1e-9, buckets = 256)
+      .select("doc_id").as[Long].collect().toSeq
+    val byScore = Selection.dsirLogScores(corpus, col("kind") === "tgt",
+      "doc_id", "text", buckets = 256)
+      .orderBy(col("log_score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().take(4).toSeq
+    assert(cold == byScore)
+    intercept[IllegalArgumentException] {
+      Selection.dsirResample(corpus, lit(true), "doc_id", "text",
+        k = 4, temperature = 0.0)
+    }
+  }
+
+  test("semDedup keepFarthest: the farthest-from-centroid member wins the ball") {
+    // cells=1, portable seeding: the centroid is id 2's vector (lowest
+    // (id*2654435761) % 2^32). cos-to-centroid: id3 0.747 < id1 0.98 <
+    // id2 1.0 -> farthest rank order 3, 1, 2. All pairwise cosines
+    // >= 0.5 (min is v1.v3 = 0.6): one ball.
+    val vs = vecsDf(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.98, 0.199)),
+      (3L, Seq(0.6, 0.8)))
+    val far = Similarity.semDedup(vs, tau = 0.5, cells = 1,
+      portableSeeding = true, keepFarthest = true)
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(far(3L) == ((-1L, 1L)), s"farthest member must be the keeper: $far")
+    assert(far(1L) == ((3L, 0L)) && far(2L) == ((3L, 0L)))
+    // earliest mode keeps id 1 on the same fixture
+    val early = Similarity.semDedup(vs, tau = 0.5, cells = 1,
+      portableSeeding = true)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(early == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
