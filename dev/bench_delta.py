@@ -38,10 +38,14 @@ FLOOR = 0.15  # ignore <15% moves outright: below rep-to-rep noise floor
 
 
 def parse_bench_stdout(txt):
-    """queries_norm-carrying dict from raw Bench stdout (any line shape)."""
+    """queries_norm-carrying dict from raw Bench stdout (any line shape).
+    sbt wraps forked stdout as "[info] {...}" — strip the logger prefix
+    (the r19 --isolate runs all parsed as empty without this)."""
     best = None
     for line in txt.splitlines():
         line = line.strip()
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
         if not line.startswith("{"):
             continue
         try:

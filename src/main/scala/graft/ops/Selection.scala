@@ -91,10 +91,12 @@ object Selection {
       scale: Long): Long =
     math.floor((tc + 1.0) * rp / ((rc + 1.0) * tp) * scale).toLong - scale
 
-  /** Per-bucket (raw, target) gram counts → the dense literal weight
-    * array. Bounded: ≤ `buckets` rows collected. */
-  private def weightArray(corpus: DataFrame, targetPred: Column,
-      textCol: String, buckets: Int, scale: Long): IndexedSeq[Long] = {
+  /** The histogram pass: per-bucket (raw count, target count) plus the
+    * smoothed totals (Rp, Tp). ≤ `buckets` rows collected — bounded
+    * metadata, the one eager action of the op. */
+  private def histogram(corpus: DataFrame, targetPred: Column,
+      textCol: String, buckets: Int)
+      : (Array[org.apache.spark.sql.Row], Double, Double) = {
     val hist = corpus
       .select(targetPred.as("_t"), explode(grams(col(textCol))).as("_g"))
       .select(col("_t"), bucketOf(col("_g"), buckets).as("bucket"))
@@ -102,10 +104,16 @@ object Selection {
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
       .collect() // ≤buckets rows: bounded by construction
-    val r = hist.map(_.getLong(1)).sum
-    val t = hist.map(_.getLong(2)).sum
-    val rp = (r + buckets).toDouble
-    val tp = (t + buckets).toDouble
+    val rp = (hist.map(_.getLong(1)).sum + buckets).toDouble
+    val tp = (hist.map(_.getLong(2)).sum + buckets).toDouble
+    (hist, rp, tp)
+  }
+
+  /** Per-bucket (raw, target) gram counts → the dense literal weight
+    * array. */
+  private def weightArray(corpus: DataFrame, targetPred: Column,
+      textCol: String, buckets: Int, scale: Long): IndexedSeq[Long] = {
+    val (hist, rp, tp) = histogram(corpus, targetPred, textCol, buckets)
     val w = Array.fill(buckets)(weightOf(0L, 0L, rp, tp, scale))
     hist.foreach { row =>
       w(row.getInt(0)) = weightOf(row.getLong(2), row.getLong(1), rp, tp, scale)
@@ -113,12 +121,24 @@ object Selection {
     w.toIndexedSeq
   }
 
+  /** The scoring pass: explode, codegen bucket hash, one doc-keyed
+    * map-side-combined sum of the literal weight lookup. `warr` is the
+    * already-built literal weight-array column. */
+  private def scoreWith(corpus: DataFrame, idCol: String, textCol: String,
+      buckets: Int, warr: Column, scoreName: String): DataFrame =
+    corpus.select(col(idCol), explode(grams(col(textCol))).as("_g"))
+      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(element_at(warr, col("_b") + 1)).as(scoreName),
+        count(lit(1)).as("n_grams"))
+
   /** Importance score for every corpus doc: (idCol, score, n_grams)
     * with score = Σ over the doc's grams of the centered fixed-point
     * weight (BIGINT — positive ⇔ the doc's grams are over-represented
     * in the target relative to the corpus). `targetPred` marks the
     * target exemplars (e.g. `col("lang") === "en"`); they are scored
-    * too, like every other doc. Map-only after the histogram pass. */
+    * too, like every other doc. After the histogram pass the scoring
+    * exchange carries one narrow row per doc. */
   def dsirScores(corpus: DataFrame, targetPred: Column, idCol: String,
       textCol: String, buckets: Int = 1024,
       scale: Long = 1000000L): DataFrame = {
@@ -126,11 +146,7 @@ object Selection {
       s"buckets must be in [1, 65536] — the md5 slice is 16-bit (got $buckets)")
     require(scale > 0, s"scale must be positive (got $scale)")
     val warr = weightArray(corpus, targetPred, textCol, buckets, scale)
-    corpus.select(col(idCol), explode(grams(col(textCol))).as("_g"))
-      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
-      .groupBy(col(idCol))
-      .agg(sum(element_at(typedlit(warr), col("_b") + 1)).as("score"),
-        count(lit(1)).as("n_grams"))
+    scoreWith(corpus, idCol, textCol, buckets, typedlit(warr), "score")
   }
 
   /** Top-`k` selection by importance score (score desc, id asc — the
@@ -167,30 +183,15 @@ object Selection {
       textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in [1, 65536] — the md5 slice is 16-bit (got $buckets)")
-    // reuse the integer histogram; weights as ln of the same smoothed ratio
-    val hist = corpus
-      .select(targetPred.as("_t"), explode(grams(col(textCol))).as("_g"))
-      .select(col("_t"), bucketOf(col("_g"), buckets).as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rc"),
-        sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
-      .collect() // ≤buckets rows: bounded by construction
-    val r = hist.map(_.getLong(1)).sum
-    val t = hist.map(_.getLong(2)).sum
-    val rp = (r + buckets).toDouble
-    val tp = (t + buckets).toDouble
-    val unseen = math.log(rp / tp)
-    val w = Array.fill(buckets)(unseen)
+    // the same integer histogram; weights as ln of the same smoothed ratio
+    val (hist, rp, tp) = histogram(corpus, targetPred, textCol, buckets)
+    val w = Array.fill(buckets)(math.log(rp / tp))
     hist.foreach { row =>
       w(row.getInt(0)) = math.log(
         (row.getLong(2) + 1.0) * rp / ((row.getLong(1) + 1.0) * tp))
     }
-    corpus.select(col(idCol), explode(grams(col(textCol))).as("_g"))
-      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
-      .groupBy(col(idCol))
-      .agg(sum(element_at(typedlit(w.toIndexedSeq), col("_b") + 1))
-        .as("log_score"),
-        count(lit(1)).as("n_grams"))
+    scoreWith(corpus, idCol, textCol, buckets, typedlit(w.toIndexedSeq),
+      "log_score")
   }
 
   /** The paper's resampling selection: top-k of `log_score/temperature

@@ -495,10 +495,12 @@ object MixQueries {
     // gated form uses centered FIXED-POINT likelihood-ratio weights
     // (floor of one pinned-association double expression; per-doc
     // scores are integer sums, so summation order cannot matter —
-    // Selection.scala documents the contract; dsirLogScores is the
-    // libm production twin). Scale shape: one B-key map-side-combined
-    // histogram agg + a map-only literal-array scoring fold + a
-    // TakeOrdered — the corpus never joins or shuffles.
+    // Selection.scala documents the contract; dsirLogScores /
+    // dsirResample are the libm production twins). Scale shape: one
+    // B-key map-side-combined histogram agg + explode/codegen-hash
+    // scoring against the driver-built literal weight array (one
+    // narrow doc-keyed integer agg) + a TakeOrdered — the corpus
+    // never joins and never shuffles wide.
     "dsir_select" -> QueryDef(
       (s, dir) => {
         graft.ops.Selection.dsirSelect(table(s, dir, "documents"),
