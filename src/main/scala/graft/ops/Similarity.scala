@@ -693,12 +693,18 @@ object Similarity {
       norm(col("_v")).as("xn"), col("cell"), col("_rk").as("x_rk"))
     val y = a.select(col("_id").as("y_id"), col("_v").as("yv"),
       norm(col("_v")).as("yn"), col("cell"), col("_rk").as("y_rk"))
-    // cell-keyed equi-join; map-side-combined best-ranked dominator
+    // cell-keyed equi-join; map-side-combined best-ranked dominator.
+    // The min_by key is the SINGLE _rk column, not a struct: _rk is
+    // unique inside a cell (row_number in farthest mode, the id itself
+    // in earliest mode) so no tie-break is needed, and a struct-keyed
+    // min_by is not hash-aggregable — Spark silently falls back to
+    // SortAggregate over the FULL pair frame (the keepBest lesson;
+    // PlanSpec pins the hash form here too).
     val dom = x.join(y, Seq("cell"))
       .filter(col("y_rk") < col("x_rk") &&
         dot(col("xv"), col("yv")) / (col("xn") * col("yn")) >= tau)
       .groupBy(col("x_id").as("_id"))
-      .agg(min_by(col("y_id"), struct(col("y_rk"), col("y_id"))).as("_dup"))
+      .agg(min_by(col("y_id"), col("y_rk")).as("_dup"))
     val out = a.join(dom, Seq("_id"), "left")
       .select(col("_id").as(idCol), col("cell"),
         coalesce(col("_dup"), lit(-1L)).as("dup_of"),

@@ -341,4 +341,40 @@ class PlanSpec extends SparkSpec {
       s"candidate scan reads the heavy array columns: $cols")
     assert(cols.contains("doc_id") && cols.contains("bands"), cols)
   }
+
+  test("dsir scoring: one narrow doc-keyed exchange, hash agg, no join") {
+    // the scale contract of Selection.dsirScores (PLANS r19): after the
+    // bounded histogram pass, scoring is explode + the codegen'd bucket
+    // hash + ONE map-side-combined integer agg against the literal
+    // weight array — the corpus must never join, never sort-aggregate,
+    // and never shuffle more than one (id, long, long) row per doc
+    import org.apache.spark.sql.functions.col
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val p = graft.ops.Selection.dsirScores(docs,
+      col("lang") === "en", "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), "the scoring pass must not join")
+  }
+
+  test("dedup_semantic: cached assignment reused, dominator agg stays hash") {
+    // two r19 plan fixes pinned: (1) the assigned frame is cached and
+    // CONSUMED through InMemoryTableScan by both pair-join sides and
+    // the verdict join — uncached, the centroid-assignment pass (a
+    // full corpus scan + scoring) ran 3x; (2) the dominated-victim agg
+    // keys min_by on the SINGLE _rk column — a struct key is not
+    // hash-aggregable and silently sort-aggregated the FULL pair frame
+    // (the keepBest lesson). The remaining SortAggregates belong to
+    // assignCells' max_by(struct) — the ANN-family shape, paid once
+    // behind the cache.
+    val p = plan("dedup_semantic")
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 3, s"assigned frame must be read from cache, got $scans:\n$p")
+    assert(p.contains("HashAggregate"),
+      "dominator min_by must hash-aggregate — struct keys sort-aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must meet on the cell key, never all-pairs")
+  }
 }
