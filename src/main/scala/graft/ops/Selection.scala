@@ -194,6 +194,54 @@ object Selection {
       "log_score")
   }
 
+  /** The weight table as a persistable DataFrame — DENSE: one row per
+    * bucket in [0, buckets), unseen buckets carrying the smoothed
+    * default, so the table is self-contained (no side-channel totals
+    * needed to apply it). This is the train-once/apply-forever seam:
+    * fit on the reference corpus, write the ≤65536-row table next to
+    * the release manifest, and score every future increment or stream
+    * micro-batch against it with [[scoreAgainst]] — incremental
+    * admission decisions stay stable because the weights are frozen,
+    * the same contract the IVF store keeps for its coarse quantizer. */
+  def fitWeights(corpus: DataFrame, targetPred: Column, textCol: String,
+      buckets: Int = 1024, scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in [1, 65536] — the md5 slice is 16-bit (got $buckets)")
+    require(scale > 0, s"scale must be positive (got $scale)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    weightArray(corpus, targetPred, textCol, buckets, scale)
+      .zipWithIndex.map { case (w, b) => (b, w) }
+      .toDF("bucket", "w")
+  }
+
+  /** Score `df` against a FROZEN [[fitWeights]] table (any frame with
+    * dense (bucket, w) rows — typically read back from storage). The
+    * table is bounded metadata: collected and re-shipped as the same
+    * literal array the fit-time scorer uses, so a corpus scored via
+    * fit-then-apply equals [[dsirScores]] exactly (spec-pinned), and
+    * new data never shifts old scores. */
+  def scoreAgainst(df: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, scoreName: String = "score"): DataFrame = {
+    val rows = weights.select(col("bucket").cast("int"),
+      col("w").cast("long")).collect() // ≤65536 rows: bounded by contract
+    val buckets = rows.length
+    require(buckets > 0 && buckets <= 65536,
+      s"weights table must have 1..65536 dense rows (got $buckets)")
+    val warr = Array.ofDim[Long](buckets)
+    val seen = Array.ofDim[Boolean](buckets)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < buckets,
+        s"weights table is not dense: bucket $b outside [0, $buckets)")
+      warr(b) = r.getLong(1); seen(b) = true
+    }
+    require(seen.forall(identity),
+      "weights table is not dense: missing buckets")
+    scoreWith(df, idCol, textCol, buckets,
+      typedlit(warr.toIndexedSeq), scoreName)
+  }
+
   /** The paper's resampling selection: top-k of `log_score/temperature
     * + Gumbel(id)` — sampling-without-replacement ∝ w^(1/T) by the
     * Gumbel-top-k identity, with the noise derived from the md5 hash

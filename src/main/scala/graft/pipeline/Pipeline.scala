@@ -191,6 +191,44 @@ object Pipeline {
       df.join(sel.select(col(id), col("score"), col("n_grams"), col("rank")),
         Seq(id))
     }),
+    // fit the DSIR weight table on THIS frame and persist it (EAGER —
+    // the bounded ≤buckets-row table is written when the stage builds,
+    // the expect-stage pattern); the frame passes through unchanged.
+    // Pairs with dsir_score's weightsPath: train once on the reference
+    // corpus, apply frozen to every later increment.
+    "dsir_fit" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val tv = c.get("targetValue")
+      val pred = col(c.get("targetCol").asText()) ===
+        (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+      graft.ops.Selection.fitWeights(df, pred, c.get("textCol").asText(),
+        buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(c.get("path").asText())
+      df
+    }),
+    // score every row, preserving the frame (no selection — downstream
+    // stages threshold or mix on the score). Either re-fits on this
+    // frame (targetCol/targetValue) or applies a FROZEN stored table
+    // (weightsPath — the incremental deployment shape).
+    "dsir_score" -> (c => df => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val id = c.get("idCol").asText()
+      val text = c.get("textCol").asText()
+      val scored =
+        if (c.has("weightsPath"))
+          graft.ops.Selection.scoreAgainst(df,
+            df.sparkSession.read.parquet(c.get("weightsPath").asText()),
+            id, text)
+        else {
+          val tv = c.get("targetValue")
+          val pred = col(c.get("targetCol").asText()) ===
+            (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+          graft.ops.Selection.dsirScores(df, pred, id, text,
+            buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
+        }
+      df.join(scored, Seq(id))
+    }),
     // SemDeDup (Similarity.semDedup): semantic dedup by embedding
     // cluster — drops every row with an earlier same-cell mate at
     // cosine >= tau. Filters to the keepers, preserving the input

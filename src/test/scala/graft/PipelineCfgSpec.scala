@@ -542,6 +542,45 @@ class PipelineCfgSpec extends SparkSpec {
     assert(viaCfg == viaCode)
   }
 
+  test("dsir_fit then dsir_score(weightsPath) equals the refit form — frozen-weights chain") {
+    val docs = graft.source.Changelog.table(spark, sf, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir-fit")
+    try {
+      // train: fit + persist the weight table (frame passes through)
+      val fitted = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "dsir_fit", "textCol": "text", "targetCol": "lang",
+           "targetValue": "en", "path": "$tmp/weights.parquet"}
+        ],
+        "sink": {"type": "noop"}
+      }""")
+      assert(fitted.columns.toSet == docs.columns.toSet)
+      assert(spark.read.parquet(s"$tmp/weights.parquet").count() == 1024)
+      // apply: score against the FROZEN table; equals the refit form
+      // on the same corpus (scoreAgainst identity, through the config)
+      val viaStore = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "dsir_score", "idCol": "doc_id", "textCol": "text",
+           "weightsPath": "$tmp/weights.parquet"}
+        ],
+        "sink": {"type": "noop"}
+      }""").select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaRefit = graft.pipeline.Pipeline.buildFrame(spark, s"""{
+        "source": {"type": "table", "dir": "$sf", "table": "documents"},
+        "processors": [
+          {"type": "dsir_score", "idCol": "doc_id", "textCol": "text",
+           "targetCol": "lang", "targetValue": "en"}
+        ],
+        "sink": {"type": "noop"}
+      }""").select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStore == viaRefit && viaStore.size == 500)
+    } finally graft.queries.Registry.rmTree(tmp.toFile)
+  }
+
   test("semantic_dedup stage filters to keepers, preserving the frame") {
     val vecs = graft.source.Changelog.table(spark, sf, "embeddings")
     val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{
@@ -575,7 +614,7 @@ class PipelineCfgSpec extends SparkSpec {
       "decontaminate", "decontaminate_fuzzy", "mix_rate", "mix_temperature", "mix_weight",
       "mix_epochs", "mix_budget", "cap_per_key", "sample_exact",
       "sample_exact_strata", "split", "split_safe", "near_dup_clusters",
-      "dsir_select", "semantic_dedup",
+      "dsir_select", "dsir_fit", "dsir_score", "semantic_dedup",
       "pack", "pack_audit",
       "zorder",
       "global_shuffle", "expect", "quality_report",

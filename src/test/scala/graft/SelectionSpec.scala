@@ -192,6 +192,37 @@ class SelectionSpec extends SparkSpec {
     assert(early == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("fitWeights/scoreAgainst: dense table, fit-then-apply equals dsirScores, frozen under new data") {
+    val w = Selection.fitWeights(corpus, col("kind") === "tgt", "text",
+      buckets = 256)
+    assert(w.count() == 256)
+    assert(w.select("bucket").distinct().count() == 256)
+    // identity: scoring the training corpus against its own fitted
+    // table reproduces dsirScores exactly
+    val applied = Selection.scoreAgainst(corpus, w, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val direct = Selection.dsirScores(corpus, col("kind") === "tgt",
+      "doc_id", "text", buckets = 256)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(applied == direct)
+    // frozen: scoring NEW docs against the stored table does not move
+    // old scores (the incremental-admission contract) — and a pure
+    // target-vocab newcomer scores positive without any refit
+    val newDocs = Seq((100L, rep("alpha beta gamma alpha beta")),
+      (101L, rep("zeta eta theta iota kappa"))).toDF("doc_id", "text")
+    val scoredNew = Selection.scoreAgainst(newDocs, w, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(scoredNew(100L) > 0 && scoredNew(101L) < 0)
+    val appliedAgain = Selection.scoreAgainst(corpus, w, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(appliedAgain == applied)
+    // non-dense tables fail loudly
+    intercept[IllegalArgumentException] {
+      Selection.scoreAgainst(newDocs, w.filter(col("bucket") =!= 7),
+        "doc_id", "text").collect()
+    }
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
