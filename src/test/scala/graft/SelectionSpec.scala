@@ -223,6 +223,29 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("semDedup's assignment cache is registered and freed by GraphBlocks.release") {
+    // the ADVICE r18 leak pattern, closed for the new op: the assigned
+    // frame's DF cache lives in the CacheManager (never freed on frame
+    // drop); the returned frame must carry a GraphBlocks registration
+    // so repeated invocations in one session do not accumulate blocks
+    // clean slate: earlier tests' frames may be GC'd already (registry
+    // keys are weak), leaving CacheManager entries only clearCache can
+    // sweep — the Verify/probe harnesses run exactly this pair between
+    // queries
+    graft.ops.GraphBlocks.releaseAll()
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val vs = vecsDf((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.1)))
+    val out = Similarity.semDedup(vs, tau = 0.9, cells = 1)
+    out.count() // materialize: caller done with the frame
+    assert(graft.ops.GraphBlocks.registered >= 1)
+    assert(!cm.isEmpty, "expected the assignment cache to be live")
+    graft.ops.GraphBlocks.release(out)
+    assert(cm.isEmpty, "assignment cache survived release")
+    assert(out != null) // hold the frame: registry keys are weak
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
