@@ -54,11 +54,43 @@ object GraphBlocks {
   private val regCached = new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]()
 
   private[graft] def register(df: DataFrame, rdds: Seq[RDD[_]]): DataFrame =
-    synchronized { reg.put(df, rdds); df }
+    synchronized { reg.put(df, rdds); notePin(df); df }
 
   private[graft] def registerCached(df: DataFrame,
       cached: Seq[DataFrame]): DataFrame =
-    synchronized { regCached.put(df, cached); df }
+    synchronized { regCached.put(df, cached); notePin(df); df }
+
+  // STRONG retention scopes (per-thread): the weak registry alone
+  // cannot free a DataFrame cache whose registered frame was dropped
+  // inside a stage lambda — when the frame is GC'd the WeakHashMap
+  // entry (key AND cached-frame value) clears, but the CacheManager
+  // entry survives, reclaimable only via a global clearCache (ADVICE
+  // r19: semantic_dedup / decontaminate_fuzzy in long multi-stage
+  // pipeline runs). A scope pins every frame registered on this thread
+  // until the scope closes (after the sink materializes), then releases
+  // them all. Nested scopes stack; registration outside any scope keeps
+  // the pure weak-key contract.
+  private val scopes = new ThreadLocal[List[scala.collection.mutable.ListBuffer[DataFrame]]] {
+    override def initialValue: List[scala.collection.mutable.ListBuffer[DataFrame]] = Nil
+  }
+
+  private def notePin(df: DataFrame): Unit =
+    scopes.get().headOption.foreach(_ += df)
+
+  /** Run `body` under a strong retention scope: frames registered by
+    * ops on THIS thread during `body` stay strongly referenced until
+    * `body` completes, then are released (caches unpersisted). Wrap a
+    * whole source→stages→sink pipeline run so intermediate barrier
+    * caches free deterministically once the sink has materialized. */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    scopes.set(buf :: scopes.get()) // ThreadLocal: thread-confined, no lock
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(release)
+    }
+  }
 
   /** Unpersist the blocks backing `df` (a frame returned by an
     * iterative op). Safe after the caller has materialized or written

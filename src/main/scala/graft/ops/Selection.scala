@@ -222,9 +222,20 @@ object Selection {
     * fit-then-apply equals [[dsirScores]] exactly (spec-pinned), and
     * new data never shifts old scores. */
   def scoreAgainst(df: DataFrame, weights: DataFrame, idCol: String,
-      textCol: String, scoreName: String = "score"): DataFrame = {
+      textCol: String, scoreName: String = "score"): DataFrame =
+    frozenScorer(weights, idCol, textCol, scoreName)(df)
+
+  /** The reusable half of [[scoreAgainst]]: validate and collect the
+    * frozen weights table ONCE, return a per-frame scoring function —
+    * the streaming form, where one collect at query construction scores
+    * every micro-batch (collecting per batch would re-read the table on
+    * each trigger). The collect is pre-bounded to the contract maximum
+    * + 1 row, so a wrong weightsPath (an accidentally-huge frame) fails
+    * the require without first being pulled to the driver in full. */
+  def frozenScorer(weights: DataFrame, idCol: String, textCol: String,
+      scoreName: String = "score"): DataFrame => DataFrame = {
     val rows = weights.select(col("bucket").cast("int"),
-      col("w").cast("long")).collect() // ≤65536 rows: bounded by contract
+      col("w").cast("long")).limit(65537).collect()
     val buckets = rows.length
     require(buckets > 0 && buckets <= 65536,
       s"weights table must have 1..65536 dense rows (got $buckets)")
@@ -238,8 +249,8 @@ object Selection {
     }
     require(seen.forall(identity),
       "weights table is not dense: missing buckets")
-    scoreWith(df, idCol, textCol, buckets,
-      typedlit(warr.toIndexedSeq), scoreName)
+    val lit = typedlit(warr.toIndexedSeq)
+    df => scoreWith(df, idCol, textCol, buckets, lit, scoreName)
   }
 
   /** The paper's resampling selection: top-k of `log_score/temperature

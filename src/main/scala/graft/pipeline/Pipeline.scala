@@ -35,6 +35,19 @@ object Pipeline {
   private def strMap(n: JsonNode): Map[String, String] =
     n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
 
+  /** JSON scalar → typed Column literal, by the node's OWN type. The
+    * dsir_* stages' first cut read every numeric with asLong(), which
+    * silently floors a fractional targetValue (1.5 matched rows equal
+    * to 1) and never matches a boolean column (asText fallthrough) —
+    * the target predicate must fail loudly or compare typed. */
+  private def litOf(tv: JsonNode): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (tv.isIntegralNumber) lit(tv.asLong())
+    else if (tv.isFloatingPointNumber) lit(tv.asDouble())
+    else if (tv.isBoolean) lit(tv.asBoolean())
+    else lit(tv.asText())
+  }
+
   /** Shared rule parser for the `expect` (fail-loud) and
     * `quality_report` (audit-row) stages. */
   private def parseRules(rules: JsonNode): Seq[graft.ops.Validate.Expectation] = {
@@ -178,13 +191,14 @@ object Pipeline {
     // k docs whose hashed-n-gram evidence best matches the target
     // exemplars (rows where targetCol = targetValue). The selected
     // frame KEEPS the input columns (score/n_grams/rank joined on);
-    // downstream stages still see the text.
+    // downstream stages still see the text. EAGER at build time, like
+    // dsir_fit: dsirSelect's top-k is a TakeOrdered collect, so the two
+    // corpus scans (histogram + scoring) run when the stage BUILDS,
+    // even if the caller only inspects the assembled frame's schema.
     "dsir_select" -> (c => df => {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.col
       val id = c.get("idCol").asText()
-      val tv = c.get("targetValue")
-      val pred = col(c.get("targetCol").asText()) ===
-        (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+      val pred = col(c.get("targetCol").asText()) === litOf(c.get("targetValue"))
       val sel = graft.ops.Selection.dsirSelect(df, pred, id,
         c.get("textCol").asText(), k = c.get("k").asInt(),
         buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
@@ -197,10 +211,8 @@ object Pipeline {
     // Pairs with dsir_score's weightsPath: train once on the reference
     // corpus, apply frozen to every later increment.
     "dsir_fit" -> (c => df => {
-      import org.apache.spark.sql.functions.{col, lit}
-      val tv = c.get("targetValue")
-      val pred = col(c.get("targetCol").asText()) ===
-        (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+      import org.apache.spark.sql.functions.col
+      val pred = col(c.get("targetCol").asText()) === litOf(c.get("targetValue"))
       graft.ops.Selection.fitWeights(df, pred, c.get("textCol").asText(),
         buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
         .coalesce(1).write.mode("overwrite")
@@ -212,7 +224,7 @@ object Pipeline {
     // frame (targetCol/targetValue) or applies a FROZEN stored table
     // (weightsPath — the incremental deployment shape).
     "dsir_score" -> (c => df => {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.col
       val id = c.get("idCol").asText()
       val text = c.get("textCol").asText()
       val scored =
@@ -221,9 +233,7 @@ object Pipeline {
             df.sparkSession.read.parquet(c.get("weightsPath").asText()),
             id, text)
         else {
-          val tv = c.get("targetValue")
-          val pred = col(c.get("targetCol").asText()) ===
-            (if (tv.isNumber) lit(tv.asLong()) else lit(tv.asText()))
+          val pred = col(c.get("targetCol").asText()) === litOf(c.get("targetValue"))
           graft.ops.Selection.dsirScores(df, pred, id, text,
             buckets = if (c.has("buckets")) c.get("buckets").asInt() else 1024)
         }
@@ -570,8 +580,15 @@ object Pipeline {
   /** Build and run a full pipeline from a JSON config string. */
   def run(spark: SparkSession, json: String): Unit = {
     val cfg = new ObjectMapper().readTree(json)
-    val df = stages(cfg)(source(spark, cfg.get("source")))
-    sink(cfg.get("sink"))(df)
+    // strong retention scope: stages that drop a GraphBlocks-registered
+    // frame inside their lambda (semantic_dedup, decontaminate_fuzzy)
+    // would otherwise leak their barrier caches for the session's life —
+    // the weak registry can't release a cache whose frame was GC'd
+    // (ADVICE r19). Released right after the sink materializes.
+    graft.ops.GraphBlocks.scoped {
+      val df = stages(cfg)(source(spark, cfg.get("source")))
+      sink(cfg.get("sink"))(df)
+    }
   }
 
   /** Streaming pipeline: `events_stream` source → stateless processors →

@@ -581,6 +581,56 @@ class PipelineCfgSpec extends SparkSpec {
     } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
+  test("dsir targetValue keeps its JSON type: fractional and boolean targets match typed columns") {
+    // r19 ADVICE: asLong() on every numeric floored 1.5 -> 1 (the
+    // target predicate silently matched the wrong rows) and a boolean
+    // targetValue fell through to asText and never matched. The stage
+    // must compare with a literal of the node's own type.
+    import spark.implicits._
+    val rep = Seq.fill(60)("alpha beta gamma").mkString(" ")
+    val rap = Seq.fill(60)("zeta eta theta").mkString(" ")
+    val docs = Seq((1L, rep, 1.5, true), (2L, rap, 0.5, false),
+      (3L, rep, 1.5, true), (4L, rap, 0.5, false))
+      .toDF("doc_id", "text", "q", "flag")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def scored(cfgJson: String) =
+      graft.pipeline.Pipeline.processorRegistry("dsir_score")(
+        om.readTree(cfgJson))(docs)
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFrac = scored("""{"idCol": "doc_id", "textCol": "text",
+      "targetCol": "q", "targetValue": 1.5, "buckets": 64}""")
+    val viaBool = scored("""{"idCol": "doc_id", "textCol": "text",
+      "targetCol": "flag", "targetValue": true, "buckets": 64}""")
+    val want = graft.ops.Selection.dsirScores(docs, col("q") === lit(1.5),
+      "doc_id", "text", buckets = 64)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFrac == want, "fractional targetValue must not floor")
+    assert(viaBool == want, "boolean targetValue must compare as boolean")
+    // the sign structure proves the target was actually matched: the
+    // exemplar-vocab docs score positive, the disjoint-vocab docs
+    // negative (a never-matching predicate scores everything equal)
+    assert(want(1L) > 0 && want(2L) < 0)
+  }
+
+  test("Pipeline.run releases semantic_dedup's barrier cache after the sink (r19 ADVICE)") {
+    graft.ops.GraphBlocks.releaseAll()
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    graft.pipeline.Pipeline.run(spark, s"""{
+      "source": {"type": "table", "dir": "$sf", "table": "embeddings"},
+      "processors": [
+        {"type": "semantic_dedup", "idCol": "vec_id", "vecCol": "embedding",
+         "tau": 0.4, "cells": 8, "portableSeeding": true}
+      ],
+      "sink": {"type": "noop"}
+    }""")
+    assert(cm.isEmpty,
+      "the run-scope must unpersist the stage's dropped barrier cache")
+    assert(graft.ops.GraphBlocks.registered == 0)
+  }
+
   test("semantic_dedup stage filters to keepers, preserving the frame") {
     val vecs = graft.source.Changelog.table(spark, sf, "embeddings")
     val frame = graft.pipeline.Pipeline.buildFrame(spark, s"""{

@@ -246,6 +246,39 @@ class SelectionSpec extends SparkSpec {
     assert(out != null) // hold the frame: registry keys are weak
   }
 
+  test("GraphBlocks.scoped releases frames dropped inside the scope (the pipeline-run lifecycle)") {
+    // the r19 ADVICE residue: a stage lambda that drops its registered
+    // frame (semantic_dedup keeps only the keeper ids) leaves the
+    // assignment cache reclaimable ONLY via global clearCache once the
+    // frame is GC'd — the weak registry entry clears key AND value.
+    // A scope pins registrations strongly and releases on exit, so the
+    // cache frees deterministically with no caller-held reference.
+    graft.ops.GraphBlocks.releaseAll()
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    graft.ops.GraphBlocks.scoped {
+      val out = Similarity.semDedup(
+        vecsDf((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 0.1))),
+        tau = 0.9, cells = 1)
+      out.count() // materialize, then DROP the frame inside the scope
+      assert(!cm.isEmpty, "expected the assignment cache to be live")
+    }
+    assert(cm.isEmpty, "scoped exit must unpersist the barrier cache")
+    assert(graft.ops.GraphBlocks.registered == 0)
+  }
+
+  test("frozenScorer rejects an oversized weights table without a full collect") {
+    // a wrong weightsPath (e.g. a corpus parquet) must fail the dense-
+    // table require — and the collect behind it is pre-bounded to
+    // 65537 rows, so the failure costs bounded driver memory
+    val big = spark.range(0, 70000L)
+      .select(col("id").cast("int").as("bucket"), lit(1L).as("w"))
+    val e = intercept[IllegalArgumentException] {
+      Selection.frozenScorer(big, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("65536"))
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
