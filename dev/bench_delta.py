@@ -37,10 +37,19 @@ import sys, json, os, subprocess
 FLOOR = 0.15  # ignore <15% moves outright: below rep-to-rep noise floor
 
 
+def norms_of(d):
+    """The per-query normalized series of a bench dict: the r20+ BASKET
+    normalization when stamped (median of five heterogeneous probe
+    ratios — robust to a wandering element), else the legacy single-
+    query anchor norm (r19 watched that anchor drift 2.2x across runs
+    and invert the suite story)."""
+    return d.get("queries_basket") or d.get("queries_norm")
+
+
 def parse_bench_stdout(txt):
-    """queries_norm-carrying dict from raw Bench stdout (any line shape).
-    sbt wraps forked stdout as "[info] {...}" — strip the logger prefix
-    (the r19 --isolate runs all parsed as empty without this)."""
+    """normalized-series-carrying dict from raw Bench stdout (any line
+    shape). sbt wraps forked stdout as "[info] {...}" — strip the logger
+    prefix (the r19 --isolate runs all parsed as empty without this)."""
     best = None
     for line in txt.splitlines():
         line = line.strip()
@@ -52,7 +61,7 @@ def parse_bench_stdout(txt):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if isinstance(d, dict) and "queries_norm" in d:
+        if isinstance(d, dict) and norms_of(d):
             best = d
     return best
 
@@ -79,7 +88,7 @@ def isolate(queries, sf, k):
                   file=sys.stderr)
             continue
         for q in queries:
-            v = d.get("queries_norm", {}).get(q)
+            v = (norms_of(d) or {}).get(q)
             if v is not None:
                 norms[q].append(v)
     return norms
@@ -116,7 +125,7 @@ def load(p):
             if isinstance(d, dict):
                 cands.append(d)
     for d in cands:
-        if "queries_norm" in d:
+        if norms_of(d):
             return d
     if not cands:
         sys.exit(f"{p}: no parseable bench JSON found")
@@ -124,10 +133,18 @@ def load(p):
 
 
 def classify(old, new):
-    """Median-centered, spread-arbitrated per-query verdicts."""
-    on, nn = old.get("queries_norm"), new.get("queries_norm")
+    """Median-centered, spread-arbitrated per-query verdicts. Prefers
+    the basket series when BOTH sides carry it; a basket-vs-anchor mix
+    falls back to the anchor series each side is guaranteed to have
+    (the median-centering cancels any uniform normalizer difference,
+    but mixing normalizers WITHIN one comparison would not)."""
+    if old.get("queries_basket") and new.get("queries_basket"):
+        on, nn = old["queries_basket"], new["queries_basket"]
+    else:
+        on, nn = old.get("queries_norm"), new.get("queries_norm")
     if not on or not nn:
-        sys.exit("both artifacts need queries_norm (anchored full-suite runs)")
+        sys.exit("both artifacts need queries_basket/queries_norm "
+                 "(calibrated full-suite runs)")
     spread = new.get("queries_spread", {})
     shared = [q for q in sorted(set(on) & set(nn)) if on[q] > 0]
     raw = {q: nn[q] / on[q] for q in shared}
@@ -206,6 +223,9 @@ def main():
     art = {"old": os.path.basename(old_p), "new": os.path.basename(new_p),
            "old_commit": old.get("commit"), "new_commit": new.get("commit"),
            "anchor_old": old.get("anchor_min"), "anchor_new": new.get("anchor_min"),
+           "basket_old": old.get("basket_scale"), "basket_new": new.get("basket_scale"),
+           "normalizer": ("basket" if old.get("queries_basket")
+                          and new.get("queries_basket") else "anchor"),
            "median_raw_ratio": round(med, 3),
            "n_compared": len(rows), "n_regressions": len(regs),
            "n_improvements": len(imps), "rows": rows,

@@ -37,7 +37,12 @@ object Bench {
     * drift on three untouched queries that the within-run median/min
     * guard cannot flag (ambient load inflates every rep alike). The
     * anchor's min is that cross-run control: if it drifts, the run's
-    * absolute numbers are inflated by the environment, not the code. */
+    * absolute numbers are inflated by the environment, not the code.
+    * KEPT for artifact continuity, but the headline normalizer is the
+    * BASKET below — r19 watched this single number wander 0.239→0.521
+    * across runs (+20% within ONE run), turning a 12%-faster suite into
+    * a phantom 57% driver-facing regression. One probe point cannot
+    * calibrate a 150-query suite. */
   private def anchorMin(cpus: String): Double = {
     val spark = newSession(cpus)
     import org.apache.spark.sql.functions._
@@ -53,6 +58,82 @@ object Bench {
     val m = (1 to 3).map(_ => runOne()).min
     spark.stop()
     m
+  }
+
+  /** Calibration BASKET (r19 verdict): five heterogeneous cheap probes
+    * — codegen scan+filter, hash-agg shuffle, sort-merge join, window,
+    * and a real parquet scan of the fixture — each normalized by a
+    * PINNED per-element reference time and reduced by the MEDIAN of
+    * the five ratios. The median of five near-1 ratios tolerates two
+    * ambient outliers; the single anchor tolerated none. Measured at
+    * START / MIDDLE / END of the suite (per-element min across the
+    * three checkpoints = this run's machine floor), so a load burst in
+    * one phase of the run cannot poison the whole normalization. */
+  private val basketRefs: Seq[(String, Double)] = Seq(
+    // reference seconds pinned on the round-20 build box (sf0.1). The
+    // absolute values are ARBITRARY fixed units — they cancel in any
+    // cross-run ratio; they only center each element's ratio near 1 so
+    // the median mixes all five elements instead of electing one.
+    "scan_filter" -> 0.06,
+    "hash_agg" -> 0.31,
+    "shuffle_join" -> 0.49,
+    "window" -> 0.56,
+    "parquet_scan" -> 0.14)
+
+  private def basketElems(spark: SparkSession, sfDir: String)
+      : Seq[(String, () => Unit)] = {
+    import org.apache.spark.sql.functions._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    Seq(
+      "scan_filter" -> (() => noop(
+        spark.range(0, 80000000L, 1, 32)
+          .filter((col("id") % 7) === 3).select(col("id") * 3))),
+      "hash_agg" -> (() => noop(
+        spark.range(0, 40000000L, 1, 32)
+          .select((col("id") % 9973).as("k"), col("id").as("v"))
+          .groupBy("k").agg(sum("v")))),
+      "shuffle_join" -> (() => noop(
+        spark.range(0, 4000000L, 1, 32)
+          .select((col("id") % 1000000).as("k"), col("id").as("a"))
+          .join(spark.range(0, 1000000L, 1, 32).select(col("id").as("k"),
+            (col("id") * 2).as("b")), "k"))),
+      "window" -> (() => noop(
+        spark.range(0, 8000000L, 1, 32)
+          .select((col("id") % 65536).as("k"), col("id").as("v"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("k").orderBy("v"))))),
+      "parquet_scan" -> (() => noop(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(sum(col("l_quantity")), count(lit(1))))))
+  }
+
+  /** One basket checkpoint: each element warmed once, min of 3 timed
+    * runs, all in ONE fresh session. ~15 s per checkpoint. */
+  private def basketPoint(cpus: String, sfDir: String): Map[String, Double] = {
+    val spark = newSession(cpus)
+    val out = basketElems(spark, sfDir).map { case (name, run) =>
+      run() // JIT/codegen warmup, unmeasured
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }.toMap
+    spark.stop()
+    out
+  }
+
+  /** Median of the five floor/reference ratios — the run's machine-
+    * speed unit. `points` = the per-checkpoint element times. */
+  private def basketScale(points: Seq[Map[String, Double]]): Double = {
+    val ratios = basketRefs.flatMap { case (name, ref) =>
+      val vals = points.flatMap(_.get(name))
+      if (vals.isEmpty) None else Some(vals.min / ref)
+    }.sorted
+    if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
   }
 
   /** The commit the numbers were measured at (+ "-dirty" when the
@@ -120,7 +201,12 @@ object Bench {
     val anchor = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR")
       .map(_ == "1").getOrElse(only.isEmpty)
     val anchorStart = if (anchor) anchorMin(cpus) else -1.0
-    val results = ordered.flatMap { case (name, d) =>
+    val basketPoints = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    if (anchor) basketPoints += basketPoint(cpus, sfDir)
+    val middleAt = ordered.size / 2
+    val results = ordered.zipWithIndex.flatMap { case ((name, d), qi) =>
+      if (anchor && qi == middleAt && qi > 0)
+        basketPoints += basketPoint(cpus, sfDir)
       val spark = newSession(cpus)
       // A query that THROWS must not record its fast error path as a
       // legitimate timing (a regression would read as a dramatic
@@ -210,6 +296,8 @@ object Bench {
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
     val anchorEnd = if (anchor) anchorMin(cpus) else -1.0
+    if (anchor) basketPoints += basketPoint(cpus, sfDir)
+    val bScale = basketScale(basketPoints.toSeq)
     // The one baseline-transferable number (BASELINE.md): the reference's
     // batch apply sustains ~130K events/s; compare p8_compact's min-rep
     // throughput at this SF. baseline_ratio = our_time / baseline_time —
@@ -237,6 +325,23 @@ object Bench {
       s""""anchor_min":$anchorRef,"queries_norm":$qn,""" +
         f""""total_min_norm":${totalMin / anchorRef}%.2f,"""
     } else ""
+    // BASKET normalization (the r20 headline normalizer — see
+    // basketRefs): per-query min / basket_scale, plus the raw per-
+    // checkpoint element times so a wandering element is attributable
+    // from the artifact alone (the r19 anchor's failure mode).
+    val basketJson = if (bScale > 0) {
+      val qb = results.map { case (k, (_, mn, _)) =>
+        "\"" + k + "\":" + f"${mn / bScale}%.3f" }.mkString("{", ",", "}")
+      val pts = basketPoints.zipWithIndex.map { case (p, i) =>
+        val label = if (i == 0) "start"
+          else if (i == basketPoints.length - 1) "end" else s"mid$i"
+        "\"" + label + "\":" + p.toSeq.sortBy(_._1).map { case (e, v) =>
+          "\"" + e + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      f""""basket_scale":$bScale%.4f,"queries_basket":$qb,""" +
+        f""""total_min_basket":${totalMin / bScale}%.2f,""" +
+        s""""basket_points":$pts,"""
+    } else ""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val phasesJson = phases.toSeq.sortBy(_._1).map { case (q, ps) =>
@@ -254,20 +359,37 @@ object Bench {
     // dev/bench_delta.py accepts any of the shapes.
     val normHead = if (anchorRef > 0)
       f""""total_min_norm":${totalMin / anchorRef}%.2f,""" else ""
+    val basketHead = if (bScale > 0)
+      f""""basket_scale":$bScale%.4f,"total_min_basket":${totalMin / bScale}%.2f,"""
+      else ""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_min":$totalMin,"n_queries":${results.size},""" +
       s""""anchor_min":$anchorRef,"commit":"$commitSha",""" +
-      normHead + baselineJson +
+      normHead + basketHead + baselineJson +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
-    println(headline)
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,""" +
+    val detail =
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_spread":$qsSpread,""" +
       s""""total_min":$totalMin,"noisy":$noisyJson,""" +
       s""""phases":$phasesJson,"anchor_min_start":$anchorStart,""" +
       s""""anchor_min_end":$anchorEnd,"commit":"$commitSha",""" +
-      normJson + baselineJson +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+      normJson + basketJson + baselineJson +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(headline)
+    println(detail)
+    println(headline)
+    // Sidecar artifact (r19 verdict): sbt appends its own "[success]
+    // Total time …" trailer after the last [info] line, so a literal-
+    // last-line parser on captured stdout still misses the headline —
+    // two rounds of BENCH_r{N}.json carried `parsed: null`. The file is
+    // unambiguous: headline first, full detail second.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_headline.json"),
+        headline + "\n" + detail + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     if (failed.nonEmpty) sys.exit(1)
   }
 }
