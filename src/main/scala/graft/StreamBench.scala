@@ -42,6 +42,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("dsv2")) { runDsv2(spark, sfDir); spark.stop(); return }
+    if (args.contains("dsir")) { runDsir(spark, sfDir); spark.stop(); return }
     if (args.contains("delta")) { runDeltaVsMerge(spark, sfDir); spark.stop(); return }
     if (args.contains("funnel")) { runFunnel(spark, sfDir); spark.stop(); return }
     val jdbcMode = args.contains("jdbc")
@@ -99,6 +100,49 @@ object StreamBench {
       s""""unit":"events/sec","sink":"$mode","events":$events,"secs":$secs,""" +
       s""""state_rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Frozen-weights streaming selection (stream_dsir's task shape) at
+    * bench scale: fit the weight table once on the corpus, drain the
+    * corpus as 6 doc_id-range slices through the dsir_admit sink, and
+    * cross-check the admitted id set against the one-shot batch
+    * scoring — they must be EQUAL (frozen weights make per-doc scores
+    * batch-independent; what this probe exercises is that trigger
+    * boundaries, checkpointing, and the append feed preserve that).
+    * Reports docs/sec and the PhaseClock drain/apply split. */
+  private def runDsir(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-dsir")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDocs = docs.count()
+      graft.ops.Selection.fitWeights(docs, col("lang") === "en", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/weights.parquet")
+      graft.PhaseClock.reset()
+      val t0 = System.nanoTime()
+      graft.pipeline.Pipeline.runStream(spark, s"""{
+        "source": {"type": "documents_stream", "dir": "$sfDir", "slices": 6},
+        "processors": [],
+        "sink": {"type": "dsir_admit", "path": "$tmp/feed",
+                 "checkpoint": "$tmp/ckpt",
+                 "weightsPath": "$tmp/weights.parquet",
+                 "idCol": "doc_id", "textCol": "text", "threshold": 0}
+      }""")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.parquet(s"$tmp/feed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = graft.ops.Selection.dsirScores(docs, col("lang") === "en",
+        "doc_id", "text").filter(col("score") >= 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(admitted == want,
+        s"admitted mismatch: stream=${admitted.size} batch=${want.size}")
+      val ph = graft.PhaseClock.snapshot()
+      println(s"""{"metric":"stream_dsir_docs_per_sec","value":${nDocs / secs},""" +
+        s""""unit":"docs/sec","docs":$nDocs,"secs":$secs,""" +
+        s""""admitted":${admitted.size},""" +
+        s""""apply_secs":${ph.getOrElse("apply", 0.0)},""" +
+        s""""batches":${ph.getOrElse("batches", 0.0).toLong},"sf":"$sfDir"}""")
+    } finally graft.queries.Registry.rmTree(tmp.toFile)
   }
 
   /** The BucketStore/DeltaStore crossover, measured: one sliced drain

@@ -833,6 +833,36 @@ object Pipeline {
         upsertFeed(graft.streaming.ChangeStream.streamingRetention(
           transformed, snk.get("periodNs").asLong()),
           snk.get("path").asText(), ckpt)
+      case "dsir_admit" =>
+        // frozen-weights streaming selection (the DSIR deployment
+        // shape): the weight table was fit ONCE (dsir_fit /
+        // Selection.fitWeights) and is collected HERE, at query
+        // construction — every micro-batch scores map-side against the
+        // same literal array, so admission decisions never move as new
+        // data arrives (the IVF store's frozen-quantizer contract,
+        // applied to selection). Rows at or above `threshold` (the
+        // integer fixed-point score; 0 = "over-represented in the
+        // target") append to a parquet feed with their batch id.
+        val idCol = snk.get("idCol").asText()
+        val scorer = graft.ops.Selection.frozenScorer(
+          spark.read.parquet(snk.get("weightsPath").asText()),
+          idCol, snk.get("textCol").asText())
+        val minScore = snk.get("threshold").asLong()
+        val target = snk.get("path").asText()
+        transformed.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.PhaseClock.count("batches")
+            graft.PhaseClock.time("apply") {
+              import org.apache.spark.sql.functions.{col, lit}
+              scorer(b).filter(col("score") >= minScore)
+                .withColumn("_b", lit(id))
+                .write.mode("append").parquet(target)
+            }
+            ()
+          }
+          .start()
       case "jdbc_apply" =>
         // compacted statements executed against a live JDBC target — the
         // reference's db_batch_sync delivery (idempotent under replay)
@@ -852,7 +882,7 @@ object Pipeline {
         }
       case other => throw new IllegalArgumentException(
         "streaming pipeline needs a parquet_merge, parquet_delta, " +
-          s"jdbc_apply, corpus_admit, span_admit, ivf_append, " +
+          s"jdbc_apply, corpus_admit, span_admit, ivf_append, dsir_admit, " +
           s"funnel_upsert or retention_upsert sink, got $other")
     } }
     // listeners are session-global: scope the alarm to THIS pipeline's

@@ -507,40 +507,94 @@ object MixQueries {
           col("lang") === "en", "doc_id", "text", k = 200, buckets = 1024)
           .orderBy("rank")
       },
-      Some(s"""WITH t AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    list_concat(toks, list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1])) AS grams
-        |  FROM t),
-        |x AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
-        |b AS (SELECT doc_id, lang,
-        |  (
-        |${Registry.md5Slice("gram")}
-        |  ) % 1024 AS bucket FROM x),
-        |tot AS (SELECT CAST(COUNT(*) + 1024 AS DOUBLE) AS rp,
-        |               CAST(COUNT(*) FILTER (lang = 'en') + 1024 AS DOUBLE) AS tp
-        |        FROM b),
-        |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
-        |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
-        |        FROM b WHERE lang = 'en' GROUP BY 1),
-        |w AS (SELECT r.bucket,
-        |        CAST(floor(((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) * rp /
-        |                    ((CAST(rc AS DOUBLE) + 1.0) * tp)) * 1000000.0)
-        |          AS BIGINT) - 1000000 AS w
-        |      FROM raw r LEFT JOIN tgt USING (bucket), tot),
-        |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
-        |             CAST(COUNT(*) AS BIGINT) AS n_grams
-        |      FROM b JOIN w USING (bucket) GROUP BY 1),
+      Some(s"""$dsirScoreCte,
         |r AS (SELECT doc_id, score, n_grams,
         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |      FROM s)
         |SELECT doc_id, score, n_grams, rank FROM r
         |WHERE rank <= 200 ORDER BY rank""".stripMargin)),
 
+    // The frozen-weights DSIR deployment shape END TO END (r19 verdict
+    // item 4): fit the weight table ONCE on the reference corpus
+    // (dsir_fit), then drain the same corpus as 3 doc_id-range
+    // micro-batches through a checkpointed stream whose dsir_admit
+    // sink scores every batch against the FROZEN table and admits
+    // score >= 0 — the recurring-crawl selection task. The oracle is
+    // the batch scoring CTE with the same threshold, exact by
+    // construction: the weights are frozen before the stream starts
+    // and per-doc scores are integer sums independent of batching, so
+    // the 3-batch drain unrolls to one batch score (spec-pinned as
+    // scoreAgainst ≡ dsirScores; the STREAMING claim gated here is
+    // that checkpointing, trigger boundaries, and the append feed
+    // preserve it).
+    "stream_dsir" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dsir-q")
+        try {
+          graft.ops.Selection.fitWeights(table(s, dir, "documents"),
+            col("lang") === "en", "text", buckets = 1024)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/weights.parquet")
+          graft.pipeline.Pipeline.runStream(s, s"""{
+            "source": {"type": "documents_stream", "dir": "$dir", "slices": 3},
+            "processors": [],
+            "sink": {"type": "dsir_admit", "path": "$tmp/feed",
+                     "checkpoint": "$tmp/ckpt",
+                     "weightsPath": "$tmp/weights.parquet",
+                     "idCol": "doc_id", "textCol": "text", "threshold": 0}
+          }""")
+          // materialize the bounded admitted set before deleting the
+          // temp feed (a lazy read would pin the dir; see stream_admit)
+          import s.implicits._
+          s.read.parquet(s"$tmp/feed")
+            .select("doc_id", "score", "n_grams").orderBy("doc_id")
+            .as[(Long, Long, Long)].collect().toSeq
+            .toDF("doc_id", "score", "n_grams")
+        } finally {
+          Registry.rmTree(tmp.toFile)
+        }
+      },
+      Some(s"""$dsirScoreCte
+        |SELECT doc_id, score, n_grams FROM s
+        |WHERE score >= 0 ORDER BY doc_id""".stripMargin)),
+
   )
+
+  /** Shared DSIR scoring CTE (the gated fixed-point form): per-doc
+    * INTEGER scores over hashed unigram+bigram buckets, target = the
+    * 'en' docs — ends at `s(doc_id, score, n_grams)`. The oracle half
+    * of both `dsir_select` (rank/top-k on top) and `stream_dsir`
+    * (threshold on top — the frozen-weights streaming apply unrolls to
+    * exactly this batch scoring because the table is fit on the full
+    * corpus before the stream starts and per-doc scores are
+    * batch-independent). */
+  private lazy val dsirScoreCte: String = s"""WITH t AS (
+    |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+    |  FROM documents),
+    |g AS (
+    |  SELECT doc_id, lang,
+    |    list_concat(toks, list_transform(range(1, len(toks)),
+    |      i -> toks[i] || ' ' || toks[i+1])) AS grams
+    |  FROM t),
+    |x AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+    |b AS (SELECT doc_id, lang,
+    |  (
+    |${Registry.md5Slice("gram")}
+    |  ) % 1024 AS bucket FROM x),
+    |tot AS (SELECT CAST(COUNT(*) + 1024 AS DOUBLE) AS rp,
+    |               CAST(COUNT(*) FILTER (lang = 'en') + 1024 AS DOUBLE) AS tp
+    |        FROM b),
+    |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
+    |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+    |        FROM b WHERE lang = 'en' GROUP BY 1),
+    |w AS (SELECT r.bucket,
+    |        CAST(floor(((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) * rp /
+    |                    ((CAST(rc AS DOUBLE) + 1.0) * tp)) * 1000000.0)
+    |          AS BIGINT) - 1000000 AS w
+    |      FROM raw r LEFT JOIN tgt USING (bucket), tot),
+    |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+    |             CAST(COUNT(*) AS BIGINT) AS n_grams
+    |      FROM b JOIN w USING (bucket) GROUP BY 1)""".stripMargin
 
   /** The code-built release chain `pipeline_release` gates (and the
     * result `pipeline_release_cfg`'s JSON assembly must reproduce
