@@ -558,17 +558,46 @@ object MixQueries {
         |SELECT doc_id, score, n_grams FROM s
         |WHERE score >= 0 ORDER BY doc_id""".stripMargin)),
 
+    // The paper's ACTUAL selection — Gumbel-top-k resampling over the
+    // ln likelihood-ratio score (sampling-without-replacement ∝
+    // w^(1/T)), previously the one ungated selection path because libm
+    // `ln` is not bit-pinned across engines. Gated RANK-ONLY (r19
+    // verdict item 5): the output is the SELECTED IDS, not the scores —
+    // ln is monotone and the Gumbel noise is md5-derived (reproducible,
+    // no RNG state), so the two engines' float scores can differ in the
+    // last ulp while the selected set stays identical unless two
+    // DISTINCT docs tie at the k-boundary within ~1e-15 relative, which
+    // the md5 noise makes measure-zero (the k/k+1 key gap at both gate
+    // SFs is ≥1e-3 — checked when this gate landed). Ids, being exact,
+    // hash-compare cleanly.
+    "dsir_resample" -> QueryDef(
+      (s, dir) => {
+        graft.ops.Selection.dsirResample(table(s, dir, "documents"),
+          col("lang") === "en", "doc_id", "text", k = 150,
+          temperature = 0.7, buckets = 1024)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""$dsirHistCte,
+        |lw AS (SELECT r.bucket,
+        |        ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) * rp /
+        |           ((CAST(rc AS DOUBLE) + 1.0) * tp)) AS w
+        |      FROM raw r LEFT JOIN tgt USING (bucket), tot),
+        |ls AS (SELECT doc_id, SUM(w) AS log_score
+        |      FROM b JOIN lw USING (bucket) GROUP BY 1),
+        |ky AS (SELECT doc_id,
+        |        log_score / 0.7 + (-ln(-ln(((
+        |${Registry.md5Slice("doc_id")}
+        |        ) + 0.5) / 65536.0))) AS key
+        |      FROM ls),
+        |sel AS (SELECT doc_id FROM ky ORDER BY key DESC, doc_id LIMIT 150)
+        |SELECT doc_id FROM sel ORDER BY doc_id""".stripMargin)),
+
   )
 
-  /** Shared DSIR scoring CTE (the gated fixed-point form): per-doc
-    * INTEGER scores over hashed unigram+bigram buckets, target = the
-    * 'en' docs — ends at `s(doc_id, score, n_grams)`. The oracle half
-    * of both `dsir_select` (rank/top-k on top) and `stream_dsir`
-    * (threshold on top — the frozen-weights streaming apply unrolls to
-    * exactly this batch scoring because the table is fit on the full
-    * corpus before the stream starts and per-doc scores are
-    * batch-independent). */
-  private lazy val dsirScoreCte: String = s"""WITH t AS (
+  /** Shared DSIR histogram prefix: hashed unigram+bigram buckets per
+    * doc (`b`), smoothed totals (`tot`), and per-bucket raw/target
+    * counts (`raw`/`tgt`), target = the 'en' docs. */
+  private lazy val dsirHistCte: String = s"""WITH t AS (
     |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
     |  FROM documents),
     |g AS (
@@ -586,7 +615,16 @@ object MixQueries {
     |        FROM b),
     |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
     |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
-    |        FROM b WHERE lang = 'en' GROUP BY 1),
+    |        FROM b WHERE lang = 'en' GROUP BY 1)""".stripMargin
+
+  /** Shared DSIR scoring CTE (the gated fixed-point form): per-doc
+    * INTEGER scores — ends at `s(doc_id, score, n_grams)`. The oracle
+    * half of both `dsir_select` (rank/top-k on top) and `stream_dsir`
+    * (threshold on top — the frozen-weights streaming apply unrolls to
+    * exactly this batch scoring because the table is fit on the full
+    * corpus before the stream starts and per-doc scores are
+    * batch-independent). */
+  private lazy val dsirScoreCte: String = s"""$dsirHistCte,
     |w AS (SELECT r.bucket,
     |        CAST(floor(((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) * rp /
     |                    ((CAST(rc AS DOUBLE) + 1.0) * tp)) * 1000000.0)
