@@ -242,6 +242,35 @@ object ScaleProbe {
         s""""law":"n^1.5 under cells~sqrt(N)","sf":"$sfDir"}""")
     }
 
+    // SemDeDup with ANN-ASSISTED assignment (r20): same ×k fixture and
+    // the same cells ∝ √N contract, but centroid assignment routes
+    // through √cells super-groups, so the assignment half bends from
+    // O(N·√N) to O(N·N^0.25) — the pair half (O(N·cellSize)) is
+    // unchanged. Honest expectation: ratio between k^1.25 and the
+    // brute leg's k^1.5, converging down as cells grow into the paper
+    // regime; kept counts may differ slightly from the brute leg (the
+    // IVF probe trade on unseparated seeded cells).
+    def semDedupHierAt(n: Int): (Double, Long) = {
+      val cells = math.max(1, (16 * math.sqrt(n.toDouble)).round.toInt)
+      val sup = math.max(1, math.sqrt(cells.toDouble).round.toInt)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val in = mat(scaled(emb, Seq("vec_id"), n), s"sdh$n")
+      try time(graft.ops.Similarity.semDedup(in, tau = 0.4, cells = cells,
+        superCells = sup)
+        .filter(col("keep") === 1).count())
+      finally spark.catalog.clearCache()
+    }
+    if (want("dedup_semantic_hier")) {
+      semDedupHierAt(1) // warm
+      val (m1, k1) = semDedupHierAt(1)
+      val (mk, kk) = semDedupHierAt(k)
+      println(s"""{"probe":"dedup_semantic_hier","k":$k,"secs_1":$m1,""" +
+        s""""secs_k":$mk,"kept_1":$k1,"kept_k":$kk,"ratio":${mk / m1},""" +
+        s""""law":"n^1.25 under cells~sqrt(N), superCells~sqrt(cells)",""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // Incremental span admission, STATEFUL: the ×k corpus fed as 4
     // sequential batches against a growing chunk-digest store. Cost
     // model per batch: O(batch chunks) + O(store digest scan) — the

@@ -197,6 +197,61 @@ object Similarity {
     }
   }
 
+  /** ANN-assisted nearest-centroid assignment (r19 verdict item 3 —
+    * the paper regime runs ~100k cells, where brute per-vector scoring
+    * of EVERY centroid is the dominant cost and the only superlinear
+    * law left in the repo): group the `cells` centroids under
+    * `superCells` coarse-over-coarse super-centroids (2 Lloyd passes
+    * over the ≤cells-row centroid frame — bounded metadata), route each
+    * vector to its nearest NON-EMPTY super-group (one broadcast
+    * max_by pass over `superCells` scores), then score that group's
+    * centroids exactly (second broadcast max_by pass). Per-vector work
+    * drops from `cells` scores to ~(superCells + cells/superCells),
+    * minimized at superCells ≈ √cells — under semDedup's cells ∝ √N
+    * contract the assignment law bends from O(N^1.5) to O(N^1.25).
+    *
+    * Approximation contract: scoring INSIDE the probed group is exact
+    * cosine, so the result differs from brute assignment only when a
+    * vector's true nearest centroid lives in a different super-group
+    * than the vector's own nearest super-centroid — the standard IVF
+    * probe trade, exact on separated clusters (spec-pinned) and exactly
+    * equal to brute at superCells = 1 (one group = all centroids
+    * scored; also spec-pinned). Both max_by sides get map-side partial
+    * aggregation: two narrow |df|-row exchanges replace brute's one. */
+  private[graft] def assignCellsHier(df: DataFrame, cent: DataFrame,
+      superCells: Int, id: String, vec: String, idCol: String,
+      vecCol: String, portableSeeding: Boolean = false): DataFrame = {
+    require(superCells > 0, s"superCells must be positive (got $superCells)")
+    // the centroid frame re-keyed off (cell, cv): those names collide
+    // with the centroid-frame side INSIDE assignCells/trainCentroids
+    val centR = cent.select(col("cell").as("_cid"), col("cv").as("_cv"))
+    // group the centroids: sampled Lloyd over the centroid frame itself
+    // (≤cells rows; trainSample bounds never bind here)
+    val superCent = trainCentroids(centR, superCells, iters = 2,
+      idCol = "_cid", vecCol = "_cv", portableSeeding = portableSeeding)
+    // each centroid's super-group (bounded cells × superCells scoring)
+    val centWithG = broadcast(
+      assignCells(centR, superCent, "_cid", "_cv", probes = 1, "_cid", "_cv")
+        .withColumnRenamed("cell", "gid")
+        .withColumnRenamed("_cid", "cell")
+        .withColumnRenamed("_cv", "cv"))
+    // route vectors through super-groups that HAVE members — an empty
+    // group would silently drop every vector routed to it at the
+    // stage-2 join
+    val liveSuper = broadcast(
+      superCent.join(centWithG.select(col("gid").as("cell")).distinct(),
+        Seq("cell")))
+    val routed = assignCells(df, liveSuper, id, vec, probes = 1,
+      idCol, vecCol).withColumnRenamed("cell", "gid")
+    routed.join(centWithG.withColumnRenamed("cv", "_ccv"), Seq("gid"))
+      .withColumn("_d", cosine(col(vec), col("_ccv")))
+      .groupBy(col(id))
+      .agg(max_by(struct(col("cell"), col(vec)),
+        struct(col("_d"), (-col("cell")).as("_nc"))).as("_best"))
+      .select(col(id), col("_best").getField(vec).as(vec),
+        col("_best").getField("cell").as("cell"))
+  }
+
   /** Default k-means training-set bound: comfortably more than enough
     * members per cell at any realistic `cells`, still bounded driver-
     * and executor-side metadata. */
@@ -654,12 +709,21 @@ object Similarity {
     * of append-stability (a new vector can out-rank an old keeper).
     * `trainIters` > 0 refines the quantizer with sampled Lloyd passes
     * ([[trainCentroids]] — bounded training set, corpus assigned
-    * once). */
+    * once). `superCells` > 0 switches centroid assignment to the
+    * ANN-assisted hierarchical route ([[assignCellsHier]]) — at the
+    * paper's ~100k-cell regime brute assignment is the dominant cost
+    * and the op's only superlinear law (O(N^1.5) under cells ∝ √N);
+    * the two-level route bends it to O(N^1.25) at the standard IVF
+    * probe trade (a vector whose true nearest centroid lives outside
+    * its nearest super-group lands in the second-best cell — scoring
+    * inside the probed group stays exact). The GATED default (0) keeps
+    * brute assignment: bit-stable against the SQL oracle. */
   def semDedup(vecs: DataFrame, tau: Double, cells: Int = 16,
       trainIters: Int = 0, idCol: String = "vec_id", vecCol: String = "v",
       portableSeeding: Boolean = false,
       trainSample: Int = defaultTrainSample,
-      keepFarthest: Boolean = false): DataFrame = {
+      keepFarthest: Boolean = false,
+      superCells: Int = 0): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1, 1] (got $tau)")
     require(cells > 0, s"cells must be positive (got $cells)")
     val cent =
@@ -674,7 +738,11 @@ object Similarity {
     // GraphBlocks.release (the contaminatedNear pattern); a cluster
     // deployment would persist the one-column-wider assigned corpus
     // instead.
-    val a0 = assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
+    val a0 =
+      if (superCells > 0)
+        assignCellsHier(vecs, cent, superCells, "_id", "_v", idCol, vecCol,
+          portableSeeding)
+      else assignCells(vecs, cent, "_id", "_v", probes = 1, idCol, vecCol)
     // _rk: the keeper priority (smaller wins). Earliest mode uses the
     // id itself — no window, no extra pass. Farthest mode re-scores
     // against the broadcast centroids (assignCells' max_by discards

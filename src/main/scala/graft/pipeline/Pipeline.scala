@@ -259,7 +259,10 @@ object Pipeline {
         portableSeeding = c.has("portableSeeding") &&
           c.get("portableSeeding").asBoolean(),
         keepFarthest = c.has("keepFarthest") &&
-          c.get("keepFarthest").asBoolean())
+          c.get("keepFarthest").asBoolean(),
+        // superCells > 0 = ANN-assisted assignment (the paper-scale
+        // ~100k-cell regime; ~√cells is the cost minimum)
+        superCells = if (c.has("superCells")) c.get("superCells").asInt() else 0)
         .filter(col("keep") === 1L).select(col(id))
       df.join(keep, Seq(id))
     }),

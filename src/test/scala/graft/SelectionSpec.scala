@@ -279,6 +279,53 @@ class SelectionSpec extends SparkSpec {
     assert(e.getMessage.contains("65536"))
   }
 
+  test("ANN-assisted assignment: superCells=1 equals brute exactly; separated clusters agree at G>1") {
+    // 24 vectors in 4 well-separated direction clusters (near the 4
+    // axes of R^4, small deterministic jitter)
+    val rows = (0L until 24L).map { i =>
+      val axis = (i % 4).toInt
+      val v = Array.fill(4)(0.02 * ((i % 5).toInt + 1))
+      v(axis) = 1.0
+      (i, v.toSeq)
+    }
+    val vs = vecsDf(rows: _*)
+    def verdicts(superCells: Int) =
+      Similarity.semDedup(vs, tau = 0.95, cells = 4,
+        portableSeeding = true, superCells = superCells)
+        .select("vec_id", "cell", "dup_of", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val brute = verdicts(0)
+    // one super-group routes every vector to ALL centroids — the hier
+    // path must be EXACTLY brute, not approximately (a seeded quantizer
+    // whose cells are NOT separated is exactly the case G=1 must not
+    // change: this fixture's hash-ranked seeds put two cells on one
+    // axis and none on another)
+    assert(verdicts(1) == brute)
+    val bruteKeep = brute.count(_._4 == 1L)
+    assert(bruteKeep > 0 && bruteKeep < 24)
+    // G>1 against an explicitly SEPARATED quantizer (the paper regime —
+    // trained cells, one per direction cluster): the nearest centroid's
+    // super-group is the vector's nearest super-centroid, so the IVF
+    // probe trade costs nothing and hier == brute cell for cell
+    import spark.implicits._
+    val axes = (0L until 4L).map { c =>
+      (c, Seq.tabulate(4)(j => if (j == c.toInt) 1.0 else 0.0))
+    }.toDF("cell", "cv")
+    val vs2 = vecsDf(rows: _*)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteCells = cellsOf(Similarity.assignCells(
+      vs2, axes, "_id", "_v", probes = 1, "vec_id", "v"))
+    val hierCells = cellsOf(Similarity.assignCellsHier(
+      vs2, axes, superCells = 2, "_id", "_v", "vec_id", "v",
+      portableSeeding = true))
+    assert(hierCells == bruteCells)
+    // and every vector landed on its own axis (the separated contract)
+    assert(bruteCells.forall { case (id, c) => c == id % 4 })
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
