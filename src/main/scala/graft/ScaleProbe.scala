@@ -271,6 +271,46 @@ object ScaleProbe {
         s""""sf":"$sfDir"}""")
     }
 
+    // keepFarthest diversity WITNESS (r19 verdict item 7, not a scale
+    // leg): the paper prefers keeping the vector farthest from its
+    // centroid because the retained set stays more diverse; quantify
+    // that on the fixture as the mean pairwise cosine among keepers
+    // (LOWER = more diverse) under each keeper rule. The all-pairs
+    // mean is quadratic in keepers — fixture-bounded probe arithmetic,
+    // not an operator shape.
+    def keeperDiversity(farthest: Boolean): (Double, Double, Long) = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val kept = graft.ops.Similarity.semDedup(emb, tau = 0.4, cells = 16,
+        keepFarthest = farthest)
+        .filter(col("keep") === 1).select("vec_id", "cell")
+      val kv = emb.join(kept, "vec_id").cache()
+      try {
+        val n = kv.count()
+        val a = kv.select(col("vec_id").as("a"), col("v").as("av"),
+          col("cell").as("ca"))
+        val b = kv.select(col("vec_id").as("b"), col("v").as("bv"),
+          col("cell").as("cb"))
+        def meanCos(pred: org.apache.spark.sql.Column): Double =
+          a.join(b, col("a") < col("b") && pred)
+            .select(graft.ops.Similarity.cosine(col("av"), col("bv")).as("c"))
+            .agg(avg("c")).head().getDouble(0)
+        // within-cell is where the keeper rule ACTED (both keepers
+        // survived the same tau decision); global is the whole-set view
+        (meanCos(col("ca") === col("cb")), meanCos(lit(true)), n)
+      } finally { kv.unpersist(); spark.catalog.clearCache() }
+    }
+    if (want("semdedup_keepers")) {
+      val (cE, gE, nE) = keeperDiversity(farthest = false)
+      val (cF, gF, nF) = keeperDiversity(farthest = true)
+      println(s"""{"probe":"semdedup_keeper_diversity",""" +
+        s""""within_cell_cos_earliest":$cE,"within_cell_cos_farthest":$cF,""" +
+        s""""global_cos_earliest":$gE,"global_cos_farthest":$gF,""" +
+        s""""kept_earliest":$nE,"kept_farthest":$nF,""" +
+        s""""note":"lower mean = more diverse retained set",""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // Incremental span admission, STATEFUL: the ×k corpus fed as 4
     // sequential batches against a growing chunk-digest store. Cost
     // model per batch: O(batch chunks) + O(store digest scan) — the
