@@ -553,6 +553,97 @@ object AnnQueries {
         |       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup with ANN-ASSISTED assignment (r20) — the paper-scale
+    // route where brute per-vector scoring of every cell is the
+    // dominant cost: the 16 frozen cells are grouped under 4
+    // super-centroids (2 sorted-fold Lloyd passes over the 16-row
+    // centroid frame), each vector routes to its nearest NON-EMPTY
+    // super-group, and only that group's cells are scored exactly.
+    // The oracle replays the WHOLE two-level pipeline — fine seeding,
+    // super-seeding by the same portable hash over CELL ids, both
+    // Lloyd rounds (id-sorted member folds), the centroid→group and
+    // vector→group→cell assignments, and the per-cell dominator — so
+    // the scale path is value-verified end to end, not just probed.
+    "dedup_semantic_hier" -> QueryDef(
+      (s, dir) => {
+        Similarity.semDedup(vecs(s, dir), tau = 0.4, cells = 16,
+          portableSeeding = true, superCells = 4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) - 1 AS cell,
+        |         v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+        |sseed AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY (cell * 2654435761) % 4294967296, cell) AS BIGINT) - 1 AS gid,
+        |         cv AS gv
+        |  FROM cent
+        |  QUALIFY row_number() OVER (ORDER BY (cell * 2654435761) % 4294967296, cell) <= 4),
+        |ga0 AS (
+        |  SELECT cell, cv, gid FROM (
+        |    SELECT c.cell, c.cv, s.gid,
+        |      list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * s.gv[i])) /
+        |      (sqrt(list_sum(list_transform(c.cv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(s.gv, x -> x * x)))) AS cd
+        |    FROM cent c CROSS JOIN sseed s)
+        |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY cd DESC, gid) = 1),
+        |g1 AS (
+        |  SELECT gid, list_transform(range(1, len(ms[1]) + 1), p ->
+        |    list_sum(list_transform(ms, m -> m[p])) / len(ms)) AS gv
+        |  FROM (SELECT gid, list(cv ORDER BY cell) AS ms FROM ga0 GROUP BY gid)),
+        |ga1 AS (
+        |  SELECT cell, cv, gid FROM (
+        |    SELECT c.cell, c.cv, g.gid,
+        |      list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * g.gv[i])) /
+        |      (sqrt(list_sum(list_transform(c.cv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(g.gv, x -> x * x)))) AS cd
+        |    FROM cent c CROSS JOIN g1 g)
+        |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY cd DESC, gid) = 1),
+        |g2 AS (
+        |  SELECT gid, list_transform(range(1, len(ms[1]) + 1), p ->
+        |    list_sum(list_transform(ms, m -> m[p])) / len(ms)) AS gv
+        |  FROM (SELECT gid, list(cv ORDER BY cell) AS ms FROM ga1 GROUP BY gid)),
+        |cg AS (
+        |  SELECT cell, cv, gid FROM (
+        |    SELECT c.cell, c.cv, g.gid,
+        |      list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * g.gv[i])) /
+        |      (sqrt(list_sum(list_transform(c.cv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(g.gv, x -> x * x)))) AS cd
+        |    FROM cent c CROSS JOIN g2 g)
+        |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY cd DESC, gid) = 1),
+        |glive AS (SELECT g2.gid, g2.gv FROM g2 JOIN (SELECT DISTINCT gid FROM cg) l USING (gid)),
+        |vg AS (
+        |  SELECT vec_id, v, gid FROM (
+        |    SELECT e.vec_id, e.v, g.gid,
+        |      list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * g.gv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(g.gv, x -> x * x)))) AS cd
+        |    FROM e CROSS JOIN glive g)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, gid) = 1),
+        |a AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT vg.vec_id, vg.v, cg.cell,
+        |      list_sum(list_transform(range(1, len(vg.v) + 1), i -> vg.v[i] * cg.cv[i])) /
+        |      (sqrt(list_sum(list_transform(vg.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cg.cv, x -> x * x)))) AS cd
+        |    FROM vg JOIN cg USING (gid))
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell) = 1),
+        |p AS (
+        |  SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+        |  FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+        |        (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+        |         sqrt(list_sum(list_transform(y.v, t -> t * t)))) >= 0.4
+        |  GROUP BY 1)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(COALESCE(p.dup_of, -1) AS BIGINT) AS dup_of,
+        |       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin)),
+
     // Symmetric int8 quantization — the 4x storage/serving compression
     // with its audit trail: per-row scale, an order-weighted integer
     // checksum of the quantized vector (exact; permutation/truncation
