@@ -52,7 +52,13 @@ object IvfIndex {
       // cell assignment), so [[serve]] can evaluate a query-time
       // predicate inside the probed-cell scan — filtered vector search
       // over ONE shared index, not one index per predicate
-      metaCols: Seq[String] = Nil)
+      metaCols: Seq[String] = Nil,
+      // superCells > 0 = ANN-assisted batch assignment
+      // (Similarity.assignCellsHier): per-vector centroid scoring drops
+      // from `cells` to ~(superCells + cells/superCells) — the knob for
+      // paper-scale cell counts, where assignment dominates indexing.
+      // Serving is unchanged (queries probe the same frozen cells).
+      superCells: Int = 0)
 
   private def centroidsPath(target: String): java.nio.file.Path =
     java.nio.file.Paths.get(target, "CENTROIDS")
@@ -161,8 +167,11 @@ object IvfIndex {
       writeCentroids(cfg.target, seeded)
       readCentroids(spark, cfg.target).get
     }
-    val assigned0 = Similarity
-      .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
+    val assigned0 =
+      if (cfg.superCells > 0) Similarity.assignCellsHier(batch, cent,
+        cfg.superCells, "vec_id", "v", "vec_id", "v", cfg.portableSeeding)
+      else Similarity
+        .assignCells(batch, cent, "vec_id", "v", probes = 1, "vec_id", "v")
     // assignCells projects to (vec_id, v, cell); re-attach the declared
     // metadata columns so they land in the store's postings. The
     // re-attach join REQUIRES unique vec_ids in the batch: duplicate

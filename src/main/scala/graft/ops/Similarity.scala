@@ -325,13 +325,23 @@ object Similarity {
       nprobe: Int = 4, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "v",
       portableSeeding: Boolean = false,
-      trainSample: Int = defaultTrainSample): DataFrame = {
+      trainSample: Int = defaultTrainSample,
+      superCells: Int = 0): DataFrame = {
     val cent =
       if (trainIters > 0) trainCentroids(corpus, cells, trainIters, idCol,
         vecCol, portableSeeding, trainSample)
       else seedCentroids(corpus, cells, seedHashFor(idCol, portableSeeding),
         idCol, vecCol)
-    val c = assignCells(corpus, cent, "nid", "nv", probes = 1, idCol, vecCol)
+    // superCells > 0 = ANN-assisted CORPUS assignment (assignCellsHier
+    // — the same O(N·cells) → O(N·√cells) bend semDedup takes at
+    // paper-scale cell counts). Queries stay on the brute nprobe
+    // window: the query side is small by contract, and the probed-cell
+    // list must not lose recall to group routing.
+    val c =
+      if (superCells > 0)
+        assignCellsHier(corpus, cent, superCells, "nid", "nv", idCol,
+          vecCol, portableSeeding)
+      else assignCells(corpus, cent, "nid", "nv", probes = 1, idCol, vecCol)
     val q = assignCells(queries, cent, "qid", "qv", probes = nprobe, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))

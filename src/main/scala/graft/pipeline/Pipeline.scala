@@ -808,7 +808,10 @@ object Pipeline {
             else graft.ops.Similarity.defaultTrainSample,
           // metadata columns carried into the postings for query-time
           // filtered serves
-          metaCols = if (snk.has("metaCols")) strs(snk.get("metaCols")) else Nil)
+          metaCols = if (snk.has("metaCols")) strs(snk.get("metaCols")) else Nil,
+          // ANN-assisted batch assignment for paper-scale cell counts
+          superCells = if (snk.has("superCells")) snk.get("superCells").asInt()
+            else 0)
         graft.ops.IvfIndex.indexStream(transformed, icfg)
       case "funnel_upsert" =>
         // streaming funnel over an events_raw_stream source: update-mode

@@ -47,6 +47,31 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("ANN-assisted batch assignment (superCells) keeps every posting on its nearest frozen cell") {
+    // superCells=1 routes through one super-group = exact brute
+    // assignment; the store a hier-configured stream builds must obey
+    // the same nearest-cell invariant the brute path pins above
+    val dir = Files.createTempDirectory("graft-ivf-hier").toString
+    val cfg = cfgAt(dir).copy(superCells = 1)
+    IvfIndex.indexBatch(vecsOf(0 until 40), cfg, 0L)
+    IvfIndex.indexBatch(vecsOf(40 until 80), cfg, 1L)
+    val cent = IvfIndex.readCentroids(spark, cfg.target).get.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val postings = DeltaStore.readAppendOnly(spark, cfg.target).get
+      .select("vec_id", "v", "cell").collect()
+    assert(postings.length === 80)
+    postings.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val best = cent.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, d) => (d, -c) }._1
+      assert(r.getLong(2) === best, s"vec ${r.getLong(0)} in wrong cell")
+    }
+  }
+
   test("probed serve reads ONLY the probed cells' files") {
     val dir = Files.createTempDirectory("graft-ivf-prune").toString
     val cfg = cfgAt(dir)

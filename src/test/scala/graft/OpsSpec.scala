@@ -195,6 +195,17 @@ class OpsSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("ivfTopK with ANN-assisted corpus assignment: superCells=1 equals the brute path exactly") {
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(superCells: Int) =
+      Similarity.ivfTopK(embs, queries, 5, cells = 8, nprobe = 4,
+        superCells = superCells)
+        .select("qid", "rank", "nid").as[(Long, Long, Long)].collect().toSet
+    // one super-group scores every centroid — identical result set, so
+    // the knob is safe to flip on an existing serving path
+    assert(rows(1) == rows(0))
+  }
+
   test("ivf topk recall beats random cell assignment") {
     val queries = embs.filter($"vec_id" < 8)
     val brute = Similarity.bruteTopK(embs, queries, 5)
