@@ -326,6 +326,47 @@ class SelectionSpec extends SparkSpec {
     assert(bruteCells.forall { case (id, c) => c == id % 4 })
   }
 
+  test("assignCellsHier properties on random fixtures: subset-scoring bound + G=1 identity") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the hier route scores a SUBSET of centroids exactly, so per
+    // vector its chosen cell's cosine can never EXCEED brute's best —
+    // and at G=1 (one super-group = all centroids scored) it must
+    // equal brute cell-for-cell. Checked over random vector sets,
+    // cell counts, and group counts.
+    val vecGen: Gen[List[(Long, Seq[Double])]] = for {
+      n <- Gen.choose(6, 30)
+      dim <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(n,
+        Gen.listOfN(dim, Gen.choose(-5, 5).map(_.toDouble + 0.25)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val prop = Prop.forAll(vecGen, Gen.choose(2, 6), Gen.choose(1, 3)) {
+      (rows, cells, g) =>
+        val vs = vecsDf(rows: _*)
+        val cent = Similarity.seedCentroids(vs, cells,
+          Similarity.seedHashFor("vec_id", portableSeeding = true),
+          "vec_id", "v")
+        def best(df: org.apache.spark.sql.DataFrame) =
+          df.join(cent, Seq("cell"))
+            .select(col("_id"), col("cell"),
+              Similarity.cosine(col("_v"), col("cv")).as("d"))
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+            .toMap
+        val brute = best(Similarity.assignCells(
+          vs, cent, "_id", "_v", probes = 1, "vec_id", "v"))
+        val hier = best(Similarity.assignCellsHier(
+          vs, cent, g, "_id", "_v", "vec_id", "v", portableSeeding = true))
+        val covered = hier.keySet == brute.keySet
+        val bound = hier.forall { case (id, (_, d)) =>
+          d <= brute(id)._2 + 1e-12
+        }
+        val identityAtG1 = g != 1 ||
+          hier.view.mapValues(_._1).toMap == brute.view.mapValues(_._1).toMap
+        covered && bound && identityAtG1
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("semDedup guards") {
     val vs = vecsDf((1L, Seq(1.0)))
     intercept[IllegalArgumentException] {
