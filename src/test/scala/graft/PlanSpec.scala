@@ -377,4 +377,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the pair join must meet on the cell key, never all-pairs")
   }
+
+  test("dedup_semantic_hier: same cached/keyed contract; routing join is broadcast") {
+    // the r20 ANN-assisted path must not trade the r19 plan wins away:
+    // the assigned frame still rides ONE cache barrier into both pair
+    // sides + the verdict join, the dominator still hash-aggregates on
+    // the single _rk key, nothing goes cartesian — and the stage-2
+    // group→cell scoring joins the ≤cells-row centWithG frame as a
+    // BROADCAST (a shuffled join there would put a |corpus|-row
+    // exchange back on the path the route exists to narrow).
+    val p = plan("dedup_semantic_hier")
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 3, s"assigned frame must be read from cache, got $scans:\n$p")
+    assert(p.contains("HashAggregate"),
+      "dominator min_by must hash-aggregate — struct keys sort-aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must meet on the cell key, never all-pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the group→cell scoring must join broadcast centroid frames:\n$p")
+  }
 }
