@@ -48,8 +48,8 @@ object Run {
         case other => throw new IllegalArgumentException(
           s"unknown maintenance op: $other")
       }
-    } else if (Set("events_stream", "events_dsv2", "documents_stream",
-        "embeddings_stream")(
+    } else if (Set("events_stream", "events_raw_stream", "events_dsv2",
+        "documents_stream", "embeddings_stream")(
         cfg.path("source").path("type").asText()))
       graft.pipeline.Pipeline.runStream(spark, json).foreach(s =>
         println(s"[run] last batch ${s.batchId}: ${s.numInputRows} rows, " +
