@@ -113,14 +113,22 @@ object Bench {
     * runs, all in ONE fresh session. ~15 s per checkpoint. */
   private def basketPoint(cpus: String, sfDir: String): Map[String, Double] = {
     val spark = newSession(cpus)
-    val out = basketElems(spark, sfDir).map { case (name, run) =>
-      run() // JIT/codegen warmup, unmeasured
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
+    // fail-soft per element: a transient probe failure must cost ONE
+    // basket ratio (basketScale tolerates missing elements), never the
+    // suite run it calibrates
+    val out = basketElems(spark, sfDir).flatMap { case (name, run) =>
+      try {
+        run() // JIT/codegen warmup, unmeasured
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(name -> times.min)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] basket element $name failed: ${e.getMessage}")
+        None
       }
-      name -> times.min
     }.toMap
     spark.stop()
     out
