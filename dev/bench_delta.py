@@ -73,7 +73,7 @@ def isolate(queries, sf, k):
                SPARK_GRAFT_SF_DIR=sf,
                SPARK_GRAFT_BENCH_ONLY=",".join(queries),
                SPARK_GRAFT_BENCH_ANCHOR="1")
-    norms = {q: [] for q in queries}
+    norms = {q: [] for q in queries}  # (normalizer kind, value) per rep
     for i in range(k):
         print(f"  isolation run {i + 1}/{k} ({','.join(queries)}) ...",
               flush=True)
@@ -87,11 +87,30 @@ def isolate(queries, sf, k):
                   f"queries_norm line (rc={r.returncode}) — skipped",
                   file=sys.stderr)
             continue
+        # tag each rep with the series it supplied: a rep whose basket
+        # failed soft (bScale <= 0) falls back to the anchor series,
+        # whose unit is ~4x different — mixing it into basket reps
+        # would skew the median/min verdict (mirror classify()'s
+        # both-sides-basket guard by keeping units per rep explicit)
+        kind = "basket" if d.get("queries_basket") else "anchor"
         for q in queries:
             v = (norms_of(d) or {}).get(q)
             if v is not None:
-                norms[q].append(v)
-    return norms
+                norms[q].append((kind, v))
+    # keep only reps using the majority normalizer per query
+    out = {}
+    for q, reps in norms.items():
+        if not reps:
+            out[q] = []
+            continue
+        kinds = [kd for kd, _ in reps]
+        maj = max(set(kinds), key=kinds.count)
+        dropped = len(reps) - kinds.count(maj)
+        if dropped:
+            print(f"  {q}: dropped {dropped} isolation rep(s) on the "
+                  f"minority normalizer (kept {maj})", file=sys.stderr)
+        out[q] = [v for kd, v in reps if kd == maj]
+    return out
 
 
 def load(p):

@@ -25,6 +25,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce CACHED plans too (off by default): the hot ops
+      // cache their operand frames (signatures, edge sets, adjacency),
+      // and without this every cache materializes at the full session
+      // shuffle constant instead of the input-sized partitioning AQE
+      // would pick — the same §2 scale-adaptivity the uncached plans
+      // already get. Values are unaffected (partitioning only).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -291,10 +291,16 @@ object ScaleProbe {
           col("cell").as("ca"))
         val b = kv.select(col("vec_id").as("b"), col("v").as("bv"),
           col("cell").as("cb"))
-        def meanCos(pred: org.apache.spark.sql.Column): Double =
-          a.join(b, col("a") < col("b") && pred)
+        def meanCos(pred: org.apache.spark.sql.Column): Double = {
+          // null-safe: zero qualifying pairs make avg NULL (e.g. all
+          // keepers in distinct cells) — emit NaN in the probe JSON
+          // instead of crashing the whole probe run on getDouble
+          val r = a.join(b, col("a") < col("b") && pred)
             .select(graft.ops.Similarity.cosine(col("av"), col("bv")).as("c"))
-            .agg(avg("c")).head().getDouble(0)
+            .agg(avg("c")).head()
+          Option(r.getAs[java.lang.Double](0))
+            .map(_.doubleValue()).getOrElse(Double.NaN)
+        }
         // within-cell is where the keeper rule ACTED (both keepers
         // survived the same tau decision); global is the whole-set view
         (meanCos(col("ca") === col("cb")), meanCos(lit(true)), n)

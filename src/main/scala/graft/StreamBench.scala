@@ -277,7 +277,11 @@ object StreamBench {
     // stage outside the timed region (shared by both legs)
     graft.streaming.ChangeStream.fromEventsRawStream(spark, sfDir, slices, sliceBy)
     def drain(evict: Option[String], withinNs: Option[Long] = None)
-        : (Double, Seq[(Long, Long, Long)], Long) = {
+        : (Double, Seq[(Long, Long, Long)], Long) =
+      // same scale-adaptive state partitioning as the gated funnel path
+      // (StreamTuning) — the bench must measure the deployed shape
+      graft.streaming.StreamTuning.withDrainPartitions(
+        spark, Seq(s"$sfDir/events.parquet")) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-funnel")
       val raw = graft.streaming.ChangeStream.fromEventsRawStream(
         spark, sfDir, slices, sliceBy)

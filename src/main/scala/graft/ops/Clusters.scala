@@ -63,7 +63,7 @@ object Clusters {
     val spark = nodes.sparkSession
     // the live checkpoint RDD for the current `labels`; replaced (and
     // the old one unpersisted) every round — see the scaladoc
-    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var liveRdd: org.apache.spark.rdd.RDD[_] = null
     while (!converged && it < maxIters) {
       val prop = sym
         .join(labels.select(col("v").as("src"), col("comp")), "src")
@@ -76,20 +76,16 @@ object Clusters {
         .select(col("v"), col("jcomp").as("comp"))
       val folded = labels.unionByName(prop).unionByName(jump)
         .groupBy("v").agg(min("comp").as("comp"))
-      // explicit RDD-level checkpoint: persist, truncate lineage, and
-      // keep the handle so the superseded round frees deterministically
+      // internal-row lineage cut (Lineage.cutLazy): the potential agg
+      // below is the round's ONE materializing action — it fills the
+      // checkpoint blocks as a side effect, so no separate count job.
       graft.PhaseClock.count("cc.rounds")
-      // cc.round: the whole round's cost. NOTE the Dataset→RDD
-      // conversion is NOT a driver-only step — under AQE, `.rdd`
-      // materializes the plan's shuffle stages (join + jump + min-fold)
-      // to pick the final plan, so most of the round's distributed work
-      // runs inside the conversion and the potential agg only executes
-      // the final stage over the checkpoint.
+      // cc.round: the whole round's cost. Under AQE the cut itself
+      // executes the plan's shuffle stages (join + jump + min-fold) to
+      // pick the final plan; the potential agg then runs the final
+      // stage and persists the blocks.
       val (rdd, next, nextPot) = graft.PhaseClock.time("cc.round") {
-        val r = folded.rdd
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.localCheckpoint()
-        val n = spark.createDataFrame(r, folded.schema)
+        val (n, r) = graft.ops.Lineage.cutLazy(folded)
         (r, n, potential(n))
       }
       if (liveRdd != null) liveRdd.unpersist(blocking = false)

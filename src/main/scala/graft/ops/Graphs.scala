@@ -106,22 +106,32 @@ object Graphs {
       s"pageRank overflow bound: scale $scale x dampDen $dampDen exceeds " +
         "long range — lower scale")
     val spark = edges.sparkSession
-    // cached: nodes0 reads e twice (src and dst legs) and eod twice
-    // (edge side + out-degree agg) — uncached, the upstream edge
-    // derivation would run ~4x during prep (the probe's measured
-    // bottleneck); released below once eod/nodes are materialized
-    val e = (weight match {
-      case None => edges
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .distinct().withColumn("w", lit(1L))
+    // cached: nodes0 reads e twice (src and dst legs) and eod reads it
+    // once more — uncached, the upstream edge derivation would run ~4x
+    // during prep (the probe's measured bottleneck); released below
+    // once eod/nodes are materialized.
+    //
+    // The weighted form derives its per-src totals ONCE: the decimal
+    // overflow guard, the per-src wsum the loop joins to, and the max
+    // edge weight all come out of the same `ws` aggregate — the
+    // earlier shape paid three separate |E|-passes for them (guard
+    // agg, eod's own per-src sum agg, e.agg(max(w))), re-deriving the
+    // edge projection each time (guide §1.2: don't recompute what you
+    // already have).
+    val (e, wsums, wMaxF, prepCaches) = weight match {
+      case None =>
+        val e0 = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .distinct().withColumn("w", lit(1L)).cache()
+        (e0, e0.groupBy("src").agg(sum("w").as("wsum")), () => 1L, Seq(e0))
       case Some(wc) =>
         // weights collapse and total in DECIMAL first: the per-(src,dst)
         // and per-src sums are where magnitudes accumulate, and a long
         // sum would either throw a bare ANSI ArithmeticException or
         // (ANSI off) wrap silently past any later check. Validated
-        // loudly here, then cast down — every per-pair weight is ≤ its
+        // loudly below, then cast down — every per-pair weight is ≤ its
         // src's total, so the long downcast cannot overflow.
         val ed = edges
           .select(col(srcCol).cast("long").as("src"),
@@ -129,16 +139,25 @@ object Graphs {
             col(wc).cast("decimal(38,0)").as("wd"))
           .filter(col("src").isNotNull && col("dst").isNotNull &&
             col("wd").isNotNull && col("wd") > 0)
-          .groupBy("src", "dst").agg(sum("wd").as("wd"))
-        val mx = ed.groupBy("src").agg(sum("wd").as("wsd"))
-          .agg(max("wsd")).head()
-        if (!mx.isNullAt(0))
-          require(mx.getDecimal(0).compareTo(
-            new java.math.BigDecimal(Long.MaxValue)) <= 0,
-            "pageRank overflow bound: a source's total edge weight " +
-              s"exceeds long range (max per-src total ${mx.getDecimal(0)})")
-        ed.select(col("src"), col("dst"), col("wd").cast("long").as("w"))
-    }).cache()
+          .groupBy("src", "dst").agg(sum("wd").as("wd")).cache()
+        val ws = ed.groupBy("src")
+          .agg(sum("wd").as("wsd"), max("wd").as("wmx")).cache()
+        // deferred to pr.edges (one tiny job): guard + global max weight
+        val wMax = () => {
+          val b = ws.agg(max("wsd"), max("wmx")).head()
+          if (b.isNullAt(0)) 1L // no surviving edge
+          else {
+            require(b.getDecimal(0).compareTo(
+              new java.math.BigDecimal(Long.MaxValue)) <= 0,
+              "pageRank overflow bound: a source's total edge weight " +
+                s"exceeds long range (max per-src total ${b.getDecimal(0)})")
+            b.getDecimal(1).longValueExact() // ≤ its src total ≤ Long.Max
+          }
+        }
+        (ed.select(col("src"), col("dst"), col("wd").cast("long").as("w")),
+          ws.select(col("src"), col("wsd").cast("long").as("wsum")),
+          wMax, Seq(ed, ws))
+    }
     // nodes carry their seed flag (everyone is a "seed" in the global
     // form) — the flag rides the cached frame so the per-round base
     // term needs no extra join
@@ -156,17 +175,17 @@ object Graphs {
     }
     // edge set with per-src weight total attached — the loop-invariant
     // operand, built and cached once (re-deriving inside the loop would
-    // re-shuffle |E| every round); the decimal validation above already
-    // proved every per-src long sum fits
-    val eod = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src").cache()
+    // re-shuffle |E| every round); the decimal validation above proves
+    // every per-src long sum fits before the guard job runs
+    val eod = e.join(wsums, "src").cache()
     val (nNodes, wMax) = graft.PhaseClock.time("pr.edges") {
+      val wm = wMaxF() // weighted: fills the ed/ws caches via the guard agg
       eod.count()
-      val wm = if (weight.isEmpty) 1L else {
-        val r = e.agg(max("w")).head()
-        if (r.isNullAt(0)) 1L else r.getLong(0) // null: no surviving edge
-      }
       val n = nodes.count()
-      e.unpersist(blocking = false) // eod/nodes now hold the operands
+      // eod/nodes now hold the operands — release the prep caches
+      // (e itself in the unweighted form; ed/ws in the weighted one,
+      // where e is only a projection over ed)
+      prepCaches.foreach(_.unpersist(blocking = false))
       (n, wm)
     }
     // total mass never exceeds |V|·scale (contributions are floors of a
@@ -184,18 +203,16 @@ object Graphs {
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = nodes.select(col("n"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
-    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var liveRdd: org.apache.spark.rdd.RDD[_] = null
     (1 to iterations).foreach { _ =>
       val next = roundFrame(eod, ranks, nodes, seedBase, dampNum, dampDen)
       graft.PhaseClock.count("pr.rounds")
-      val rdd = graft.PhaseClock.time("pr.round") {
-        val r = next.rdd
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.localCheckpoint()
-        r.count() // materialize before dropping the previous round
-        r
+      // internal-row lineage cut (Lineage.cut): materialize this round,
+      // then drop the previous round's blocks
+      val (cut, rdd, _) = graft.PhaseClock.time("pr.round") {
+        Lineage.cut(next)
       }
-      ranks = spark.createDataFrame(rdd, next.schema)
+      ranks = cut
       if (liveRdd != null) liveRdd.unpersist(blocking = false)
       liveRdd = rdd
     }
@@ -253,18 +270,14 @@ object Graphs {
     und.unpersist(blocking = false)
     val out = triangleFrame(oriented, deg, scale)
     // materialize before releasing the operand caches (the caller's
-    // frame must not silently rebuild the wedge join per action)
-    val rdd = graft.PhaseClock.time("tri.count") {
-      val r = out.rdd
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.localCheckpoint()
-      r.count()
-      r
+    // frame must not silently rebuild the wedge join per action) —
+    // internal-row cut, see Lineage.cut
+    val (res, rdd, _) = graft.PhaseClock.time("tri.count") {
+      Lineage.cut(out)
     }
-    val res = oriented.sparkSession.createDataFrame(rdd, out.schema)
     oriented.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    GraphBlocks.register(res, Seq(rdd))
+    GraphBlocks.register(res, Option(rdd).toSeq)
   }
 
   /** The canonical undirected simple graph under (srcCol, dstCol):
@@ -377,18 +390,15 @@ object Graphs {
     graft.PhaseClock.time("lpa.adj") { adj.count() }
     var labels = adj.select(col("n")).distinct()
       .select(col("n"), col("n").as("label"))
-    var liveRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var liveRdd: org.apache.spark.rdd.RDD[_] = null
     (1 to iterations).foreach { _ =>
       val next = lpaRoundFrame(adj, labels)
       graft.PhaseClock.count("lpa.rounds")
-      val rdd = graft.PhaseClock.time("lpa.round") {
-        val r = next.rdd
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.localCheckpoint()
-        r.count()
-        r
+      // internal-row lineage cut (Lineage.cut)
+      val (cut, rdd, _) = graft.PhaseClock.time("lpa.round") {
+        Lineage.cut(next)
       }
-      labels = spark.createDataFrame(rdd, next.schema)
+      labels = cut
       if (liveRdd != null) liveRdd.unpersist(blocking = false)
       liveRdd = rdd
     }

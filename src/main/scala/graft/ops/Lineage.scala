@@ -1,29 +1,61 @@
 package graft.ops
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.DataFrame
 
-/** The per-round lineage-cut discipline shared by the iterative graph
-  * ops (BFS, k-core; pageRank and triangles carry older in-place
-  * copies pinned by their own specs): persist + localCheckpoint +
-  * materialize, so each round's plan reads the previous round's BLOCKS
-  * instead of re-deriving r rounds of history (an unrolled iterative
-  * plan re-analyzes its whole past every action — the r14 CC probe
-  * distortion). Returns the cut frame, its backing RDD (the caller
-  * owns the unpersist policy — a loop that only SHRINKS can drop the
+/** The per-round lineage-cut discipline shared by the iterative ops
+  * (components, pageRank, LPA, BFS, k-core, triangles): checkpoint +
+  * materialize each round, so round k's plan reads the previous
+  * round's BLOCKS instead of re-deriving rounds 1..k−1 (an unrolled
+  * iterative plan re-analyzes its whole past every action — the r14 CC
+  * probe distortion).
+  *
+  * The cut goes through `Dataset.localCheckpoint`, which persists the
+  * plan's INTERNAL rows (compact UnsafeRow bytes, MEMORY_AND_DISK).
+  * The earlier `df.rdd` + `createDataFrame(rdd, schema)` form paid two
+  * full serialization passes per round that this one skips entirely:
+  * InternalRow→Row when persisting (boxed external objects, GC-heavy)
+  * and Row→InternalRow via interpreted converters when the next round
+  * read them back (guide §4: keep the hot loop on codegen-native
+  * formats). Under AQE both forms execute the round's shuffle stages
+  * at the cut call; the difference is purely the double conversion and
+  * the block representation.
+  *
+  * Returns the cut frame, the backing checkpoint RDD (the caller owns
+  * the unpersist policy — a loop that only SHRINKS can drop the
   * previous round; a loop whose result unions all rounds must keep
   * them), and the materialized row count (free — the checkpoint needs
-  * an action anyway), which is what makes convergence early-exits
-  * cost nothing. */
+  * an action anyway), which is what makes convergence early-exits cost
+  * nothing. */
 private[graft] object Lineage {
 
-  def cut(df: DataFrame): (DataFrame, RDD[Row], Long) = {
-    val r = df.rdd
-    r.persist(StorageLevel.MEMORY_AND_DISK)
-    r.localCheckpoint()
-    val n = r.count()
-    (df.sparkSession.createDataFrame(r, df.schema), r, n)
+  /** Checkpoint `df` lazily and return it UNMATERIALIZED with its
+    * backing RDD handle: the caller's FIRST action over the frame
+    * materializes (and persists) the blocks. Use when the loop already
+    * runs a per-round action (e.g. a convergence aggregate) — the
+    * count job [[cut]] would add is then pure overhead. */
+  def cutLazy(df: DataFrame): (DataFrame, RDD[_]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // eager=false: marks the internal RDD persisted + localCheckpointed
+    // now, materializes at the caller's first action (one job total)
+    val cp = df.localCheckpoint(false)
+    // the checkpoint RDD registers with the block manager at mark time;
+    // it is the one persistent-RDD id that just appeared. (Per-round
+    // loops run one cut at a time on their thread; a concurrent query's
+    // RDD sneaking into the diff would only widen the unpersist set
+    // harmlessly — unpersist of a live checkpoint logs a WARN and the
+    // ContextCleaner remains the backstop.)
+    val rdds = sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    (cp, rdds.headOption.orNull)
+  }
+
+  def cut(df: DataFrame): (DataFrame, RDD[_], Long) = {
+    val (cp, rdd) = cutLazy(df)
+    val n = cp.count() // materializes the checkpoint blocks
+    (cp, rdd, n)
   }
 }
 

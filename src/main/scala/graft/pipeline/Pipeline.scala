@@ -631,6 +631,29 @@ object Pipeline {
   def runStream(spark: SparkSession, json: String): Option[graft.streaming.PipelineMetrics#Snapshot] = {
     val cfg = new ObjectMapper().readTree(json)
     val src = cfg.get("source")
+    // scale-adaptive drain: size shuffle/state partitions from the
+    // source's input bytes instead of inheriting the session constant —
+    // a stateful streaming plan gets no AQE coalescing, and every
+    // foreachBatch job otherwise starts from the full constant too
+    // (optimization guide §2; see StreamTuning)
+    val drainInputs: Seq[String] = src.get("type").asText() match {
+      case "events_stream" | "events_raw_stream" | "events_dsv2" =>
+        Seq(s"${src.get("dir").asText()}/events.parquet")
+      case "documents_stream" =>
+        Seq(s"${src.get("dir").asText()}/documents.parquet")
+      case "embeddings_stream" =>
+        Seq(s"${src.get("dir").asText()}/embeddings.parquet")
+      case _ => Nil
+    }
+    graft.streaming.StreamTuning.withDrainPartitions(spark, drainInputs) {
+      runStreamDrain(spark, cfg)
+    }
+  }
+
+  private def runStreamDrain(spark: SparkSession,
+      cfg: com.fasterxml.jackson.databind.JsonNode)
+      : Option[graft.streaming.PipelineMetrics#Snapshot] = {
+    val src = cfg.get("source")
     val stream = src.get("type").asText() match {
       case "events_stream" =>
         graft.streaming.ChangeStream.fromEventsStream(
@@ -862,9 +885,17 @@ object Pipeline {
             graft.PhaseClock.count("batches")
             graft.PhaseClock.time("apply") {
               import org.apache.spark.sql.functions.{col, lit}
+              // replay-idempotent: each batch lands in its own _b=<id>
+              // partition under DYNAMIC overwrite, so an at-least-once
+              // redelivery after a mid-drain crash replaces its own
+              // partial output instead of double-appending admitted
+              // rows (a plain append broke the "admitted set == batch
+              // scoring" contract on replay)
               scorer(b).filter(col("score") >= minScore)
                 .withColumn("_b", lit(id))
-                .write.mode("append").parquet(target)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_b").parquet(target)
             }
             ()
           }

@@ -538,6 +538,9 @@ object RelationalQueries {
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-reten")
         try {
+          // scale-adaptive drain partitions (see streamFunnelGate)
+          graft.streaming.StreamTuning.withDrainPartitions(
+            s, Seq(s"$dir/events.parquet")) {
           val raw = graft.streaming.ChangeStream.fromEventsRawStream(
             s, dir, slices = 4, sliceBy = "event_id % 4")
           val upd = graft.streaming.ChangeStream.streamingRetention(
@@ -554,6 +557,7 @@ object RelationalQueries {
             }
             .start()
           try q.processAllAvailable() finally q.stop()
+          }
           val fin = s.read.parquet(s"$tmp/out")
           val w = Window.partitionBy("user_id").orderBy(col("_b").desc)
           val cells = fin.withColumn("_r", row_number().over(w))
@@ -891,6 +895,12 @@ object RelationalQueries {
       : org.apache.spark.sql.DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
     try {
+      // scale-adaptive drain: the state operator's partition count is
+      // pinned from spark.sql.shuffle.partitions at the first batch
+      // (no AQE for stateful plans) — size it from the staged input
+      // instead of the session constant (guide §2 / StreamTuning)
+      graft.streaming.StreamTuning.withDrainPartitions(
+        s, Seq(s"$dir/events.parquet")) {
       val raw = graft.streaming.ChangeStream.fromEventsRawStream(
         s, dir, slices = 4, sliceBy = "event_id % 4")
       val upd = graft.streaming.ChangeStream.streamingFunnel(
@@ -910,6 +920,7 @@ object RelationalQueries {
       // the shared gate session would keep erroring against the
       // checkpoint dir the finally below deletes
       try q.processAllAvailable() finally q.stop()
+      }
       // final chain per user = its LAST emission (state is
       // cumulative); derive the packed step keys the oracle speaks
       val fin = s.read.parquet(s"$tmp/out")

@@ -120,6 +120,9 @@ object SketchQueries {
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-prof")
         try {
+          // scale-adaptive drain partitions (see StreamTuning)
+          graft.streaming.StreamTuning.withDrainPartitions(
+            s, Seq(s"$dir/events.parquet")) {
           val (drop, schema) = graft.streaming.ChangeStream.stageEvents(
             s, dir, slices = 4, sliceBy = "event_id")
           val raw = s.readStream.schema(schema)
@@ -136,6 +139,7 @@ object SketchQueries {
                 ()
             }.start()
           q.processAllAvailable(); q.stop()
+          }
           val merged = Sketches.mergedDistinct(s, s"$tmp/st", "event_type")
           val exact = graft.source.Changelog.events(s, dir)
             .groupBy("event_type")

@@ -152,8 +152,13 @@ object BucketStore {
       }
     }
     val merged = Merge.applyNetChanges(cur, bucketed.drop("bucket"), pkCols)
+    // write tasks sized by the buckets this merge actually rewrites —
+    // hash(bucket) % n keeps a bucket's rows in one task and partitionBy
+    // still splits one file per bucket dir, so the layout is unchanged;
+    // at scale touched == all buckets and n == nBuckets (see the same
+    // sizing in DeltaStore.append)
     merged.withColumn("bucket", bucketCol(pkCols, nBuckets))
-      .repartition(nBuckets, col("bucket"))
+      .repartition(math.max(1, math.min(nBuckets, touched.size)), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     bucketed.unpersist()
     require(Files.exists(Paths.get(genDir, "_SUCCESS")),

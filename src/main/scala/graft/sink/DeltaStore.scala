@@ -439,7 +439,17 @@ object DeltaStore {
       .map(f => deltaPart.unionByName(f, allowMissingColumns = false))
       .getOrElse(deltaPart)
     graft.PhaseClock.time("delta.write") {
-      out.repartition(nBuckets, col("bucket"))
+      // write tasks sized by the buckets this generation actually
+      // carries, not the store's full bucket count: hash(bucket) % n
+      // keeps every bucket's rows in ONE task, and partitionBy still
+      // splits files per bucket value, so the on-disk layout (one
+      // bucket=N dir, one file per bucket) is identical — a small batch
+      // just stops paying (nBuckets − touched) empty write tasks. At
+      // scale a batch touches every bucket and n == nBuckets, the
+      // store's designed write parallelism.
+      val writeTasks = math.max(1,
+        math.min(nBuckets, appendBuckets.size + foldBuckets.size))
+      out.repartition(writeTasks, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(genDir)
     }
     bucketed.unpersist()
