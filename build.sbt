@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench headline JSON. Two things have broken that every round so
+// far: (a) the default LoggedOutput strategy prefixes every forked-run
+// stdout line with "[info] ", and (b) sbt appends its own "[success]
+// Total time: …" trailer as the true last line. StdoutOutput passes the
+// forked JVM's stdout/stderr through raw, and showSuccess drops the
+// trailer, so the bare headline IS the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

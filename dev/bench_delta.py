@@ -97,11 +97,14 @@ def isolate(queries, sf, k):
             v = (norms_of(d) or {}).get(q)
             if v is not None:
                 norms[q].append((kind, v))
-    # keep only reps using the majority normalizer per query
+    # keep only reps using the majority normalizer per query; return the
+    # kept kind alongside so the caller can refuse a cross-normalizer
+    # comparison (ADVICE r21: anchor-kind reps vs a basket old_norm is a
+    # ~4x unit mismatch — the verdict would be meaningless)
     out = {}
     for q, reps in norms.items():
         if not reps:
-            out[q] = []
+            out[q] = (None, [])
             continue
         kinds = [kd for kd, _ in reps]
         maj = max(set(kinds), key=kinds.count)
@@ -109,7 +112,7 @@ def isolate(queries, sf, k):
         if dropped:
             print(f"  {q}: dropped {dropped} isolation rep(s) on the "
                   f"minority normalizer (kept {maj})", file=sys.stderr)
-        out[q] = [v for kd, v in reps if kd == maj]
+        out[q] = (maj, [v for kd, v in reps if kd == maj])
     return out
 
 
@@ -272,19 +275,26 @@ def main():
         by_q = {r["query"]: r for r in rows}
         confirmed = []
         for q in creds:
-            ns = iso.get(q, [])
+            kind, ns = iso.get(q, (None, []))
             r = by_q[q]
             r["isolated_norms"] = [round(n, 3) for n in ns]
             if not ns:
                 r["isolation_verdict"] = "no-data"
                 confirmed.append(q)  # fail loud: unmeasured stays accused
+            elif kind != art["normalizer"]:
+                # old_norm came from the other normalizer series (~4x
+                # different unit): comparing across normalizers would be
+                # meaningless — stamp it and keep the query accused
+                r["isolation_verdict"] = f"unit-mismatch({kind} vs " \
+                                         f"{art['normalizer']})"
+                confirmed.append(q)
             elif min(ns) <= r["old_norm"] * (1 + FLOOR):
                 r["isolation_verdict"] = "same-code-wander"
             else:
                 r["isolation_verdict"] = "confirmed"
                 confirmed.append(q)
-        art["isolated"] = {q: iso.get(q, []) and
-                           [round(n, 3) for n in iso[q]] for q in creds}
+        art["isolated"] = {q: [round(n, 3) for n in iso.get(q, (None, []))[1]]
+                           for q in creds}
         art["confirmed_regressions"] = confirmed
     elif iso_k:
         art["confirmed_regressions"] = []

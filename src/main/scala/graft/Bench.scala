@@ -19,24 +19,12 @@ import graft.queries.Registry
   * clock; JIT state is JVM-wide so later queries still benefit from
   * earlier ones' warmup, which only helps (it never inflates). */
 object Bench {
-  private def newSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // let AQE coalesce CACHED plans too (off by default): the hot ops
-      // cache their operand frames (signatures, edge sets, adjacency),
-      // and without this every cache materializes at the full session
-      // shuffle constant instead of the input-sized partitioning AQE
-      // would pick — the same §2 scale-adaptivity the uncached plans
-      // already get. Values are unaffected (partitioning only).
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // shared engine session recipe (Sessions.local): r21 carried the
+  // cached-plan-repartitioning flag here only; it now lives in the one
+  // place every entrypoint (Run/Verify/probes) builds its session from,
+  // so the bench measures exactly the session production runs.
+  private def newSession(cpus: String): SparkSession =
+    Sessions.local(cpus, appName = "graft-bench")
 
   /** Calibration anchor: a fixed, data-independent workload (codegen'd
     * hash agg over a 40M-row range, one 9973-key shuffle) timed in its
@@ -364,14 +352,10 @@ object Bench {
       "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
         .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // HEADLINE FIRST *AND LAST*, full artifact in between: the driver's
-    // capture truncates long output from the TAIL, and the headline
-    // fields (failed / baseline_ratio / totals) trailed the per-query
-    // dicts — two rounds of BENCH_r{N}.json carried `parsed: null`
-    // because the one giant line lost its closing brace. Headline-first
-    // made the data survive truncation but the driver's parser reads the
-    // END of the capture, so r18 still parsed null; repeating the short
-    // line LAST makes the final line always small and parseable.
+    // Output order: short headline FIRST (totals up front for a human
+    // reading the log top-down), full detail second, and the driver-
+    // contract line LAST (the driver parses the FINAL stdout line and
+    // keeps only a 2000-char tail of the capture; see `contract` above).
     // dev/bench_delta.py accepts any of the shapes.
     val normHead = if (anchorRef > 0)
       f""""total_min_norm":${totalMin / anchorRef}%.2f,""" else ""
@@ -379,6 +363,20 @@ object Bench {
       f""""basket_scale":$bScale%.4f,"total_min_basket":${totalMin / bScale}%.2f,"""
       else ""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_min":$totalMin,"n_queries":${results.size},""" +
+      s""""anchor_min":$anchorRef,"commit":"$commitSha",""" +
+      normHead + basketHead + baselineJson +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    // Driver-contract line (printed LAST): the driver parses the final
+    // stdout line and expects the per-query map IN it —
+    // {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}. The
+    // short headline above never carried "queries" (it lived only in the
+    // detail line), so even a clean last line would have left PERF's
+    // per_query empty. queries = per-query MEDIAN seconds (the timing
+    // the "value" total sums); queries_min rides along because min-of-
+    // reps is the noise-robust number every cross-round analysis uses.
+    val contract = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"queries_min":$qsMin,""" +
       s""""total_min":$totalMin,"n_queries":${results.size},""" +
       s""""anchor_min":$anchorRef,"commit":"$commitSha",""" +
       normHead + basketHead + baselineJson +
@@ -393,16 +391,18 @@ object Bench {
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(headline)
     println(detail)
-    println(headline)
-    // Sidecar artifact (r19 verdict): sbt appends its own "[success]
-    // Total time …" trailer after the last [info] line, so a literal-
-    // last-line parser on captured stdout still misses the headline —
-    // two rounds of BENCH_r{N}.json carried `parsed: null`. The file is
-    // unambiguous: headline first, full detail second.
+    println(contract)
+    // Sidecar artifact (r19 verdict): belt-and-braces against any stdout
+    // capture/truncation trouble — the file is unambiguous: contract
+    // line first, full detail second. (The stdout contract itself is
+    // restored in build.sbt: run/outputStrategy := StdoutOutput passes
+    // the forked JVM's output through raw and Global/showSuccess drops
+    // sbt's "[success] Total time …" trailer, so the contract line above
+    // IS the last stdout line of `sbt "runMain graft.Bench"`.)
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_headline.json"),
-        headline + "\n" + detail + "\n")
+        contract + "\n" + detail + "\n")
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }

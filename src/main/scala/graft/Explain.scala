@@ -5,9 +5,9 @@ import graft.queries.Registry
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // mirror the 32-partition bench plan shape on a small local master
+    val spark = Sessions.local("4", shufflePartitions = "32",
+      appName = "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"==== $name ====")

@@ -20,13 +20,7 @@ object Run {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(args(0))), "UTF-8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, appName = "graft-run")
     dispatch(spark, json)
     spark.stop()
   }

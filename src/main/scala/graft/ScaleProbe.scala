@@ -26,13 +26,7 @@ object ScaleProbe {
         .map(_.split(",").map(_.trim).toSet)
         .map(s => (n: String) => s.contains(n))
         .getOrElse(_ => true)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, appName = "graft-scaleprobe")
 
     def mat(df: DataFrame, tag: String): DataFrame =
       ProbeUtil.mat(spark, df, tag)
@@ -278,7 +272,9 @@ object ScaleProbe {
     // (LOWER = more diverse) under each keeper rule. The all-pairs
     // mean is quadratic in keepers — fixture-bounded probe arithmetic,
     // not an operator shape.
-    def keeperDiversity(farthest: Boolean): (Double, Double, Long) = {
+    // cosine means come back as JSON number strings ("null" when no
+    // qualifying pair exists — see meanCos)
+    def keeperDiversity(farthest: Boolean): (String, String, Long) = {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val kept = graft.ops.Similarity.semDedup(emb, tau = 0.4, cells = 16,
@@ -291,15 +287,16 @@ object ScaleProbe {
           col("cell").as("ca"))
         val b = kv.select(col("vec_id").as("b"), col("v").as("bv"),
           col("cell").as("cb"))
-        def meanCos(pred: org.apache.spark.sql.Column): Double = {
+        def meanCos(pred: org.apache.spark.sql.Column): String = {
           // null-safe: zero qualifying pairs make avg NULL (e.g. all
-          // keepers in distinct cells) — emit NaN in the probe JSON
-          // instead of crashing the whole probe run on getDouble
+          // keepers in distinct cells) — emit JSON null (ADVICE r21: a
+          // bare NaN literal is not RFC-valid JSON and strict consumers
+          // reject the whole probe line) instead of crashing on getDouble
           val r = a.join(b, col("a") < col("b") && pred)
             .select(graft.ops.Similarity.cosine(col("av"), col("bv")).as("c"))
             .agg(avg("c")).head()
           Option(r.getAs[java.lang.Double](0))
-            .map(_.doubleValue()).getOrElse(Double.NaN)
+            .map(_.doubleValue().toString).getOrElse("null")
         }
         // within-cell is where the keeper rule ACTED (both keepers
         // survived the same tau decision); global is the whole-set view
@@ -945,6 +942,53 @@ object ScaleProbe {
         s""""exact_bytes_ratio":${bek.toDouble / be1},""" +
         s""""hll_bytes_ratio":${bhk.toDouble / bh1},""" +
         s""""bytes_saving_k":${bek.toDouble / bhk},"sf":"$sfDir"}""")
+    }
+    // mm_phash_neardup phase split (r22 verdict item 7): the query is
+    // one lazy map-only plan (synthPng encode → aHash64 decode+hash →
+    // band-blocked pair join) with no natural PhaseClock seam — split
+    // it here by materializing each stage to parquet and timing the
+    // next stage alone, plus the end-to-end form for reference. The
+    // decision this feeds: if encode+hash (contract-bound JDK codec
+    // work — the gate exists to price REAL decodes) dominates, the
+    // query is tight; if the pair join dominates, check candidate
+    // fan-out growth at k (the §3 explosion risk).
+    if (want("mm_neardup_split")) {
+      val docsMm = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      def noop(df: DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def legs(n: Int): (Double, Double, Double, Double, Long) = {
+        val d = mat((0 until n).map(i =>
+          docsMm.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _), s"mmn$n")
+        val pngs = graft.ops.Multimodal.synthPng(spark, d, idMod = 64)
+        noop(pngs) // warm
+        val (tEnc, _) = time(noop(pngs))
+        val pngMat = mat(pngs, s"mmp$n")
+        val hashes = graft.ops.Multimodal.aHash64(spark, pngMat)
+        noop(hashes) // warm
+        val (tHash, _) = time(noop(hashes))
+        val hashMat = mat(hashes, s"mmh$n")
+        val pairsDf = graft.ops.Multimodal.phashNearDup(hashMat, maxDist = 3)
+        noop(pairsDf) // warm
+        val (tPairs, _) = time(noop(pairsDf))
+        val nPairs = pairsDf.count()
+        val e2e = graft.ops.Multimodal.phashNearDup(
+          graft.ops.Multimodal.aHash64(spark,
+            graft.ops.Multimodal.synthPng(spark, d, idMod = 64)), maxDist = 3)
+        noop(e2e) // warm
+        val (tAll, _) = time(noop(e2e))
+        (tEnc, tHash, tPairs, tAll, nPairs)
+      }
+      val (e1, h1, p1, a1, np1) = legs(1)
+      val (ek, hk, pk2, ak, npk) = legs(k)
+      println(s"""{"probe":"mm_neardup_split","k":$k,""" +
+        s""""encode_1":$e1,"hash_1":$h1,"pairs_1":$p1,"e2e_1":$a1,""" +
+        s""""encode_k":$ek,"hash_k":$hk,"pairs_k":$pk2,"e2e_k":$ak,""" +
+        s""""npairs_1":$np1,"npairs_k":$npk,""" +
+        s""""pairs_ratio":${pk2 / p1},"npairs_ratio":${npk.toDouble / np1},""" +
+        s""""bottleneck":"${if (ek + hk > pk2) "codec encode+decode (contract-bound)"
+          else "band-blocked pair join"}","sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -55,13 +55,7 @@ object SkewProbe {
         .map(_.split(",").map(_.trim).toSet)
         .map(s => (n: String) => s.contains(n))
         .getOrElse(_ => true)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, appName = "graft-skewprobe")
 
     def mat(df: DataFrame, tag: String): DataFrame =
       ProbeUtil.mat(spark, df, tag)
@@ -653,6 +647,84 @@ object SkewProbe {
         s""""hot_ratio":${rk / r1},"hot_tax":${rk / ru},""" +
         s""""join_hot_tax":${jk / ju},"hot_agg_over_join":${rk / jk},""" +
         s""""bottleneck":"entity agg exchange (set <= |periods|/user)",""" +
+        s""""sf":"$sfDir"}""")
+    }
+
+    // ── LPA round shape under a hot label ───────────────────────────
+    // The r21 "Not yet" #2 decision leg: the default LPA round is
+    // join(adj × labels on nb) → groupBy(n,label) count → groupBy(n)
+    // argmax — two aggregation exchanges, but the first one ships
+    // PARTIAL-AGGREGATED (n,label) rows (on a hot-label graph the hot
+    // label collapses map-side). The fused variant pre-partitions the
+    // joined rows by n so both aggs run exchange-free — but that one
+    // exchange ships RAW joined rows (no partial aggregation). A third
+    // variant keeps the default round but caches the adjacency
+    // PRE-PARTITIONED on the join key nb, deleting the adj-side join
+    // exchange from every round. Hot leg: ~30% of edges re-pointed at
+    // one hub (its label floods a third of the graph by round 2 — the
+    // partial-agg-friendly regime); uniform: untouched keys.
+    if (want("skew_lpa_round")) {
+      val eBase = ProbeUtil.partEdges(spark, sfDir)
+      def lpaAt(n: Int, hot: Boolean, shape: String): (Double, (Long, Long)) = {
+        val e0 = ProbeUtil.sharedSpanCopies(eBase, n)
+        val e = if (hot) e0.withColumn("dst",
+            when(pmod(xxhash64(col("src"), col("dst")), lit(100)) < HotPct,
+              lit(0L)).otherwise(col("dst")))
+          else e0
+        val in = mat(e, s"lpa$n$hot$shape")
+        val r = time {
+          val und = graft.ops.Graphs.simpleUndirected(in, "src", "dst")
+          val adjBase = und.select(col("u").as("n"), col("v").as("nb"))
+            .unionByName(und.select(col("v").as("n"), col("u").as("nb")))
+          val adj = (if (shape == "adjpart") adjBase.repartition(col("nb"))
+            else adjBase).cache()
+          adj.count()
+          var labels = adj.select(col("n")).distinct()
+            .select(col("n"), col("n").as("label"))
+          var live: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+          (1 to 3).foreach { _ =>
+            val joined = adj.join(
+              labels.select(col("n").as("nb"), col("label")), "nb")
+            val next = shape match {
+              case "fused" => joined
+                .repartition(col("n"))
+                .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+                .groupBy(col("n"))
+                .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+                .select(col("n"), (-col("m.nl")).as("label"))
+              case _ => graft.ops.Graphs.lpaRoundFrame(adj, labels)
+            }
+            val (cut, rdds, _) = graft.ops.Lineage.cut(next)
+            labels = cut
+            live.foreach(_.unpersist(blocking = false))
+            live = rdds
+          }
+          val chk = labels.agg(count(lit(1)).cast("long").as("c"),
+            sum(col("label")).cast("long").as("s")).head()
+          adj.unpersist()
+          (chk.getLong(0), chk.getLong(1))
+        }
+        sweepBlocks()
+        r
+      }
+      lpaAt(1, hot = true, "default") // warm
+      val (l1, c1) = lpaAt(1, hot = true, "default")
+      val (lk, ck) = lpaAt(k, hot = true, "default")
+      val (lf, cf) = lpaAt(k, hot = true, "fused")
+      val (la, ca) = lpaAt(k, hot = true, "adjpart")
+      require(cf == ck && ca == ck,
+        s"LPA round shapes diverged: default=$ck fused=$cf adjpart=$ca")
+      val (lu, _) = lpaAt(k, hot = false, "default")
+      val (lfu, _) = lpaAt(k, hot = false, "fused")
+      val (lau, _) = lpaAt(k, hot = false, "adjpart")
+      println(s"""{"probe":"skew_lpa_round","k":$k,"hot_pct":$HotPct,""" +
+        s""""secs_1":$l1,"secs_k_default":$lk,"secs_k_fused":$lf,""" +
+        s""""secs_k_adjpart":$la,""" +
+        s""""uniform_k_default":$lu,"uniform_k_fused":$lfu,""" +
+        s""""uniform_k_adjpart":$lau,""" +
+        s""""fused_over_default_hot":${lf / lk},""" +
+        s""""adjpart_over_default_hot":${la / lk},""" +
+        s""""bottleneck":"round agg exchanges vs raw-row repartition",""" +
         s""""sf":"$sfDir"}""")
     }
 

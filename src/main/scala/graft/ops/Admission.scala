@@ -237,8 +237,9 @@ object Admission {
       // would hold two near-identical copies of the batch's largest
       // column for the call's lifetime — and an unseamed lazy fill
       // would mis-charge the contraction's md5-over-shingles pass to
-      // admit.verify
-      phase("admit.contract") { repSig.count() }
+      // admit.verify. The count feeds the admit.rejected attribution
+      // below (|rejected| = |repSig| − |admitted| exactly).
+      val nRep = phase("admit.contract") { repSig.count() }
       sig.unpersist()
       val bands = Dedup.lshBands(repSig, "sig", cfg.bands, cfg.rows, "doc_id")
 
@@ -281,9 +282,18 @@ object Admission {
               .select(col("new_id").as("doc_id"), col("corpus_id").as("other_id"),
                 lit("corpus").as("src")))
       }
+      // NOT materialized as its own job (r22, guide §1.2): `rejected`
+      // is consumed exactly once — by the admitted anti-join below —
+      // so the old rejected.cache() + count() paid one extra full pass
+      // over the candidate-verify pipeline per micro-batch purely for
+      // the admit.verify phase split. The verify join now executes once,
+      // inside the admitted aggregate (admit.merge covers candidate
+      // verification + merge in ONE job per batch); the rejected-row
+      // count the triage leaned on is recovered arithmetically below
+      // (every rejected id is a repSig id, and admitted is the exact
+      // anti-join, so |rejected| = |repSig| − |admitted|).
       val rejected = rejectedIds(cand, repSig,
-        storeOpt.map(_.select("doc_id", "sh")), cfg.threshold).cache()
-      phase("admit.verify") { rejected.count() }
+        storeOpt.map(_.select("doc_id", "sh")), cfg.threshold)
 
       // 3. append survivors — signature AND packed bands in the same
       // row — to the store: ONE generation, ONE flip, O(|admitted|)
@@ -300,7 +310,7 @@ object Admission {
         .cache()
       try {
         val n = phase("admit.merge") { admitted.count() } // materialize before the flip GCs old gens
-        rejected.unpersist()
+        graft.PhaseClock.count("admit.rejected", nRep - n)
         repSig.unpersist()
         phase("admit.write") {
           if (legacy) {

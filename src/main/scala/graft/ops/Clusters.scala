@@ -61,9 +61,9 @@ object Clusters {
     var converged = false
     var it = 0
     val spark = nodes.sparkSession
-    // the live checkpoint RDD for the current `labels`; replaced (and
-    // the old one unpersisted) every round — see the scaladoc
-    var liveRdd: org.apache.spark.rdd.RDD[_] = null
+    // the live checkpoint RDDs for the current `labels`; replaced (and
+    // the old set unpersisted) every round — see the scaladoc
+    var liveRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     while (!converged && it < maxIters) {
       val prop = sym
         .join(labels.select(col("v").as("src"), col("comp")), "src")
@@ -84,12 +84,12 @@ object Clusters {
       // executes the plan's shuffle stages (join + jump + min-fold) to
       // pick the final plan; the potential agg then runs the final
       // stage and persists the blocks.
-      val (rdd, next, nextPot) = graft.PhaseClock.time("cc.round") {
+      val (rdds, next, nextPot) = graft.PhaseClock.time("cc.round") {
         val (n, r) = graft.ops.Lineage.cutLazy(folded)
         (r, n, potential(n))
       }
-      if (liveRdd != null) liveRdd.unpersist(blocking = false)
-      liveRdd = rdd
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds = rdds
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot
       labels = next
@@ -104,7 +104,7 @@ object Clusters {
     // eagerly (one round of blocks, not one per round)
     GraphBlocks.register(
       labels.select(col("v").as(idCol), col("comp")),
-      Option(liveRdd).toSeq)
+      liveRdds)
   }
 
   /** Quality-aware canonical selection — the release-side keep/drop

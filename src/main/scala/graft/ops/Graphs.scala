@@ -203,18 +203,18 @@ object Graphs {
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = nodes.select(col("n"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
-    var liveRdd: org.apache.spark.rdd.RDD[_] = null
+    var liveRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     (1 to iterations).foreach { _ =>
       val next = roundFrame(eod, ranks, nodes, seedBase, dampNum, dampDen)
       graft.PhaseClock.count("pr.rounds")
       // internal-row lineage cut (Lineage.cut): materialize this round,
       // then drop the previous round's blocks
-      val (cut, rdd, _) = graft.PhaseClock.time("pr.round") {
+      val (cut, rdds, _) = graft.PhaseClock.time("pr.round") {
         Lineage.cut(next)
       }
       ranks = cut
-      if (liveRdd != null) liveRdd.unpersist(blocking = false)
-      liveRdd = rdd
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds = rdds
     }
     nodes.unpersist()
     eod.unpersist()
@@ -223,7 +223,7 @@ object Graphs {
     // free it without a global sweep
     GraphBlocks.register(
       ranks.select(col("n").as("node"), col("rank").as("rank_units")),
-      Option(liveRdd).toSeq)
+      liveRdds)
   }
 
   /** Per-node triangle count and local clustering coefficient over the
@@ -272,12 +272,12 @@ object Graphs {
     // materialize before releasing the operand caches (the caller's
     // frame must not silently rebuild the wedge join per action) —
     // internal-row cut, see Lineage.cut
-    val (res, rdd, _) = graft.PhaseClock.time("tri.count") {
+    val (res, rdds, _) = graft.PhaseClock.time("tri.count") {
       Lineage.cut(out)
     }
     oriented.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    GraphBlocks.register(res, Option(rdd).toSeq)
+    GraphBlocks.register(res, rdds)
   }
 
   /** The canonical undirected simple graph under (srcCol, dstCol):
@@ -390,22 +390,22 @@ object Graphs {
     graft.PhaseClock.time("lpa.adj") { adj.count() }
     var labels = adj.select(col("n")).distinct()
       .select(col("n"), col("n").as("label"))
-    var liveRdd: org.apache.spark.rdd.RDD[_] = null
+    var liveRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     (1 to iterations).foreach { _ =>
       val next = lpaRoundFrame(adj, labels)
       graft.PhaseClock.count("lpa.rounds")
       // internal-row lineage cut (Lineage.cut)
-      val (cut, rdd, _) = graft.PhaseClock.time("lpa.round") {
+      val (cut, rdds, _) = graft.PhaseClock.time("lpa.round") {
         Lineage.cut(next)
       }
       labels = cut
-      if (liveRdd != null) liveRdd.unpersist(blocking = false)
-      liveRdd = rdd
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds = rdds
     }
     adj.unpersist()
     GraphBlocks.register(
       labels.select(col("n").as("node"), col("label")),
-      Option(liveRdd).toSeq)
+      liveRdds)
   }
 
   /** One synchronous LPA round as a frame — exposed for plan pinning
@@ -472,7 +472,7 @@ object Graphs {
     // GraphBlocks.release can free them all at once
     val pinned = Seq.newBuilder[org.apache.spark.rdd.RDD[_]]
     val (d0, r0, n0) = Lineage.cut(s0)
-    pinned += r0
+    pinned ++= r0
     var dist = d0
     var frontier = d0
     var frontierN = n0
@@ -482,7 +482,7 @@ object Graphs {
       val (next, r, n) = graft.PhaseClock.time("bfs.round") {
         Lineage.cut(round(frontier, e, dist, i))
       }
-      pinned += r
+      pinned ++= r
       frontier = next
       frontierN = n
       dist = dist.unionByName(next)
@@ -529,7 +529,7 @@ object Graphs {
     graft.PhaseClock.time("lmbfs.edges") { e.count() }
     val pinned = Seq.newBuilder[org.apache.spark.rdd.RDD[_]]
     val (d0, r0, n0) = Lineage.cut(s0)
-    pinned += r0
+    pinned ++= r0
     var dist = d0
     var frontier = d0
     var frontierN = n0
@@ -543,7 +543,7 @@ object Graphs {
           .withColumn("dist", lit(i).cast("long"))
           .join(dist, Seq("lm", "n"), "left_anti"))
       }
-      pinned += r
+      pinned ++= r
       frontier = next
       frontierN = n
       dist = dist.unionByName(next)
@@ -595,7 +595,7 @@ object Graphs {
     require(rounds >= 0, s"kCorePeel needs rounds >= 0 (got $rounds)")
     // the edge frame only SHRINKS and the result reads only the FINAL
     // round, so each cut drops the previous round's blocks
-    var (e, eRdd, eN) = Lineage.cut(simpleUndirected(edges, srcCol, dstCol))
+    var (e, eRdds, eN) = Lineage.cut(simpleUndirected(edges, srcCol, dstCol))
     var round = 1
     var converged = false
     while (round <= rounds && !converged) {
@@ -609,17 +609,17 @@ object Graphs {
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v")))
       }
-      eRdd.unpersist(blocking = false)
+      eRdds.foreach(_.unpersist(blocking = false))
       // nothing peeled: every node already has degree >= k, so all
       // remaining rounds are no-ops — identical result, skip them
       converged = n2 == eN
-      e = e2; eRdd = r2; eN = n2
+      e = e2; eRdds = r2; eN = n2
       round += 1
     }
     // the final edge frame stays pinned: the returned plan reads it —
     // registered for GraphBlocks.release
     GraphBlocks.register(
-      degreesOf(e).select(col("n").as("node"), col("degree")), Seq(eRdd))
+      degreesOf(e).select(col("n").as("node"), col("degree")), eRdds)
   }
 
   /** One BFS round as a frame — the loop body, exposed so the plan

@@ -30,32 +30,35 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Lineage {
 
   /** Checkpoint `df` lazily and return it UNMATERIALIZED with its
-    * backing RDD handle: the caller's FIRST action over the frame
+    * backing RDD handles: the caller's FIRST action over the frame
     * materializes (and persists) the blocks. Use when the loop already
     * runs a per-round action (e.g. a convergence aggregate) — the
-    * count job [[cut]] would add is then pure overhead. */
-  def cutLazy(df: DataFrame): (DataFrame, RDD[_]) = {
+    * count job [[cut]] would add is then pure overhead.
+    *
+    * ALL persistent-RDD ids that appeared across the checkpoint call
+    * are returned (normally exactly one — the checkpoint itself). If a
+    * concurrent query persisted an RDD in the window, the set widens;
+    * the caller's unpersist then covers a foreign-but-superseded cache
+    * too, which is harmless (ADVICE r21: returning exactly ONE id from
+    * an unordered map risked keeping the WRONG one — unpersisting a
+    * live foreign cache while leaking the checkpoint to the
+    * ContextCleaner). */
+  def cutLazy(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     // eager=false: marks the internal RDD persisted + localCheckpointed
     // now, materializes at the caller's first action (one job total)
     val cp = df.localCheckpoint(false)
-    // the checkpoint RDD registers with the block manager at mark time;
-    // it is the one persistent-RDD id that just appeared. (Per-round
-    // loops run one cut at a time on their thread; a concurrent query's
-    // RDD sneaking into the diff would only widen the unpersist set
-    // harmlessly — unpersist of a live checkpoint logs a WARN and the
-    // ContextCleaner remains the backstop.)
     val rdds = sc.getPersistentRDDs.collect {
       case (id, r) if !before.contains(id) => r
     }.toSeq
-    (cp, rdds.headOption.orNull)
+    (cp, rdds)
   }
 
-  def cut(df: DataFrame): (DataFrame, RDD[_], Long) = {
-    val (cp, rdd) = cutLazy(df)
+  def cut(df: DataFrame): (DataFrame, Seq[RDD[_]], Long) = {
+    val (cp, rdds) = cutLazy(df)
     val n = cp.count() // materializes the checkpoint blocks
-    (cp, rdd, n)
+    (cp, rdds, n)
   }
 }
 

@@ -28,14 +28,25 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamTuning {
 
-  private def sizeOf(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
-    val f = new java.io.File(path)
-    if (f.exists()) walk(f) else 0L
-  }
+  /** Recursive byte size of `path` through the Hadoop FileSystem API —
+    * NOT java.io.File, which only answers for the local FS: on
+    * HDFS/S3 (the 100 TB deployment target) a local-File walk returns
+    * 0 bytes and the whole input-sized derivation silently degrades to
+    * the session constant (r21 verdict item 4). Handles bare local
+    * paths, qualified URIs, and comma-separated lists; globs resolve
+    * via globStatus. Unreadable/missing paths count 0 (the caller's
+    * unknown-input fallback then keeps the session setting). */
+  private[graft] def sizeOf(spark: SparkSession, path: String): Long =
+    path.split(",").map(_.trim).filter(_.nonEmpty).map { one =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(one)
+        val fs = p.getFileSystem(conf)
+        val stats = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        if (stats.isEmpty) 0L
+        else stats.map(s => fs.getContentSummary(s.getPath).getLength).sum
+      } catch { case _: Exception => 0L }
+    }.sum
 
   private def bytesConf(spark: SparkSession, key: String,
       dflt: Long): Long =
@@ -58,12 +69,20 @@ object StreamTuning {
   def drainPartitions(spark: SparkSession, paths: Seq[String]): Int = {
     val cur = spark.conf.getOption("spark.sql.shuffle.partitions")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+    // override: clamp to >= 1 and ignore unparseable values (ADVICE r21:
+    // a raw "0"/"-4"/"abc" here otherwise propagates into
+    // spark.sql.shuffle.partitions and fails the drain obscurely)
     spark.conf.getOption("spark.graft.stream.partitions")
-      .map(_.toInt)
+      .flatMap { v =>
+        val n = scala.util.Try(v.trim.toInt).toOption
+        if (n.isEmpty) System.err.println(
+          s"[stream-tuning] ignoring unparseable spark.graft.stream.partitions='$v'")
+        n.map(math.max(1, _))
+      }
       .getOrElse {
         val advisory = bytesConf(spark,
           "spark.sql.adaptive.advisoryPartitionSizeInBytes", 64L << 20)
-        val bytes = paths.map(sizeOf).sum
+        val bytes = paths.map(sizeOf(spark, _)).sum
         // unknown input (no paths, or nothing staged yet): keep the
         // session's own setting rather than inventing a tiny drain
         if (bytes <= 0L) cur
@@ -74,15 +93,28 @@ object StreamTuning {
       }
   }
 
+  // one drain at a time per session: the save/set/restore below mutates
+  // the session-global spark.sql.shuffle.partitions, so two overlapping
+  // drains on a shared session could race the save/restore and leave the
+  // session pinned at a drain value for all later batch queries (ADVICE
+  // r21). Weak keys: a stopped session's entry must not outlive it.
+  private val drainLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+  private def lockFor(spark: SparkSession): Object =
+    drainLocks.computeIfAbsent(spark, _ => new Object)
+
   /** Run `body` (construct + start + drain + stop of ONE bounded
     * streaming query) with `spark.sql.shuffle.partitions` sized by
     * [[drainPartitions]], restoring the session's own value afterwards
     * — the batch resolution that typically follows a drain keeps the
     * session setting (and AQE) untouched. The streaming query pins the
     * value it saw at its first batch into its checkpoint, so the
-    * restore cannot re-partition a running query. */
+    * restore cannot re-partition a running query. Drains on the same
+    * session are serialized (see [[drainLocks]]); a caller that needs
+    * concurrent drains should give each its own `spark.newSession`. */
   def withDrainPartitions[T](spark: SparkSession, paths: Seq[String])
-      (body: => T): T = {
+      (body: => T): T = lockFor(spark).synchronized {
     val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       drainPartitions(spark, paths).toString)

@@ -28,6 +28,10 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // keep the test tail readable: the per-round checkpoint unpersists
+    // of the iterative ops otherwise emit thousands of WARN lines that
+    // drown any real failure (the r21 `sbt test` post-mortem)
+    Sessions.muteCheckpointUnpersistWarn()
     s
   }
 }

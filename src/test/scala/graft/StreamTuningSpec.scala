@@ -53,6 +53,41 @@ class StreamTuningSpec extends SparkSpec {
       Seq("/nonexistent/graft-st")) == cur)
   }
 
+  test("sizeOf answers through the Hadoop FileSystem API: bare local " +
+      "path, file:/ URI, comma list, glob, directory") {
+    val f = tmpFile(4096)
+    // bare local path and the qualified file: URI must agree (the r21
+    // java.io.File walk would return 0 for any non-local scheme — the
+    // Hadoop FS route resolves both)
+    assert(StreamTuning.sizeOf(spark, f) == 4096L)
+    assert(StreamTuning.sizeOf(spark, s"file:$f") == 4096L)
+    // comma-separated list sums; missing entries count 0
+    val g = tmpFile(1024)
+    assert(StreamTuning.sizeOf(spark, s"$f,$g") == 5120L)
+    assert(StreamTuning.sizeOf(spark, s"$f,/nonexistent/graft-st") == 4096L)
+    // directory: recursive content size; glob over the dir resolves too
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-dir")
+    java.nio.file.Files.write(dir.resolve("a.bin"), new Array[Byte](100))
+    java.nio.file.Files.write(dir.resolve("b.bin"), new Array[Byte](23))
+    dir.toFile.deleteOnExit()
+    assert(StreamTuning.sizeOf(spark, dir.toString) == 123L)
+    assert(StreamTuning.sizeOf(spark, s"$dir/*.bin") == 123L)
+  }
+
+  test("unparseable or non-positive partition overrides never poison " +
+      "the drain") {
+    val f = tmpFile(1024)
+    for (bad <- Seq("0", "-4")) {
+      spark.conf.set("spark.graft.stream.partitions", bad)
+      try assert(StreamTuning.drainPartitions(spark, Seq(f)) == 1)
+      finally spark.conf.unset("spark.graft.stream.partitions")
+    }
+    spark.conf.set("spark.graft.stream.partitions", "abc")
+    // unparseable: ignored, derivation proceeds (small input -> 1)
+    try assert(StreamTuning.drainPartitions(spark, Seq(f)) == 1)
+    finally spark.conf.unset("spark.graft.stream.partitions")
+  }
+
   test("withDrainPartitions pins for the body and restores the session " +
       "value after") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
